@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ContestData, CountyRollup}
+
+/** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2/§7).
+  *
+  * Conventions that keep the oracle hash-compare exact:
+  *  - every query ends in an `orderBy` over a full key, mirrored by
+  *    `ORDER BY` in the oracle SQL;
+  *  - double measures are cast to DECIMAL(18,2) *before* aggregation
+  *    (testdata doubles are 2-decimal: exact, order-independent), and
+  *    results cast back to DOUBLE — bit-identical across engines;
+  *  - integer aggregates cast to BIGINT on both sides (DuckDB SUM →
+  *    HUGEINT otherwise);
+  *  - aliases match 1:1 between DataFrame code and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (A1 county rollup) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    a1CountyRollup(spark, "/root/testdata/sf0.001")
+
+  private def a1CountyRollup(s: SparkSession, dir: String): DataFrame =
+    CountyRollup(ContestData.precinct(s, dir))
+      .orderBy(CountyRollup.groupKeys.map(col): _*)
+
+  /** (name, query, oracleSql) — single source of truth for both maps. */
+  private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    (
+      "a1_county_rollup",
+      (s, dir) => a1CountyRollup(s, dir),
+      Some(ContestData.oracleCte + "\n" + CountyRollup.oracleSelect)
+    ),
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }
