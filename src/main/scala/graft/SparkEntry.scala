@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ContestData, CountyRollup}
+import graft.analytics.StarQueries
+import graft.ops.{ContestData, ContestQueries, CountyRollup}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2/§7).
   *
@@ -29,11 +30,22 @@ object SparkEntry {
 
   /** (name, query, oracleSql) — single source of truth for both maps. */
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    (
-      "a1_county_rollup",
-      (s, dir) => a1CountyRollup(s, dir),
-      Some(ContestData.oracleCte + "\n" + CountyRollup.oracleSelect)
-    ),
+    ("a1_county_rollup", (s, d) => a1CountyRollup(s, d),
+      Some(ContestData.oracleCte + "\n" + CountyRollup.oracleSelect)),
+    // ingest-pipeline operators (SURVEY.md §2a)
+    ("p1_p4_normalize", ContestQueries.normalize _, Some(ContestQueries.normalizeSql)),
+    ("f1_regex_filter", ContestQueries.regexFilter _, Some(ContestQueries.regexFilterSql)),
+    ("t2_district_extract", ContestQueries.districtExtract _, Some(ContestQueries.districtExtractSql)),
+    ("u1_schema_align", ContestQueries.schemaAlign _, Some(ContestQueries.schemaAlignSql)),
+    ("v1_preview", ContestQueries.preview _, Some(ContestQueries.previewSql)),
+    // star-schema analytics (X7/X8)
+    ("q1_pricing_summary", StarQueries.pricingSummary _, Some(StarQueries.pricingSummarySql)),
+    ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
+    ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
+    ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),
+    ("x8_anti_join", StarQueries.customersWithoutOrders _, Some(StarQueries.customersWithoutOrdersSql)),
+    ("x7_topk_window", StarQueries.topOrdersPerSegment _, Some(StarQueries.topOrdersPerSegmentSql)),
+    ("x7_topk_global", StarQueries.topOrdersGlobal _, Some(StarQueries.topOrdersGlobalSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,184 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X7/X8 + pricing aggregate — analytics over the TPC-H-ish star schema.
+  *
+  * Scale notes (the 100 TB design point):
+  *  - dimension joins (`region`, `nation`, `supplier`, `customer`) are
+  *    explicitly `broadcast()`: fact-side stays shuffle-free;
+  *  - aggregations are plain `groupBy` → map-side partial agg + one
+  *    shuffle on the group key; AQE coalesces output partitions;
+  *  - top-k global uses `orderBy.limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (per-partition heap, no full sort);
+  *  - top-k per group uses a window `row_number` — one shuffle on the
+  *    partition key, no join;
+  *  - all double measures go through DECIMAL(18,2)/(9,2) before
+  *    aggregation: exact, order-independent, oracle-bit-identical.
+  */
+object StarQueries {
+
+  private def dec(c: String): Column = col(c).cast("decimal(9,2)")
+
+  /** Q1-style pricing summary over lineitem with a pushed-down date
+    * filter. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount"))
+          * (lit(1).cast("decimal(9,2)") + dec("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2))) * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: revenue per region/nation via supplier. Dims broadcast. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Customer enrichment join: order value by market segment × nation. */
+  def segmentNationSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_sales"),
+        count(lit(1)).as("n_orders"),
+      )
+      .orderBy(col("c_mktsegment"), col("n_name"))
+  }
+
+  val segmentNationSalesSql: String =
+    """SELECT c_mktsegment, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment, n_name
+      |ORDER BY c_mktsegment, n_name""".stripMargin
+
+  /** Left-semi join: customers having at least one big order (EXISTS). */
+  def bigOrderCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val bigOrderCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no high-value order (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Per-group top-k: 3 priciest orders per market segment (window). */
+  def topOrdersPerSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  val topOrdersPerSegmentSql: String =
+    """SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Global top-k: planned as TakeOrderedAndProject (no full sort). */
+  def topOrdersGlobal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val topOrdersGlobalSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+}

@@ -61,6 +61,48 @@ object ContestData {
     )
   }
 
+  /** Raw contest names for exercising F1/T2 (district extraction):
+    * part-table-derived names hitting each regex branch — digit,
+    * single-letter, roman numeral, mixed case, and no-district.
+    * `district` starts null so the F2 gate passes. Mirror of
+    * [[oracleRawNamesCte]].
+    *
+    * Note: every name contains at most ONE 'DISTRICT' occurrence, so
+    * the DuckDB oracle can split on the first occurrence (RE2 has no
+    * lookbehind for a last-occurrence regex); multi-occurrence rsplit
+    * fidelity is covered by the ScalaTest suite instead. */
+  def rawContestNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val pk = col("p_partkey"); val sz = col("p_size")
+    p.select(
+      pk.as("row_id"),
+      when(pk % 5 === 0, lit("US SENATE"))
+        .when(pk % 5 === 1, concat(lit("US HOUSE OF REPRESENTATIVES DISTRICT "), s(sz)))
+        .when(pk % 5 === 2, concat(lit("SUPERIOR COURT DISTRICT "), expr("char(65 + p_size % 26)")))
+        .when(pk % 5 === 3, concat(lit("SANITARY DISTRICT "),
+          element_at(array(Seq("I", "II", "III", "IV", "V", "VI", "VII", "VIII").map(lit): _*),
+            (sz % 8 + 1).cast("int"))))
+        .otherwise(concat(lit("Board of Education District "), s(sz % 10)))
+        .as("contest_name"),
+      lit(null).cast("string").as("district"),
+    )
+  }
+
+  val oracleRawNamesCte: String =
+    """WITH raw_names AS (
+      |  SELECT
+      |    p_partkey AS row_id,
+      |    CASE p_partkey % 5
+      |      WHEN 0 THEN 'US SENATE'
+      |      WHEN 1 THEN 'US HOUSE OF REPRESENTATIVES DISTRICT ' || CAST(p_size AS VARCHAR)
+      |      WHEN 2 THEN 'SUPERIOR COURT DISTRICT ' || chr(65 + p_size % 26)
+      |      WHEN 3 THEN 'SANITARY DISTRICT ' || (['I','II','III','IV','V','VI','VII','VIII'])[p_size % 8 + 1]
+      |      ELSE 'Board of Education District ' || CAST(p_size % 10 AS VARCHAR)
+      |    END AS contest_name,
+      |    CAST(NULL AS VARCHAR) AS district
+      |  FROM part
+      |)""".stripMargin
+
   /** DuckDB CTE reproducing [[precinct]] verbatim over the same parquet
     * `lineitem` table. Prepend to any contest-query oracle SQL. */
   val oracleCte: String =
