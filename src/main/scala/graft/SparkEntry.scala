@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.StarQueries
+import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextStats}
 import graft.ops.{ContestData, ContestQueries, CountyRollup}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §2/§7).
@@ -46,6 +47,26 @@ object SparkEntry {
     ("x8_anti_join", StarQueries.customersWithoutOrders _, Some(StarQueries.customersWithoutOrdersSql)),
     ("x7_topk_window", StarQueries.topOrdersPerSegment _, Some(StarQueries.topOrdersPerSegmentSql)),
     ("x7_topk_global", StarQueries.topOrdersGlobal _, Some(StarQueries.topOrdersGlobalSql)),
+    // dedup (X1/X2)
+    ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
+    ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
+    ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.ngramJaccardSql)),
+    ("x2_simhash", Dedup.simhashNearDup _, None),
+    // similarity search (X3)
+    ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
+    ("x3_ann_lsh", Similarity.annCosineTopK _, None),
+    // text analysis (X4)
+    ("x4_text_stats", TextStats.textStats _, Some(TextStats.textStatsSql)),
+    ("x4_term_freq", TextStats.termFrequencies _, Some(TextStats.termFrequenciesSql)),
+    ("x4_lang_id", TextStats.langId _, Some(TextStats.langIdSql)),
+    ("x4_fingerprint", TextStats.fingerprint _, Some(TextStats.fingerprintSql)),
+    // multimodal (X5)
+    ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
+    // event windows (X6)
+    ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
+    ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
+    ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
+    ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

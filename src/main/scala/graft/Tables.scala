@@ -22,7 +22,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read as a timestamp. With `spark.sql.legacy.parquet.nanosAsLong`
+    * (set by Verify/Bench/test sessions) it arrives as LongType nanos;
+    * convert to a proper TimestampType truncated to micros (Spark's
+    * native precision) so event-time operators work unchanged. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = read(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 }

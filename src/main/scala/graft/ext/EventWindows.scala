@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X6 — event-time windowing over `events` (batch forms; the streaming
+  * variants live in [[graft.streaming.EventStream]]).
+  *
+  * Uses Spark's native `window()` / `session_window()` operators —
+  * the same expressions work unchanged under `readStream` with a
+  * watermark, which is the point: one query shape for batch backfill
+  * and live streams.
+  *
+  * Oracle parity notes: testdata `ts` is nanosecond parquet which
+  * Spark truncates to micros and DuckDB keeps — so window boundaries
+  * are emitted as epoch SECONDS and gap comparisons operate at
+  * interval scale, where the sub-microsecond difference can't flip a
+  * boundary. Value sums go through DECIMAL(18,2).
+  */
+object EventWindows {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** Tumbling 1-hour windows per event_type. */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val tumblingSql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Sliding 2-hour windows advancing hourly (each event lands in two
+    * windows). */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"))
+
+  val slidingSql: String =
+    """SELECT ws AS window_start, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT unnest([
+      |      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600,
+      |      CAST(epoch(date_trunc('hour', ts)) AS BIGINT)]) AS ws,
+      |    value
+      |  FROM events) t
+      |GROUP BY ws
+      |ORDER BY ws""".stripMargin
+
+  /** Session windows: 30-minute inactivity gap per user
+    * (native `session_window`; DuckDB mirror is the classic
+    * lag→flag→cumulative-sum sessionization). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT *, SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Event-type share pivot per user (conditional aggregation). */
+  def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        types.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val userTypePivotSql: String = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cols = types.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+    s"""SELECT user_id, count(*) AS n_events, ${cols.mkString(", ")}
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+}

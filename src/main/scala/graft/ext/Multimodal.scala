@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X5 — multimodal column plumbing (SURVEY.md §2c).
+  *
+  * Media assets are opaque `binary` payloads plus a typed metadata
+  * struct — the schema a `spark.read.format("binaryFile")` ingest
+  * would produce, here synthesized from `documents.text` bytes so the
+  * plumbing is testable in this container.
+  *
+  * The actual decode (image/audio libraries) is STUBBED behind
+  * [[FakeDecoder]] — a deterministic fake with the same batch-iterator
+  * shape a real vectorized decoder (Arrow batches / pandas UDF in
+  * PySpark, `mapPartitions` here) would have. Everything Spark-side is
+  * real: schema, per-partition batching, feature column layout.
+  *
+  * Scale notes: payloads never shuffle (decode happens before any
+  * wide op); feature extraction is `mapPartitions` so per-batch
+  * library state (a model handle, a codec context) is initialized once
+  * per partition, not per row.
+  */
+object Multimodal {
+
+  /** A media asset row: opaque bytes + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      payload: Array[Byte],
+      mime: String,
+      source: String,
+      n_bytes: Long)
+
+  case class MediaFeatures(
+      media_id: Long,
+      mime: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      brightness: Double)
+
+  /** Deterministic stand-in for an image decoder: "decodes" payload
+    * bytes into (width, height, brightness). Real implementation would
+    * wrap an image library here — the signature (batched iterator in,
+    * iterator out, one init per partition) is the real contract. */
+  object FakeDecoder {
+    def decodeBatch(rows: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+      // per-partition init would go here (model/codec handle)
+      rows.map { r =>
+        val b = r.payload
+        val w = 16 + (math.abs(b.headOption.getOrElse(0: Byte).toInt) % 64)
+        val h = 16 + (math.abs(b.lastOption.getOrElse(0: Byte).toInt) % 64)
+        val bright =
+          if (b.isEmpty) 0.0
+          else b.map(x => (x & 0xff).toDouble).sum / b.length / 255.0
+        MediaFeatures(r.media_id, r.mime, r.n_bytes, w, h, bright)
+      }
+    }
+  }
+
+  /** Synthesize a media table from documents (payload = utf8 bytes). */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        concat(lit("text/plain;src="), col("source")).as("mime"),
+        col("source"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Feature extraction over the stubbed decoder (mapPartitions). */
+  def extractFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions(FakeDecoder.decodeBatch _)
+  }
+
+  /** Oracled query form: binary metadata that both engines can compute
+    * exactly (length, md5, hex prefix) — the decode stub itself is
+    * engine-side only and covered by unit tests. */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).toDF()
+      .select(
+        col("media_id"), col("mime"), col("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        hex(expr("substring(payload, 1, 8)")).as("prefix_hex"))
+      .orderBy(col("media_id"))
+
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  'text/plain;src=' || source AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  hex(encode(substr(text, 1, 8))) AS prefix_hex
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+}

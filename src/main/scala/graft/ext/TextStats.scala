@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X4 — text analysis over `documents`: token stats + quality scoring,
+  * corpus term frequencies, n-gram language-ID, document
+  * fingerprinting (SURVEY.md §2c).
+  *
+  * All per-document metrics are pure projections (split/HOF/regexp —
+  * codegen'd, no shuffle); corpus-level queries are single
+  * hash-aggregations. Ratios divide exact integers ⇒ identical doubles
+  * in both engines.
+  */
+object TextStats {
+
+  // ---- per-document stats + quality score -------------------------------
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("long"))
+      .withColumn("n_word_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("n_distinct"),
+        (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stopword_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("distinct_ratio"),
+      )
+      .orderBy(col("doc_id"))
+
+  val textStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+      |    length(replace(text, ' ', '')) AS n_word_chars
+      |  FROM documents)
+      |SELECT doc_id, lang, source,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(n_word_chars AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+      |  CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- corpus term frequency (top terms) --------------------------------
+
+  def termFrequencies(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(20)
+
+  val termFrequenciesSql: String =
+    """SELECT term, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+      |GROUP BY term
+      |ORDER BY tf DESC, term
+      |LIMIT 20""".stripMargin
+
+  // ---- language ID by char-trigram profile ------------------------------
+
+  /** N-gram-heuristic language ID: per-language char-trigram document
+    * frequencies (learned from the corpus itself) score each doc;
+    * prediction = argmax score (ties → lexicographically first lang).
+    * Integer scores ⇒ deterministic. Output: confusion counts. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val tri = d.select(col("doc_id"), col("lang"), explode(expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"))
+      .as("t"))
+    val profile = tri.groupBy(col("lang").as("p_lang"), col("t")).agg(count(lit(1)).as("df"))
+    val scores = tri.select(col("doc_id"), col("t"))
+      .join(profile, "t")
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(sum(col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+    val pred = scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("predicted"))
+    d.select(col("doc_id"), col("lang")).join(pred, "doc_id")
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val langIdSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(
+      |    [substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 1) + 1)])) AS t
+      |  FROM documents),
+      |profile AS (SELECT lang AS p_lang, t, count(*) AS df FROM tri GROUP BY 1, 2),
+      |scores AS (
+      |  SELECT tri.doc_id, profile.p_lang, SUM(profile.df) AS score
+      |  FROM tri JOIN profile USING (t)
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, p_lang AS predicted
+      |  FROM (SELECT doc_id, p_lang,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rk
+      |        FROM scores) s
+      |  WHERE rk = 1)
+      |SELECT d.lang, pred.predicted, count(*) AS n
+      |FROM documents d JOIN pred USING (doc_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- document fingerprinting ------------------------------------------
+
+  /** Stable content fingerprint: md5 over whitespace-normalized,
+    * lower-cased text (md5 is identical across engines). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

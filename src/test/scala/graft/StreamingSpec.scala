@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** X6 streaming: windowed aggregation with watermark + stateful
+  * sessionizer, driven synchronously via MemoryStream. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+  private def tsHM(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("streaming tumbling window counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.0),
+        Event(3, ts(7), 11, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.length === 2) // [00:00,00:05) clicks ×2, [00:05,00:10) view ×1
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n") === 2L)
+      assert(clicks.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0)) // same session (gap 10m)
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // session still open
+      mem.addData(Event(3, tsHM(2, 0), 1, "click", 5.0)) // gap 110m → closes
+      q.processAllAvailable()
+      val closed = spark.table("sess").collect()
+      assert(closed.length === 1)
+      assert(closed.head.getAs[Long]("n_events") === 2L)
+      assert(closed.head.getAs[Double]("sum_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("batch and streaming window aggregation agree on events table") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ext.EventWindows.tumbling(spark, sf)
+    assert(batch.count() > 0)
+    // same window expression, streaming source, complete mode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("agree").start()
+    try {
+      mem.addData(events.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("agree")
+        .agg(sum("n")).head().getLong(0)
+      assert(streamed === events.length.toLong)
+    } finally q.stop()
+  }
+}
