@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspection: `runMain graft.Explain [queryName ...]` prints the
+  * formatted physical plan of each query (default: a scale-critical
+  * subset) at sf0.001 — used to check pushdown, broadcast choices, and
+  * WholeStageCodegen coverage. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "x8_join_star", "a1_county_rollup",
+        "x7_topk_global", "x2_minhash_lsh", "x3_cosine_topk")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -50,7 +50,7 @@ object SparkEntry {
     // dedup (X1/X2)
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
-    ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.ngramJaccardSql)),
+    ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.fullJaccardSql)),
     ("x2_simhash", Dedup.simhashNearDup _, None),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),

