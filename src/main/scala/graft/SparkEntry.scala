@@ -47,6 +47,11 @@ object SparkEntry {
     ("x8_anti_join", StarQueries.customersWithoutOrders _, Some(StarQueries.customersWithoutOrdersSql)),
     ("x7_topk_window", StarQueries.topOrdersPerSegment _, Some(StarQueries.topOrdersPerSegmentSql)),
     ("x7_topk_global", StarQueries.topOrdersGlobal _, Some(StarQueries.topOrdersGlobalSql)),
+    ("x7_set_ops", StarQueries.setOps _, Some(StarQueries.setOpsSql)),
+    ("x7_rollup", StarQueries.rollupSales _, Some(StarQueries.rollupSalesSql)),
+    ("x7_distinct_count", StarQueries.distinctCounts _, Some(StarQueries.distinctCountsSql)),
+    ("x7_approx_sketches", StarQueries.approxStats _, None),
+    ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
     // dedup (X1/X2)
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
@@ -60,6 +65,7 @@ object SparkEntry {
     ("x4_term_freq", TextStats.termFrequencies _, Some(TextStats.termFrequenciesSql)),
     ("x4_lang_id", TextStats.langId _, Some(TextStats.langIdSql)),
     ("x4_fingerprint", TextStats.fingerprint _, Some(TextStats.fingerprintSql)),
+    ("x4_tfidf", TextStats.tfidfTopTerms _, Some(TextStats.tfidfTopTermsSql)),
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     // event windows (X6)

@@ -169,6 +169,106 @@ object StarQueries {
       |WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** Set ops: nations that have customers INTERSECT/EXCEPT suppliers. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))
+    val s = Tables.supplier(spark, sfDir).select(col("s_nationkey").cast("long").as("nationkey"))
+    val both = c.intersect(s).withColumn("op", lit("intersect"))
+    val onlyC = c.except(s).withColumn("op", lit("except"))
+    both.unionByName(onlyC).select(col("op"), col("nationkey"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'intersect' AS op, nationkey FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) a
+      |UNION ALL
+      |SELECT 'except' AS op, nationkey FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier) b
+      |ORDER BY op, nationkey""".stripMargin
+
+  /** ROLLUP hierarchy totals: region → nation → grand total. Rolled-up
+    * keys are surfaced via coalesce sentinels so null-ordering quirks
+    * can't differ between engines. */
+  def rollupSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val rollupSalesSql: String =
+    """SELECT COALESCE(r_name, '(all)') AS region,
+      |  COALESCE(n_name, '(all)') AS nation,
+      |  count(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** Exact distinct counting across the star (COUNT(DISTINCT …)). */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
+  val distinctCountsSql: String =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+      |  CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status
+      |FROM lineitem""".stripMargin
+
+  /** Sketch-based approximations (HLL distinct, quantile sketch) —
+    * engine-specific estimators, no SQL oracle; sanity-bounded in the
+    * test suite. */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+
+  /** Calendar extraction + date arithmetic on order dates. */
+  def dateBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        col("o_totalprice"))
+      .groupBy(col("y"), col("q"), col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("y"), col("q"), col("m"))
+
+  val dateBucketsSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   /** Global top-k: planned as TakeOrderedAndProject (no full sort). */
   def topOrdersGlobal(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions.vec_qdot
 
 /** X3 — vector similarity search over `embeddings.embedding`
   * (array<float>, dim 64).
@@ -28,11 +29,14 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Quantized integer embedding + squared norm columns. */
+  /** Quantized integer embedding + squared norm columns. The norm uses
+    * [[graft.functions.QuantizedDot]] — one codegen'd loop; `iv` is
+    * kept only where downstream HOFs (LSH planes) need the integer
+    * array. */
   private def quantized(df: DataFrame): DataFrame =
     df.withColumn("iv",
         expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))"))
-      .withColumn("n2", expr("aggregate(iv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
 
   val NumQueries = 8
   val TopK = 5
@@ -40,13 +44,13 @@ object Similarity {
   /** Brute-force exact cosine top-k: first 8 vectors as queries vs the
     * full corpus. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = quantized(Tables.embeddings(spark, sfDir))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
     val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("iv").as("q_iv"), col("n2").as("q_n2"))
-    val pairs = e.select(col("vec_id"), col("iv"), col("n2"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"), col("n2").as("q_n2"))
+    val pairs = e.select(col("vec_id"), col("embedding"), col("n2"))
       .crossJoin(broadcast(queries))
-      .withColumn("dot",
-        expr("aggregate(zip_with(q_iv, iv, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
       .withColumn("sim", col("dot").cast("double") /
         (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -101,17 +105,17 @@ object Similarity {
         s"""transform(sequence(0, ${Tables_ - 1}), t -> named_struct('tbl', t,
            |  'bucket', aggregate(sequence(0, ${BitsPerTable - 1}), 0,
            |     (acc, b) -> acc * 2 + bits[t * $BitsPerTable + b])))""".stripMargin)))
-      .select(col("vec_id"), col("iv"), col("n2"), col("t.tbl"), col("t.bucket"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("t.tbl"), col("t.bucket"))
     val queries = bucketed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("iv").as("q_iv"), col("n2").as("q_n2"),
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"), col("n2").as("q_n2"),
         col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val cands = bucketed
       .join(broadcast(queries),
         col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket"))
-      .select(col("q_id"), col("vec_id"), col("q_iv"), col("q_n2"), col("iv"), col("n2"))
+      .select(col("q_id"), col("vec_id"), col("q_embedding"), col("q_n2"),
+        col("embedding"), col("n2"))
       .dropDuplicates("q_id", "vec_id")
-      .withColumn("dot",
-        expr("aggregate(zip_with(q_iv, iv, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
       .withColumn("sim", col("dot").cast("double") /
         (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))

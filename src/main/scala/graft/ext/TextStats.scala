@@ -113,6 +113,49 @@ object TextStats {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- TF-IDF (rational idf: tf · N / df — exact integers, no ln) -------
+
+  /** Top-3 characteristic terms per document (first 20 docs) ranked by
+    * tf·N/df. Rational idf keeps the score an exact integer ratio —
+    * `ln()` is not guaranteed identically rounded across engines. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val n = d.count() // corpus size: one tiny driver-side action
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"))
+      .filter(col("doc_id") < 20)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n) / CAST(df.df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (term)
+      |  WHERE tf.doc_id < 20),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   // ---- document fingerprinting ------------------------------------------
 
   /** Stable content fingerprint: md5 over whitespace-normalized,

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: register the graft custom
+  * expressions with any session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_qdot"),
+      info("vec_qdot", "vec_qdot(a, b) - integer dot product of 1e7-quantized float arrays"),
+      (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Custom Catalyst expressions for the similarity hot path (X3).
+  *
+  * `aggregate(zip_with(a, b, …))` builds an intermediate array and
+  * walks interpreted lambda closures per element; these expressions
+  * compile to a tight primitive loop inside WholeStageCodegen — the
+  * preference-order step (b) of SURVEY.md §7: a native `Expression`
+  * before any UDF.
+  *
+  * Null semantics: null if either input is null (NullIntolerant);
+  * arrays are assumed element-complete (embedding vectors), mismatched
+  * lengths use the common prefix.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+/** dot(a, b) over array<float> in double precision. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Integer-quantized dot(a, b): Σ round(aᵢ·1e7)·round(bᵢ·1e7) as a
+  * LONG — the exact, order-independent form the oracle comparisons
+  * use, computed in one codegen'd loop instead of
+  * transform+zip_with+aggregate. */
+case class QuantizedDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_qdot"
+
+  @inline private def q(f: Float): Long = Math.round(f.toDouble * 1e7d)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += q(x.getFloat(i)) * q(y.getFloat(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.round(((double) $x.getFloat($i)) * 1.0E7d)
+         |        * java.lang.Math.round(((double) $y.getFloat($i)) * 1.0E7d);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  /** Column API. */
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def vec_qdot(a: Column, b: Column): Column =
+    Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL registration (also injectable via SparkSessionExtensions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_qdot", exprs => QuantizedDot(exprs.head, exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.analytics.StarQueries
+
+/** Star-schema analytics sanity (oracle equality is covered by the
+  * driver's DuckDB gate; these check engine-side invariants). */
+class AnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("approx sketches land within 10% of exact distinct counts") {
+    val exact = StarQueries.distinctCounts(spark, sf).head()
+    val approx = StarQueries.approxStats(spark, sf).head()
+    val nOrders = exact.getAs[Long]("n_orders").toDouble
+    val nParts = exact.getAs[Long]("n_parts").toDouble
+    assert(math.abs(approx.getAs[Long]("approx_orders") - nOrders) / nOrders < 0.1)
+    assert(math.abs(approx.getAs[Long]("approx_parts") - nParts) / nParts < 0.1)
+    assert(approx.getAs[Double]("approx_median_price") > 0.0)
+    assert(approx.getAs[Double]("approx_p99_price") >=
+      approx.getAs[Double]("approx_median_price"))
+  }
+
+  test("rollup emits per-nation, per-region subtotal and grand total rows") {
+    val rows = StarQueries.rollupSales(spark, sf).collect()
+    val grand = rows.filter(r => r.getString(0) == "(all)" && r.getString(1) == "(all)")
+    assert(grand.length === 1)
+    val regionSubtotals = rows.filter(r => r.getString(0) != "(all)" && r.getString(1) == "(all)")
+    assert(regionSubtotals.nonEmpty)
+    // grand total equals sum of region subtotals
+    assert(grand.head.getAs[Long]("n_customers") ===
+      regionSubtotals.map(_.getAs[Long]("n_customers")).sum)
+  }
+
+  test("entry() flagship smoke: >0 rows at sf0.001") {
+    assert(SparkEntry.entry(spark).limit(1).count() === 1)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

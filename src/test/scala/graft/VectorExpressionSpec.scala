@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Custom Catalyst expressions: correctness vs the HOF formulation,
+  * codegen path, null handling, SQL registration. */
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.5f), Array(2.0f, 2.0f)),
+  ).toDF("id", "a", "b")
+
+  test("vec_dot matches manual dot product") {
+    val r = df.select(col("id"), VectorFunctions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) === 32.0)
+    assert(r(2L) === 0.0)
+  }
+
+  test("vec_qdot equals the HOF transform/zip_with/aggregate formulation") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val both = e.select(
+      VectorFunctions.vec_qdot(col("embedding"), col("embedding")).as("expr_dot"),
+      expr("""aggregate(zip_with(
+        transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint)),
+        transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint)),
+        (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)""").as("hof_dot"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("null input yields null") {
+    val withNull = df.withColumn("a", when(col("id") === 1L, col("a")))
+    val rows = withNull.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
+    assert(rows.count(_.isNullAt(0)) === 1)
+  }
+
+  test("SQL registration via FunctionRegistry works") {
+    VectorFunctions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT vec_dot(a, b) FROM vecs WHERE id = 1").head().getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("type check rejects non-float arrays") {
+    val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
