@@ -52,6 +52,8 @@ object SparkEntry {
     ("x7_distinct_count", StarQueries.distinctCounts _, Some(StarQueries.distinctCountsSql)),
     ("x7_approx_sketches", StarQueries.approxStats _, None),
     ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
+    ("x8_salted_join", graft.analytics.SaltedJoin.saltedBrandRevenue _,
+      Some(graft.analytics.SaltedJoin.saltedBrandRevenueSql)),
     // dedup (X1/X2)
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),

@@ -57,4 +57,11 @@ object ContestSchema {
 
   val precinctColumns: Seq[String] = precinct.fieldNames.toSeq
   val countyColumns: Seq[String] = county.fieldNames.toSeq
+
+  /** S6 — the reference's "empty typed frame from a header-only CSV"
+    * (ingestor_precinct.py:20), Spark-native: zero rows, full schema.
+    * Union target / alignment skeleton. */
+  def emptyFrame(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType = precinct): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 }
