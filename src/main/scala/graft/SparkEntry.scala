@@ -54,6 +54,9 @@ object SparkEntry {
     ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
     ("x8_salted_join", graft.analytics.SaltedJoin.saltedBrandRevenue _,
       Some(graft.analytics.SaltedJoin.saltedBrandRevenueSql)),
+    // typed Aggregator top-k: same oracle as the window formulation
+    ("x7_topk_aggregator", graft.functions.TopKAggregator.topOrdersPerSegment _,
+      Some(StarQueries.topOrdersPerSegmentSql)),
     // dedup (X1/X2)
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
