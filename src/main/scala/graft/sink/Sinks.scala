@@ -55,4 +55,17 @@ object Sinks {
       .option("sep", "\t")
       .option("header", "true")
       .csv(dir)
+
+  /** Bucketed managed table: co-locates rows by join/agg key so
+    * repeated joins on `keys` between tables bucketed the same way
+    * plan WITHOUT a shuffle exchange — the persistent-layout answer to
+    * the biggest cost at 100 TB. (`sortBy` the same key additionally
+    * removes the sort from sort-merge joins.) */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.Sinks
+
+/** Bucketing: joins between co-bucketed tables must plan without a
+  * shuffle exchange (the persistent co-location strategy for 100 TB). */
+class BucketedJoinSpec extends AnyFunSuite {
+
+  // dedicated session: needs a warehouse dir for managed tables
+  private lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("graft_wh").toFile.getPath
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      .config("spark.ui.enabled", "false")
+      .appName("bucketed")
+      .getOrCreate()
+  }
+
+  test("co-bucketed join plans with zero shuffle exchanges") {
+    val sf = "/root/testdata/sf0.001"
+    Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", 4, Seq("o_custkey"))
+    Sinks.writeBucketed(
+      Tables.customer(spark, sf).withColumn("c_custkey", col("c_custkey")),
+      "customer_b", 4, Seq("c_custkey"))
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+    // and it still computes the right thing
+    val viaPlain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet === viaPlain)
+  }
+}
