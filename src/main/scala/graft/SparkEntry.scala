@@ -78,6 +78,8 @@ object SparkEntry {
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),
+    ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
+    ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

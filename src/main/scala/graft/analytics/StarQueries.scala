@@ -269,6 +269,30 @@ object StarQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** Scalar math functions (exact-rounded / integer ops only — no
+    * pow/exp/ln whose last-ulp rounding can differ across engines). */
+  def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        abs(col("o_totalprice") - 250000.0).as("abs_delta"),
+        floor(col("o_totalprice")).cast("long").as("floor_price"),
+        ceil(col("o_totalprice")).cast("long").as("ceil_price"),
+        signum(col("o_totalprice") - 250000.0).as("sign_delta"),
+        pmod(col("o_orderkey"), lit(7L)).as("mod7"))
+      .orderBy(col("o_orderkey"))
+
+  val mathFuncsSql: String =
+    """SELECT o_orderkey,
+      |  sqrt(o_totalprice) AS sqrt_price,
+      |  abs(o_totalprice - 250000.0) AS abs_delta,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+      |  CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS sign_delta,
+      |  o_orderkey % 7 AS mod7
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Global top-k: planned as TakeOrderedAndProject (no full sort). */
   def topOrdersGlobal(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

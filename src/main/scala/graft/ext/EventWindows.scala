@@ -99,6 +99,26 @@ object EventWindows {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** JSON property extraction from the `props` column (`{"k": 87}`):
+    * engine-side `get_json_object` (Jackson-backed, codegen-friendly) ↔
+    * DuckDB `json_extract`. Buckets k into deciles. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"))
+      .withColumn("k_bucket", expr("(k div 10) * 10")) // int division: no engine cast-rounding hazard
+      .groupBy(col("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"), col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT (k // 10) * 10 AS k_bucket, event_type,
+      |  count(*) AS n, CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_type
+      |      FROM events) t
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Event-type share pivot per user (conditional aggregation). */
   def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
