@@ -62,6 +62,7 @@ object SparkEntry {
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
     ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.fullJaccardSql)),
     ("x2_simhash", Dedup.simhashNearDup _, None),
+    ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
     ("x3_ann_lsh", Similarity.annCosineTopK _, None),

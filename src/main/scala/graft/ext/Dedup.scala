@@ -188,6 +188,47 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  // ---- X2d: embedding-cosine near-dup -----------------------------------
+
+  val CosineDupThreshold = 0.4
+
+  /** Near-dup detection on the embedding space: all pairs with
+    * quantized-integer cosine ≥ 0.4 (testdata sims top out at ~0.51,
+    * so this is the discriminative band). Brute-force all-pairs via
+    * the codegen'd [[graft.functions.QuantizedDot]] — the exact
+    * baseline; at corpus scale the bucketed LSH path
+    * ([[Similarity.annCosineTopK]]'s table scheme) prunes candidates
+    * first. Oracled (same quantized arithmetic in DuckDB). */
+  def embeddingCosineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_qdot
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"), col("n2").as("nb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("sim", vec_qdot(col("ea"), col("eb")).cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("sim") >= CosineDupThreshold)
+      .select(col("i"), col("j"), col("sim"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embeddingCosineDedupSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q)
+       |SELECT a.vec_id AS i, b.vec_id AS j,
+       |  CAST(list_sum(list_transform(list_zip(a.iv, b.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       |FROM n a, n b
+       |WHERE a.vec_id < b.vec_id
+       |  AND CAST(list_sum(list_transform(list_zip(a.iv, b.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $CosineDupThreshold
+       |ORDER BY i, j""".stripMargin
+
   // ---- X2c: SimHash -----------------------------------------------------
 
   /** 64-bit SimHash over char-8-gram shingles; near-dup = hamming

@@ -27,8 +27,12 @@ object TextStats {
       .withColumn("n_stop",
         expr("size(filter(toks, t -> t = 'the' OR t = 'a'))").cast("long"))
       .withColumn("n_word_chars", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      // BPE-ish regex tokenization alongside whitespace tokens
+      .withColumn("n_re_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long"))
       .select(
         col("doc_id"), col("lang"), col("source"), col("n_tokens"), col("n_distinct"),
+        col("n_re_tokens"),
         (col("n_word_chars").cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
         (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stopword_ratio"),
         (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("distinct_ratio"),
@@ -37,12 +41,13 @@ object TextStats {
 
   val textStatsSql: String =
     """WITH t AS (
-      |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+      |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks,
       |    length(replace(text, ' ', '')) AS n_word_chars
       |  FROM documents)
       |SELECT doc_id, lang, source,
       |  CAST(len(toks) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
       |  CAST(n_word_chars AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
       |  CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE)
       |    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
@@ -158,18 +163,29 @@ object TextStats {
 
   // ---- document fingerprinting ------------------------------------------
 
-  /** Stable content fingerprint: md5 over whitespace-normalized,
-    * lower-cased text (md5 is identical across engines). */
+  /** Stable content fingerprints: md5 over whitespace-normalized,
+    * lower-cased text, plus a polynomial rolling hash over character
+    * codes (h = (h·31 + ascii(c)) mod 1e9+7 — modulus keeps every
+    * intermediate < 2³⁵, so no overflow divergence and ANSI-safe). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+        expr("""aggregate(
+          |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+          |  cast(0 as bigint),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("rolling_hash"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB list_reduce has no seed — it folds from the first element,
+    * which equals Spark's 0-seeded fold since 0·31 + c₁ = c₁. */
   val fingerprintSql: String =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+      |  CAST(list_reduce(
+      |    [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, length(text) + 1)],
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rolling_hash,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin
