@@ -61,6 +61,15 @@ object ContestData {
     )
   }
 
+  /** Typed view of [[precinct]] (`Dataset[ContestRow]`, SURVEY §1.4). */
+  def typedPrecinct(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[graft.schema.ContestRow] = {
+    import spark.implicits._
+    precinct(spark, sfDir)
+      .select(graft.schema.ContestSchema.precinctColumns.map(col): _*)
+      .as[graft.schema.ContestRow]
+  }
+
   /** Raw contest names for exercising F1/T2 (district extraction):
     * part-table-derived names hitting each regex branch — digit,
     * single-letter, roman numeral, mixed case, and no-district.

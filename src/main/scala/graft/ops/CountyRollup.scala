@@ -58,6 +58,16 @@ object CountyRollup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Materialize contest_county (the reference's `CREATE TABLE
+    * contest_county AS …`, README.md:59-90) as parquet partitioned by
+    * election_date: at 100 TB every downstream query filtering on the
+    * election prunes to its partition before any IO. */
+  def materialize(precinct: DataFrame, outPath: String): Unit =
+    apply(precinct).write
+      .mode("overwrite")
+      .partitionBy("election_date")
+      .parquet(outPath)
+
   /** DuckDB oracle body (append to [[ContestData.oracleCte]]). */
   val oracleSelect: String = {
     val sAgg = stringAggCols.map(c =>
