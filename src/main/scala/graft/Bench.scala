@@ -9,9 +9,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata files are single small parquets (lineitem@sf0.1 ≈ 11 MB);
+      // the 128 MB default split → 1-task scans. 4 MB splits let scans
+      // use the cores while shuffle stages already use `cpus` partitions.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-listing paths so per-query numbers
+    // measure the query, not first-touch costs.
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach(t => try Tables.read(spark, sfDir, t).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
