@@ -86,9 +86,18 @@ object Dedup {
       .filter(col("df") <= MaxShingleDf).select(col("s"))
     val shf = sh.join(broadcast(rare), "s")
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
-    val common = shf.as("a").join(shf.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    // pair generation per shingle group (sorted doc list → i<j pairs)
+    // instead of a two-sided self-join: one groupBy shuffle of the
+    // stream, pairs built in-memory per group (df ≤ MaxShingleDf caps
+    // the quadratic term per group)
+    val common = shf.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2) // sequence(0,-1) would descend
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2), a ->
+          |  transform(sequence(a + 1, size(ids) - 1), b ->
+          |    struct(ids[a] AS i, ids[b] AS j))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.as("si"), col("i") === col("si.doc_id"))

@@ -83,9 +83,12 @@ object TextStats {
     val tri = d.select(col("doc_id"), col("lang"), explode(expr(
       "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"))
       .as("t"))
+    // profile cardinality = distinct trigrams × languages (vocab-sized,
+    // not corpus-sized) → broadcast it so the doc-trigram stream never
+    // shuffles for the join
     val profile = tri.groupBy(col("lang").as("p_lang"), col("t")).agg(count(lit(1)).as("df"))
     val scores = tri.select(col("doc_id"), col("t"))
-      .join(profile, "t")
+      .join(broadcast(profile), "t")
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(sum(col("df")).as("score"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
