@@ -80,7 +80,10 @@ object SparkEntry {
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),
     ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
+    ("x6_asof_join", graft.analytics.AsOfJoin.errorsWithLastClick _,
+      Some(graft.analytics.AsOfJoin.errorsWithLastClickSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
+    ("x7_percentiles", StarQueries.exactPercentiles _, Some(StarQueries.exactPercentilesSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

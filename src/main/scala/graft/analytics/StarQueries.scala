@@ -247,6 +247,27 @@ object StarQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
 
+  /** Exact percentiles (linear interpolation) per order priority —
+    * parity of Spark `percentile` and DuckDB `quantile_cont` on
+    * DOUBLE inputs is verified by the oracle gate. */
+  def exactPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val exactPercentilesSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Calendar extraction + date arithmetic on order dates. */
   def dateBuckets(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
