@@ -45,6 +45,11 @@ class VectorExpressionSpec extends SparkSpec {
     assert(r === 32.0)
   }
 
+  test("GraftExtensions injects both functions (ExpressionInfo validates eagerly)") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext) // throws on invalid info/group
+  }
+
   test("type check rejects non-float arrays") {
     val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val ex = intercept[Exception] {
