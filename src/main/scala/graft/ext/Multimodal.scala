@@ -60,6 +60,43 @@ object Multimodal {
     }
   }
 
+  case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  /** Resize stub: real impl would decode → scale → re-encode; the fake
+    * deterministically truncates/pads payload to `w*h` bytes so the
+    * Spark-side contract (binary in, binary out, metadata updated) is
+    * exercised. */
+  def resizeStub(rows: Iterator[MediaRecord], w: Int, h: Int): Iterator[MediaRecord] =
+    rows.map { r =>
+      val target = w * h
+      val b = java.util.Arrays.copyOf(r.payload, target)
+      r.copy(payload = b, mime = r.mime + s";resized=${w}x$h", n_bytes = target.toLong)
+    }
+
+  /** Frame-sample stub: treats the payload as a "video" of fixed-size
+    * frames and emits every `stride`-th frame — the row-explosion
+    * shape (1 asset → N frames) a real video sampler produces. */
+  def frameSampleStub(rows: Iterator[MediaRecord], frameSize: Int, stride: Int): Iterator[Frame] =
+    rows.flatMap { r =>
+      r.payload.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (bytes, i) => Frame(r.media_id, i, bytes) }
+    }
+
+  /** Resize pipeline over the stub (mapPartitions — binary never
+    * shuffles; partition-local batch transform). */
+  def resized(spark: SparkSession, sfDir: String, w: Int, h: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions(it => resizeStub(it, w, h))
+  }
+
+  /** Frame sampling pipeline (1 → N explosion via mapPartitions). */
+  def frames(spark: SparkSession, sfDir: String,
+      frameSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions(it => frameSampleStub(it, frameSize, stride))
+  }
+
   /** Synthesize a media table from documents (payload = utf8 bytes). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._

@@ -55,6 +55,20 @@ class ExtSpec extends SparkSpec {
     assert(exact.intersect(ann).size >= exact.size / 2)
   }
 
+  test("X5 multimodal: resize keeps row count, frame-sample explodes rows") {
+    val n = Multimodal.mediaTable(spark, sf).count()
+    val r = Multimodal.resized(spark, sf, 8, 8)
+    assert(r.count() === n)
+    val first = r.filter(col("media_id") === 0L).head()
+    assert(first.n_bytes === 64L && first.payload.length === 64)
+    assert(first.mime.endsWith(";resized=8x8"))
+    val f = Multimodal.frames(spark, sf, frameSize = 64, stride = 4)
+    assert(f.count() > n) // 1 asset → many frames
+    val f0 = f.filter(col("media_id") === 0L).collect()
+    assert(f0.map(_.frame_no).toSeq === f0.map(_.frame_no).toSeq.sorted)
+    assert(f0.forall(_.frame_no % 4 == 0))
+  }
+
   test("X5 multimodal: stub decoder produces features for every asset") {
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(spark, sf)

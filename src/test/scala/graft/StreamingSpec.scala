@@ -36,6 +36,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      // batch 1: events at 00:01 and 00:02
+      mem.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: event at 01:00 advances the watermark to 00:50,
+      // finalizing (and emitting) the [00:00,00:05) window
+      mem.addData(Event(3, tsHM(1, 0), 1, "view", 1.0))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("late").collect()
+      assert(afterAdvance.exists(r => r.getAs[Long]("n") == 2L))
+      // batch 3: a LATE click at 00:03 — behind the watermark → dropped
+      mem.addData(Event(4, ts(3), 1, "click", 99.0))
+      q.processAllAvailable()
+      val finalRows = spark.table("late").collect()
+      assert(finalRows.count(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Long]("n") == 2L) === 1) // unchanged: late row did not reopen it
+      assert(!finalRows.exists(r => r.getAs[Double]("sum_value") == 99.0 ||
+        r.getAs[Double]("sum_value") == 101.0))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits closed sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
