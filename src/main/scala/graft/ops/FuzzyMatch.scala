@@ -18,7 +18,7 @@ object FuzzyMatch {
   private def norm(s: String): String =
     s.toLowerCase.replaceAll("[_\\-\\s]+", " ").trim
 
-  private[ops] def levenshtein(a: String, b: String): Int = {
+  private[graft] def levenshtein(a: String, b: String): Int = {
     val prev = new Array[Int](b.length + 1)
     val cur = new Array[Int](b.length + 1)
     for (j <- 0 to b.length) prev(j) = j

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.FuzzyMatch
+
+/** Property-based checks for the driver-side metadata operators,
+  * using plain scalacheck generators (no scalatestplus bridge in the
+  * offline cache) with deterministic seeds. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i => gen(Gen.Parameters.default, Seed(42L + i)))
+
+  private val name: Gen[String] =
+    Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaLowerChar, Gen.const('_'), Gen.const(' '))).map(_.mkString))
+
+  test("ratio is bounded [0,100], 100 on self, symmetric") {
+    for (Seq(a, b) <- samples(Gen.zip(name, name)).map(t => Seq(t._1, t._2))) {
+      val r = FuzzyMatch.ratio(a, b)
+      assert(r >= 0 && r <= 100)
+      assert(r === FuzzyMatch.ratio(b, a))
+    }
+    for (a <- samples(name) if a.trim.nonEmpty)
+      assert(FuzzyMatch.ratio(a, a) === 100)
+  }
+
+  test("separator normalization: underscores and spaces are equivalent") {
+    for (a <- samples(name))
+      assert(FuzzyMatch.ratio(a, a.replace('_', ' ')) === 100)
+  }
+
+  test("levenshtein triangle inequality") {
+    for ((a, (b, c)) <- samples(Gen.zip(name, Gen.zip(name, name)))) {
+      assert(FuzzyMatch.levenshtein(a, c) <=
+        FuzzyMatch.levenshtein(a, b) + FuzzyMatch.levenshtein(b, c))
+    }
+  }
+
+  test("sniffer picks the dominant delimiter for generated rows") {
+    val field = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val gen = Gen.zip(Gen.oneOf(',', '\t', ';', '|'), Gen.chooseNum(2, 8), field)
+    for ((sep, nCols, f) <- samples(gen)) {
+      val line = List.fill(nCols)(f).mkString(sep.toString)
+      assert(graft.ingest.Sniffer.sniffLine(line) === sep.toString)
+    }
+  }
+
+  test("district extraction leaves non-matching names untouched") {
+    import spark.implicits._
+    // no spaces → can't match 'DISTRICT <x>'; exact fidelity for the
+    // matching branches is pinned by DistrictExtractSpec
+    val safe = Gen.listOfN(8, Gen.alphaUpperChar).map(_.mkString)
+    val names = samples(safe, 40).distinct.filterNot(_.contains("DISTRICT"))
+    val df = names.zipWithIndex.map { case (n, i) => (i.toString, n) }
+      .toDF("id", "contest_name")
+    val out = graft.ops.DistrictExtract(df).collect()
+    assert(out.length === names.length)
+    out.foreach { r =>
+      assert(names.contains(r.getString(1)))
+      assert(r.isNullAt(2))
+    }
+  }
+}
