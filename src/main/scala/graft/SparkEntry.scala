@@ -82,6 +82,9 @@ object SparkEntry {
     ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
     ("x6_asof_join", graft.analytics.AsOfJoin.errorsWithLastClick _,
       Some(graft.analytics.AsOfJoin.errorsWithLastClickSql)),
+    ("x6_funnel", EventWindows.funnel _, Some(EventWindows.funnelSql)),
+    ("x9_profile", graft.analytics.Profiler.profileOrders _,
+      Some(graft.analytics.Profiler.profileOrdersSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
     ("x7_percentiles", StarQueries.exactPercentiles _, Some(StarQueries.exactPercentilesSql)),
   )

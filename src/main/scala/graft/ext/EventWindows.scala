@@ -119,6 +119,49 @@ object EventWindows {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Funnel analysis: signup → click → purchase in strict time order
+    * per user. Stage timestamps via conditional min-aggregation with
+    * window-free sequencing (t₂ = min ts of stage-2 events after t₁),
+    * computed in two passes of small per-user aggregates — no
+    * event-stream self-join. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("t") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup")).agg(min(col("t")).as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("t") > col("t_click"))
+      .groupBy(col("user_id"), col("t_signup"), col("t_click")).agg(min(col("t")).as("t_purchase"))
+    s1.join(s2.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stages"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+      |s1 AS (SELECT user_id, MIN(t) AS t_signup FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, MIN(t) AS t_click FROM ev
+      |       JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND t > t_signup GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, MIN(t) AS t_purchase FROM ev
+      |       JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND t > t_click GROUP BY ev.user_id)
+      |SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+      |  CAST(1 + CASE WHEN s2.t_click IS NOT NULL THEN 1 ELSE 0 END
+      |         + CASE WHEN s3.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stages
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   /** Event-type share pivot per user (conditional aggregation). */
   def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
