@@ -18,7 +18,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "x8_join_star", "a1_county_rollup",
-        "x7_topk_global", "x2_minhash_lsh", "x3_cosine_topk")
+        "x7_topk_global", "x2_minhash_lsh", "x3_cosine_topk",
+        "x6_session_window", "x6_asof_join", "x9_profile")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
