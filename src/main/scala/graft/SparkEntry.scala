@@ -33,6 +33,7 @@ object SparkEntry {
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("a1_county_rollup", (s, d) => a1CountyRollup(s, d),
       Some(ContestData.oracleCte + "\n" + CountyRollup.oracleSelect)),
+    ("a2_contest_winners", ContestQueries.winners _, Some(ContestQueries.winnersSql)),
     // ingest-pipeline operators (SURVEY.md §2a)
     ("p1_p4_normalize", ContestQueries.normalize _, Some(ContestQueries.normalizeSql)),
     ("f1_regex_filter", ContestQueries.regexFilter _, Some(ContestQueries.regexFilterSql)),
@@ -61,6 +62,7 @@ object SparkEntry {
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
     ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.fullJaccardSql)),
+    ("x2_minhash_sketch", Dedup.minhashNearDupSketch _, Some(Dedup.fullJaccardSql)),
     ("x2_simhash", Dedup.simhashNearDup _, None),
     ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
     // similarity search (X3)

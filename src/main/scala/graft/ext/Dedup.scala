@@ -197,6 +197,40 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** [[minhashNearDup]] built on the custom
+    * [[graft.functions.MinHashAgg]] sketch aggregate: ONE
+    * TypedImperativeAggregate computes the 32-perm signature per doc
+    * (single buffer, one hash pass per perm) instead of 32 separate
+    * min() aggregates. Identical output contract: LSH candidates are
+    * verified with EXACT jaccard, so the result equals the full exact
+    * pair set independent of the hash family — same oracle. */
+  def minhashNearDupSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MinHashAgg.minhash_sig
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    val sig = sh.groupBy(col("doc_id")).agg(minhash_sig(col("s"), NumPerms).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${Bands - 1}), j -> named_struct(" +
+        s"'band', j, 'bh', xxhash64(j, slice(sig, j * $RowsPerBand + 1, $RowsPerBand))))")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+    val sets = docs(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    cand
+      .join(sets.as("si"), col("i") === col("si.doc_id"))
+      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
+      .withColumn("common", size(array_intersect(col("si.shingles"), col("sj.shingles"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("si.shingles")) + size(col("sj.shingles")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("common"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // ---- X2d: embedding-cosine near-dup -----------------------------------
 
   val CosineDupThreshold = 0.4

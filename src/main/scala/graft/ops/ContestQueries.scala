@@ -99,6 +99,48 @@ object ContestQueries {
          |ORDER BY contest_name, county, total_votes""".stripMargin
   }
 
+  // ---- A2: contest winners (the domain question the rollup feeds) ----
+
+  /** Winner per contest: rank candidates inside each county-level
+    * contest by rolled-up total_votes (ties → candidate name). This is
+    * what `winner_flag` encodes in the reference's domain — computed
+    * here from first principles over the A1 output. */
+  def winners(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val county = CountyRollup(ContestData.precinct(spark, sfDir))
+    val w = Window
+      .partitionBy(col("election_date"), col("contest_group_id"), col("contest_name"),
+        col("district"), col("county"))
+      .orderBy(col("total_votes").desc, col("candidate"))
+    county
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("election_date"), col("contest_group_id"), col("contest_name"),
+        col("district"), col("county"), col("candidate").as("winner"),
+        col("total_votes"))
+      .orderBy(col("election_date"), col("contest_group_id"), col("contest_name"),
+        col("district"), col("county"))
+  }
+
+  val winnersSql: String =
+    ContestData.oracleCte +
+      """,
+        |county AS (
+        |  SELECT CAST(election_date AS VARCHAR) AS election_date, contest_group_id,
+        |    contest_name, district, county, candidate,
+        |    CAST(SUM(total_votes) AS BIGINT) AS total_votes
+        |  FROM contest_precinct
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT election_date, contest_group_id, contest_name, district, county,
+        |  candidate AS winner, total_votes
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY election_date, contest_group_id, contest_name, district, county
+        |    ORDER BY total_votes DESC, candidate) AS rk
+        |  FROM county) t
+        |WHERE rk = 1
+        |ORDER BY election_date, contest_group_id, contest_name, district, county""".stripMargin
+
   // ---- V1: preview head + fillna ----
 
   def preview(spark: SparkSession, sfDir: String): DataFrame = {

@@ -50,6 +50,20 @@ class VectorExpressionSpec extends SparkSpec {
     new graft.functions.GraftExtensions()(ext) // throws on invalid info/group
   }
 
+  test("MinHashAgg: signature invariant under partitioning (merge is sound)") {
+    import graft.functions.MinHashAgg.minhash_sig
+    val sh = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        explode(expr(graft.ext.Dedup.shinglesExpr)).as("s"))
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("doc_id")).agg(minhash_sig(col("s")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val once = sigs(sh.coalesce(1))
+    val many = sigs(sh.repartition(16))
+    assert(once === many) // element-wise-min merge ⇒ partition-layout independent
+    assert(once.values.head.length === 32)
+  }
+
   test("type check rejects non-float arrays") {
     val bad = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val ex = intercept[Exception] {
