@@ -89,6 +89,9 @@ object SparkEntry {
       Some(graft.analytics.Profiler.profileOrdersSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
     ("x7_percentiles", StarQueries.exactPercentiles _, Some(StarQueries.exactPercentilesSql)),
+    ("x7_subqueries", StarQueries.subqueries _, Some(StarQueries.subqueriesSql)),
+    ("x7_cube", StarQueries.cubeSales _, Some(StarQueries.cubeSalesSql)),
+    ("x7_string_funcs", StarQueries.stringFuncs _, Some(StarQueries.stringFuncsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

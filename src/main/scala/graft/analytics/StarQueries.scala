@@ -247,6 +247,92 @@ object StarQueries {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
 
+  /** Scalar + correlated subqueries: orders above the global average
+    * price, with each customer's own order count (Catalyst rewrites
+    * the correlated scalar subquery into an aggregate + join). The
+    * average is computed the decimal-exact way on BOTH sides —
+    * `avg(double)` alone is summation-order-dependent and could flip
+    * threshold-adjacent rows between engines. */
+  def subqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (SELECT count(*) FROM orders_v i
+        |   WHERE i.o_custkey = o.o_custkey) AS cust_orders
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |                             / COUNT(*) FROM orders_v)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subqueriesSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  (SELECT count(*) FROM orders i
+      |   WHERE i.o_custkey = o.o_custkey) AS cust_orders
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                             / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CUBE grouping sets over region × market segment. */
+  def cubeSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region"), col("segment"))
+  }
+
+  val cubeSalesSql: String =
+    """SELECT COALESCE(r_name, '(all)') AS region,
+      |  COALESCE(c_mktsegment, '(all)') AS segment,
+      |  count(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE (r_name, c_mktsegment)
+      |ORDER BY region, segment""".stripMargin
+
+  /** String-function sweep over part names (deterministic, both
+    * engines byte-identical on ASCII). */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        reverse(col("p_type")).as("rev"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        split(col("p_name"), " ").getItem(0).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS up,
+      |  lower(p_brand) AS lo,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  substr(p_name, 1, 5) AS pre5,
+      |  reverse(p_type) AS rev,
+      |  trim('  pad  ') AS trimmed,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  concat_ws('|', p_brand, p_type) AS joined,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  string_split(p_name, ' ')[1] AS first_word
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   /** Exact percentiles (linear interpolation) per order priority —
     * parity of Spark `percentile` and DuckDB `quantile_cont` on
     * DOUBLE inputs is verified by the oracle gate. */
