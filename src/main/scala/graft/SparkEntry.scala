@@ -68,6 +68,7 @@ object SparkEntry {
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
     ("x3_ann_lsh", Similarity.annCosineTopK _, None),
+    ("x3_ann_ivf", Similarity.ivfCosineTopK _, None),
     // text analysis (X4)
     ("x4_text_stats", TextStats.textStats _, Some(TextStats.textStatsSql)),
     ("x4_term_freq", TextStats.termFrequencies _, Some(TextStats.termFrequenciesSql)),

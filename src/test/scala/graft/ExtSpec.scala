@@ -55,6 +55,15 @@ class ExtSpec extends SparkSpec {
     assert(exact.intersect(ann).size >= exact.size / 2)
   }
 
+  test("X3 IVF ANN: recall@5 vs exact top-k is usable") {
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.count { case (q, v) => q == v } === Similarity.NumQueries) // self found
+    assert(exact.intersect(ivf).size >= exact.size / 2)
+  }
+
   test("X5 multimodal: resize keeps row count, frame-sample explodes rows") {
     val n = Multimodal.mediaTable(spark, sf).count()
     val r = Multimodal.resized(spark, sf, 8, 8)
