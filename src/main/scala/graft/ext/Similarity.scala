@@ -99,39 +99,33 @@ object Similarity {
   def ivfCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
       .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(IvfCells).setSeed(42L).setFeaturesCol("fv")
-      .fit(e.select(col("fv")))
-    // centroids as a broadcast-sized array-of-arrays literal
-    val cents = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val centCol = array(cents.toSeq.map(c =>
-      array(c.toSeq.map(v => lit(v)): _*)): _*)
-    // distance to each centroid via the codegen'd dot (cells ranked by
-    // cosine against the same quantized arithmetic used everywhere)
-    def cellRanks(vecCol: Column, n: Int): Column =
-      slice(expr(
-        s"""array_sort(transform(sequence(0, ${IvfCells - 1}), c ->
-           |  named_struct('negsim', -__cent_sim[c], 'cell', c)))""".stripMargin), 1, n)
-    val withSims = e.withColumn("__cents", centCol)
-      .withColumn("__cent_sim", expr(
-        """transform(__cents, ct ->
-          |  cast(aggregate(zip_with(embedding, ct, (x, y) ->
-          |    cast(round(cast(x as double) * 10000000) as bigint) *
-          |    cast(round(cast(y as double) * 10000000) as bigint)),
-          |    cast(0 as bigint), (a, v) -> a + v) as double)
-          |  / (sqrt(cast(n2 as double)) *
-          |     sqrt(cast(aggregate(ct, cast(0 as bigint), (a, y) ->
-          |       a + cast(round(cast(y as double) * 10000000) as bigint) *
-          |           cast(round(cast(y as double) * 10000000) as bigint)) as double))))""".stripMargin))
-    val assigned = withSims
-      .withColumn("cell", cellRanks(col("embedding"), 1).getItem(0).getField("cell"))
+    val model = new KMeans().setK(IvfCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").fit(e.select(col("fv")))
+    // corpus assignment via the model's own quantizer (native, fast)
+    val assigned = model.setPredictionCol("cell").transform(e)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
-    val queries = withSims.filter(col("vec_id") < NumQueries)
-      .withColumn("probe", explode(cellRanks(col("embedding"), IvfProbes)))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
-        col("n2").as("q_n2"), col("probe.cell").as("cell"))
+    // query probing is driver-side: NumQueries rows × IvfCells centroid
+    // distances is metadata-sized work, not a distributed expression
+    val cents = model.clusterCenters.map(_.toArray)
+    val qRows = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"), col("n2")).collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+      cents.zipWithIndex
+        .map { case (c, i) =>
+          val d2 = qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, i)
+        }
+        .sortBy(_._1).take(IvfProbes)
+        .map { case (_, cell) => (r.getLong(0), cell) }
+    }.toSeq
+    val queries = probes.toDF("q_id", "cell")
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2")), "q_id")
     val cands = assigned.join(broadcast(queries), "cell")
       .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
       .withColumn("sim", col("dot").cast("double") /
