@@ -63,6 +63,7 @@ object SparkEntry {
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),
     ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.fullJaccardSql)),
     ("x2_minhash_sketch", Dedup.minhashNearDupSketch _, Some(Dedup.fullJaccardSql)),
+    ("x2_minhash_ml", Dedup.minhashNearDupMl _, Some(Dedup.mlJaccardSql)),
     ("x2_simhash", Dedup.simhashNearDup _, None),
     ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
     // similarity search (X3)

@@ -157,8 +157,8 @@ object Dedup {
   val RowsPerBand: Int = NumPerms / Bands
 
   /** MinHash signature (32 perms, xxhash64 seeded by perm index) +
-    * LSH banding (16 bands × 2) + exact Jaccard verification on the
-    * candidate pairs only.
+    * LSH banding (8 bands × 4 rows) + exact Jaccard verification on
+    * the candidate pairs only.
     *
     * Oracled with [[fullJaccardSql]]: at the testdata's similarity
     * margins (planted near-dups ≥ 0.92 full-set jaccard, random pairs
@@ -230,6 +230,55 @@ object Dedup {
       .select(col("i"), col("j"), col("common"), col("jaccard"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** The spark.ml pipeline variant of MinHash near-dup (the brief's
+    * suggested `HashingTF` + `MinHashLSH` composition):
+    * char-shingles → sparse term-frequency vectors → ml MinHashLSH
+    * `approxSimilarityJoin` for candidates → the same EXACT jaccard
+    * verification as the hand-rolled paths, so it shares the
+    * full-jaccard oracle. The hand-rolled [[minhashNearDup]] remains
+    * the preferred scale path (explicit banding control, no ml vector
+    * materialization); this demonstrates interop with the ml feature
+    * pipeline. */
+  /** ml variant runs on a bounded slice: MinHashLSH amplifies OR-only
+    * (one hash per table, no AND-banding), so its candidate precision
+    * degrades quadratically with corpus size — the structural reason
+    * the hand-rolled banding is the scale path. The slice covers the
+    * whole corpus at the correctness SF. */
+  val MlSliceDocs = 500
+
+  def minhashNearDupMl(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val base = docs(spark, sfDir)
+      .filter(col("doc_id") < MlSliceDocs)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(base)
+      .filter(expr("size(shingles) > 0"))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    // approx join at a loose distance cutoff, then exact verification
+    val cand = model.approxSimilarityJoin(feats, feats, 0.6, "dist")
+      .select(col("datasetA.doc_id").as("i"), col("datasetB.doc_id").as("j"),
+        col("datasetA.shingles").as("sa"), col("datasetB.shingles").as("sb"))
+      .filter(col("i") < col("j"))
+      .dropDuplicates("i", "j")
+    cand
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("common"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Oracle for [[minhashNearDupMl]]: the full-set exact jaccard over
+    * the same bounded slice. */
+  val mlJaccardSql: String =
+    fullJaccardSql.replace("FROM documents",
+      s"FROM (SELECT * FROM documents WHERE doc_id < $MlSliceDocs)")
 
   // ---- X2d: embedding-cosine near-dup -----------------------------------
 
