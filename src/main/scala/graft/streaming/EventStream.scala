@@ -45,6 +45,28 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n"))
 
+  /** Stream-stream interval join: each error joined to clicks by the
+    * same user within the preceding 30 minutes. Both sides carry
+    * watermarks so the join state is bounded — click state older than
+    * (watermark − 30 min) is evicted. The canonical attribution-join
+    * shape for live pipelines. */
+  def errorsNearClicks(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "10 minutes")
+    errors.join(clicks, expr(
+      """c_user = e_user AND
+        |click_ts <= error_ts AND
+        |click_ts >= error_ts - INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("e_user").as("user_id"), col("error_ts"),
+        col("click_ts"), col("click_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes errors to recent clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.errorsNearClicks(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 5.0),   // within 30m of the error
+        Event(2, ts(20), 1, "error", 0.0),  // joins to click@00:00
+        Event(3, ts(1), 2, "click", 7.0),   // different user
+        Event(4, tsHM(2, 0), 3, "view", 0.0)) // advances both watermarks
+      q.processAllAvailable()
+      mem.addData(Event(5, tsHM(3, 0), 9, "view", 0.0)) // push watermark past join window
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("user_id") === 1L)
+      assert(rows.head.getAs[Double]("click_value") === 5.0)
+    } finally q.stop()
+  }
+
   test("batch and streaming window aggregation agree on events table") {
     val sf = "/root/testdata/sf0.001"
     val batch = graft.ext.EventWindows.tumbling(spark, sf)
