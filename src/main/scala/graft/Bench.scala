@@ -23,13 +23,18 @@ object Bench {
       .foreach(t => try Tables.read(spark, sfDir, t).count() catch { case _: Throwable => () })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are surfaced (negative time + errors list), never
+    // silently counted as a fast success
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

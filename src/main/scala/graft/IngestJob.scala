@@ -26,7 +26,8 @@ import graft.schema.ContestSchema
 object IngestJob {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: IngestJob <inDir> <outPath> [precinct|county] [src=canonical ...]")
+    require(args.length >= 2,
+      "usage: IngestJob <inDir> <outPath> [precinct|county] [canonical=sourceOrConst ...]")
     val inDir = args(0)
     val outPath = args(1)
     val schema = if (args.length > 2 && args(2) == "county") ContestSchema.county
@@ -64,6 +65,8 @@ object IngestJob {
       .mode("append")
       .partitionBy("election_date")
       .parquet(outPath)
-    spark.read.parquet(outPath).count()
+    // this run's row count (re-runs the narrow pipeline; a full store
+    // read-back would report the CUMULATIVE count under append mode)
+    aligned.count()
   }
 }

@@ -150,6 +150,25 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  /** Shared tail of every LSH variant: exact-jaccard verification of a
+    * candidate (i, j) pair set against the full shingle sets. One
+    * definition so the three MinHash variants (composed, sketch, ml)
+    * can never drift from their common oracle. */
+  private def verifyCandidates(spark: SparkSession, sfDir: String,
+      cand: DataFrame): DataFrame = {
+    val sets = docs(spark, sfDir)
+      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
+    cand
+      .join(sets.as("si"), col("i") === col("si.doc_id"))
+      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
+      .withColumn("common", size(array_intersect(col("si.shingles"), col("sj.shingles"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("si.shingles")) + size(col("sj.shingles")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("common"), col("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // ---- X2b: MinHash + LSH (the 100 TB path) -----------------------------
 
   val NumPerms = 32
@@ -183,18 +202,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
-    // exact verification on the candidate pairs only (full shingle sets)
-    val sets = docs(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
-    cand
-      .join(sets.as("si"), col("i") === col("si.doc_id"))
-      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
-      .withColumn("common", size(array_intersect(col("si.shingles"), col("sj.shingles"))).cast("long"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("si.shingles")) + size(col("sj.shingles")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("i"), col("j"), col("common"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    verifyCandidates(spark, sfDir, cand)
   }
 
   /** [[minhashNearDup]] built on the custom
@@ -218,17 +226,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
-    val sets = docs(spark, sfDir)
-      .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
-    cand
-      .join(sets.as("si"), col("i") === col("si.doc_id"))
-      .join(sets.as("sj"), col("j") === col("sj.doc_id"))
-      .withColumn("common", size(array_intersect(col("si.shingles"), col("sj.shingles"))).cast("long"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("si.shingles")) + size(col("sj.shingles")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("i"), col("j"), col("common"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+    verifyCandidates(spark, sfDir, cand)
   }
 
   /** The spark.ml pipeline variant of MinHash near-dup (the brief's
@@ -265,13 +263,8 @@ object Dedup {
         col("datasetA.shingles").as("sa"), col("datasetB.shingles").as("sb"))
       .filter(col("i") < col("j"))
       .dropDuplicates("i", "j")
-    cand
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("i"), col("j"), col("common"), col("jaccard"))
-      .orderBy(col("i"), col("j"))
+      .select(col("i"), col("j"))
+    verifyCandidates(spark, sfDir, cand)
   }
 
   /** Oracle for [[minhashNearDupMl]]: the full-set exact jaccard over

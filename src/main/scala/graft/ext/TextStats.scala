@@ -174,10 +174,12 @@ object TextStats {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
-        expr("""aggregate(
+        // empty-text guard: sequence(1,0) would DESCEND in Spark while
+        // the DuckDB mirror's range(1,1) is empty — pin both to 0
+        expr("""CASE WHEN length(text) = 0 THEN cast(0 as bigint) ELSE aggregate(
           |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
           |  cast(0 as bigint),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("rolling_hash"),
+          |  (acc, c) -> (acc * 31 + c) % 1000000007) END""".stripMargin).as("rolling_hash"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -186,9 +188,9 @@ object TextStats {
   val fingerprintSql: String =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
-      |  CAST(list_reduce(
+      |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
       |    [CAST(ascii(text[i]) AS BIGINT) FOR i IN range(1, length(text) + 1)],
-      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rolling_hash,
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS rolling_hash,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin

@@ -39,21 +39,25 @@ object RawReader {
 
   /** Glob + per-file sniff + union-by-name, like the reference loop.
     * Fast-paths to a single multi-file scan when all seps agree and
-    * headers match. */
+    * headers match — decided from the FIRST LINE of each file
+    * (driver-side, metadata cost), never by eagerly scanning the data
+    * for schema inference just to compare column names. */
   def readDir(spark: SparkSession, dir: String): DataFrame = {
     val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath).sorted
     require(files.nonEmpty, s"no input files in $dir")
     val seps = files.map(Sniffer.sniffFile)
-    if (seps.distinct.length == 1) {
-      val dfs = files.map(f => readCsv(spark, f, seps.head))
-      if (dfs.map(_.columns.toSeq).distinct.length == 1)
-        readCsv(spark, dir, seps.head) // one distributed scan
-      else dfs.reduce(_.unionByName(_, allowMissingColumns = true))
-    } else {
+    def header(path: String, sep: String): Seq[String] = {
+      val reader = java.nio.file.Files.newBufferedReader(java.nio.file.Paths.get(path))
+      try Option(reader.readLine()).getOrElse("").split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      finally reader.close()
+    }
+    val headers = files.zip(seps).map { case (f, s) => header(f, s) }
+    if (seps.distinct.length == 1 && headers.distinct.length == 1)
+      readCsv(spark, dir, seps.head) // one distributed scan
+    else
       files.zip(seps).map { case (f, s) => readCsv(spark, f, s) }
         .reduce(_.unionByName(_, allowMissingColumns = true))
-    }
   }
 
   /** Full reference ingest read: directory → aligned precinct frame. */

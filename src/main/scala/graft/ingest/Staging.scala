@@ -28,6 +28,13 @@ object Staging {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(60000)
+    conn.setInstanceFollowRedirects(true)
+    val code = conn.getResponseCode
+    // HttpURLConnection won't follow cross-protocol redirects
+    // (http→https): surface that — and any error page — instead of
+    // silently staging the response body as data
+    if (code != HttpURLConnection.HTTP_OK)
+      throw new java.io.IOException(s"download failed: HTTP $code for $url")
     val total = conn.getContentLengthLong
     val in = new BufferedInputStream(conn.getInputStream)
     try copyStream(in, dest, total, progress) finally in.close()

@@ -18,7 +18,9 @@ object SchemaAlign {
   def apply(df: DataFrame, schema: StructType): DataFrame = {
     val present = df.columns.toSet
     df.select(schema.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      // try_cast: a stray non-conforming ingest value becomes null
+      // (pandas-tolerant) instead of an ANSI-mode job abort
+      if (present.contains(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }

@@ -22,7 +22,8 @@ object Sinks {
     schema.fields.map { f =>
       val t = f.dataType match {
         case StringType => "TEXT"
-        case LongType | IntegerType => "INTEGER"
+        case LongType => "BIGINT" // vote sums overflow INTEGER at scale
+        case IntegerType => "INTEGER"
         case BooleanType => "BOOLEAN"
         case DateType => "DATE"
         case TimestampType => "TIMESTAMP"

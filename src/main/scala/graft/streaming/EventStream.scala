@@ -75,21 +75,36 @@ object EventStream {
   val GapMs: Long = 30 * 60 * 1000L
 
   /** Stateful sessionizer: emits a session when a new event arrives
-    * more than 30 minutes after the previous one (plus the in-flight
-    * session on timeout). Demonstrates arbitrary-state streaming for
-    * semantics `session_window` can't express (e.g. carrying custom
-    * per-session aggregates). */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    * more than 30 minutes after the previous one, and flushes the
+    * in-flight session via processing-time timeout when a user goes
+    * idle — without the timeout branch, state would grow one entry per
+    * ever-seen user and a user's final session would never be emitted.
+    * Demonstrates arbitrary-state streaming for semantics
+    * `session_window` can't express (custom per-session aggregates). */
+  /** `idleTimeout=true` (production default) arms a processing-time
+    * timeout so idle users' in-flight sessions flush and their state
+    * is evicted. The synchronous MemoryStream test harness disables it
+    * (`processAllAvailable` never quiesces while a timeout is armed). */
+  def sessionize(events: Dataset[Event],
+      idleTimeout: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val conf = if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        sessionizeGroup)
+      .flatMapGroupsWithState(OutputMode.Append, conf)(
+        sessionizeGroup(idleTimeout))
   }
 
-  private[streaming] def sessionizeGroup(
+  private[streaming] def sessionizeGroup(idleTimeout: Boolean)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      // idle user: emit the in-flight session and drop the state
+      val out = state.getOption.map(s => SessionOut(userId, s.start / 1000, s.n, s.sum))
+      state.remove()
+      return out.iterator
+    }
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     var cur = state.getOption
     val out = Seq.newBuilder[SessionOut]
@@ -106,6 +121,7 @@ object EventStream {
       }
     }
     cur.foreach(state.update)
+    if (idleTimeout) state.setTimeoutDuration(GapMs)
     out.result().iterator
   }
 }

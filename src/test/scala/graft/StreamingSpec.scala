@@ -67,7 +67,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = EventStream.sessionize(mem.toDS())
+    // idleTimeout=false: processAllAvailable never quiesces with an
+    // armed processing-time timeout (the production default)
+    val q = EventStream.sessionize(mem.toDS(), idleTimeout = false)
       .writeStream.outputMode("append").format("memory").queryName("sess").start()
     try {
       mem.addData(
