@@ -24,7 +24,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist() intermediates (lang_id's trigram frame,
+      // the ml feature vectors) must not occupy storage memory for the
+      // rest of the run — later queries would pay their GC bill
+      spark.catalog.clearCache()
+      (name, dt, ok)
     }
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success

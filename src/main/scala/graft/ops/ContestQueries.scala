@@ -107,7 +107,14 @@ object ContestQueries {
     * here from first principles over the A1 output. */
   def winners(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val county = CountyRollup(ContestData.precinct(spark, sfDir))
+    // winners only need the rolled-up total_votes — aggregate it
+    // directly rather than paying for A1's 9 collect_sets + 11 other
+    // aggregates (the full rollup is CountyRollup; its oracle mirror
+    // below uses the same single-sum county CTE)
+    val county = ContestData.precinct(spark, sfDir)
+      .withColumn("election_date", col("election_date").cast("string"))
+      .groupBy(CountyRollup.groupKeys.map(col): _*)
+      .agg(sum(col("total_votes")).as("total_votes"))
     val w = Window
       .partitionBy(col("election_date"), col("contest_group_id"), col("contest_name"),
         col("district"), col("county"))
