@@ -64,12 +64,12 @@ object SparkEntry {
     ("x2_minhash_lsh", Dedup.minhashNearDup _, Some(Dedup.fullJaccardSql)),
     ("x2_minhash_sketch", Dedup.minhashNearDupSketch _, Some(Dedup.fullJaccardSql)),
     ("x2_minhash_ml", Dedup.minhashNearDupMl _, Some(Dedup.mlJaccardSql)),
-    ("x2_simhash", Dedup.simhashNearDup _, None),
+    ("x2_simhash", Dedup.simhashNearDup _, Some(Dedup.simhashSql)),
     ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
-    ("x3_ann_lsh", Similarity.annCosineTopK _, None),
-    ("x3_ann_ivf", Similarity.ivfCosineTopK _, None),
+    ("x3_ann_lsh", Similarity.annCosineTopK _, Some(Similarity.annCosineTopKSql)),
+    ("x3_ann_ivf", Similarity.ivfGridTopK _, Some(Similarity.ivfGridTopKSql)),
     // text analysis (X4)
     ("x4_text_stats", TextStats.textStats _, Some(TextStats.textStatsSql)),
     ("x4_term_freq", TextStats.termFrequencies _, Some(TextStats.termFrequenciesSql)),

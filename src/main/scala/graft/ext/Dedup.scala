@@ -326,31 +326,40 @@ object Dedup {
 
   // ---- X2c: SimHash -----------------------------------------------------
 
-  /** 64-bit SimHash over char-8-gram shingles; near-dup = hamming
-    * distance ≤ 3. Candidate generation by 4×16-bit chunk banding —
+  val SimHashBits = 60 // 4 chunks × 15 bits
+  val SimHashChunks = 4
+  val SimHashMaxHamming = 3
+
+  /** 60-bit SimHash over char-8-gram shingles; near-dup = hamming
+    * distance ≤ 3. Candidate generation by 4×15-bit chunk banding —
     * pigeonhole guarantees any pair within hamming 3 shares at least
-    * one exact 16-bit chunk, so the banding loses nothing at this
-    * radius. Word tokens are useless on the testdata's ~30-word vocab
-    * (every doc looks alike); shingles carry ordering. Not
-    * SQL-oracle-expressible (engine-specific xxhash64) — registered
-    * without oracle. */
+    * one exact 15-bit chunk, so the banding loses NOTHING at this
+    * radius and the output equals the brute-force all-pairs hamming
+    * scan the oracle runs. Word tokens are useless on the testdata's
+    * ~30-word vocab (every doc looks alike); shingles carry ordering.
+    *
+    * The shingle hash is the first 15 hex chars of md5 folded to a
+    * 60-bit integer — pure integer arithmetic available identically in
+    * both engines, so the ENTIRE pipeline (signature, banding radius,
+    * hamming filter) is mirrored by [[simhashSql]] and driver
+    * hash-verified; no engine-specific hashing in the data path. */
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // one xxhash64 per shingle, then 64 codegen'd conditional sums per
-    // doc (explode + groupBy beats interpreted HOF lambdas ~100×)
+    // one md5+hex-fold per shingle, then 60 codegen'd conditional sums
+    // per doc (explode + groupBy beats interpreted HOF lambdas ~100×)
     val hashed = docs(spark, sfDir)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
     val bitSums = hashed.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
-      (1 until 64).map(i =>
+      (1 until SimHashBits).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
     val sims = bitSums.select(col("doc_id"),
-      (0 until 64).map(i =>
+      (0 until SimHashBits).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
       ).reduce(_ + _).as("simhash"))
     val chunked = sims.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), c -> named_struct(" +
-        "'chunk', c, 'ck', shiftright(simhash, c * 16) & 65535))")).as("c"))
+      explode(expr(s"transform(sequence(0, ${SimHashChunks - 1}), c -> named_struct(" +
+        "'chunk', c, 'ck', shiftright(simhash, c * 15) & 32767))")).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.ck"))
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
@@ -358,7 +367,38 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .dropDuplicates("i", "j")
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= SimHashMaxHamming)
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Full mirror of [[simhashNearDup]]: same md5-hex-fold hash, same
+    * 60 majority bits, brute-force all-pairs hamming ≤ 3 (the banding
+    * is lossless at this radius, so candidates need no mirroring). */
+  val simhashSql: String = {
+    val bitSums = (0 until SimHashBits)
+      .map(i => s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val recombine = (0 until SimHashBits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, list_reduce(
+       |    [strpos('0123456789abcdef', x) - 1 FOR x IN string_split(substr(md5(s), 1, 15), '')],
+       |    (a, b) -> a * 16 + b) AS h
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $recombine AS simhash FROM bits)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
+       |ORDER BY i, j""".stripMargin
   }
 }

@@ -140,26 +140,50 @@ object Similarity {
 
   val Tables_ = 4 // LSH tables
   val BitsPerTable = 4
+  val Dim = 64
+
+  /** Hyperplane weight sign for plane `p`, dimension `d` — the high
+    * bit of a Knuth multiplicative hash of (p·64+d+1). Pure 64-bit
+    * integer arithmetic so the DuckDB oracle reproduces the hyperplanes
+    * (and therefore the buckets, candidates, and final ranking)
+    * bit-exactly: the ANN pipeline itself is driver-hash-verified,
+    * approximation included. Returns 1 when the weight is +1, 0 for −1. */
+  private def wPos(p: Int): Column =
+    shiftright(((lit(p.toLong) * Dim + col("d") + 1L) * lit(2654435761L)) % lit(4294967296L), 31)
 
   /** ANN via multi-table sign-random-projection LSH: each of 4 tables
     * hashes a vector to 4 sign bits of dot products with deterministic
-    * ±1 hyperplanes (weights from xxhash64(table·4+plane, dim)).
-    * Candidates = vectors sharing a bucket with the query in ANY table
-    * (classic OR-amplification), then exact re-rank of candidates.
-    * Engine-specific hashing → no SQL oracle; recall vs [[cosineTopK]]
-    * is checked in the test suite. */
+    * ±1 hyperplanes (see [[wPos]]). Candidates = vectors sharing a
+    * bucket with the query in ANY table (classic OR-amplification),
+    * then exact re-rank of candidates only.
+    *
+    * Plane dots are computed by posexplode + 16 codegen'd conditional
+    * sums — one narrow shuffle on vec_id, no interpreted HOF lambda in
+    * the corpus-sized path. At cluster scale the bucket equi-join is
+    * the whole point: the corpus never meets itself, only (tbl,bucket)
+    * partners of the 8 broadcast queries. */
   def annCosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val planes = Tables_ * BitsPerTable
-    val bucketed = quantized(Tables.embeddings(spark, sfDir))
-      .withColumn("bits", expr(
-        s"""transform(sequence(0, ${planes - 1}), p ->
-           |  if(aggregate(sequence(0, size(iv) - 1), cast(0 as bigint), (s, d) ->
-           |    s + iv[d] * (cast((xxhash64(p, d) & 2) as bigint) - 1)) > 0, 1, 0))""".stripMargin))
-      .withColumn("t", explode(expr(
-        s"""transform(sequence(0, ${Tables_ - 1}), t -> named_struct('tbl', t,
-           |  'bucket', aggregate(sequence(0, ${BitsPerTable - 1}), 0,
-           |     (acc, b) -> acc * 2 + bits[t * $BitsPerTable + b])))""".stripMargin)))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("t.tbl"), col("t.bucket"))
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    val contrib = e.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "d", "x")
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        expr("cast(round(cast(x as double) * 10000000) as bigint)").as("v"))
+    val dots = contrib.groupBy(col("vec_id")).agg(
+      sum(when(wPos(0) === 1, col("v")).otherwise(-col("v"))).as("p0"),
+      (1 until planes).map(p =>
+        sum(when(wPos(p) === 1, col("v")).otherwise(-col("v"))).as(s"p$p")): _*)
+    val bucketed = dots.select(col("vec_id"),
+      explode(array((0 until Tables_).map { t =>
+        struct(lit(t).as("tbl"),
+          (0 until BitsPerTable).map(b =>
+            when(col(s"p${t * BitsPerTable + b}") > 0, lit(1 << b)).otherwise(lit(0)))
+            .reduce(_ + _).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+      .join(e, "vec_id") // reattach embedding + n2: narrow co-partitioned join
     val queries = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"), col("n2").as("q_n2"),
         col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
@@ -179,4 +203,117 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** Full mirror of [[annCosineTopK]] — hyperplanes, buckets, candidate
+    * union, exact re-rank, tie-breaks. The oracle verifies the ANN
+    * result itself, not a recall proxy. */
+  val annCosineTopKSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |bits AS (
+       |  SELECT vec_id,
+       |    [CASE WHEN list_sum([iv[d + 1] *
+       |        (2 * (((p * $Dim + d + 1) * 2654435761 % 4294967296) >> 31) - 1)
+       |      FOR d IN range(0, $Dim)]) > 0 THEN 1 ELSE 0 END
+       |     FOR p IN range(0, ${Tables_ * BitsPerTable})] AS b
+       |  FROM n),
+       |tabs AS (
+       |  SELECT vec_id, t,
+       |    b[t * $BitsPerTable + 1] + 2 * b[t * $BitsPerTable + 2]
+       |      + 4 * b[t * $BitsPerTable + 3] + 8 * b[t * $BitsPerTable + 4] AS bucket
+       |  FROM bits, range(0, $Tables_) r(t)),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+       |  FROM tabs c JOIN tabs q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qn.iv, cn.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS sim
+       |  FROM cands cand
+       |  JOIN n qn ON qn.vec_id = cand.q_id
+       |  JOIN n cn ON cn.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
+  val GridDims = 4 // 2⁴ = 16 cells from the sign bits of dims 0..3
+
+  /** IVF ANN with a deterministic grid quantizer: cell = 4 sign bits
+    * of the first 4 quantized dimensions (16 cells); each query probes
+    * its own cell plus the [[IvfProbes]]−1 cells reached by flipping
+    * its least-confident sign bits (smallest |component| — classic
+    * multiprobe), then exact-re-ranks only the probed cells' members.
+    *
+    * The quantizer is integer sign arithmetic, so — like
+    * [[annCosineTopK]] — the ENTIRE pipeline is mirrored by
+    * [[ivfGridTopKSql]] and driver-hash-verified. The spark.ml KMeans
+    * quantizer variant ([[ivfCosineTopK]]) remains the learned-cells
+    * interop demo, recall-tested in the suite. */
+  def ivfGridTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", (0 until GridDims).map(d =>
+        when(expr(s"cast(round(cast(embedding[$d] as double) * 10000000) as bigint)") > 0,
+          lit(1 << d)).otherwise(lit(0))).reduce(_ + _))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+    // multiprobe: 4-element sort + flips — constant-size per-row HOFs
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .withColumn("dims", expr(s"""array_sort(transform(sequence(0, ${GridDims - 1}), d ->
+        |named_struct('a', abs(cast(round(cast(embedding[d] as double) * 10000000) as bigint)), 'd', d)))""".stripMargin))
+      .withColumn("probe", explode(expr(
+        s"concat(array(cell), transform(slice(dims, 1, ${IvfProbes - 1}), s -> cell ^ shiftleft(1, s.d)))")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2"), col("probe"))
+    val cands = e.join(broadcast(queries), col("cell") === col("probe"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Full mirror of [[ivfGridTopK]]: same cells, same multiprobe
+    * flip order (lexicographic (|component|, dim) sort), same re-rank. */
+  val ivfGridTopKSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |cells AS (
+       |  SELECT vec_id, iv, n2,
+       |    ${(0 until GridDims).map(d =>
+              s"(CASE WHEN iv[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")} AS cell
+       |  FROM n),
+       |qp AS (
+       |  SELECT vec_id AS q_id, n2 AS qn2, iv AS qiv,
+       |    unnest(list_concat([cell],
+       |      [xor(cell, 1 << s.d) FOR s IN
+       |        list_sort([{'a': abs(iv[d + 1]), 'd': d} FOR d IN range(0, $GridDims)])[1:${IvfProbes - 1}]]))
+       |      AS cell
+       |  FROM cells WHERE vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT qp.q_id, c.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qp.qiv, c.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qp.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+       |  FROM cells c JOIN qp USING (cell)),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
 }
