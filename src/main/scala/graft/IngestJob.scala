@@ -30,9 +30,17 @@ object IngestJob {
       "usage: IngestJob <inDir> <outPath> [precinct|county] [canonical=sourceOrConst ...]")
     val inDir = args(0)
     val outPath = args(1)
-    val schema = if (args.length > 2 && args(2) == "county") ContestSchema.county
-                 else ContestSchema.precinct
-    val overrides = args.drop(3).map { kv =>
+    // args(2) is the table kind ONLY when it literally names one —
+    // otherwise it is the first override (`IngestJob in out k=v` must
+    // not silently eat `k=v` as an unknown kind)
+    val (schema, rest) = args.drop(2) match {
+      case a if a.headOption.contains("county") => (ContestSchema.county, a.tail)
+      case a if a.headOption.contains("precinct") => (ContestSchema.precinct, a.tail)
+      case a => (ContestSchema.precinct, a)
+    }
+    val overrides = rest.map { kv =>
+      require(kv.contains("="),
+        s"unknown arg '$kv': expected precinct|county or canonical=sourceOrConst")
       val Array(k, v) = kv.split("=", 2); (k, v)
     }.toSeq
 

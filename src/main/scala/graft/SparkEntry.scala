@@ -51,7 +51,7 @@ object SparkEntry {
     ("x7_set_ops", StarQueries.setOps _, Some(StarQueries.setOpsSql)),
     ("x7_rollup", StarQueries.rollupSales _, Some(StarQueries.rollupSalesSql)),
     ("x7_distinct_count", StarQueries.distinctCounts _, Some(StarQueries.distinctCountsSql)),
-    ("x7_approx_sketches", StarQueries.approxStats _, None),
+    ("x7_approx_sketches", StarQueries.approxStats _, Some(StarQueries.approxStatsSql)),
     ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
     ("x8_salted_join", graft.analytics.SaltedJoin.saltedBrandRevenue _,
       Some(graft.analytics.SaltedJoin.saltedBrandRevenueSql)),

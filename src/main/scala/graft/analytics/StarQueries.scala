@@ -236,16 +236,50 @@ object StarQueries {
       |  CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT) AS n_flag_status
       |FROM lineitem""".stripMargin
 
-  /** Sketch-based approximations (HLL distinct, quantile sketch) —
-    * engine-specific estimators, no SQL oracle; sanity-bounded in the
-    * test suite. */
+  /** Sketch-based approximations (HLL++ distinct counts, GK quantile
+    * sketch) run NEXT TO their exact counterparts. The sketch values
+    * themselves are engine-specific estimators, so the driver-verified
+    * output is: the exact values, plus booleans asserting each sketch
+    * landed inside its published error bound — HLL++ at rsd 0.05
+    * within 15% (3σ), percentile_approx at accuracy 1000 (rank error
+    * ≤ 1e-3) within the exact ±5e-3-rank quantile envelope. The oracle
+    * recomputes the exacts and pins every boolean to TRUE. */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
+        expr("percentile(l_extendedprice, 0.99)").as("exact_p99_price"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey")).as("a_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a_med"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a_p99"),
+        expr("percentile(l_extendedprice, 0.495)").as("lo_med"),
+        expr("percentile(l_extendedprice, 0.505)").as("hi_med"),
+        expr("percentile(l_extendedprice, 0.985)").as("lo_p99"),
+        expr("percentile(l_extendedprice, 0.995)").as("hi_p99"))
+      .select(
+        col("exact_orders"), col("exact_parts"),
+        col("exact_median_price"), col("exact_p99_price"),
+        (abs(col("a_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders").cast("double") <= 0.15).as("orders_in_bounds"),
+        (abs(col("a_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= 0.15).as("parts_in_bounds"),
+        (col("a_med") >= col("lo_med") && col("a_med") <= col("hi_med")).as("median_in_bounds"),
+        (col("a_p99") >= col("lo_p99") && col("a_p99") <= col("hi_p99")).as("p99_in_bounds"))
+
+  /** Oracle for [[approxStats]]: the exact columns computed exactly;
+    * the in-bounds booleans are literal TRUE — the Spark side must
+    * prove its sketches landed inside their published error bounds. */
+  val approxStatsSql: String =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+      |  quantile_cont(l_extendedprice, 0.99) AS exact_p99_price,
+      |  TRUE AS orders_in_bounds, TRUE AS parts_in_bounds,
+      |  TRUE AS median_in_bounds, TRUE AS p99_in_bounds
+      |FROM lineitem""".stripMargin
 
   /** Scalar + correlated subqueries: orders above the global average
     * price, with each customer's own order count (Catalyst rewrites

@@ -132,7 +132,7 @@ object Multimodal {
       |  'text/plain;src=' || source AS mime,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS payload_md5,
-      |  hex(encode(substr(text, 1, 8))) AS prefix_hex
+      |  substr(hex(encode(text)), 1, 16) AS prefix_hex
       |FROM documents
       |ORDER BY media_id""".stripMargin
 }

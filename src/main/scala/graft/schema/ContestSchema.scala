@@ -50,10 +50,21 @@ object ContestSchema {
     StructField("candidacy_date", DateType),
   ))
 
-  /** contest_county = contest_precinct minus `precinct`
-    * (4-line diff between the two ingestors; schema_county.csv:1). */
-  val county: StructType =
-    StructType(precinct.fields.filterNot(_.name == "precinct"))
+  /** contest_county = the contest_precinct field SET minus `precinct`,
+    * in the reference's own county column ORDER (schema_county.csv:1
+    * puts election_date first and the boolean flags after
+    * party_candidate — a different order than the precinct layout). */
+  val county: StructType = {
+    val byName = precinct.fields.map(f => f.name -> f).toMap
+    StructType(Seq(
+      "election_date", "contest_group_id", "contest_name", "contest_type",
+      "party_contest", "vote_for", "term", "district", "county",
+      "candidate", "first_name", "middle_name", "last_name",
+      "name_suffix_lbl", "nick_name", "party_candidate",
+      "is_unexpired", "has_primary", "is_partisan",
+      "election_day", "one_stop", "absentee_by_mail", "provisional",
+      "total_votes", "winner_flag", "candidacy_date").map(byName))
+  }
 
   val precinctColumns: Seq[String] = precinct.fieldNames.toSeq
   val countyColumns: Seq[String] = county.fieldNames.toSeq

@@ -8,20 +8,25 @@ import org.apache.spark.sql.types._
   *
   * K1: typed JDBC append (`to_sql(..., if_exists='append', dtype=…)`).
   * Spark-first: `df.write.jdbc` with `createTableColumnTypes` carrying
-  * the explicit column types the reference declares. No live database
-  * exists in this environment, so the writer is exercised only for its
-  * option-building (unit-tested); the driver correctness path stays
-  * parquet-based (SURVEY.md §7.2).
+  * the explicit column types the reference declares. Exercised
+  * end-to-end (append → read-back → type assert) against embedded
+  * Derby in SinksSpec — no network, the derby jars ship with Spark;
+  * the driver correctness path stays parquet-based (SURVEY.md §7.2).
   *
   * K2: the reference's commented-out TSV append sink (:186-191).
   */
 object Sinks {
 
-  /** SQL DDL fragment for createTableColumnTypes from a StructType. */
+  /** Fragment for `createTableColumnTypes` from a StructType. The
+    * strings must be SPARK SQL type names (the option is parsed with
+    * the Catalyst schema parser, then rendered per JDBC dialect) —
+    * `TEXT`/`DOUBLE PRECISION` are not parsable here; the reference's
+    * pandas `TEXT` intent maps to a wide VARCHAR, which every major
+    * dialect (and embedded Derby, max 32672) accepts. */
   def columnTypes(schema: StructType): String =
     schema.fields.map { f =>
       val t = f.dataType match {
-        case StringType => "TEXT"
+        case StringType => "VARCHAR(8192)"
         case LongType => "BIGINT" // vote sums overflow INTEGER at scale
         case IntegerType => "INTEGER"
         case BooleanType => "BOOLEAN"
@@ -49,13 +54,32 @@ object Sinks {
       .option("createTableColumnTypes", columnTypes(df.schema))
       .save()
 
-  /** K2: TSV append sink with header. */
-  def writeTsv(df: DataFrame, dir: String): Unit =
+  /** K2: TSV append sink with header-once semantics (reference:
+    * `header=not os.path.exists(path)`). Spark's `header=true` stamps
+    * a header into EVERY part file of every append, so instead the
+    * data parts are always header-free (fully parallel writers) and
+    * the header lives in its own one-line file, created on the first
+    * append only. It is named to sort before the part files, so a
+    * shell-glob concatenation of the directory (the way the
+    * reference's single growing TSV is consumed) sees exactly one
+    * header, first. */
+  def writeTsv(df: DataFrame, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val headerFile = new org.apache.hadoop.fs.Path(path, "00000-header.tsv")
+    val firstWrite = !fs.exists(headerFile)
     df.write
       .mode("append")
       .option("sep", "\t")
-      .option("header", "true")
+      .option("header", "false")
       .csv(dir)
+    if (firstWrite) {
+      val out = fs.create(headerFile, true)
+      try out.write((df.schema.fieldNames.mkString("\t") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
 
   /** Bucketed managed table: co-locates rows by join/agg key so
     * repeated joins on `keys` between tables bucketed the same way

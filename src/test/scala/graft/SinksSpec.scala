@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sink.Sinks
+
+/** K1 — typed JDBC append round-trip against EMBEDDED Derby (the
+  * derby jars ship in /opt/spark/jars; zero network). This exercises
+  * the reference's entire output path
+  * (/root/reference/ingestor_precinct.py:192-218): create-on-first-
+  * append, append-not-replace, and the declared column types.
+  * K2 — TSV append sink header-once semantics. */
+class SinksSpec extends SparkSpec {
+
+  test("K1: jdbc append round-trips rows and types through Derby") {
+    val home = Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db;create=true"
+    import spark.implicits._
+    val df = Seq(
+      ("ALAMANCE", "0001", 1234L, true, "2012-11-06"),
+      ("WAKE", "01-01", 98765L, false, "2012-11-06"))
+      .toDF("county", "precinct", "total_votes", "absentee", "d")
+      .withColumn("election_date", to_date(col("d"))).drop("d")
+    Sinks.writeJdbc(df, url, "precinct_results", "app", "app")
+    Sinks.writeJdbc(df, url, "precinct_results", "app", "app") // append, not replace
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "precinct_results")
+      .option("user", "app").option("password", "app").load()
+    assert(back.count() === 4)
+    val types = back.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    assert(types("county") === StringType)
+    assert(types("total_votes") === LongType)
+    assert(types("absentee") === BooleanType)
+    assert(types("election_date") === DateType)
+    assert(back.agg(sum(col("total_votes"))).head.getLong(0) === 2L * (1234L + 98765L))
+  }
+
+  test("K2: tsv sink writes the header exactly once across appends") {
+    val dir = Files.createTempDirectory("graft-tsv").toString + "/out"
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    Sinks.writeTsv(df, dir)
+    Sinks.writeTsv(df, dir)
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.count(_ == "k\tv") === 1, s"want exactly one header in ${lines.toSeq}")
+    assert(lines.length === 5) // 1 header + 2×2 data rows
+  }
+}
