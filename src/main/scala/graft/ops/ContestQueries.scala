@@ -106,7 +106,6 @@ object ContestQueries {
     * what `winner_flag` encodes in the reference's domain — computed
     * here from first principles over the A1 output. */
   def winners(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // winners only need the rolled-up total_votes — aggregate it
     // directly rather than paying for A1's 9 collect_sets + 11 other
     // aggregates (the full rollup is CountyRollup; its oracle mirror
@@ -115,16 +114,21 @@ object ContestQueries {
       .withColumn("election_date", col("election_date").cast("string"))
       .groupBy(CountyRollup.groupKeys.map(col): _*)
       .agg(sum(col("total_votes")).as("total_votes"))
-    val w = Window
-      .partitionBy(col("election_date"), col("contest_group_id"), col("contest_name"),
-        col("district"), col("county"))
-      .orderBy(col("total_votes").desc, col("candidate"))
+    // arg-max as a hash AGGREGATE, not a window: min_by over the
+    // (-votes, candidate) key implements "highest votes, ties to the
+    // lexicographically first candidate" with partial (map-side)
+    // aggregation and NO per-partition sort — at scale the window
+    // formulation sorts every partition of the candidate-level frame,
+    // this one only keeps one running champion per group
     county
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("election_date"), col("contest_group_id"), col("contest_name"),
+        col("district"), col("county"))
+      .agg(expr(
+        """min_by(named_struct('winner', candidate, 'total_votes', total_votes),
+          |       named_struct('nv', -total_votes, 'c', candidate))""".stripMargin).as("w"))
       .select(col("election_date"), col("contest_group_id"), col("contest_name"),
-        col("district"), col("county"), col("candidate").as("winner"),
-        col("total_votes"))
+        col("district"), col("county"), col("w.winner").as("winner"),
+        col("w.total_votes").as("total_votes"))
       .orderBy(col("election_date"), col("contest_group_id"), col("contest_name"),
         col("district"), col("county"))
   }
