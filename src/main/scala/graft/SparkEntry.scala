@@ -58,6 +58,9 @@ object SparkEntry {
     // typed Aggregator top-k: same oracle as the window formulation
     ("x7_topk_aggregator", graft.functions.TopKAggregator.topOrdersPerSegment _,
       Some(StarQueries.topOrdersPerSegmentSql)),
+    // custom whole-operator top-k (LogicalPlan+Strategy+Exec): same oracle
+    ("x7_topk_plan", graft.plans.TopKPerKey.topOrdersPerSegmentPlan _,
+      Some(StarQueries.topOrdersPerSegmentSql)),
     // dedup (X1/X2)
     ("x1_exact_dedup", Dedup.exactDedup _, Some(Dedup.exactDedupSql)),
     ("x2_ngram_jaccard", Dedup.ngramJaccard _, Some(Dedup.ngramJaccardSql)),

@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_qdot"),
       info("vec_qdot", "vec_qdot(a, b) - integer dot product of 1e7-quantized float arrays"),
       (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
+    // whole-operator extension: per-key bounded-heap top-k
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

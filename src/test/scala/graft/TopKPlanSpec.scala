@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.StarQueries
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+/** The custom whole-operator top-k (TopKPerKeyNode + TopKStrategy +
+  * TopKPerKeyExec) must agree bit-for-bit with the window-sort
+  * formulation, plan as partial→exchange→final, and honor ties /
+  * small groups. */
+class TopKPlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("custom operator result equals the window row_number formulation") {
+    val win = StarQueries.topOrdersPerSegment(spark, sf).collect().toSeq
+    val custom = TopKPerKey.topOrdersPerSegmentPlan(spark, sf).collect().toSeq
+    assert(custom === win)
+  }
+
+  test("plans as partial + final exec with an exchange between") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 5.0))
+      .toDF("k", "id", "v")
+    val topk = TopKPerKey(df, 1, Seq("k"), Seq(("v", true), ("id", false)))
+    // force execution so AQE finalizes the physical plan
+    topk.collect()
+    // AQE prints Final and Initial plans; assert on the final one
+    val planStr = topk.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val partials = planStr.linesIterator
+      .filter(_.contains("TopKPerKey")).map(_.endsWith("true")).toSeq
+    assert(partials === Seq(false, true), // final above the exchange, partial below
+      s"want final-then-partial TopKPerKeyExec in:\n$planStr")
+    assert(planStr.contains("Exchange hashpartitioning(k"),
+      s"want a key exchange between the two phases in:\n$planStr")
+  }
+
+  test("ties break on the secondary key; groups smaller than k survive") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3L, 9.0), ("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 4L, 1.0),
+      ("b", 7L, 2.0)).toDF("k", "id", "v")
+    val out = TopKPerKey(df, 2, Seq("k"), Seq(("v", true), ("id", false)))
+      .select(col("k"), col("rk"), col("id"))
+      .orderBy(col("k"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 7L)))
+  }
+
+  test("rank column name and k=1 behavior are configurable") {
+    import spark.implicits._
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 9L)).toDF("k", "id")
+    val out = TopKPerKey(df, 1, Seq("k"), Seq(("id", false)), rankName = "pos")
+    assert(out.columns.toSeq === Seq("k", "id", "pos"))
+    assert(out.filter(col("pos") === 1).count() === 2)
+  }
+}
