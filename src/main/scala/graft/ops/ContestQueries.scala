@@ -114,21 +114,19 @@ object ContestQueries {
       .withColumn("election_date", col("election_date").cast("string"))
       .groupBy(CountyRollup.groupKeys.map(col): _*)
       .agg(sum(col("total_votes")).as("total_votes"))
-    // arg-max as a hash AGGREGATE, not a window: min_by over the
-    // (-votes, candidate) key implements "highest votes, ties to the
-    // lexicographically first candidate" with partial (map-side)
-    // aggregation and NO per-partition sort — at scale the window
-    // formulation sorts every partition of the candidate-level frame,
-    // this one only keeps one running champion per group
-    county
-      .groupBy(col("election_date"), col("contest_group_id"), col("contest_name"),
-        col("district"), col("county"))
-      .agg(expr(
-        """min_by(named_struct('winner', candidate, 'total_votes', total_votes),
-          |       named_struct('nv', -total_votes, 'c', candidate))""".stripMargin).as("w"))
+    // arg-max via the custom bounded-heap top-k operator (k = 1):
+    // "highest votes, ties to the lexicographically first candidate"
+    // with one running champion per group and NO sort anywhere — the
+    // window formulation sorts every partition of the candidate-level
+    // frame, and a min_by-over-struct aggregate falls back to
+    // SortAggregate (string-in-struct buffers aren't hash-aggregable),
+    // which is how this query originally cost ~4x the A1 shuffle
+    graft.plans.TopKPerKey(county, 1,
+        Seq("election_date", "contest_group_id", "contest_name", "district", "county"),
+        Seq(("total_votes", true), ("candidate", false)))
       .select(col("election_date"), col("contest_group_id"), col("contest_name"),
-        col("district"), col("county"), col("w.winner").as("winner"),
-        col("w.total_votes").as("total_votes"))
+        col("district"), col("county"), col("candidate").as("winner"),
+        col("total_votes"))
       .orderBy(col("election_date"), col("contest_group_id"), col("contest_name"),
         col("district"), col("county"))
   }
