@@ -29,6 +29,9 @@ object Bench {
       // the ml feature vectors) must not occupy storage memory for the
       // rest of the run — later queries would pay their GC bill
       spark.catalog.clearCache()
+      // settle the heap between queries so one query's garbage doesn't
+      // surface as a GC pause inside the next query's timing window
+      System.gc()
       (name, dt, ok)
     }
     // failed queries are surfaced (negative time + errors list), never

@@ -88,17 +88,23 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docs(spark, sfDir)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    // df filter: one small aggregate, broadcast back onto the stream
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val shf = sh.join(broadcast(rare), "s")
-    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    // ONE shuffle of the full shingle stream computes df and the
+    // per-shingle doc list together; everything downstream (the df
+    // stop-shingle filter, per-doc sizes, pair generation) runs on the
+    // rare-only groups. The groups frame feeds two consumers (sizes +
+    // pairs), so persist it — without the cache the full-stream
+    // extraction and shuffle would run twice.
+    val groups = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("ids"))
+      .persist()
+    val sizes = groups.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
     // pair generation per shingle group (sorted doc list → i<j pairs)
-    // instead of a two-sided self-join: one groupBy shuffle of the
-    // stream, pairs built in-memory per group (df ≤ MaxShingleDf caps
-    // the quadratic term per group)
-    val common = shf.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    // instead of a two-sided self-join: pairs built in-memory per
+    // group (df ≤ MaxShingleDf caps the quadratic term per group)
+    val common = groups
       .filter(size(col("ids")) >= 2) // sequence(0,-1) would descend
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2), a ->
