@@ -9,6 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // answer min/max/count-only aggregates from parquet footers
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       // testdata files are single small parquets (lineitem@sf0.1 ≈ 11 MB);
       // the 128 MB default split → 1-task scans. 4 MB splits let scans
       // use the cores while shuffle stages already use `cpus` partitions.

@@ -25,14 +25,14 @@ import graft.schema.ContestSchema
   */
 object IngestJob {
 
-  def main(args: Array[String]): Unit = {
+  /** args(2) is the table kind ONLY when it literally names one —
+    * otherwise it is the first override (`IngestJob in out k=v` must
+    * not silently eat `k=v` as an unknown kind). Non-`k=v` stragglers
+    * are rejected, not dropped. */
+  private[graft] def parseArgs(args: Array[String])
+      : (String, String, org.apache.spark.sql.types.StructType, Seq[(String, String)]) = {
     require(args.length >= 2,
       "usage: IngestJob <inDir> <outPath> [precinct|county] [canonical=sourceOrConst ...]")
-    val inDir = args(0)
-    val outPath = args(1)
-    // args(2) is the table kind ONLY when it literally names one —
-    // otherwise it is the first override (`IngestJob in out k=v` must
-    // not silently eat `k=v` as an unknown kind)
     val (schema, rest) = args.drop(2) match {
       case a if a.headOption.contains("county") => (ContestSchema.county, a.tail)
       case a if a.headOption.contains("precinct") => (ContestSchema.precinct, a.tail)
@@ -43,6 +43,11 @@ object IngestJob {
         s"unknown arg '$kv': expected precinct|county or canonical=sourceOrConst")
       val Array(k, v) = kv.split("=", 2); (k, v)
     }.toSeq
+    (args(0), args(1), schema, overrides)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (inDir, outPath, schema, overrides) = parseArgs(args)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))

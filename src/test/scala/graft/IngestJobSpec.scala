@@ -55,4 +55,18 @@ class IngestJobSpec extends SparkSpec {
       .filter(col("winner_flag") === 1L).count()
     assert(typedCount === untypedCount)
   }
+
+  test("CLI parse: kind slot is positional only when it names a kind") {
+    val (_, _, s1, o1) = IngestJob.parseArgs(Array("in", "out", "county", "a=b"))
+    assert(s1 === ContestSchema.county && o1 === Seq("a" -> "b"))
+    // override in the kind slot must NOT be eaten as an unknown kind
+    val (_, _, s2, o2) = IngestJob.parseArgs(
+      Array("in", "out", "election_date=11/06/2012", "candidate=Choice"))
+    assert(s2 === ContestSchema.precinct)
+    assert(o2 === Seq("election_date" -> "11/06/2012", "candidate" -> "Choice"))
+    // non-k=v straggler is an error, not silently dropped
+    assertThrows[IllegalArgumentException] {
+      IngestJob.parseArgs(Array("in", "out", "precint"))
+    }
+  }
 }

@@ -10,6 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // answer min/max/count-only aggregates from parquet footers
+    .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
