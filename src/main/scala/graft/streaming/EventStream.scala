@@ -67,6 +67,22 @@ object EventStream {
         col("click_ts"), col("click_value"))
   }
 
+  /** Streaming exact dedup — the X1 operator on an unbounded ingest
+    * stream (what a training-data pipeline runs at the door): keep the
+    * first occurrence of each content hash, drop re-arrivals.
+    * `dropDuplicatesWithinWatermark` bounds the key state by EVENT
+    * time — plain `dropDuplicates` on a stream accumulates one state
+    * entry per ever-seen key, forever — at the cost of re-admitting a
+    * duplicate that arrives later than the watermark delay after its
+    * first copy (the standard trade; size the delay to the pipeline's
+    * reordering window). State is hash-partitioned by the dedup key
+    * across executors, same as the batch window formulation's shuffle. */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -129,4 +129,23 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === events.length.toLong)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops re-arrivals within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupStream(docs)
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      mem.addData((1L, ts(1), "alpha"), (2L, ts(2), "beta"))
+      q.processAllAvailable()
+      // same text re-arrives in a later batch, inside the watermark
+      mem.addData((3L, ts(3), "alpha"), (4L, ts(4), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L), "first copies kept, duplicate doc 3 dropped")
+    } finally q.stop()
+  }
 }
