@@ -56,4 +56,29 @@ class TopKPlanSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("k", "id", "pos"))
     assert(out.filter(col("pos") === 1).count() === 2)
   }
+
+  test("property: agrees with the window formulation on random frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(60, Gen.zip(
+      Gen.chooseNum(0, 5), Gen.chooseNum(0L, 30L), Gen.chooseNum(-9, 9)))
+    (0 until 8).foreach { i =>
+      val rows = gen(Gen.Parameters.default, Seed(100L + i)).get
+        .map { case (k, id, v) => (s"k$k", id, v.toDouble) }
+        // ordering must be total per key for parity: drop (k,id) dupes
+        .distinctBy(r => (r._1, r._2))
+      val df = rows.toDF("k", "id", "v").repartition(5)
+      val k = 1 + i % 4
+      val win = df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rk") <= k)
+        .select(col("k"), col("id"), col("v"), col("rk").cast("long").as("rk"))
+      val custom = TopKPerKey(df, k, Seq("k"), Seq(("v", true), ("id", false)))
+      val toSet = (d: org.apache.spark.sql.DataFrame) =>
+        d.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(toSet(custom) === toSet(win), s"seed ${100 + i}, k=$k")
+    }
+  }
 }
