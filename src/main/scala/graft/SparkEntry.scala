@@ -92,6 +92,11 @@ object SparkEntry {
     ("x6_funnel", EventWindows.funnel _, Some(EventWindows.funnelSql)),
     ("x9_profile", graft.analytics.Profiler.profileOrders _,
       Some(graft.analytics.Profiler.profileOrdersSql)),
+    // deterministic dataset splitting / mixing (training-set assembly)
+    ("x9_det_split", graft.ext.Sampling.deterministicSplit _,
+      Some(graft.ext.Sampling.deterministicSplitSql)),
+    ("x9_split_mix", graft.ext.Sampling.splitMix _,
+      Some(graft.ext.Sampling.splitMixSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
     ("x7_percentiles", StarQueries.exactPercentiles _, Some(StarQueries.exactPercentilesSql)),
     ("x7_subqueries", StarQueries.subqueries _, Some(StarQueries.subqueriesSql)),

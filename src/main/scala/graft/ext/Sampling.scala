@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling / split assignment — the dataset-mixing
+  * primitive a training-data pipeline runs last: every document gets a
+  * stable pseudo-random bucket in [0, 100) derived ONLY from its id,
+  * so train/val/test membership is reproducible across runs, engines,
+  * and cluster layouts (no `rand()`, no seed plumbing, no dependence
+  * on partitioning).
+  *
+  * The bucket is an md5 hex-fold of the id (same integer-arithmetic
+  * device as [[Dedup.simhashNearDup]]), identical in DuckDB — so the
+  * split assignment itself is driver-hash-verified. A pure per-row
+  * projection: at 100 TB this is a narrow scan with zero shuffle
+  * (the final ORDER BY here is presentation for the oracle diff).
+  */
+object Sampling {
+
+  val TrainPct = 80
+  val ValPct = 10 // test = the remainder
+
+  /** Per-document split assignment over a 10% verification slice
+    * (bucket < 10 keeps the oracled output row-bounded; membership for
+    * every other bucket is the same expression). */
+  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .filter(col("bucket") < 10)
+      .orderBy(col("doc_id"))
+
+  /** Mirror: same md5 fold (list_reduce over hex digits), same split
+    * thresholds. */
+  val deterministicSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(
+       |      [strpos('0123456789abcdef', x) - 1
+       |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
+       |      (a, b) -> a * 16 + b) % 100 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < $TrainPct THEN 'train'
+       |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b
+       |WHERE bucket < 10
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stratified mix report: documents per (lang, split) with the
+    * within-language fraction — what a data-mixing job checks before
+    * shipping a training set (split skew per stratum). One aggregate
+    * over the full corpus, decimal-exact fraction. */
+  def splitMix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("split"), col("n"),
+        (col("n") * 10000L / col("lang_total")).as("frac_bp"))
+      .orderBy(col("lang"), col("split"))
+
+  val splitMixSql: String =
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    list_reduce(
+       |      [strpos('0123456789abcdef', x) - 1
+       |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
+       |      (a, b) -> a * 16 + b) % 100 AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang,
+       |    CASE WHEN bucket < $TrainPct THEN 'train'
+       |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM b),
+       |c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2)
+       |SELECT lang, split, n,
+       |  n * 10000 / CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS frac_bp
+       |FROM c
+       |ORDER BY lang, split""".stripMargin
+}
