@@ -81,6 +81,23 @@ object Sinks {
     }
   }
 
+  /** Output-layout hygiene: rewrite a dataframe into a bounded number
+    * of range-clustered parquet files. The two sink failure modes at
+    * 100 TB are small-file explosion (one file per task per partition
+    * value) and giant skewed files; `repartitionByRange` on the sort
+    * key bounds the file count, `maxRecordsPerFile` caps size, and the
+    * within-file sort leaves row groups min/max-skippable for every
+    * downstream range predicate on the key. */
+  def compact(df: DataFrame, dir: String, files: Int, sortKeys: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, sortKeys.map(col): _*)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+  }
+
   /** Bucketed managed table: co-locates rows by join/agg key so
     * repeated joins on `keys` between tables bucketed the same way
     * plan WITHOUT a shuffle exchange — the persistent-layout answer to

@@ -49,4 +49,25 @@ class SinksSpec extends SparkSpec {
     assert(lines.count(_ == "k\tv") === 1, s"want exactly one header in ${lines.toSeq}")
     assert(lines.length === 5) // 1 header + 2×2 data rows
   }
+
+  test("compact: bounded range-clustered files, rows preserved, no key overlap") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/orders"
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    Sinks.compact(orders, dir, files = 3, sortKeys = Seq("o_orderkey"))
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(parts.length === 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    // range clustering: per-file key ranges are disjoint
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap in ${ranges.toSeq}")
+      case _ =>
+    }
+  }
 }
