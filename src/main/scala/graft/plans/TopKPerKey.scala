@@ -91,8 +91,14 @@ case class TopKPerKeyExec(
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       while (iter.hasNext) {
         val row = iter.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        val key = keyProj(row) // reused buffer: copy only on first sighting
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kLocal) {
           heap.enqueue(row.copy())
         } else if (cmp.compare(row, heap.head) < 0) {
