@@ -29,15 +29,6 @@ import graft.functions.VectorFunctions.vec_qdot
   */
 object Similarity {
 
-  /** Quantized integer embedding + squared norm columns. The norm uses
-    * [[graft.functions.QuantizedDot]] — one codegen'd loop; `iv` is
-    * kept only where downstream HOFs (LSH planes) need the integer
-    * array. */
-  private def quantized(df: DataFrame): DataFrame =
-    df.withColumn("iv",
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))"))
-      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
-
   val NumQueries = 8
   val TopK = 5
 

@@ -149,9 +149,15 @@ object TopKPerKey {
       order: Seq[(String, Boolean)], rankName: String = "rk"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val plan = df.queryExecution.analyzed
-    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column '$n' in [${plan.output.map(_.name).mkString(", ")}]"))
+    require(!plan.output.exists(_.name == rankName),
+      s"rank column '$rankName' already exists in the input — pick another rankName")
+    def attr(n: String): Attribute = plan.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"no column '$n' in [${plan.output.map(_.name).mkString(", ")}]")
+      case _ => throw new IllegalArgumentException(
+        s"ambiguous column '$n' (post-join duplicate?) — disambiguate before TopKPerKey")
+    }
     val sortOrders = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

@@ -20,30 +20,32 @@ object Sinks {
   /** Fragment for `createTableColumnTypes` from a StructType. The
     * strings must be SPARK SQL type names (the option is parsed with
     * the Catalyst schema parser, then rendered per JDBC dialect) —
-    * `TEXT`/`DOUBLE PRECISION` are not parsable here; the reference's
-    * pandas `TEXT` intent maps to a wide VARCHAR, which every major
-    * dialect (and embedded Derby, max 32672) accepts. */
+    * `TEXT`/`DOUBLE PRECISION` are not parsable here. String columns
+    * are deliberately OMITTED so the dialect default applies
+    * (Postgres → TEXT, exactly the reference's `sqltype.Text` intent;
+    * Derby → CLOB): any VARCHAR(n) override would silently cap value
+    * length and fail at insert time on the first longer row. */
   def columnTypes(schema: StructType): String =
-    schema.fields.map { f =>
+    schema.fields.flatMap { f =>
       val t = f.dataType match {
-        case StringType => "VARCHAR(8192)"
-        case LongType => "BIGINT" // vote sums overflow INTEGER at scale
-        case IntegerType => "INTEGER"
-        case BooleanType => "BOOLEAN"
-        case DateType => "DATE"
-        case TimestampType => "TIMESTAMP"
-        case DoubleType => "DOUBLE PRECISION"
-        case other => other.sql
+        case StringType => None // dialect default: unbounded text
+        case LongType => Some("BIGINT") // vote sums overflow INTEGER at scale
+        case IntegerType => Some("INTEGER")
+        case BooleanType => Some("BOOLEAN")
+        case DateType => Some("DATE")
+        case TimestampType => Some("TIMESTAMP")
+        case DoubleType => Some("DOUBLE")
+        case other => Some(other.sql)
       }
-      s"${f.name} $t"
+      t.map(tt => s"${f.name} $tt")
     }.mkString(", ")
 
   /** K1: typed JDBC append. Executors write partitions in parallel
     * (`numPartitions`/`batchsize` bound connection count and round
     * trips at scale). */
   def writeJdbc(df: DataFrame, url: String, table: String,
-      user: String, password: String, batchSize: Int = 10000): Unit =
-    df.write
+      user: String, password: String, batchSize: Int = 10000): Unit = {
+    val w = df.write
       .mode("append")
       .format("jdbc")
       .option("url", url)
@@ -51,8 +53,11 @@ object Sinks {
       .option("user", user)
       .option("password", password)
       .option("batchsize", batchSize)
-      .option("createTableColumnTypes", columnTypes(df.schema))
-      .save()
+    val types = columnTypes(df.schema)
+    // all-string schemas produce an empty override list; an empty
+    // option string is a parse error, so omit it entirely
+    (if (types.nonEmpty) w.option("createTableColumnTypes", types) else w).save()
+  }
 
   /** K2: TSV append sink with header-once semantics (reference:
     * `header=not os.path.exists(path)`). Spark's `header=true` stamps

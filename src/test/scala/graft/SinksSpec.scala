@@ -21,10 +21,13 @@ class SinksSpec extends SparkSpec {
     val url = s"jdbc:derby:$home/db;create=true"
     import spark.implicits._
     val df = Seq(
-      ("ALAMANCE", "0001", 1234L, true, "2012-11-06"),
-      ("WAKE", "01-01", 98765L, false, "2012-11-06"))
-      .toDF("county", "precinct", "total_votes", "absentee", "d")
+      ("ALAMANCE", "0001", 1234L, true, 0.25, "2012-11-06"),
+      ("WAKE", "01-01", 98765L, false, 0.75, "2012-11-06"))
+      .toDF("county", "precinct", "total_votes", "absentee", "turnout", "d")
       .withColumn("election_date", to_date(col("d"))).drop("d")
+      // strings longer than any VARCHAR(n) cap: the dialect default
+      // (CLOB on Derby, TEXT on Postgres) must hold unbounded text
+      .withColumn("notes", concat_ws("", array_repeat(col("county"), 2000)))
     Sinks.writeJdbc(df, url, "precinct_results", "app", "app")
     Sinks.writeJdbc(df, url, "precinct_results", "app", "app") // append, not replace
     val back = spark.read.format("jdbc")
@@ -33,10 +36,13 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 4)
     val types = back.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     assert(types("county") === StringType)
+    assert(types("notes") === StringType) // CLOB → StringType, unbounded
     assert(types("total_votes") === LongType)
     assert(types("absentee") === BooleanType)
+    assert(types("turnout") === DoubleType)
     assert(types("election_date") === DateType)
     assert(back.agg(sum(col("total_votes"))).head.getLong(0) === 2L * (1234L + 98765L))
+    assert(back.agg(max(length(col("notes")))).head.getInt(0) === 16000)
   }
 
   test("K2: tsv sink writes the header exactly once across appends") {
