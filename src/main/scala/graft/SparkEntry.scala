@@ -89,6 +89,8 @@ object SparkEntry {
     ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
     ("x6_asof_join", graft.analytics.AsOfJoin.errorsWithLastClick _,
       Some(graft.analytics.AsOfJoin.errorsWithLastClickSql)),
+    ("x6_range_join", graft.analytics.RangeJoin.errorClickImpact _,
+      Some(graft.analytics.RangeJoin.errorClickImpactSql)),
     ("x6_funnel", EventWindows.funnel _, Some(EventWindows.funnelSql)),
     ("x9_profile", graft.analytics.Profiler.profileOrders _,
       Some(graft.analytics.Profiler.profileOrdersSql)),

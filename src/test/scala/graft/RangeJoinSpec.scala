@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("binned range join matches the naive theta join") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 20L), (2L, 15L, 25L), (3L, 100L, 101L))
+      .toDF("iid", "lo", "hi")
+    val points = Seq((10L, "a"), (19L, "b"), (20L, "c"), (24L, "d"), (100L, "e"))
+      .toDF("t", "name")
+    val binned = RangeJoin.binnedRangeJoin(intervals, points, "lo", "hi", "t", 7L)
+      .select("iid", "t").as[(Long, Long)].collect().toSet
+    val naive = intervals.join(points, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("iid", "t").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    // boundary semantics: lo inclusive, hi exclusive
+    assert(binned.contains((1L, 10L)) && !binned.contains((1L, 20L)))
+    assert(binned.contains((3L, 100L)))
+  }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("t"))
+    val intervals = ev.select(col("event_id").as("iid"), col("t").as("lo"),
+      (col("t") + 600L).as("hi"))
+    val plan = RangeJoin.binnedRangeJoin(intervals, ev, "lo", "hi", "t", 600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join") || plan.contains("join"), plan)
+  }
+
+  test("errorClickImpact matches a naive window count at sf0.001") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_timestamp(col("ts")).as("t"))
+    val errors = ev.filter(col("event_type") === "error").select(col("event_id").as("err_id"), col("t").as("te"))
+    val clicks = ev.filter(col("event_type") === "click").select(col("t").as("tc"))
+    val naive = errors.join(clicks, col("tc") >= col("te") && col("tc") < col("te") + 600L, "left")
+      .groupBy(col("err_id")).agg(count(col("tc")).as("n_clicks"))
+      .as[(Long, Long)].collect().toMap
+    val got = RangeJoin.errorClickImpact(spark, sf)
+      .select("err_id", "n_clicks").as[(Long, Long)].collect().toMap
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+}
