@@ -104,6 +104,10 @@ object SparkEntry {
     ("x7_subqueries", StarQueries.subqueries _, Some(StarQueries.subqueriesSql)),
     ("x7_cube", StarQueries.cubeSales _, Some(StarQueries.cubeSalesSql)),
     ("x7_string_funcs", StarQueries.stringFuncs _, Some(StarQueries.stringFuncsSql)),
+    ("x7_window_funcs", graft.analytics.FunctionSweeps.windowFuncs _,
+      Some(graft.analytics.FunctionSweeps.windowFuncsSql)),
+    ("x7_array_funcs", graft.analytics.FunctionSweeps.arrayFuncs _,
+      Some(graft.analytics.FunctionSweeps.arrayFuncsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

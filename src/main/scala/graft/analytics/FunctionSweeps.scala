@@ -1,0 +1,122 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Analytic-function breadth (SURVEY §2b gaps): the full window-function
+  * family and the array/higher-order-function family, each as one
+  * oracled query.
+  *
+  * Scale notes:
+  *  - the window sweep is ONE shuffle on the partition key (all window
+  *    specs share `PARTITION BY o_custkey` and a common sort — Spark
+  *    plans a single Window operator run after a single Exchange);
+  *  - the array sweep builds per-group arrays via `collect_list` after
+  *    a map-side partial aggregate; per-group arrays are line-item
+  *    counts per order (≤7) — bounded, no skew risk. The HOF lambdas
+  *    (`transform`/`filter`/`aggregate`) run per-row over those tiny
+  *    arrays; they are interpreted (no codegen) which is fine off the
+  *    hot path — the heavy lifting (grouping) stays codegen'd.
+  *
+  * Oracle parity: prices through DECIMAL(18,2); rank-family doubles
+  * (`percent_rank`, `cume_dist`) are exact integer ratios computed
+  * identically by both engines over a tie-free total order.
+  */
+object FunctionSweeps {
+
+  /** Window-function sweep over orders: offsets (lag/lead), ranking
+    * (row_number/ntile/percent_rank/cume_dist), and running frames
+    * (cumulative sum, 3-row moving average). */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cumFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val move3 = w.rowsBetween(-2, 0)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("price"), 1).over(w).cast("double").as("prev_price"),
+        lead(col("price"), 1).over(w).cast("double").as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        sum(col("price")).over(cumFrame).cast("double").as("running_total"),
+        (sum(col("price")).over(move3).cast("double") /
+          count(lit(1)).over(move3)).as("avg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowFuncsSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders WHERE o_custkey < 100)
+      |SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(lag(price, 1) OVER w AS DOUBLE) AS prev_price,
+      |  CAST(lead(price, 1) OVER w AS DOUBLE) AS next_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  CAST(SUM(price) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  CAST(SUM(price) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Array / higher-order-function sweep: per-order quantity vectors
+    * through sort, transform, filter, aggregate, distinct, join and
+    * element access — all scalar outputs for oracle hashing. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_items"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("total_qty"),
+        array_max(col("qtys")).as("max_qty"),
+        array_min(col("qtys")).as("min_qty"),
+        size(array_distinct(col("qtys"))).cast("long").as("n_distinct_qty"),
+        expr("size(filter(qtys, x -> x > 25))").cast("long").as("n_big"),
+        expr("aggregate(transform(qtys, x -> x * 2), 0L, (acc, x) -> acc + x)").as("sum_doubled"),
+        expr("array_join(transform(qtys, x -> cast(x as string)), ',')").as("qty_str"),
+        element_at(col("qtys"), 1).as("first_qty"),
+        element_at(col("qtys"), -1).as("last_qty"))
+      .orderBy(col("l_orderkey"))
+
+  val arrayFuncsSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      |  FROM lineitem WHERE l_orderkey < 2000
+      |  GROUP BY l_orderkey)
+      |SELECT l_orderkey,
+      |  CAST(len(qtys) AS BIGINT) AS n_items,
+      |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+      |  CAST(list_max(qtys) AS BIGINT) AS max_qty,
+      |  CAST(list_min(qtys) AS BIGINT) AS min_qty,
+      |  CAST(len(list_distinct(qtys)) AS BIGINT) AS n_distinct_qty,
+      |  CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_big,
+      |  CAST(list_sum(list_transform(qtys, x -> x * 2)) AS BIGINT) AS sum_doubled,
+      |  array_to_string(qtys, ',') AS qty_str,
+      |  qtys[1] AS first_qty,
+      |  qtys[-1] AS last_qty
+      |FROM g
+      |ORDER BY l_orderkey""".stripMargin
+}

@@ -39,4 +39,29 @@ class AnalyticsSpec extends SparkSpec {
   test("every oracleSql key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("window sweep: running_total ends at the partition sum, ranks stay bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.FunctionSweeps.windowFuncs(spark, sf)
+    val last = rows.groupBy(col("o_custkey"))
+      .agg(max(col("running_total")).as("rt"), max(col("quartile")).as("q"),
+        max(col("cume")).as("cd"))
+      .collect()
+    assert(last.nonEmpty)
+    last.foreach { r =>
+      assert(r.getAs[Long]("q") >= 1L && r.getAs[Long]("q") <= 4L)
+      assert(math.abs(r.getAs[Double]("cd") - 1.0) < 1e-12) // cume_dist tops at 1
+    }
+  }
+
+  test("array sweep: aggregate/transform identities hold") {
+    val rows = graft.analytics.FunctionSweeps.arrayFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_doubled") === 2 * r.getAs[Long]("total_qty"))
+      assert(r.getAs[Long]("first_qty") === r.getAs[Long]("min_qty")) // sorted array
+      assert(r.getAs[Long]("last_qty") === r.getAs[Long]("max_qty"))
+      assert(r.getAs[Long]("n_distinct_qty") <= r.getAs[Long]("n_items"))
+    }
+  }
 }
