@@ -55,6 +55,8 @@ object SparkEntry {
     ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
     ("x8_salted_join", graft.analytics.SaltedJoin.saltedBrandRevenue _,
       Some(graft.analytics.SaltedJoin.saltedBrandRevenueSql)),
+    ("x8_merge_upsert", graft.analytics.MergeUpsert.scd1Merge _,
+      Some(graft.analytics.MergeUpsert.scd1MergeSql)),
     // typed Aggregator top-k: same oracle as the window formulation
     ("x7_topk_aggregator", graft.functions.TopKAggregator.topOrdersPerSegment _,
       Some(StarQueries.topOrdersPerSegmentSql)),
@@ -79,6 +81,7 @@ object SparkEntry {
     ("x4_lang_id", TextStats.langId _, Some(TextStats.langIdSql)),
     ("x4_fingerprint", TextStats.fingerprint _, Some(TextStats.fingerprintSql)),
     ("x4_tfidf", TextStats.tfidfTopTerms _, Some(TextStats.tfidfTopTermsSql)),
+    ("x4_quality_signals", TextStats.qualitySignals _, Some(TextStats.qualitySignalsSql)),
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     // event windows (X6)

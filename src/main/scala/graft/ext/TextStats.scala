@@ -203,4 +203,85 @@ object TextStats {
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // ---- repetition / quality signals (Gopher-style filters) --------------
+
+  /** Repetition signals used by LLM training-data quality filters
+    * (the "fraction of tokens in the most common n-gram" family): per
+    * document, the most frequent unigram and bigram with their token
+    * fractions. Ties break to the lexicographically smallest n-gram so
+    * the result is deterministic.
+    *
+    * Scale: two explode → hash-aggregate passes keyed on
+    * (doc_id, ngram) — map-side partial aggregation bounds the shuffle
+    * to distinct n-grams — then a per-doc `row_number` window. All
+    * shuffles are on doc-level keys: embarrassingly parallel across a
+    * 100 TB corpus, no global state.
+    */
+  def qualitySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    def top(ngrams: DataFrame, gram: String): DataFrame = {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col(gram))
+      ngrams.groupBy(col("doc_id"), col(gram))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col(gram).as(s"top_$gram"), col("n").as(s"top_${gram}_n"))
+    }
+    val utop = top(docs.select(col("doc_id"), explode(col("toks")).as("tok")), "tok")
+    // Spark's sequence(1, n) DESCENDS for n < 1, so guard 1-token docs
+    // (the DuckDB mirror's range(2, n+1) is empty there already).
+    val btop = top(docs.select(col("doc_id"), explode(expr(
+      "if(size(toks) < 2, array(), " +
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
+      .as("bg")), "bg")
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(utop, Seq("doc_id"))
+      .join(btop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("top_tok"), col("top_tok_n"),
+        (col("top_tok_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_tok_frac"),
+        coalesce(col("top_bg"), lit("")).as("top_bigram"),
+        coalesce(col("top_bg_n"), lit(0L)).as("top_bigram_n"),
+        (coalesce(col("top_bg_n"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)).cast("double")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySignalsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |uc AS (
+      |  SELECT doc_id, tok, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+      |  GROUP BY doc_id, tok),
+      |utop AS (
+      |  SELECT doc_id, tok, n FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tok) AS rn
+      |    FROM uc) WHERE rn = 1),
+      |bc AS (
+      |  SELECT doc_id, bg, count(*) AS n
+      |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+      |          i -> toks[i-1] || ' ' || toks[i])) AS bg
+      |        FROM t) b
+      |  GROUP BY doc_id, bg),
+      |btop AS (
+      |  SELECT doc_id, bg, n FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+      |    FROM bc) WHERE rn = 1)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  utop.tok AS top_tok, utop.n AS top_tok_n,
+      |  CAST(utop.n AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS top_tok_frac,
+      |  COALESCE(btop.bg, '') AS top_bigram,
+      |  CAST(COALESCE(btop.n, 0) AS BIGINT) AS top_bigram_n,
+      |  CAST(COALESCE(btop.n, 0) AS DOUBLE)
+      |    / CAST(greatest(len(toks) - 1, 1) AS DOUBLE) AS top_bigram_frac
+      |FROM t
+      |JOIN utop ON t.doc_id = utop.doc_id
+      |LEFT JOIN btop ON t.doc_id = btop.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 }

@@ -54,6 +54,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scd1 merge: op classes partition the key space") {
+    import org.apache.spark.sql.functions._
+    val m = graft.analytics.MergeUpsert.scd1Merge(spark, sf).cache()
+    try {
+      val byOp = m.groupBy(col("op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = Tables.customer(spark, sf)
+      val nBase = base.count()
+      val nUpd = base.filter(col("c_custkey") % 7 === 0).count()
+      val nIns = base.filter(col("c_custkey") % 97 === 0).count()
+      assert(byOp.getOrElse("updated", 0L) === nUpd)
+      assert(byOp.getOrElse("inserted", 0L) === nIns)
+      assert(byOp.getOrElse("kept", 0L) === nBase - nUpd)
+      // merge keys stay unique
+      assert(m.select("c_custkey").distinct().count() === m.count())
+    } finally m.unpersist()
+  }
+
+  test("quality signals: fractions bounded, top unigram at least as frequent as any") {
+    val rows = graft.ext.TextStats.qualitySignals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uf = r.getAs[Double]("top_tok_frac")
+      val bf = r.getAs[Double]("top_bigram_frac")
+      assert(uf > 0.0 && uf <= 1.0)
+      assert(bf >= 0.0 && bf <= 1.0)
+      assert(r.getAs[Long]("top_tok_n") >= r.getAs[Long]("top_bigram_n"))
+    }
+  }
+
   test("array sweep: aggregate/transform identities hold") {
     val rows = graft.analytics.FunctionSweeps.arrayFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
