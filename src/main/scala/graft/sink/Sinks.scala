@@ -103,6 +103,23 @@ object Sinks {
       .parquet(dir)
   }
 
+  /** Hive-style partitioned parquet layout with DYNAMIC partition
+    * overwrite: only the partitions present in `df` are replaced;
+    * everything else in `dir` survives. This is the idempotent
+    * backfill/re-run primitive at 100 TB — a day's re-ingest rewrites
+    * that day's directory, not the table — and the partition column
+    * becomes a zero-IO pruning predicate for every downstream query
+    * (`PartitionFilters` in the scan, no footer reads outside the
+    * selected partitions). Keep partition cardinality in the
+    * thousands, not millions: over-partitioning (e.g. on a high-card
+    * key) recreates the small-file problem [[compact]] solves. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
   /** Bucketed managed table: co-locates rows by join/agg key so
     * repeated joins on `keys` between tables bucketed the same way
     * plan WITHOUT a shuffle exchange — the persistent-layout answer to

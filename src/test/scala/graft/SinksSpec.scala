@@ -76,4 +76,26 @@ class SinksSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("partitioned write: dynamic overwrite replaces only the touched partition") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Sinks.writePartitioned(ev, dir, Seq("event_type"))
+    val before = spark.read.parquet(dir)
+    val clicksBefore = before.filter(col("event_type") === "click").count()
+    val errorsBefore = before.filter(col("event_type") === "error").count()
+    assert(clicksBefore > 0 && errorsBefore > 0)
+    // rewrite ONLY the click partition, halved
+    val halfClicks = ev.filter(col("event_type") === "click" && col("event_id") % 2 === 0)
+    Sinks.writePartitioned(halfClicks, dir, Seq("event_type"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("event_type") === "click").count() ===
+      ev.filter(col("event_type") === "click" && col("event_id") % 2 === 0).count())
+    assert(after.filter(col("event_type") === "error").count() === errorsBefore) // untouched
+    // the partition column prunes at plan time: only one directory scanned
+    val plan = after.filter(col("event_type") === "error")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
 }
