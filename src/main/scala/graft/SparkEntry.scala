@@ -42,6 +42,7 @@ object SparkEntry {
     ("v1_preview", ContestQueries.preview _, Some(ContestQueries.previewSql)),
     // star-schema analytics (X7/X8)
     ("q1_pricing_summary", StarQueries.pricingSummary _, Some(StarQueries.pricingSummarySql)),
+    ("q3_shipping_priority", StarQueries.shippingPriority _, Some(StarQueries.shippingPrioritySql)),
     ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
     ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
     ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),
@@ -111,6 +112,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.windowFuncsSql)),
     ("x7_array_funcs", graft.analytics.FunctionSweeps.arrayFuncs _,
       Some(graft.analytics.FunctionSweeps.arrayFuncsSql)),
+    ("x7_try_funcs", graft.analytics.FunctionSweeps.tryFuncs _,
+      Some(graft.analytics.FunctionSweeps.tryFuncsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -100,6 +100,43 @@ object FunctionSweeps {
         element_at(col("qtys"), -1).as("last_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** Safe-arithmetic sweep: `try_divide` / `try_cast` /
+    * `try_element_at` — NULL-on-error semantics that keep bad rows
+    * from killing a 100 TB job under ANSI mode (the alternative —
+    * task retries on SparkArithmeticException — loses the whole
+    * partition's work). Oracle mirrors with NULLIF / TRY_CAST /
+    * native out-of-bounds list access. */
+  def tryFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").as("price"),
+        array(col("l_returnflag")).as("flags"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // division by zero whenever qty == 17 → NULL, not an error.
+        // double ÷ long promotes to IEEE double division — identical
+        // bits in both engines (decimal ÷ int would NOT be: the two
+        // engines scale/round decimal quotients differently).
+        expr("try_divide(price, qty - 17)").as("safe_div"),
+        // non-numeric string → NULL
+        expr("try_cast(concat('x', qty) as bigint)").as("bad_parse"),
+        expr("try_cast(qty as string)").as("qty_str"),
+        // index past the end → NULL
+        expr("try_element_at(flags, 5)").as("oob_elem"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val tryFuncsSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_extendedprice / NULLIF(CAST(l_quantity AS BIGINT) - 17, 0) AS safe_div,
+      |  TRY_CAST('x' || CAST(l_quantity AS BIGINT) AS BIGINT) AS bad_parse,
+      |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_str,
+      |  ([l_returnflag])[5] AS oob_elem
+      |FROM lineitem
+      |WHERE l_orderkey < 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val arrayFuncsSql: String =
     """WITH g AS (
       |  SELECT l_orderkey,

@@ -169,6 +169,44 @@ object StarQueries {
       |WHERE rk <= 3
       |ORDER BY c_mktsegment, rk""".stripMargin
 
+  /** TPC-H Q3-shaped composite: selective dimension filter → two joins
+    * → grouped revenue → global top-10. The canonical "one query uses
+    * everything" plan: pushed-down date predicates on both fact scans,
+    * broadcast customer dim, partial aggregation before the group-key
+    * shuffle, and TakeOrderedAndProject for the limit (no global
+    * sort). Dates exit as ISO strings for oracle parity. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1996-06-01").cast("timestamp")
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** Set ops: nations that have customers INTERSECT/EXCEPT suppliers. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))
