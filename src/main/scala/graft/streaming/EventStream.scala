@@ -83,6 +83,30 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  // ---- landing sink: stream → partitioned parquet, replay-safe ----------
+
+  /** Micro-batch landing sink: each batch lands in its own
+    * `batch_id=N` partition via [[graft.sink.Sinks.writePartitioned]]
+    * (dynamic partition overwrite). Structured Streaming replays the
+    * last uncommitted batch after a failure with the SAME batch id, so
+    * the replay overwrites exactly the partition the first attempt
+    * wrote — idempotent, no duplicates, no transaction log needed.
+    * This only holds because the partition key is the batch id (a
+    * date-keyed layout would interleave batches in one partition and
+    * the overwrite would eat earlier batches — route through a
+    * downstream compaction job instead, see [[graft.sink.Sinks.compact]]). */
+  def landToParquet(events: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch(landBatch(dir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  private[graft] def landBatch(dir: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long): Unit =
+    graft.sink.Sinks.writePartitioned(
+      batch.withColumn("batch_id", lit(batchId)), dir, Seq("batch_id"))
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

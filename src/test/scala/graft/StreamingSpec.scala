@@ -148,4 +148,31 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Set(1L, 2L, 4L), "first copies kept, duplicate doc 3 dropped")
     } finally q.stop()
   }
+
+  test("foreachBatch landing sink is idempotent under batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-land").toString
+    val dir = s"$base/out"
+    val mem = MemoryStream[Event]
+    val q = EventStream.landToParquet(mem.toDF(), dir, s"$base/ckpt")
+    try {
+      mem.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 11, "click", 3.0))
+      q.processAllAvailable()
+      val n = spark.read.parquet(dir).count()
+      assert(n === 3)
+      // simulate the post-failure replay of batch 0: same data, same id
+      val replay = Seq(
+        Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.0)).toDF()
+      EventStream.landBatch(dir)(replay, 0L)
+      assert(spark.read.parquet(dir).count() === 3, "replay must not duplicate")
+      // both batches present, in their own partitions
+      // partition-dir discovery may type batch_id INT, so go via string
+      val batches = spark.read.parquet(dir)
+        .select("batch_id").distinct().collect().map(_.get(0).toString.toLong).toSet
+      assert(batches === Set(0L, 1L))
+    } finally q.stop()
+  }
 }
