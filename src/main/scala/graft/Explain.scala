@@ -21,7 +21,8 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "x8_join_star", "a1_county_rollup",
         "x7_topk_global", "x2_minhash_lsh", "x3_cosine_topk",
-        "x6_session_window", "x6_asof_join", "x9_profile")
+        "x6_session_window", "x6_asof_join", "x9_profile",
+        "x6_range_join", "q3_shipping_priority", "x8_merge_upsert")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
