@@ -450,4 +450,56 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
        |ORDER BY i, j""".stripMargin
   }
+
+  // ---- X2: exact repeated-substring detection ---------------------------
+
+  /** Window length (chars) a span must reach to count as duplicated. */
+  val SpanWidth = 64
+  /** Stride between sampled window starts. Detection guarantee: any
+    * duplicated region of length ≥ SpanWidth + SpanStride − 1 contains
+    * an aligned window in BOTH copies, whatever their relative offset.
+    */
+  val SpanStride = 16
+
+  /** Exact duplicated-substring detection — the "repeated 50-token
+    * span" dedup family used on LLM pretraining corpora (suffix-array
+    * dedup's scale-out cousin): fingerprint strided fixed-width
+    * character windows of every document, shuffle ONCE on the
+    * fingerprint, and report spans whose fingerprint occurs in ≥2
+    * distinct documents. O(total chars / stride) rows — no pairwise
+    * comparison anywhere, unlike the Jaccard family this catches a
+    * long verbatim quote inside two otherwise-unrelated documents.
+    * Per-occurrence output (doc_id, char offset) would feed a span
+    * cutter; here the query reports each cross-doc span cluster. */
+  def substringDedup(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        s"""if(length(text) < $SpanWidth, array(),
+           |   transform(sequence(0, (length(text) - $SpanWidth) div $SpanStride),
+           |             i -> substring(text, i * $SpanStride + 1, $SpanWidth)))""".stripMargin))
+        .as("span"))
+      .groupBy(md5(col("span")).as("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_md5"))
+
+  val substringDedupSql: String =
+    s"""WITH spans AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, CASE WHEN length(text) < $SpanWidth THEN 0
+       |             ELSE (length(text) - $SpanWidth) // $SpanStride + 1 END),
+       |    i -> substring(text, i * $SpanStride + 1, $SpanWidth))) AS span
+       |  FROM documents)
+       |SELECT md5(span) AS span_md5,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  count(*) AS n_occurrences,
+       |  min(doc_id) AS first_doc,
+       |  max(doc_id) AS last_doc
+       |FROM spans
+       |GROUP BY md5(span)
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY span_md5""".stripMargin
 }

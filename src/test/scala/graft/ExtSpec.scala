@@ -103,4 +103,15 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.extractFeatures(spark, sf)
       .filter(col("media_id") === 0L).head() === f)
   }
+
+  test("X2 substring dedup: clusters are cross-doc and internally consistent") {
+    val rows = Dedup.substringDedup(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata's planted near-dups must share ≥1 span")
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      assert(nDocs >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= nDocs)
+      assert(r.getAs[Long]("first_doc") < r.getAs[Long]("last_doc"))
+    }
+  }
 }
