@@ -73,6 +73,7 @@ object SparkEntry {
     ("x2_simhash", Dedup.simhashNearDup _, Some(Dedup.simhashSql)),
     ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
     ("x2_substring_dedup", Dedup.substringDedup _, Some(Dedup.substringDedupSql)),
+    ("x2_dup_clusters", Dedup.dupClusters _, Some(Dedup.dupClustersSql)),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
     ("x3_ann_lsh", Similarity.annCosineTopK _, Some(Similarity.annCosineTopKSql)),

@@ -451,6 +451,88 @@ object Dedup {
        |ORDER BY i, j""".stripMargin
   }
 
+  // ---- X2: duplicate clustering (connected components) ------------------
+
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into keep/drop groups (keep the minimum
+    * doc_id of each component, drop the rest). Iterative min-label
+    * propagation: every node adopts the smallest label among itself
+    * and its neighbors until fixpoint — the Pregel/GraphFrames
+    * formulation. The driver loop holds only the iteration counter and
+    * one scalar (the label sum) per round; all data movement is
+    * distributed joins keyed on doc_id, and iterations are bounded by
+    * the component diameter (near-dup clusters are shallow — copies of
+    * a common ancestor — so this converges in 2-3 rounds in practice).
+    * `localCheckpoint` truncates the growing lineage each round, which
+    * is what keeps the plan bounded at iteration 20 as much as at 2.
+    *
+    * Edges are the EXACT near-dup pair set ([[minhashNearDup]] —
+    * LSH-generated, exact-verified), so the DuckDB mirror can rebuild
+    * the same graph and close it with a recursive CTE. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = minhashNearDup(spark, sfDir).select(col("i"), col("j"))
+    val bidir = edges.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(edges.select(col("j").as("src"), col("i").as("dst")))
+      .persist()
+    var labels = docs(spark, sfDir).select(col("doc_id"))
+      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var iters = 0
+    while (curSum < prevSum && iters < 20) {
+      val nbrMin = bidir.join(labels, bidir("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      prevSum = curSum
+      curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+      iters += 1
+    }
+    bidir.unpersist()
+    val w = Window.partitionBy(col("cluster"))
+    labels
+      .select(col("doc_id"), col("cluster"),
+        count(lit(1)).over(w).as("cluster_size"),
+        (col("doc_id") === col("cluster")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same exact pair graph, closed with a recursive CTE
+    * (transitive closure), component label = min reachable doc_id. */
+  val dupClustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+      |cpairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT i, j FROM cpairs
+      |  JOIN sizes si ON si.doc_id = i
+      |  JOIN sizes sj ON sj.doc_id = j
+      |  WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5),
+      |edges AS (SELECT i AS src, j AS dst FROM dup
+      |          UNION SELECT j, i FROM dup),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster
+      |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT doc_id, cluster,
+      |  count(*) OVER (PARTITION BY cluster) AS cluster_size,
+      |  doc_id = cluster AS is_rep
+      |FROM labels
+      |ORDER BY doc_id""".stripMargin
+
   // ---- X2: exact repeated-substring detection ---------------------------
 
   /** Window length (chars) a span must reach to count as duplicated. */

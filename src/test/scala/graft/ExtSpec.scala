@@ -104,6 +104,21 @@ class ExtSpec extends SparkSpec {
       .filter(col("media_id") === 0L).head() === f)
   }
 
+  test("X2 dup clusters: edges stay intra-cluster, reps are cluster minima") {
+    import spark.implicits._
+    val clusters = Dedup.dupClusters(spark, sf)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    val edges = Dedup.minhashNearDup(spark, sf)
+      .select("i", "j").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (i, j) =>
+      assert(clusters(i) === clusters(j), s"pair ($i,$j) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min, s"cluster $label rep is not its minimum")
+    }
+  }
+
   test("X2 substring dedup: clusters are cross-doc and internally consistent") {
     val rows = Dedup.substringDedup(spark, sf).collect()
     assert(rows.nonEmpty, "testdata's planted near-dups must share ≥1 span")
