@@ -93,6 +93,7 @@ object SparkEntry {
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),
     ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
+    ("x6_gap_fill", EventWindows.gapFill _, Some(EventWindows.gapFillSql)),
     ("x6_asof_join", graft.analytics.AsOfJoin.errorsWithLastClick _,
       Some(graft.analytics.AsOfJoin.errorsWithLastClickSql)),
     ("x6_range_join", graft.analytics.RangeJoin.errorClickImpact _,
@@ -116,6 +117,9 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.arrayFuncsSql)),
     ("x7_try_funcs", graft.analytics.FunctionSweeps.tryFuncs _,
       Some(graft.analytics.FunctionSweeps.tryFuncsSql)),
+    ("x7_pivot", graft.analytics.FunctionSweeps.pivotSegments _,
+      Some(graft.analytics.FunctionSweeps.pivotSegmentsSql)),
+    ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

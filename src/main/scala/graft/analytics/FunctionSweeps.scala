@@ -100,6 +100,32 @@ object FunctionSweeps {
         element_at(col("qtys"), -1).as("last_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** Native `pivot()` (cols-from-values): customers per nation ×
+    * market segment. The value list is pinned (Spark would otherwise
+    * run a distinct-collect job to discover it — an extra pass a
+    * 100 TB query shouldn't pay, and unpinned columns make the output
+    * schema data-dependent). Complements the conditional-aggregation
+    * formulation in [[graft.ext.EventWindows.userTypePivot]]. */
+  def pivotSegments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .pivot("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("nationkey"))
+
+  val pivotSegmentsSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** Safe-arithmetic sweep: `try_divide` / `try_cast` /
     * `try_element_at` — NULL-on-error semantics that keep bad rows
     * from killing a 100 TB job under ANSI mode (the alternative —

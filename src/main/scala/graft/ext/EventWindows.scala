@@ -162,6 +162,46 @@ object EventWindows {
       |LEFT JOIN s3 ON s1.user_id = s3.user_id
       |ORDER BY s1.user_id""".stripMargin
 
+  /** Gap-filled hourly series: signup counts on a dense hour spine
+    * covering the whole events range — missing hours appear with
+    * zeros (resample/asfreq semantics). The spine derives from one
+    * scalar min/max aggregate and explodes to `hours-in-range` rows —
+    * calendar-sized, not data-sized, so at 100 TB it broadcasts into
+    * the join against the (already aggregated, bucket-sized) counts. */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourCol = unix_timestamp(date_trunc("hour", col("ts")))
+    val spine = ev.agg(min(hourCol).as("lo"), max(hourCol).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour"))
+    val counts = ev.filter(col("event_type") === "signup")
+      .groupBy(hourCol.as("hour"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(dec("value")).as("sv"))
+    spine.join(counts, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+        coalesce(col("sv"), lit(0).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
+  val gapFillSql: String =
+    """WITH b AS (
+      |  SELECT CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) AS lo,
+      |    CAST(epoch(date_trunc('hour', max(ts))) AS BIGINT) AS hi
+      |  FROM events),
+      |spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour FROM b),
+      |c AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+      |    count(*) AS n_signups,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM events WHERE event_type = 'signup'
+      |  GROUP BY 1)
+      |SELECT spine.hour,
+      |  CAST(COALESCE(c.n_signups, 0) AS BIGINT) AS n_signups,
+      |  CAST(COALESCE(c.sv, 0) AS DOUBLE) AS sum_value
+      |FROM spine LEFT JOIN c USING (hour)
+      |ORDER BY hour""".stripMargin
+
   /** Event-type share pivot per user (conditional aggregation). */
   def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")

@@ -307,4 +307,39 @@ object Similarity {
        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
+
+  /** Per-label corpus statistics over the embedding column — the
+    * health-check pass every vector pipeline runs before indexing
+    * (dimension consistency, norm distribution per class). Squared
+    * norms use the same ×1e7 integer quantization as the top-k
+    * queries, so min/max/sum are exact integers — fully
+    * map-side-combinable, one shuffle on `label`. */
+  def vectorStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("dims", size(col("embedding")).cast("long"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        sum(col("n2")).as("sum_n2"),
+        max(col("dims")).as("n_dims"))
+      .orderBy(col("label"))
+
+  val vectorStatsSql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv,
+      |    len(embedding) AS dims
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT label, list_sum(list_transform(iv, x -> x * x)) AS n2, dims FROM q)
+      |SELECT label, count(*) AS n_vectors,
+      |  CAST(min(n2) AS BIGINT) AS min_n2,
+      |  CAST(max(n2) AS BIGINT) AS max_n2,
+      |  CAST(sum(n2) AS BIGINT) AS sum_n2,
+      |  CAST(max(dims) AS BIGINT) AS n_dims
+      |FROM n
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
 }
