@@ -85,6 +85,7 @@ object SparkEntry {
     ("x4_fingerprint", TextStats.fingerprint _, Some(TextStats.fingerprintSql)),
     ("x4_tfidf", TextStats.tfidfTopTerms _, Some(TextStats.tfidfTopTermsSql)),
     ("x4_quality_signals", TextStats.qualitySignals _, Some(TextStats.qualitySignalsSql)),
+    ("x4_contamination", TextStats.contamination _, Some(TextStats.contaminationSql)),
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     // event windows (X6)

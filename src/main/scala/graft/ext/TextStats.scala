@@ -204,6 +204,53 @@ object TextStats {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- train/test contamination (n-gram containment) --------------------
+
+  /** Benchmark-contamination detection: for each held-out document,
+    * the fraction of its char-8-gram shingles that appear anywhere in
+    * the training split (train = even doc_ids, test = odd — the
+    * deterministic split [[graft.ext.Sampling]] formalizes). A test
+    * doc with containment ≥ 0.8 is flagged as leaked. One shuffle on
+    * the shingle value (distinct-train ⋈ test-shingles); at corpus
+    * scale the train side can be swapped for a bloom filter of train
+    * shingles (see RuntimeFilterSpec) to avoid materializing the
+    * distinct set — exactness traded for one broadcast. */
+  def contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(Dedup.shinglesExpr)).as("s"))
+    val train = sh.filter(col("doc_id") % 2 === 0).select(col("s")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 2 === 1)
+      .join(train, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("containment"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double") >= 0.8)
+          .as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+      |  FROM documents),
+      |train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_shingles,
+      |    CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM sh t LEFT JOIN train ON t.s = train.s
+      |  WHERE t.doc_id % 2 = 1
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_shingles, n_hits,
+      |  CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS containment,
+      |  CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.8 AS flagged
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   // ---- repetition / quality signals (Gopher-style filters) --------------
 
   /** Repetition signals used by LLM training-data quality filters
