@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** X6 streaming surface — the same event-time operators as
   * [[graft.ext.EventWindows]], but under Structured Streaming with
@@ -106,6 +108,44 @@ object EventStream {
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long): Unit =
     graft.sink.Sinks.writePartitioned(
       batch.withColumn("batch_id", lit(batchId)), dir, Seq("batch_id"))
+
+  // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
+
+  case class SpendState(n: Long, total: Double)
+  case class SpendUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running spend via `transformWithState` — the arbitrary
+    * stateful-processing API that supersedes `flatMapGroupsWithState`
+    * in Spark 4: named state variables with individual encoders and
+    * per-state TTL, timers decoupled from output mode, and state
+    * schema evolution. Semantics here are a running (count, total)
+    * emitted on every update — the simplest exercise of the handle
+    * lifecycle (`init` → per-batch `handleInputRows`). Requires the
+    * RocksDB state store provider (see StreamingSpec). State is keyed
+    * by user and hash-partitioned across executors; TTLConfig would
+    * bound it for unbounded key spaces (here the key space is the
+    * user population, so NONE). */
+  class SpendTracker extends StatefulProcessor[Long, Event, SpendUpdate] {
+    @transient private var spend: ValueState[SpendState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spend = getHandle.getValueState[SpendState]("spend",
+        Encoders.product[SpendState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SpendUpdate] = {
+      val prev = if (spend.exists()) spend.get() else SpendState(0L, 0.0)
+      var n = prev.n
+      var tot = prev.total
+      rows.foreach { e => n += 1; tot += e.value }
+      spend.update(SpendState(n, tot))
+      Iterator.single(SpendUpdate(user, n, tot))
+    }
+  }
+
+  def spendTotals(events: Dataset[Event]): Dataset[SpendUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpendTracker, TimeMode.None(), OutputMode.Update())
+  }
 
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 

@@ -149,6 +149,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = EventStream.spendTotals(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("tws").start()
+    try {
+      mem.addData(Event(1, ts(1), 10, "purchase", 5.0), Event(2, ts(2), 10, "purchase", 7.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 10, "purchase", 1.5), Event(4, ts(4), 20, "purchase", 2.0))
+      q.processAllAvailable()
+      val last = spark.table("tws").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      assert(last(10L).getAs[Long]("n_events") === 3L)
+      assert(last(10L).getAs[Double]("total_value") === 13.5)
+      assert(last(20L).getAs[Long]("n_events") === 1L)
+      assert(last(20L).getAs[Double]("total_value") === 2.0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch landing sink is idempotent under batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
