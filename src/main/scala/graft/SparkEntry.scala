@@ -51,6 +51,7 @@ object SparkEntry {
     ("x7_topk_global", StarQueries.topOrdersGlobal _, Some(StarQueries.topOrdersGlobalSql)),
     ("x7_set_ops", StarQueries.setOps _, Some(StarQueries.setOpsSql)),
     ("x7_rollup", StarQueries.rollupSales _, Some(StarQueries.rollupSalesSql)),
+    ("x7_grouping_sets", StarQueries.groupingSetsSales _, Some(StarQueries.groupingSetsSalesSql)),
     ("x7_distinct_count", StarQueries.distinctCounts _, Some(StarQueries.distinctCountsSql)),
     ("x7_approx_sketches", StarQueries.approxStats _, Some(StarQueries.approxStatsSql)),
     ("x7_date_buckets", StarQueries.dateBuckets _, Some(StarQueries.dateBucketsSql)),
@@ -120,6 +121,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.tryFuncsSql)),
     ("x7_pivot", graft.analytics.FunctionSweeps.pivotSegments _,
       Some(graft.analytics.FunctionSweeps.pivotSegmentsSql)),
+    ("x7_datetime_funcs", graft.analytics.FunctionSweeps.datetimeFuncs _,
+      Some(graft.analytics.FunctionSweeps.datetimeFuncsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
   )
 

@@ -100,6 +100,42 @@ object FunctionSweeps {
         element_at(col("qtys"), -1).as("last_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** Datetime-function sweep: component extraction, calendar
+    * arithmetic, and epoch round-trips. Weekday counting is the one
+    * cross-engine trap: Spark's `dayofweek` is 1=Sunday while DuckDB's
+    * is 0=Sunday — `weekday` (0=Monday) ↔ `isodow - 1` is the aligned
+    * pair used here. Date-typed results exit as ISO strings (the
+    * DATE/TIMESTAMP pandas round-trip rule). */
+  def datetimeFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        weekday(col("o_orderdate")).cast("long").as("wd"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("week"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2000"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  val datetimeFuncsSql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS week,
+      |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_2000,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders
+      |WHERE o_custkey < 100
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Native `pivot()` (cols-from-values): customers per nation ×
     * market segment. The value list is pinned (Spark would otherwise
     * run a distinct-collect job to discover it — an extra pass a

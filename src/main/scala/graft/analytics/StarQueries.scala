@@ -258,6 +258,36 @@ object StarQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar over)
+    * with per-row `grouping()` flags — the bitmask disambiguates a
+    * real NULL key from a subtotal row, which COALESCE placeholders
+    * alone cannot. One pass, same partial-agg + single-shuffle plan
+    * as a plain groupBy (Spark expands sets via a Expand operator). */
+  def groupingSetsSales(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  val groupingSetsSalesSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |  COALESCE(o_orderpriority, '(all)') AS priority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Exact distinct counting across the star (COUNT(DISTINCT …)). */
   def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
