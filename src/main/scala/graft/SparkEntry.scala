@@ -123,6 +123,10 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.pivotSegmentsSql)),
     ("x7_datetime_funcs", graft.analytics.FunctionSweeps.datetimeFuncs _,
       Some(graft.analytics.FunctionSweeps.datetimeFuncsSql)),
+    ("x7_bitwise_funcs", graft.analytics.FunctionSweeps.bitwiseFuncs _,
+      Some(graft.analytics.FunctionSweeps.bitwiseFuncsSql)),
+    ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
+      Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
   )
 

@@ -162,6 +162,101 @@ object FunctionSweeps {
       |GROUP BY c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Bitwise aggregate sweep: `bit_and`/`bit_or`/`bit_xor` per group
+    * plus scalar shifts — set-membership folds over integer masks
+    * (e.g. per-partition feature-flag reconciliation) that aggregate
+    * exactly and map-side-combine like any sum. */
+  def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").cast("long").as("pk"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        bit_and(col("qty")).as("and_qty"),
+        bit_or(col("qty")).as("or_qty"),
+        bit_xor(col("qty")).as("xor_qty"),
+        // the Scala shiftleft() helper takes a literal shift only —
+        // the SQL form accepts a column expression
+        bit_or(expr("shiftleft(1L, cast(pk % 16 as int))")).as("pk_mask"))
+      .select(col("l_orderkey"), col("and_qty"), col("or_qty"), col("xor_qty"),
+        col("pk_mask"),
+        bit_count(col("pk_mask")).cast("long").as("n_pk_slots"))
+      .orderBy(col("l_orderkey"))
+
+  val bitwiseFuncsSql: String =
+    """SELECT l_orderkey,
+      |  CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS and_qty,
+      |  CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS or_qty,
+      |  CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS xor_qty,
+      |  CAST(bit_or(1::BIGINT << CAST(CAST(l_partkey AS BIGINT) % 16 AS INT)) AS BIGINT) AS pk_mask,
+      |  CAST(bit_count(bit_or(1::BIGINT << CAST(CAST(l_partkey AS BIGINT) % 16 AS INT))) AS BIGINT) AS n_pk_slots
+      |FROM lineitem
+      |WHERE l_orderkey < 2000
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Statistical moments made oracle-exact: the built-in
+    * `stddev`/`variance`/`corr` accumulate doubles in partition order
+    * (Welford merges — low bits differ run to run and engine to
+    * engine), so instead the moments are assembled from EXACT integer
+    * power sums over cent-quantized values: var = (n·Σx² − (Σx)²) /
+    * n², corr numerator/denominator likewise. Every division and sqrt
+    * then runs on identical integers → identical doubles. Same
+    * map-side-combinable shape as any sum — and the only formulation
+    * that can ever be hash-verified across engines. */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    // round-then-cast (Spark's double→long cast TRUNCATES while
+    // DuckDB's rounds — round() first makes them agree), and power
+    // sums in decimal(38,0) (↔ DuckDB HUGEINT): Σp² at cents scale
+    // overflows BIGINT beyond ~15k rows per group under ANSI mode
+    val p = round(col("o_totalprice") * 100).cast("decimal(18,0)")
+    Tables.orders(spark, sfDir)
+      .select((col("o_custkey") % 10).as("custmod"), p.as("p"),
+        col("o_custkey").cast("decimal(18,0)").as("ck"))
+      .groupBy(col("custmod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).as("s1"),
+        sum(col("p") * col("p")).as("s2"),
+        sum(col("ck")).as("k1"),
+        sum(col("ck") * col("ck")).as("k2"),
+        sum(col("p") * col("ck")).as("pk"))
+      .select(col("custmod").cast("long").as("custmod"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean_cents"),
+        ((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("var_cents"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("stddev_cents"),
+        ((col("n") * col("pk") - col("s1") * col("k1")).cast("double") /
+          (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")) *
+            sqrt((col("n") * col("k2") - col("k1") * col("k1")).cast("double"))))
+          .as("corr_price_cust"))
+      .orderBy(col("custmod"))
+  }
+
+  val statsMomentsSql: String =
+    """WITH q AS (
+      |  SELECT o_custkey % 10 AS custmod,
+      |    CAST(round(o_totalprice * 100) AS HUGEINT) AS p,
+      |    CAST(o_custkey AS HUGEINT) AS ck
+      |  FROM orders),
+      |m AS (
+      |  SELECT custmod, count(*) AS n,
+      |    SUM(p) AS s1, SUM(p * p) AS s2,
+      |    SUM(ck) AS k1, SUM(ck * ck) AS k2,
+      |    SUM(p * ck) AS pk
+      |  FROM q GROUP BY custmod)
+      |SELECT CAST(custmod AS BIGINT) AS custmod, n,
+      |  CAST(s1 AS DOUBLE) / n AS mean_cents,
+      |  CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_cents,
+      |  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS stddev_cents,
+      |  CAST(n * pk - s1 * k1 AS DOUBLE)
+      |    / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * sqrt(CAST(n * k2 - k1 * k1 AS DOUBLE)))
+      |    AS corr_price_cust
+      |FROM m
+      |ORDER BY custmod""".stripMargin
+
   /** Safe-arithmetic sweep: `try_divide` / `try_cast` /
     * `try_element_at` — NULL-on-error semantics that keep bad rows
     * from killing a 100 TB job under ANSI mode (the alternative —
