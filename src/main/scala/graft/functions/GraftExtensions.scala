@@ -26,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
     // whole-operator extension: per-key bounded-heap top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer extension: constant-window range theta-join → binned equi-join
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

@@ -35,6 +35,39 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("Join") || plan.contains("join"), plan)
   }
 
+  test("optimizer rule rewrites a raw range theta-join to an equi-join") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_timestamp(col("ts")).as("t"))
+    def thetaJoin() = {
+      val intervals = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("iid"), col("t").as("lo"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("pid"), col("t"))
+      intervals.join(points,
+        col("t") >= col("lo") && col("t") < col("lo") + 600L)
+        .select(col("iid"), col("pid"))
+    }
+    val naive = thetaJoin()
+    // no equi-key: only nested-loop shapes are available (which of the
+    // two depends on the broadcast threshold — suites run concurrently
+    // against the shared session, so accept either)
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin")
+      || naivePlan.contains("CartesianProduct"), naivePlan)
+    val expected = naive.as[(Long, Long)].collect().toSet
+    val exp = spark.experimental
+    val saved = exp.extraOptimizations
+    exp.extraOptimizations = saved :+ graft.plans.BinnedRangeJoinRule
+    try {
+      val rewritten = thetaJoin()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"), plan)
+      assert(rewritten.as[(Long, Long)].collect().toSet === expected)
+    } finally exp.extraOptimizations = saved
+  }
+
   test("errorClickImpact matches a naive window count at sf0.001") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
