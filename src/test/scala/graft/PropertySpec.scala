@@ -63,4 +63,26 @@ class PropertySpec extends SparkSpec {
       assert(r.isNullAt(2))
     }
   }
+
+  test("binned range join ≡ naive theta join on random intervals/points/widths") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val gen = for {
+      w <- Gen.chooseNum(1L, 50L)
+      ivs <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 500L), Gen.chooseNum(1L, 120L)))
+      pts <- Gen.listOfN(60, Gen.chooseNum(0L, 700L))
+    } yield (w, ivs, pts)
+    for ((w, ivs, pts) <- samples(gen, n = 15)) {
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      val points = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+      val binned = graft.analytics.RangeJoin
+        .binnedRangeJoin(intervals, points, "lo", "hi", "t", w)
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      val naive = intervals.join(points, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("iid", "pid").as[(Long, Long)].collect().toSet
+      assert(binned === naive, s"width=$w")
+    }
+  }
 }
