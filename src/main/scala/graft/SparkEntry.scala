@@ -125,6 +125,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.datetimeFuncsSql)),
     ("x7_bitwise_funcs", graft.analytics.FunctionSweeps.bitwiseFuncs _,
       Some(graft.analytics.FunctionSweeps.bitwiseFuncsSql)),
+    ("x7_map_funcs", graft.analytics.FunctionSweeps.mapFuncs _,
+      Some(graft.analytics.FunctionSweeps.mapFuncsSql)),
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
       Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),

@@ -162,6 +162,54 @@ object FunctionSweeps {
       |GROUP BY c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** Map-function sweep: per-order linenumber→quantity maps through
+    * construction (`map_from_entries` over sorted entries — insertion
+    * order is the iteration order in BOTH engines, which is what makes
+    * the JSON rendering comparable), cardinality, key/value access,
+    * and a `to_json` round-trip for oracle hashing (map columns
+    * themselves don't hash portably through parquet/pandas). */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("long").as("k"),
+        col("l_quantity").cast("long").as("v")))).as("es"))
+      // key on the 1-based sorted-entry index, not the line number —
+      // the synthetic lineitem repeats linenumbers within an order and
+      // duplicate map keys are an error under Spark's default policy
+      .select(col("l_orderkey"), map_from_arrays(
+        sequence(lit(1L), size(col("es")).cast("long")),
+        expr("transform(es, e -> e.v)")).as("mp"))
+      .select(
+        col("l_orderkey"),
+        to_json(col("mp")).as("qty_map_json"),
+        size(col("mp")).cast("long").as("n_entries"),
+        expr("array_join(transform(map_keys(mp), x -> cast(x as string)), ',')")
+          .as("keys_str"),
+        expr("array_join(transform(map_values(mp), x -> cast(x as string)), ',')")
+          .as("vals_str"))
+      .orderBy(col("l_orderkey"))
+
+  val mapFuncsSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey,
+      |    list_sort(list(struct_pack(
+      |      k := CAST(l_linenumber AS BIGINT),
+      |      v := CAST(l_quantity AS BIGINT)))) AS es
+      |  FROM lineitem WHERE l_orderkey < 2000
+      |  GROUP BY l_orderkey),
+      |m AS (SELECT l_orderkey, map(
+      |  list_transform(range(1, len(es) + 1), x -> CAST(x AS BIGINT)),
+      |  list_transform(es, e -> e.v)) AS mp FROM g)
+      |SELECT l_orderkey,
+      |  CAST(to_json(mp) AS VARCHAR) AS qty_map_json,
+      |  CAST(cardinality(mp) AS BIGINT) AS n_entries,
+      |  array_to_string(list_transform(map_keys(mp), x -> CAST(x AS VARCHAR)), ',') AS keys_str,
+      |  array_to_string(list_transform(map_values(mp), x -> CAST(x AS VARCHAR)), ',') AS vals_str
+      |FROM m
+      |ORDER BY l_orderkey""".stripMargin
+
   /** Bitwise aggregate sweep: `bit_and`/`bit_or`/`bit_xor` per group
     * plus scalar shifts — set-membership folds over integer masks
     * (e.g. per-partition feature-flag reconciliation) that aggregate

@@ -69,8 +69,11 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     val gen = for {
       w <- Gen.chooseNum(1L, 50L)
-      ivs <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 500L), Gen.chooseNum(1L, 120L)))
-      pts <- Gen.listOfN(60, Gen.chooseNum(0L, 700L))
+      // negative domain included deliberately: integral `div` truncates
+      // toward zero (not floor), so bins are uneven around 0 — coverage
+      // must still be exact there
+      ivs <- Gen.listOfN(30, Gen.zip(Gen.chooseNum(-500L, 500L), Gen.chooseNum(1L, 120L)))
+      pts <- Gen.listOfN(60, Gen.chooseNum(-700L, 700L))
     } yield (w, ivs, pts)
     for ((w, ivs, pts) <- samples(gen, n = 15)) {
       val intervals = ivs.zipWithIndex
