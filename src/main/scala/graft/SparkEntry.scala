@@ -127,6 +127,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.bitwiseFuncsSql)),
     ("x7_map_funcs", graft.analytics.FunctionSweeps.mapFuncs _,
       Some(graft.analytics.FunctionSweeps.mapFuncsSql)),
+    ("x7_sql_api", graft.analytics.FunctionSweeps.sqlApi _,
+      Some(graft.analytics.FunctionSweeps.sqlApiSql)),
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
       Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),

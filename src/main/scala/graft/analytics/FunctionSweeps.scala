@@ -162,6 +162,31 @@ object FunctionSweeps {
       |GROUP BY c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** The SQL front door: the identical ANSI text runs through
+    * `spark.sql` over a temp view AND through DuckDB as its own
+    * oracle — one string, two engines, hash-equal. Exercises the SQL
+    * parser path (CTE + windowed rank over an aggregate) that every
+    * DataFrame query here bypasses. */
+  def sqlApi(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_sql")
+    spark.sql(sqlApiText("graft_orders_sql"))
+  }
+
+  private def sqlApiText(table: String): String =
+    s"""WITH s AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+       |  FROM $table)
+       |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  CAST(SUM(p) AS DOUBLE) AS total,
+       |  CAST(rank() OVER (PARTITION BY o_orderstatus
+       |    ORDER BY count(*) DESC, o_orderpriority) AS BIGINT) AS rk
+       |FROM s
+       |GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  val sqlApiSql: String = sqlApiText("orders")
+
   /** Map-function sweep: per-order linenumber→quantity maps through
     * construction (`map_from_entries` over sorted entries — insertion
     * order is the iteration order in BOTH engines, which is what makes
