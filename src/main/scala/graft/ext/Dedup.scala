@@ -474,23 +474,36 @@ object Dedup {
     val bidir = edges.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(edges.select(col("j").as("src"), col("i").as("dst")))
       .persist()
+    val MaxIters = 50
+    // persist-then-unpersist generations: each round reads the previous
+    // round's cache, and superseded generations are freed immediately —
+    // nothing accumulates in block storage across iterations. Lineage
+    // depth is bounded by MaxIters (a production CC on an unbounded
+    // graph would checkpoint every ~10 rounds on top of this).
     var labels = docs(spark, sfDir).select(col("doc_id"))
-      .withColumn("cluster", col("doc_id")).localCheckpoint(true)
+      .withColumn("cluster", col("doc_id")).persist()
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
     var iters = 0
-    while (curSum < prevSum && iters < 20) {
+    while (curSum < prevSum && iters < MaxIters) {
       val nbrMin = bidir.join(labels, bidir("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+        .persist()
       prevSum = curSum
-      curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+      curSum = next.agg(sum(col("cluster"))).head.getLong(0) // materializes `next`
+      labels.unpersist()
+      labels = next
       iters += 1
     }
     bidir.unpersist()
+    // a silent non-converged result would diverge from the transitive-
+    // closure oracle with no symptom — refuse instead (a component with
+    // diameter > MaxIters means the dup graph isn't dup-shaped anyway)
+    if (curSum < prevSum) throw new IllegalStateException(
+      s"dupClusters did not converge within $MaxIters label-propagation rounds")
     val w = Window.partitionBy(col("cluster"))
     labels
       .select(col("doc_id"), col("cluster"),

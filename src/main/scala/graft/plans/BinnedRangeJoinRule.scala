@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.LongType
   * public hook that appends to the optimizer's final batch) or at
   * session build through [[graft.functions.GraftExtensions]].
   */
-object BinnedRangeJoinRule extends Rule[LogicalPlan] {
+object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(_, _, Inner, Some(cond), _) if eligible(j, cond) =>
@@ -40,12 +40,14 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] {
 
   private def eligible(j: Join, cond: Expression): Boolean = {
     val conjuncts = splitConjunctivePredicates(cond)
-    !conjuncts.exists(_.isInstanceOf[EqualTo]) && findRangePair(j, conjuncts).isDefined
-  }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
-    case other => Seq(other)
+    // any equality (null-safe included) already gives ExtractEquiJoinKeys
+    // a hash-join key — binning would only add work there
+    val hasEquiKey = conjuncts.exists {
+      case _: EqualTo => true
+      case _: EqualNullSafe => true
+      case _ => false
+    }
+    !hasEquiKey && findRangePair(j, conjuncts).isDefined
   }
 
   /** (t, s, width, residual conjuncts, pointsOnLeft) */
