@@ -89,6 +89,7 @@ object SparkEntry {
     ("x4_contamination", TextStats.contamination _, Some(TextStats.contaminationSql)),
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
+    ("x5_frames_meta", Multimodal.framesMeta _, Some(Multimodal.framesMetaSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),

@@ -135,4 +135,34 @@ object Multimodal {
       |  substr(hex(encode(text)), 1, 16) AS prefix_hex
       |FROM documents
       |ORDER BY media_id""".stripMargin
+
+  /** Oracled frame query: drives the REAL `mapPartitions` frame
+    * sampler ([[frames]]) and emits per-frame metadata both engines
+    * can compute — so the 1→N explosion shape itself is under the
+    * hash-compare gate, not just unit tests. The DuckDB mirror slices
+    * the text with the same fixed-width/stride arithmetic
+    * (`grouped(64)` keeps the short remainder frame; ASCII testdata ⇒
+    * byte and char offsets coincide, as documented at
+    * [[mediaMetaSql]]). */
+  def framesMeta(spark: SparkSession, sfDir: String): DataFrame =
+    frames(spark, sfDir, frameSize = 64, stride = 4).toDF()
+      .select(
+        col("media_id"),
+        col("frame_no").cast("long").as("frame_no"),
+        octet_length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_no"))
+
+  val framesMetaSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS i
+      |  FROM documents)
+      |SELECT media_id,
+      |  CAST(i AS BIGINT) AS frame_no,
+      |  CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT) AS n_frame_bytes,
+      |  md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+      |FROM f
+      |WHERE i % 4 = 0
+      |ORDER BY media_id, frame_no""".stripMargin
 }
