@@ -43,11 +43,15 @@ object Dedup {
     * can never collide at any corpus size (one scalar aggregate,
     * broadcast back; mirrored in the oracle). */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir).select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .crossJoin(broadcast(
-        docs(spark, sfDir).agg((max(col("doc_id")) + 1).as("shift"))))
-    val doubled = d.drop("shift").unionByName(
-      d.withColumn("doc_id", col("doc_id") + col("shift")).drop("shift"))
+    val base = docs(spark, sfDir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // only the shifted branch needs the 1-row shift aggregate — joining
+    // it onto the unshifted branch too would cost a per-row join the
+    // optimizer can't prune away (it can't prove an inner join keeps
+    // cardinality even when the joined columns go unused)
+    val shifted = base
+      .crossJoin(broadcast(docs(spark, sfDir).agg((max(col("doc_id")) + 1).as("shift"))))
+      .withColumn("doc_id", col("doc_id") + col("shift")).drop("shift")
+    val doubled = base.unionByName(shifted)
     val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     doubled
       .withColumn("rn", row_number().over(w))
@@ -93,7 +97,10 @@ object Dedup {
     // stop-shingle filter, per-doc sizes, pair generation) runs on the
     // rare-only groups. The groups frame feeds two consumers (sizes +
     // pairs), so persist it — without the cache the full-stream
-    // extraction and shuffle would run twice.
+    // extraction and shuffle would run twice. Cache lifetime is owned
+    // by the caller (the returned plan still reads it lazily, so it
+    // can't be released here): Verify/Bench clearCache() per query;
+    // library callers should do the same when composing.
     val groups = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(col("df") <= MaxShingleDf)

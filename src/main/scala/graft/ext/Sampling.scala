@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,24 +17,47 @@ import graft.Tables
   * split assignment itself is driver-hash-verified. A pure per-row
   * projection: at 100 TB this is a narrow scan with zero shuffle
   * (the final ORDER BY here is presentation for the oracle diff).
+  *
+  * The bucket/split expressions live HERE once, in both dialects —
+  * [[deterministicSplit]] and [[splitMix]] (and their SQL mirrors)
+  * share them, so a threshold or hash change cannot desynchronize the
+  * assignment from the mix report or an engine from its oracle.
   */
 object Sampling {
 
   val TrainPct = 80
   val ValPct = 10 // test = the remainder
 
+  /** Stable [0,100) bucket from doc_id (engine side). */
+  private def bucketCol: Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 100
+
+  /** Bucket → split label (engine side). */
+  private def splitCol: Column =
+    when(col("bucket") < TrainPct, "train")
+      .when(col("bucket") < TrainPct + ValPct, "val")
+      .otherwise("test")
+
+  /** Stable [0,100) bucket from doc_id (DuckDB side). */
+  private val bucketSql: String =
+    """list_reduce(
+      |      [strpos('0123456789abcdef', x) - 1
+      |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
+      |      (a, b) -> a * 16 + b) % 100""".stripMargin
+
+  /** Bucket → split label (DuckDB side). */
+  private val splitSql: String =
+    s"""CASE WHEN bucket < $TrainPct THEN 'train'
+       |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   /** Per-document split assignment over a 10% verification slice
     * (bucket < 10 keeps the oracled output row-bounded; membership for
     * every other bucket is the same expression). */
   def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-          % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "val")
-          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), bucketCol.as("bucket"))
+      .withColumn("split", splitCol)
       .filter(col("bucket") < 10)
       .orderBy(col("doc_id"))
 
@@ -43,15 +66,10 @@ object Sampling {
   val deterministicSplitSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, lang,
-       |    list_reduce(
-       |      [strpos('0123456789abcdef', x) - 1
-       |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
-       |      (a, b) -> a * 16 + b) % 100 AS bucket
+       |    $bucketSql AS bucket
        |  FROM documents)
        |SELECT doc_id, lang, bucket,
-       |  CASE WHEN bucket < $TrainPct THEN 'train'
-       |       WHEN bucket < ${TrainPct + ValPct} THEN 'val'
-       |       ELSE 'test' END AS split
+       |  $splitSql AS split
        |FROM b
        |WHERE bucket < 10
        |ORDER BY doc_id""".stripMargin
@@ -62,13 +80,8 @@ object Sampling {
     * over the full corpus, decimal-exact fraction. */
   def splitMix(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("lang"),
-        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
-          % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "val")
-          .otherwise("test"))
+      .select(col("lang"), bucketCol.as("bucket"))
+      .withColumn("split", splitCol)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"))
       .withColumn("lang_total", sum(col("n")).over(
@@ -80,16 +93,11 @@ object Sampling {
   val splitMixSql: String =
     s"""WITH b AS (
        |  SELECT lang,
-       |    list_reduce(
-       |      [strpos('0123456789abcdef', x) - 1
-       |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
-       |      (a, b) -> a * 16 + b) % 100 AS bucket
+       |    $bucketSql AS bucket
        |  FROM documents),
        |s AS (
        |  SELECT lang,
-       |    CASE WHEN bucket < $TrainPct THEN 'train'
-       |         WHEN bucket < ${TrainPct + ValPct} THEN 'val'
-       |         ELSE 'test' END AS split
+       |    $splitSql AS split
        |  FROM b),
        |c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2)
        |SELECT lang, split, n,

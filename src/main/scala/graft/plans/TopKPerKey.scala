@@ -148,6 +148,9 @@ object TopKPerKey {
   def apply(df: DataFrame, k: Int, keys: Seq[String],
       order: Seq[(String, Boolean)], rankName: String = "rk"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(keys.nonEmpty,
+      "keys must be non-empty (for global top-k use orderBy(...).limit(k), " +
+        "which plans as TakeOrderedAndProject)")
     val plan = df.queryExecution.analyzed
     require(!plan.output.exists(_.name == rankName),
       s"rank column '$rankName' already exists in the input — pick another rankName")
@@ -163,8 +166,14 @@ object TopKPerKey {
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     GraftSqlShim.addStrategy(df.sparkSession, TopKStrategy)
+    // float/double keys: the exec groups on raw UnsafeRow bytes and the
+    // exchange hashes the key expressions — normalize ±0.0 and NaN bit
+    // patterns up front, exactly as Catalyst's NormalizeFloatingNumbers
+    // does for Window/Aggregate keys (it doesn't know this node).
+    // No-op for non-floating key types.
+    val normalizedKeys = keys.map(n => GraftSqlShim.normalizeFloats(attr(n)))
     GraftSqlShim.ofRows(df.sparkSession,
-      TopKPerKeyNode(k, keys.map(attr), sortOrders, rankAttr, plan))
+      TopKPerKeyNode(k, normalizedKeys, sortOrders, rankAttr, plan))
   }
 
   /** Driver query `x7_topk_plan`: the same contract (and oracle) as

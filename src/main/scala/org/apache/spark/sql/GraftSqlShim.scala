@@ -1,5 +1,7 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.SparkStrategy
 
@@ -14,13 +16,24 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; custom
+    * operators need it for their grouping keys (±0.0 / NaN bit
+    * patterns) because the optimizer rule of the same name only
+    * rewrites operators it knows about. */
+  def normalizeFloats(e: Expression): Expression = NormalizeFloatingNumbers.normalize(e)
+
   /** Idempotently register a planner strategy on the session (the
     * `SparkSessionExtensions` route needs the extension class at
     * session-build time; driver mains build plain sessions, so the
     * operator API self-registers through here instead). */
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s)) {
+    val classicSpark = spark.asInstanceOf[classic.SparkSession]
+    val exp = classicSpark.experimental
+    // check the planner's FULL strategy list, not just extraStrategies:
+    // a session built with GraftExtensions already carries the strategy
+    // via injectPlannerStrategy, and registering it again would make
+    // every node match twice
+    if (!classicSpark.sessionState.planner.strategies.contains(s)) {
       exp.extraStrategies = exp.extraStrategies :+ s
     }
   }

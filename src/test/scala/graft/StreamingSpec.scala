@@ -133,7 +133,6 @@ class StreamingSpec extends SparkSpec {
   test("streaming exact dedup drops re-arrivals within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    case class Doc(doc_id: Long, ts: Timestamp, text: String)
     val mem = MemoryStream[(Long, Timestamp, String)]
     val docs = mem.toDF().toDF("doc_id", "ts", "text")
     val q = EventStream.dedupStream(docs)

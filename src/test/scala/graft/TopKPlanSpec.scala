@@ -81,4 +81,20 @@ class TopKPlanSpec extends SparkSpec {
       assert(toSet(custom) === toSet(win), s"seed ${100 + i}, k=$k")
     }
   }
+
+  test("±0.0 double keys collapse into one group (NormalizeFloatingNumbers)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // -0.0 produced by arithmetic, exactly as a real pipeline would
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("id", "v")
+      .withColumn("dkey", (col("id") % 2) * org.apache.spark.sql.functions.lit(0.0) *
+        org.apache.spark.sql.functions.when(col("id") % 2 === 0, -1.0).otherwise(1.0))
+    // dkey is 0.0 for odd ids and -0.0 for even ids — one logical group
+    val out = graft.plans.TopKPerKey(df, 10, Seq("dkey"), Seq(("v", true), ("id", false)))
+      .collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("rk")).sorted.toSeq === Seq(1L, 2L, 3L, 4L),
+      "a single rank sequence, not two independent ones per zero sign")
+  }
 }
