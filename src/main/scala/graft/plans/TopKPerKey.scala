@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
 /** X7 as a CUSTOM WHOLE OPERATOR — per-key top-k with bounded heaps
@@ -72,6 +73,14 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(keys))
 
+  // the numbers an operator must surface to be debuggable in the SQL
+  // UI at scale: how hard the partial phase pruned (input vs output)
+  // and the key cardinality the heaps held
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "number of distinct keys"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keysLocal = keys
@@ -80,6 +89,9 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val outAttrs = output
     val rankAttrLocal = rankAttr
+    val outRows = longMetric("numOutputRows")
+    val inRows = longMetric("numInputRows")
+    val keyCount = longMetric("numKeys")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val cmp = GenerateOrdering.generate(orderLocal, childOutput)
@@ -91,12 +103,14 @@ case class TopKPerKeyExec(
       val heaps = mutable.HashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       while (iter.hasNext) {
         val row = iter.next()
+        inRows += 1
         val key = keyProj(row) // reused buffer: copy only on first sighting
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
             val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
             heaps.put(key.copy(), h)
+            keyCount += 1
             h
         }
         if (heap.size < kLocal) {
@@ -107,7 +121,7 @@ case class TopKPerKeyExec(
         }
       }
       if (isPartial) {
-        heaps.valuesIterator.flatMap(_.iterator)
+        heaps.valuesIterator.flatMap(_.iterator).map { r => outRows += 1; r }
       } else {
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
@@ -117,6 +131,7 @@ case class TopKPerKeyExec(
           val ranked: Seq[InternalRow] = h.dequeueAll
           ranked.reverseIterator.zipWithIndex.map { case (r, i) =>
             rankRow.update(0, (i + 1).toLong)
+            outRows += 1
             proj(joined(r, rankRow))
           }
         }

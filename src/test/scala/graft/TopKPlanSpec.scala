@@ -82,6 +82,32 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("exec reports SQL metrics: pruning visible as input vs output rows") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+    val out = graft.plans.TopKPerKey(df, 2, Seq("g"), Seq(("v", true)))
+    out.collect()
+    // AQE wraps stages in leaf QueryStageExec nodes whose subtree is a
+    // field, not a child — walk through them explicitly
+    def execsIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.plans.TopKPerKeyExec] = {
+      val here = p match { case e: graft.plans.TopKPerKeyExec => Seq(e); case _ => Nil }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(execsIn)
+    }
+    val execs = execsIn(out.queryExecution.executedPlan)
+    assert(execs.size === 2, "partial + final")
+    val partial = execs.find(_.partial).get
+    val fin = execs.find(!_.partial).get
+    assert(partial.metrics("numInputRows").value === 1000L)
+    assert(partial.metrics("numOutputRows").value < 1000L, "partial phase must prune")
+    assert(fin.metrics("numOutputRows").value === 6L) // 3 groups × k=2
+    assert(fin.metrics("numKeys").value === 3L)
+  }
+
   test("±0.0 double keys collapse into one group (NormalizeFloatingNumbers)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
