@@ -482,12 +482,18 @@ object Dedup {
       .unionByName(edges.select(col("j").as("src"), col("i").as("dst")))
       .persist()
     val MaxIters = 50
+    // iterate ONLY over the dup subgraph (docs with ≥1 edge): every
+    // other doc is trivially its own singleton cluster and never needs
+    // to enter the propagation joins. At corpus scale this is the
+    // difference between iterating over the dup set (per-mille of the
+    // corpus) and re-joining the whole corpus every round.
+    //
     // persist-then-unpersist generations: each round reads the previous
     // round's cache, and superseded generations are freed immediately —
     // nothing accumulates in block storage across iterations. Lineage
     // depth is bounded by MaxIters (a production CC on an unbounded
     // graph would checkpoint every ~10 rounds on top of this).
-    var labels = docs(spark, sfDir).select(col("doc_id"))
+    var labels = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).persist()
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
@@ -511,8 +517,12 @@ object Dedup {
     // diameter > MaxIters means the dup graph isn't dup-shaped anyway)
     if (curSum < prevSum) throw new IllegalStateException(
       s"dupClusters did not converge within $MaxIters label-propagation rounds")
+    // graft singleton clusters back on for the full-corpus view
+    val all = docs(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
     val w = Window.partitionBy(col("cluster"))
-    labels
+    all
       .select(col("doc_id"), col("cluster"),
         count(lit(1)).over(w).as("cluster_size"),
         (col("doc_id") === col("cluster")).as("is_rep"))
