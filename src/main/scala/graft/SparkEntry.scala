@@ -59,6 +59,8 @@ object SparkEntry {
       Some(graft.analytics.SaltedJoin.saltedBrandRevenueSql)),
     ("x8_merge_upsert", graft.analytics.MergeUpsert.scd1Merge _,
       Some(graft.analytics.MergeUpsert.scd1MergeSql)),
+    ("x8_fuzzy_join", graft.analytics.FuzzyJoin.fuzzyResolve _,
+      Some(graft.analytics.FuzzyJoin.fuzzyResolveSql)),
     // typed Aggregator top-k: same oracle as the window formulation
     ("x7_topk_aggregator", graft.functions.TopKAggregator.topOrdersPerSegment _,
       Some(StarQueries.topOrdersPerSegmentSql)),
@@ -87,6 +89,8 @@ object SparkEntry {
     ("x4_tfidf", TextStats.tfidfTopTerms _, Some(TextStats.tfidfTopTermsSql)),
     ("x4_quality_signals", TextStats.qualitySignals _, Some(TextStats.qualitySignalsSql)),
     ("x4_contamination", TextStats.contamination _, Some(TextStats.contaminationSql)),
+    ("x4_lm_score", TextStats.lmScore _, Some(TextStats.lmScoreSql)),
+    ("x4_pii_redact", graft.ext.Redact.piiRedact _, Some(graft.ext.Redact.piiRedactSql)),
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     ("x5_frames_meta", Multimodal.framesMeta _, Some(Multimodal.framesMetaSql)),
@@ -101,6 +105,8 @@ object SparkEntry {
       Some(graft.analytics.AsOfJoin.errorsWithLastClickSql)),
     ("x6_range_join", graft.analytics.RangeJoin.errorClickImpact _,
       Some(graft.analytics.RangeJoin.errorClickImpactSql)),
+    ("x6_interval_overlap", graft.analytics.RangeJoin.errorPurchaseOverlap _,
+      Some(graft.analytics.RangeJoin.errorPurchaseOverlapSql)),
     ("x6_funnel", EventWindows.funnel _, Some(EventWindows.funnelSql)),
     ("x9_profile", graft.analytics.Profiler.profileOrders _,
       Some(graft.analytics.Profiler.profileOrdersSql)),
@@ -128,6 +134,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.bitwiseFuncsSql)),
     ("x7_map_funcs", graft.analytics.FunctionSweeps.mapFuncs _,
       Some(graft.analytics.FunctionSweeps.mapFuncsSql)),
+    ("x7_histogram", graft.analytics.FunctionSweeps.histogram _,
+      Some(graft.analytics.FunctionSweeps.histogramSql)),
     ("x7_sql_api", graft.analytics.FunctionSweeps.sqlApi _,
       Some(graft.analytics.FunctionSweeps.sqlApiSql)),
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,

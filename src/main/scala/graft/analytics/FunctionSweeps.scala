@@ -367,6 +367,45 @@ object FunctionSweeps {
       |WHERE l_orderkey < 2000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Fixed-grid histogram: 20 equi-width buckets of `o_totalprice`
+    * over the observed [min, max]. The bucket id is computed in
+    * integer CENTS (`((c - mn) * 20) div (mx - mn + 1)`) — the
+    * 2-decimal testdata doubles are exact as DECIMAL(18,2)·100, so
+    * bucketing is pure integer arithmetic with no FP-boundary risk on
+    * either engine. The bounds are a 1-row aggregate broadcast against
+    * the scan (one extra pass over a single column); per-bucket stats
+    * come from one hash aggregate on the bucket id. Two narrow passes
+    * and one 20-key shuffle — histogram at 100 TB is scan-bound, as it
+    * should be. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("((c - mn) * 20) div (mx - mn + 1)").as("bucket"), col("c"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        (min(col("c")).cast("double") / 100.0).as("min_price"),
+        (max(col("c")).cast("double") / 100.0).as("max_price"),
+        (sum(col("c")).cast("double") / 100.0).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    """WITH cents AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |bounds AS (SELECT min(c) AS mn, max(c) AS mx FROM cents)
+      |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bucket,
+      |  count(*) AS n_orders,
+      |  CAST(min(c) AS DOUBLE) / 100.0 AS min_price,
+      |  CAST(max(c) AS DOUBLE) / 100.0 AS max_price,
+      |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+      |FROM cents, bounds
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val arrayFuncsSql: String =
     """WITH g AS (
       |  SELECT l_orderkey,

@@ -86,6 +86,76 @@ object RangeJoin {
       .orderBy(col("err_id"))
   }
 
+  /** Exact interval-overlap join of two interval sets `[aLo, aHi)` ×
+    * `[bLo, bHi)` (half-open, bigint domain, distinct column names
+    * across the two sides). Like [[binnedRangeJoin]] the predicate has
+    * no equi-key, so the naive plan is a BroadcastNestedLoopJoin over
+    * all pairs; here BOTH sides replicate to every bin they cover and
+    * the join becomes an equi-join on the bin id. Because a pair of
+    * overlapping intervals shares every bin of its intersection, the
+    * pair is emitted only in the FIRST shared bin
+    * (`_bin == greatest(aLo, bLo) div w`) — a residual filter instead
+    * of a distinct pass, so the output needs no dedup shuffle.
+    */
+  def binnedOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      aLo: String,
+      aHi: String,
+      bLo: String,
+      bHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(Set(aLo, aHi, bLo, bHi).size == 4,
+      "interval column names must be distinct across the two sides")
+    val ae = a.withColumn("_bin",
+      explode(sequence(expr(s"$aLo div $binWidth"), expr(s"($aHi - 1) div $binWidth"))))
+    val be = b.withColumn("_bin",
+      explode(sequence(expr(s"$bLo div $binWidth"), expr(s"($bHi - 1) div $binWidth"))))
+    ae.join(be,
+        ae("_bin") === be("_bin") &&
+          ae(aLo) < be(bHi) && be(bLo) < ae(aHi) &&
+          ae("_bin") === expr(s"greatest($aLo, $bLo) div $binWidth"))
+      .drop("_bin")
+  }
+
+  /** Registered query `x6_interval_overlap`: which purchase activity
+    * windows ([t, t+5 min)) overlap each error's impact window
+    * ([t, t+10 min)), and by how many seconds — an interval×interval
+    * correlation with no equi-key, run through [[binnedOverlapJoin]]
+    * (bin width = the larger interval length, so each side replicates
+    * to ≤ 2 bins). The oracle mirrors the raw theta join, proving the
+    * binned plan exact.
+    */
+  def errorPurchaseOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("t").as("e_lo"),
+        (col("t") + 600L).as("e_hi"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), col("t").as("p_lo"),
+        (col("t") + 300L).as("p_hi"))
+    binnedOverlapJoin(errors, purchases, "e_lo", "e_hi", "p_lo", "p_hi", 600L)
+      .select(col("err_id"), col("pur_id"),
+        (least(col("e_hi"), col("p_hi")) - greatest(col("e_lo"), col("p_lo")))
+          .as("overlap_sec"))
+      .orderBy(col("err_id"), col("pur_id"))
+  }
+
+  val errorPurchaseOverlapSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events)
+      |SELECT e.event_id AS err_id, p.event_id AS pur_id,
+      |  least(e.t + 600, p.t + 300) - greatest(e.t, p.t) AS overlap_sec
+      |FROM ev e JOIN ev p
+      |  ON e.event_type = 'error' AND p.event_type = 'purchase'
+      |  AND e.t < p.t + 300 AND p.t < e.t + 600
+      |ORDER BY err_id, pur_id""".stripMargin
+
   val errorClickImpactSql: String =
     """WITH ev AS (
       |  SELECT event_id, event_type,

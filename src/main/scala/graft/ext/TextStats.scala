@@ -251,6 +251,71 @@ object TextStats {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  // ---- bigram language-model quality score ------------------------------
+
+  /** Perplexity-proxy quality scoring with a corpus-trained bigram LM —
+    * the classic "train a small LM on the corpus, drop the worst-scoring
+    * documents" filter from LLM-data pipelines (CCNet-style). The model
+    * is the corpus itself: P(w2|w1) ≈ count(w1 w2) / count(w1 as a
+    * bigram prefix). Each bigram instance scores
+    * `(1e6 * c_bigram) div c_prefix` — INTEGER floor division, so the
+    * per-instance score is exact integer arithmetic and the document
+    * mean (one long sum / one count, divided as doubles) is
+    * bit-deterministic across engines and partitionings; no logs, no
+    * float accumulation order.
+    *
+    * Scale: two global count aggregates keyed on (w1,w2) / (w1) — both
+    * map-side-combined to vocabulary size, tiny relative to the corpus —
+    * then two equi-joins of the instance stream against those counts
+    * (broadcastable whenever the vocab fits; AQE decides), one final
+    * per-doc aggregate. Every shuffle key is a token or doc id —
+    * embarrassingly parallel at 100 TB.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "if(size(toks) < 2, array(), " +
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2)))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val cw = bg.groupBy(col("w1")).agg(count(lit(1)).as("nw"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cw, Seq("w1"))
+      .select(col("doc_id"), expr("(1000000 * nb) div nw").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("q_sum").cast("double") / col("n_bigrams").cast("double"))
+          .as("lm_score"),
+        (col("q_sum").cast("double") / col("n_bigrams").cast("double") < 20000.0)
+          .as("low_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    string_split(b, chr(1))[1] AS w1, string_split(b, chr(1))[2] AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+      |          i -> toks[i-1] || chr(1) || toks[i])) AS b
+      |        FROM t) u),
+      |cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+      |cw AS (SELECT w1, count(*) AS nw FROM bg GROUP BY w1),
+      |inst AS (
+      |  SELECT bg.doc_id, (1000000 * cb.nb) // cw.nw AS q
+      |  FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+      |  JOIN cw ON bg.w1 = cw.w1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score,
+      |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) < 20000.0 AS low_quality
+      |FROM inst
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- repetition / quality signals (Gopher-style filters) --------------
 
   /** Repetition signals used by LLM training-data quality filters

@@ -84,6 +84,82 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join: blocked resolve equals the unblocked all-pairs best match") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.analytics.FuzzyJoin.fuzzyResolve(spark, sf)
+      .select("probe_id", "matched_name", "dist")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // naive reference: cross join every probe against the full catalog
+    // (no blocking), keep best (dist, name); must agree exactly because
+    // the synthesized corruption never touches the blocking prefix
+    val part = Tables.part(spark, sf)
+    val probes = part
+      .filter(col("p_partkey") % 7 === 0 && length(col("p_name")) >= 4)
+      .select(col("p_partkey").as("probe_id"),
+        expr("concat(substring(p_name, 1, 2 + pmod(p_partkey, length(p_name) - 2)), " +
+          "substring(p_name, 4 + pmod(p_partkey, length(p_name) - 2), length(p_name)))")
+          .as("dirty_name"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dist"), col("p_name"))
+    val naive = probes.crossJoin(part.select(col("p_name")).distinct())
+      .withColumn("dist", levenshtein(col("dirty_name"), col("p_name")))
+      .filter(col("dist") <= 2)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("p_name"), col("dist").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === naive)
+    // every probe resolves: a single deletion is within distance 1
+    assert(got.map(_._1) === naive.map(_._1))
+    got.foreach { case (_, _, d) => assert(d >= 1 && d <= 2) }
+  }
+
+  test("histogram: buckets partition all orders, edges ordered") {
+    val rows = graft.analytics.FunctionSweeps.histogram(spark, sf).collect()
+    assert(rows.length > 1 && rows.length <= 20)
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total === Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 20)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+    // bucket ranges are disjoint and ordered
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_price") < hi.getAs[Double]("min_price"))
+      case _ =>
+    }
+  }
+
+  test("lm score: repeated text scores higher than unique text") {
+    import spark.implicits._
+    val scored = graft.ext.TextStats.lmScore(spark, sf).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val s = r.getAs[Double]("lm_score")
+      // floor-div instance scores are in [0, 1e6]
+      assert(s >= 0.0 && s <= 1000000.0)
+      assert(r.getAs[Boolean]("low_quality") === (s < 20000.0))
+    }
+  }
+
+  test("pii redact: no email or phone survives redaction, counts positive") {
+    val rows = graft.ext.Redact.piiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}".r
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(email.findFirstIn(red).isEmpty, red)
+      assert(phone.findFirstIn(red).isEmpty, red)
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+      assert(r.getAs[Long]("n_emails") === 1L)
+      assert(r.getAs[Long]("n_phones") === 1L)
+    }
+  }
+
   test("array sweep: aggregate/transform identities hold") {
     val rows = graft.analytics.FunctionSweeps.arrayFuncs(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -68,6 +68,32 @@ class RangeJoinSpec extends SparkSpec {
     } finally exp.extraOptimizations = saved
   }
 
+  test("binned overlap join matches the naive theta join, no dup pairs") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 20L), (2L, 15L, 40L), (3L, 100L, 101L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 0L, 11L), (11L, 19L, 21L), (12L, 20L, 30L), (13L, 101L, 102L))
+      .toDF("bid", "b_lo", "b_hi")
+    val binned = RangeJoin.binnedOverlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7L)
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    // exact pair set AND no pair emitted twice despite both sides exploding
+    assert(binned.toSet === naive)
+    assert(binned.size === binned.toSet.size)
+    // half-open boundaries: touching intervals do not overlap
+    assert(!naive.contains((1L, 12L)) && !naive.contains((3L, 13L)))
+    // a long interval spanning many bins still pairs once
+    assert(binned.toSet.contains((2L, 12L)))
+  }
+
+  test("overlap join plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.errorPurchaseOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("errorClickImpact matches a naive window count at sf0.001") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
