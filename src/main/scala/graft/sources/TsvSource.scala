@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap, OptionalLong}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the K2 TSV sink layout
+  * ([[graft.sink.Sinks.writeTsv]]): a directory holding one one-line
+  * `00000-header.tsv` plus header-free tab-separated part files — the
+  * on-disk shape of the reference's growing TSV output
+  * (/root/reference/ingestor_precinct.py:186-191). Reading the engine's
+  * own sink format back closes the write→read loop a real pipeline
+  * needs (audit, replay, downstream joins).
+  *
+  * This is the full V2 read surface, not a shim:
+  *  - `SupportsPushDownRequiredColumns` — only requested columns are
+  *    materialized (the parse still splits the line, but no UTF8String
+  *    is allocated for dropped fields);
+  *  - `SupportsPushDownFilters` — `EqualTo(string)` / `IsNotNull`
+  *    evaluate inside the scan, before rows reach Spark, and are
+  *    reported via `pushedFilters`/`description` so `.explain` shows
+  *    them; everything else stays a post-scan Catalyst filter;
+  *  - one `InputPartition` per data file — parallelism scales with the
+  *    file count the parallel writers produced (the production
+  *    extension is byte-range splits within large files, exactly how
+  *    Spark's own CSV reader scales);
+  *  - `SupportsReportStatistics` — sizeInBytes from the file lengths,
+  *    so the optimizer can broadcast a small TSV side.
+  *
+  * Format bounds, stated: fields are split on the raw delimiter (no
+  * quote/escape handling — the sink only quotes values containing the
+  * delimiter, which the election/TPC-H-ish columns never do; a
+  * production reader would swap in a real CSV state machine), all
+  * columns read as nullable strings (TSV is untyped), and the empty
+  * string is the null token (matching the CSV writer's default
+  * `nullValue`). Executors reopen files with a default Hadoop
+  * `Configuration` (classpath-configured filesystems — local/HDFS;
+  * custom per-session FS conf would ride an explicit broadcast).
+  */
+class TsvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-tsv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TsvSource.schemaFor(options.get("path"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TsvTable(schema, properties.get("path"))
+}
+
+object TsvSource {
+  val HeaderFile = "00000-header.tsv"
+  val Delimiter = "\t"
+
+  private[sources] def fs(dir: String) =
+    new Path(dir).getFileSystem(new Configuration())
+
+  /** Data part files: everything but the header file and hidden/marker
+    * files, sorted by name for deterministic partition order. */
+  private[sources] def dataFiles(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    fs(dir).listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && st.getLen > 0 && n != HeaderFile &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+  }
+
+  private[sources] def schemaFor(dir: String): StructType = {
+    val hp = new Path(dir, HeaderFile)
+    val in = new BufferedReader(new InputStreamReader(fs(dir).open(hp),
+      StandardCharsets.UTF_8))
+    val header = try in.readLine() finally in.close()
+    require(header != null && header.nonEmpty, s"empty TSV header at $hp")
+    StructType(header.split(Delimiter, -1).toSeq
+      .map(StructField(_, StringType, nullable = true)))
+  }
+}
+
+private[sources] class TsvTable(schema0: StructType, dir: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_tsv($dir)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TsvScanBuilder(schema0, dir)
+}
+
+private[sources] class TsvScanBuilder(full: StructType, dir: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition {
+      case EqualTo(c, _: String) => full.fieldNames.contains(c)
+      case IsNotNull(c) => full.fieldNames.contains(c)
+      case _ => false
+    }
+    pushed = sup
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TsvScan(full, required, dir, pushed)
+}
+
+private[sources] class TsvScan(
+    full: StructType,
+    required: StructType,
+    dir: String,
+    pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTsvScan(dir=$dir, columns=[${required.fieldNames.mkString(",")}], " +
+      s"pushed=[${pushed.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    TsvSource.dataFiles(dir)
+      .map(st => TsvInputPartition(st.getPath.toString)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // serialize filters to a plain form (sources.Filter is serializable,
+    // but a flat spec keeps the executor side trivially stable)
+    val eq = pushed.collect { case EqualTo(c, v: String) =>
+      full.fieldIndex(c) -> v }
+    val nn = pushed.collect { case IsNotNull(c) => full.fieldIndex(c) }
+    TsvReaderFactory(full.size, required.fieldNames.map(full.fieldIndex), eq, nn)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = TsvSource.dataFiles(dir).map(_.getLen).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[sources] case class TsvInputPartition(path: String) extends InputPartition
+
+private[sources] case class TsvReaderFactory(
+    nCols: Int,
+    projection: Array[Int],
+    pushedEq: Array[(Int, String)],
+    pushedNotNull: Array[Int])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TsvPartitionReader(p.asInstanceOf[TsvInputPartition].path,
+      nCols, projection, pushedEq, pushedNotNull)
+}
+
+private[sources] class TsvPartitionReader(
+    path: String,
+    nCols: Int,
+    projection: Array[Int],
+    pushedEq: Array[(Int, String)],
+    pushedNotNull: Array[Int])
+    extends PartitionReader[InternalRow] {
+
+  private val in = new BufferedReader(new InputStreamReader(
+    TsvSource.fs(path).open(new Path(path)), StandardCharsets.UTF_8))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      val fields = line.split(TsvSource.Delimiter, -1)
+      // ragged rows: missing trailing fields read as null (the writer
+      // never produces them; defensive for hand-edited files)
+      def at(i: Int): String =
+        if (i < fields.length && fields(i).nonEmpty) fields(i) else null
+      val keep =
+        pushedNotNull.forall(i => at(i) != null) &&
+          pushedEq.forall { case (i, v) => at(i) == v }
+      if (keep) {
+        val vals = new Array[Any](projection.length)
+        var j = 0
+        while (j < projection.length) {
+          val s = at(projection(j))
+          vals(j) = if (s == null) null else UTF8String.fromString(s)
+          j += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
