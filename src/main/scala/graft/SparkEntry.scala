@@ -115,6 +115,12 @@ object SparkEntry {
       Some(graft.ext.Sampling.deterministicSplitSql)),
     ("x9_split_mix", graft.ext.Sampling.splitMix _,
       Some(graft.ext.Sampling.splitMixSql)),
+    ("x9_quota_sample", graft.ext.Sampling.quotaSample _,
+      Some(graft.ext.Sampling.quotaSampleSql)),
+    ("x9_mix_weights", graft.ext.Sampling.mixWeights _,
+      Some(graft.ext.Sampling.mixWeightsSql)),
+    ("x0_clean_pipeline", graft.ext.CleanPipeline.cleanPipeline _,
+      Some(graft.ext.CleanPipeline.cleanPipelineSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),
     ("x7_percentiles", StarQueries.exactPercentiles _, Some(StarQueries.exactPercentilesSql)),
     ("x7_subqueries", StarQueries.subqueries _, Some(StarQueries.subqueriesSql)),

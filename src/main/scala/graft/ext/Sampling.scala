@@ -90,6 +90,75 @@ object Sampling {
         (col("n") * 10000L / col("lang_total")).as("frac_bp"))
       .orderBy(col("lang"), col("split"))
 
+  /** Exact per-stratum quota sampling: the k lowest-hash documents of
+    * every source — "give me exactly 10 docs per domain, reproducibly".
+    * Hash order (not doc order) makes the quota a uniform sample that
+    * is stable across runs and engines; ties cannot occur because the
+    * tiebreak key is the unique doc_id. One window shuffle keyed on the
+    * stratum — the same shape as any top-k-per-key at 100 TB (and
+    * swappable for [[graft.plans.TopKPerKey]] when k is small). */
+  def quotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)") % 1000000L).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("h"), col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val quotaSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(
+      |      [strpos('0123456789abcdef', x) - 1
+      |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
+      |      (a, b) -> a * 16 + b) % 1000000 AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, h,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+      |  FROM h)
+      |SELECT doc_id, source, h, rk
+      |FROM r WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  /** Temperature-scaled mixing weights: the sampling allocation that
+    * upweights small sources (alpha = 0.5, i.e. weight ∝ √n — the
+    * multilingual-training rebalancing rule). All arithmetic is
+    * integer: isqrt via floor(sqrt(double)) (IEEE sqrt is correctly
+    * rounded, so floor of it is engine-identical on exact long inputs),
+    * allocations by integer floor division against the weight total.
+    * One tiny aggregate (n_sources rows) after a per-source count —
+    * corpus-scale cost is the count scan. */
+  def mixWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 100000L
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+    val tot = counts.agg(sum(col("w")).as("w_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("w"),
+        expr(s"($budget * w) div w_total").as("alloc"),
+        (col("w") * 10000L / col("w_total")).as("share_bp"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM c)
+      |SELECT source, n, w,
+      |  (100000 * w) // w_total AS alloc,
+      |  w * 10000 / w_total AS share_bp
+      |FROM c, t
+      |ORDER BY source""".stripMargin
+
   val splitMixSql: String =
     s"""WITH b AS (
        |  SELECT lang,

@@ -21,6 +21,66 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quota sample: exactly k per stratum, hash-ordered, stable") {
+    val rows = Sampling.quotaSample(spark, sf).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val nDocs = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      // full quota when the stratum has >= 10 docs, else the whole stratum
+      assert(rs.length === math.min(10L, nDocs(src)))
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq === (1L to rs.length).toSeq)
+      // rank order follows hash order
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("h")).toSeq ===
+        sorted.map(_.getAs[Long]("h")).sortBy(identity).toSeq)
+    }
+    // deterministic across runs
+    assert(Sampling.quotaSample(spark, sf).collect().toSeq === rows.toSeq)
+  }
+
+  test("mix weights: sqrt temperature upweights small sources, budget respected") {
+    val rows = Sampling.mixWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(allocSum <= 100000L) // floor division never overshoots
+    assert(allocSum > 100000L - rows.length * 2) // and wastes < 2 per source
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n"); val w = r.getAs[Long]("w")
+      assert(w * w <= n && (w + 1) * (w + 1) > n) // w = isqrt(n)
+    }
+    // sqrt flattens: share ratio between two sources is sub-linear in n
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    val (lo, hi) = (byN.head, byN.last)
+    if (lo.getAs[Long]("n") < hi.getAs[Long]("n")) {
+      val shareRatio = hi.getAs[Double]("share_bp") / lo.getAs[Double]("share_bp")
+      val nRatio = hi.getAs[Long]("n").toDouble / lo.getAs[Long]("n").toDouble
+      assert(shareRatio <= nRatio)
+    }
+  }
+
+  test("clean pipeline: audit reasons consistent with the gates") {
+    val rows = graft.ext.CleanPipeline.cleanPipeline(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.length === docs.size) // audit covers every doc
+    val reasons = rows.map(_.getAs[String]("reason")).toSet
+    assert(reasons.subsetOf(Set("lang", "length", "repetition", "exact_dup", "near_dup", "kept")))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, nChars) = docs(id)
+      val reason = r.getAs[String]("reason")
+      assert(r.getAs[Boolean]("kept") === (reason == "kept"))
+      // first-failing-stage semantics
+      if (lang == "zh") assert(reason === "lang")
+      else if (nChars < 100 || nChars > 500) assert(reason === "length")
+      else assert(reason != "lang" && reason != "length")
+    }
+    assert(rows.count(_.getAs[Boolean]("kept")) > 0)
+  }
+
   test("mix report covers every document exactly once") {
     val total = graft.Tables.documents(spark, sf).count()
     val mix = Sampling.splitMix(spark, sf)
