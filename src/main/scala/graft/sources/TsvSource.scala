@@ -10,9 +10,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,13 +98,16 @@ object TsvSource {
 }
 
 private[sources] class TsvTable(schema0: StructType, dir: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_tsv($dir)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvScanBuilder(schema0, dir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TsvWriteBuilder(dir, info.schema())
 }
 
 private[sources] class TsvScanBuilder(full: StructType, dir: String)
@@ -176,6 +180,132 @@ private[sources] case class TsvReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new TsvPartitionReader(p.asInstanceOf[TsvInputPartition].path,
       nCols, projection, pushedEq, pushedNotNull)
+}
+
+/** V2 write path with the real two-phase commit protocol:
+  *
+  *  - each task streams rows into a TEMP file named `_tmp_<uuid>` in
+  *    the target directory — the `_` prefix keeps half-written output
+  *    invisible to every reader (the scan's listing filter skips it);
+  *  - `DataWriter.commit()` hands the temp path to the driver as its
+  *    commit message; speculative duplicates of the same task abort and
+  *    delete their own temp;
+  *  - `BatchWrite.commit(messages)` — driver-side, after ALL tasks
+  *    succeeded — renames every temp to a visible `part-…tsv` and stamps
+  *    the header file if absent: readers observe the job all-or-nothing
+  *    (rename is atomic per file; a reader racing the commit can see a
+  *    prefix of the new parts, same contract as Spark's own
+  *    FileOutputCommitter v2);
+  *  - `BatchWrite.abort()` deletes any surviving temps.
+  *
+  * Truncate (`SaveMode.Overwrite`) drops existing parts + header before
+  * the new ones publish. Values render as TSV text: strings verbatim
+  * (the sink's contract: values never contain the delimiter), numerics
+  * and booleans via toString, null as the empty string. Date/timestamp
+  * columns must be cast to string first — refused at plan time, not
+  * corrupted at read time (their internal Int/Long encoding would
+  * otherwise render as raw offsets).
+  */
+private[sources] class TsvWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val bad = schema.fields.filterNot(f => f.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"graft-tsv cannot render columns ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}; cast to string first")
+    new TsvWrite(dir, schema, doTruncate)
+  }
+}
+
+private[sources] class TsvWrite(dir: String, schema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TsvWriterFactory(dir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = TsvSource.fs(dir)
+    val base = new Path(dir)
+    if (truncate) {
+      TsvSource.dataFiles(dir).foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new Path(base, TsvSource.HeaderFile), false)
+    }
+    messages.collect { case TsvCommitMessage(tmp) =>
+      val t = new Path(tmp)
+      fs.rename(t, new Path(base, t.getName.stripPrefix("_tmp_") + ".tsv"))
+    }
+    val header = new Path(base, TsvSource.HeaderFile)
+    if (!fs.exists(header)) {
+      val out = fs.create(header, true)
+      try out.write((schema.fieldNames.mkString(TsvSource.Delimiter) + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = TsvSource.fs(dir)
+    messages.collect { case TsvCommitMessage(tmp) =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
+}
+
+private[sources] case class TsvCommitMessage(tmpPath: String) extends WriterCommitMessage
+
+private[sources] case class TsvWriterFactory(dir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TsvDataWriter(dir, schema, partitionId, taskId)
+}
+
+private[sources] class TsvDataWriter(
+    dir: String,
+    schema: StructType,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  // task+partition in the name keeps speculative attempts distinct
+  private val tmp = new Path(dir,
+    f"_tmp_part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    TsvSource.fs(dir).create(tmp, false), StandardCharsets.UTF_8))
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append(TsvSource.Delimiter)
+      if (!row.isNullAt(i)) sb.append(row.get(i, types(i)).toString)
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TsvCommitMessage(tmp.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    TsvSource.fs(dir).delete(tmp, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class TsvPartitionReader(

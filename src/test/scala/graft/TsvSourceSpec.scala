@@ -74,11 +74,70 @@ class TsvSourceSpec extends SparkSpec {
     Sinks.writeTsv(Seq(("d", "4", "w")).toDF("k", "v", "tag"), dir)
     val df = spark.read.format("graft-tsv").load(dir)
     assert(df.rdd.getNumPartitions >= 2) // two appends -> >= 2 part files
-    // small TSV side gets broadcast in a join thanks to reported stats
-    val dim = df.select(col("k"), col("tag"))
-    val fact = Seq(("a", 10L), ("b", 20L)).toDF("k", "n")
-    val plan = fact.join(dim, "k").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // SupportsReportStatistics surfaces the real byte size to the
+    // optimizer (asserted on the plan stats, not on join strategy —
+    // concurrent suites toggle the broadcast threshold on the shared
+    // session, so strategy choice here would be racy)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && f.getName != "00000-header.tsv")
+      .map(_.length).sum
+    assert(stats.sizeInBytes.toLong > 0L)
+    assert(stats.sizeInBytes.toLong <= onDisk * 10) // size-derived, not the 8 EiB default
+  }
+
+  test("V2 write: append publishes committed parts and a header once") {
+    import spark.implicits._
+    val dir = newDir()
+    Seq(("a", 1L, 1.5, true), ("b", 2L, 2.5, false))
+      .toDF("k", "n", "x", "flag")
+      .write.format("graft-tsv").mode("append").save(dir)
+    Seq(("c", 3L, 3.5, true)).toDF("k", "n", "x", "flag")
+      .write.format("graft-tsv").mode("append").save(dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("k", "n", "x", "flag"))
+    assert(back.count() === 3)
+    // typed values rendered as text
+    val row = back.filter(col("k") === "b").collect()(0)
+    assert(row.getString(1) === "2" && row.getString(2) === "2.5" && row.getString(3) === "false")
+    // no temp files survive the commit
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith("_tmp_")), files.mkString(","))
+    assert(files.count(_ == "00000-header.tsv") === 1)
+  }
+
+  test("V2 write: overwrite truncates previous parts") {
+    import spark.implicits._
+    val dir = newDir()
+    Seq(("old", "1")).toDF("k", "v").write.format("graft-tsv").mode("append").save(dir)
+    Seq(("new", "2")).toDF("k", "v").write.format("graft-tsv").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    assert(back.collect().map(_.getString(0)).toSeq === Seq("new"))
+  }
+
+  test("V2 write: nulls round-trip as empty fields; unrenderable types refused") {
+    import spark.implicits._
+    val dir = newDir()
+    Seq(("a", null), ("b", "2")).toDF("k", "v")
+      .write.format("graft-tsv").mode("append").save(dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    assert(back.filter(col("v").isNull).count() === 1)
+    val err = intercept[Exception] {
+      Seq(("a", java.sql.Date.valueOf("2024-01-01"))).toDF("k", "d")
+        .write.format("graft-tsv").mode("append").save(newDir())
+    }
+    assert(err.getMessage.contains("cast to string"), err.getMessage)
+  }
+
+  test("V2 write interoperates with the Sinks.writeTsv layout") {
+    import spark.implicits._
+    val dir = newDir()
+    Sinks.writeTsv(Seq(("a", "1")).toDF("k", "v"), dir)
+    Seq(("b", "2")).toDF("k", "v")
+      .write.format("graft-tsv").mode("append").save(dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("a", "1"), ("b", "2")))
   }
 
   test("whole-pipeline: county rollup written to TSV and re-read intact") {
