@@ -38,13 +38,33 @@ object Bench {
     }
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1.0)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val allEntries = results.toSeq.map { case (k, v, ok) =>
+      ("\"" + k + "\":" + (if (ok) fmt(v) else "-1.0"), if (ok) v else Double.MaxValue)
+    }
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val fullQs = allEntries.map(_._1).mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errors,"sf":"$sfDir"}"""
+    // Complete per-query detail goes to a file; the harness that captures
+    // stdout keeps only the last ~2000 characters, so the printed line is
+    // size-bounded: slowest queries first, greedily packed to the budget.
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+    val suffixTail = s""","errors":$errors,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    val prefixBase = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"""
+    val budget = 1600 - suffixTail.length - prefixBase.length - 64 // slack for n_shown + braces
+    val sortedBySlow = allEntries.sortBy { case (_, t) => -t } // errors (MaxValue) first: always visible
+    val shown = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    sortedBySlow.foreach { case (s, _) =>
+      if (used + s.length + 1 <= budget) { shown += s; used += s.length + 1 }
+    }
+    val qs = shown.mkString("{", ",", "}")
+    println(prefixBase + s""""n_shown":${shown.size},"queries":$qs""" + suffixTail)
     spark.stop()
   }
 }

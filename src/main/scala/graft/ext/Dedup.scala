@@ -94,31 +94,34 @@ object Dedup {
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
     // ONE shuffle of the full shingle stream computes df and the
     // per-shingle doc list together; everything downstream (the df
-    // stop-shingle filter, per-doc sizes, pair generation) runs on the
-    // rare-only groups. The groups frame feeds two consumers (sizes +
-    // pairs), so persist it — without the cache the full-stream
-    // extraction and shuffle would run twice. Cache lifetime is owned
-    // by the caller (the returned plan still reads it lazily, so it
-    // can't be released here): Verify/Bench clearCache() per query;
-    // library callers should do the same when composing.
+    // stop-shingle filter, pair generation) runs on the rare-only
+    // groups. No persist(): a cache set here can never be released
+    // (the returned plan reads it lazily — library callers would leak
+    // a pinned RDD per call). Instead, all consumers are derived from
+    // ONE aggregated pair frame so Spark's ReuseExchange computes the
+    // heavy subtree (scan → shingle explode → group agg → pair
+    // explode → partial count) exactly once.
     val groups = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(col("df") <= MaxShingleDf)
       .select(col("ids"))
-      .persist()
-    val sizes = groups.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
-    // pair generation per shingle group (sorted doc list → i<j pairs)
+    // pair generation per shingle group (sorted doc list → i≤j pairs)
     // instead of a two-sided self-join: pairs built in-memory per
-    // group (df ≤ MaxShingleDf caps the quadratic term per group)
-    val common = groups
-      .filter(size(col("ids")) >= 2) // sequence(0,-1) would descend
+    // group (df ≤ MaxShingleDf caps the quadratic term per group).
+    // The a==b self-pair (i,i) is emitted on purpose: its count IS the
+    // per-doc rare-shingle size, so sizes and commons come out of the
+    // same single aggregation — one stream, no second consumer of the
+    // expensive groups frame.
+    val pairCounts = groups
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2), a ->
-          |  transform(sequence(a + 1, size(ids) - 1), b ->
+        """flatten(transform(sequence(0, size(ids) - 1), a ->
+          |  transform(sequence(a, size(ids) - 1), b ->
           |    struct(ids[a] AS i, ids[b] AS j))))""".stripMargin)).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("common"))
+    val sizes = pairCounts.filter(col("i") === col("j"))
+      .select(col("i").as("doc_id"), col("common").as("cnt"))
+    val common = pairCounts.filter(col("i") < col("j"))
     common
       .join(sizes.as("si"), col("i") === col("si.doc_id"))
       .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
@@ -495,8 +498,15 @@ object Dedup {
     // graph would checkpoint every ~10 rounds on top of this).
     var labels = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).persist()
+    // sum(cluster) is the convergence measure; on a clean corpus (zero
+    // near-dup edges) the frame is empty and `sum` returns null — a
+    // legitimate input, not an error: treat it as 0 (converged; labels
+    // sum is strictly positive whenever any edge exists, since an edge
+    // needs two distinct non-negative ids)
+    def clusterSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("cluster"))).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var curSum = clusterSum(labels)
     var iters = 0
     while (curSum < prevSum && iters < MaxIters) {
       val nbrMin = bidir.join(labels, bidir("src") === labels("doc_id"))
@@ -506,7 +516,7 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .persist()
       prevSum = curSum
-      curSum = next.agg(sum(col("cluster"))).head.getLong(0) // materializes `next`
+      curSum = clusterSum(next) // materializes `next`
       labels.unpersist()
       labels = next
       iters += 1

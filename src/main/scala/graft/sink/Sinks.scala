@@ -69,14 +69,35 @@ object Sinks {
     * reference's single growing TSV is consumed) sees exactly one
     * header, first. */
   def writeTsv(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     val headerFile = new org.apache.hadoop.fs.Path(path, "00000-header.tsv")
     val firstWrite = !fs.exists(headerFile)
-    df.write
+    // The layout's readers (shell-glob concat, graft-tsv V2 scan) split
+    // raw lines on the delimiter with no quote handling, but Spark's CSV
+    // writer QUOTES values containing tab/quote/CR/LF — such a value
+    // would silently corrupt on read-back (wrong column count or literal
+    // quote chars). Refuse it at write time instead, inside the write
+    // scan itself (a codegen'd when/raise_error per string column — no
+    // second pass over the data).
+    val guarded = df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType != StringType) acc
+      else acc.withColumn(f.name,
+        when(col(f.name).rlike("[\\t\"\\n\\r]"), raise_error(concat(
+          lit(s"writeTsv: column '${f.name}' contains a tab/quote/newline, " +
+            "which the TSV layout cannot represent; clean or re-encode: "),
+          col(f.name)))).otherwise(col(f.name)))
+    }
+    guarded.write
       .mode("append")
       .option("sep", "\t")
       .option("header", "false")
+      // empty string IS the layout's null token: write it bare (the CSV
+      // writer's default would emit a quoted "" the raw-split readers
+      // can't decode) — empty and null deliberately collapse, as in any
+      // untyped text format
+      .option("emptyValue", "")
       .csv(dir)
     if (firstWrite) {
       val out = fs.create(headerFile, true)

@@ -42,13 +42,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsReportStatistics` — sizeInBytes from the file lengths,
   *    so the optimizer can broadcast a small TSV side.
   *
-  * Format bounds, stated: fields are split on the raw delimiter (no
-  * quote/escape handling — the sink only quotes values containing the
-  * delimiter, which the election/TPC-H-ish columns never do; a
-  * production reader would swap in a real CSV state machine), all
-  * columns read as nullable strings (TSV is untyped), and the empty
-  * string is the null token (matching the CSV writer's default
-  * `nullValue`). Executors reopen files with a default Hadoop
+  * Format bounds, ENFORCED at write time: fields are split on the raw
+  * delimiter with no quote/escape handling, so both writers refuse
+  * values a raw split cannot round-trip ([[graft.sink.Sinks.writeTsv]]
+  * raises on tab/quote/CR/LF before the CSV writer would quote them;
+  * [[TsvDataWriter]] raises on tab/CR/LF — quotes are verbatim on the
+  * V2 path). All columns read as nullable strings (TSV is untyped),
+  * and the empty string is the null token on both paths (empty and
+  * null deliberately collapse, as in any untyped text format).
+  * Executors reopen files with a default Hadoop
   * `Configuration` (classpath-configured filesystems — local/HDFS;
   * custom per-session FS conf would ride an explicit broadcast).
   */
@@ -222,6 +224,19 @@ private[sources] class TsvWriteBuilder(dir: String, schema: StructType)
     })
     require(bad.isEmpty,
       s"graft-tsv cannot render columns ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}; cast to string first")
+    // An append under an existing header must match it: publishing rows
+    // with a different column count/order under the old header would
+    // make every subsequent read silently misaligned. Plan-time check,
+    // same spirit as the type refusal above. (Truncate replaces the
+    // header, so any schema is fine there.)
+    val fs = TsvSource.fs(dir)
+    if (!doTruncate && fs.exists(new Path(dir, TsvSource.HeaderFile))) {
+      val existing = TsvSource.schemaFor(dir).fieldNames
+      require(existing.sameElements(schema.fieldNames),
+        s"graft-tsv append schema [${schema.fieldNames.mkString(",")}] does not " +
+          s"match the existing header [${existing.mkString(",")}]; " +
+          "align column names/order or overwrite")
+    }
     new TsvWrite(dir, schema, doTruncate)
   }
 }
@@ -288,7 +303,20 @@ private[sources] class TsvDataWriter(
     var i = 0
     while (i < types.length) {
       if (i > 0) sb.append(TsvSource.Delimiter)
-      if (!row.isNullAt(i)) sb.append(row.get(i, types(i)).toString)
+      if (!row.isNullAt(i)) {
+        val v = row.get(i, types(i)).toString
+        // fail fast instead of corrupting: a tab/newline inside a value
+        // is structural in this format (the reader splits raw lines) —
+        // refuse the row here, before anything is published. Quote
+        // chars are NOT structural on this path (writer and reader are
+        // both quote-transparent, values round-trip verbatim).
+        if (types(i) == StringType &&
+            (v.indexOf('\t') >= 0 || v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0))
+          throw new IllegalArgumentException(
+            s"graft-tsv: column '${schema.fieldNames(i)}' value contains a " +
+              "tab/newline, which the TSV layout cannot represent")
+        sb.append(v)
+      }
       i += 1
     }
     sb.append('\n')

@@ -29,12 +29,18 @@ object GraftSqlShim {
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val classicSpark = spark.asInstanceOf[classic.SparkSession]
     val exp = classicSpark.experimental
-    // check the planner's FULL strategy list, not just extraStrategies:
-    // a session built with GraftExtensions already carries the strategy
-    // via injectPlannerStrategy, and registering it again would make
-    // every node match twice
-    if (!classicSpark.sessionState.planner.strategies.contains(s)) {
-      exp.extraStrategies = exp.extraStrategies :+ s
+    // exp is session-shared mutable state and check-then-act on it races
+    // (two threads issuing their first TopKPerKey call can both pass the
+    // contains() check) — make registration atomic per session by
+    // serializing on the experimental object itself
+    exp.synchronized {
+      // check the planner's FULL strategy list, not just extraStrategies:
+      // a session built with GraftExtensions already carries the strategy
+      // via injectPlannerStrategy, and registering it again would make
+      // every node match twice
+      if (!classicSpark.sessionState.planner.strategies.contains(s)) {
+        exp.extraStrategies = exp.extraStrategies :+ s
+      }
     }
   }
 }

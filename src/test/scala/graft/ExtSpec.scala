@@ -119,6 +119,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X2 dup clusters: clean corpus (zero near-dup edges) is all singletons") {
+    import spark.implicits._
+    // a corpus with no near-dups is a legitimate input, not an error:
+    // the propagation loop must converge immediately (empty edge set →
+    // null sum guard) and every doc must come back as its own cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean-corpus").toString
+    Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "web", 48L),
+      (1L, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "web", 47L),
+      (2L, "zwei drei vier funf sechs sieben acht neun zehn", "de", "news", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dupClusters(spark, dir).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster") === r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("cluster_size") === 1L)
+      assert(r.getAs[Boolean]("is_rep"))
+    }
+  }
+
   test("X2 substring dedup: clusters are cross-doc and internally consistent") {
     val rows = Dedup.substringDedup(spark, sf).collect()
     assert(rows.nonEmpty, "testdata's planted near-dups must share ≥1 span")

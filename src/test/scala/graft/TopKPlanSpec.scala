@@ -108,6 +108,25 @@ class TopKPlanSpec extends SparkSpec {
     assert(fin.metrics("numKeys").value === 3L)
   }
 
+  test("strategy registration is atomic under concurrent first calls") {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+    // a no-op strategy standing in for TopKStrategy: matches nothing,
+    // so leaking it into the shared session is harmless — the test is
+    // about the check-then-act registration race
+    object NoopStrategy extends SparkStrategy {
+      override def apply(plan: LogicalPlan): Seq[SparkPlan] = Nil
+    }
+    val threads = (0 until 16).map { _ =>
+      new Thread(() => GraftSqlShim.addStrategy(spark, NoopStrategy))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val n = spark.experimental.extraStrategies.count(_ eq NoopStrategy)
+    assert(n === 1, s"expected exactly one registration, got $n")
+  }
+
   test("±0.0 double keys collapse into one group (NormalizeFloatingNumbers)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

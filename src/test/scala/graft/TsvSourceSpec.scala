@@ -140,6 +140,72 @@ class TsvSourceSpec extends SparkSpec {
       === Set(("a", "1"), ("b", "2")))
   }
 
+  test("V2 write: append with a mismatched schema is refused at plan time") {
+    import spark.implicits._
+    val dir = newDir()
+    Seq(("a", "1")).toDF("k", "v").write.format("graft-tsv").mode("append").save(dir)
+    // different column count
+    val err1 = intercept[Exception] {
+      Seq(("b", "2", "extra")).toDF("k", "v", "t")
+        .write.format("graft-tsv").mode("append").save(dir)
+    }
+    assert(err1.getMessage.contains("does not match the existing header"), err1.getMessage)
+    // same names, different order — would misalign silently without the check
+    val err2 = intercept[Exception] {
+      Seq(("2", "b")).toDF("v", "k")
+        .write.format("graft-tsv").mode("append").save(dir)
+    }
+    assert(err2.getMessage.contains("does not match the existing header"), err2.getMessage)
+    // overwrite replaces the header, so a new schema is legitimate there
+    Seq(("b", "2", "t")).toDF("k", "v", "t")
+      .write.format("graft-tsv").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-tsv").load(dir)
+      .schema.fieldNames.toSeq === Seq("k", "v", "t"))
+  }
+
+  test("both writers refuse values the raw-split reader cannot round-trip") {
+    import spark.implicits._
+    // Spark wraps task failures (SparkException → cause → …); search the
+    // whole cause chain for the refusal message
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // v1 (CSV-writer path): tab would be quoted by the writer and then
+    // silently corrupt on raw-split read — refused inside the write scan
+    val e1 = intercept[Exception] {
+      Sinks.writeTsv(Seq(("a\tb", "1")).toDF("k", "v"), newDir())
+    }
+    assert(chain(e1).contains("cannot represent"), chain(e1))
+    // v1: embedded quote triggers CSV quoting → also refused
+    val e2 = intercept[Exception] {
+      Sinks.writeTsv(Seq(("a\"b", "1")).toDF("k", "v"), newDir())
+    }
+    assert(chain(e2).contains("cannot represent"), chain(e2))
+    // V2 path: tab is structural → refused before publish, nothing visible
+    val dir = newDir()
+    val e3 = intercept[Exception] {
+      Seq(("a\tb", "1")).toDF("k", "v")
+        .write.format("graft-tsv").mode("append").save(dir)
+    }
+    assert(chain(e3).contains("cannot represent"), chain(e3))
+    // V2 path: plain quote chars are NOT structural — verbatim round-trip
+    val dir2 = newDir()
+    Seq(("""say "hi"""", "1")).toDF("k", "v")
+      .write.format("graft-tsv").mode("append").save(dir2)
+    assert(spark.read.format("graft-tsv").load(dir2)
+      .collect().map(_.getString(0)).toSeq === Seq("""say "hi""""))
+  }
+
+  test("v1 writer: empty string writes bare (collapses to the null token)") {
+    import spark.implicits._
+    val dir = newDir()
+    Sinks.writeTsv(Seq(("a", ""), ("b", "2")).toDF("k", "v"), dir)
+    val back = spark.read.format("graft-tsv").load(dir)
+    // empty and null deliberately collapse in the untyped TSV layout;
+    // before the emptyValue fix this row read back as literal `""`
+    assert(back.filter(col("v").isNull).count() === 1)
+    assert(back.filter(col("v") === "\"\"").count() === 0)
+  }
+
   test("whole-pipeline: county rollup written to TSV and re-read intact") {
     val dir = newDir()
     val out = SparkEntry.queries("a1_county_rollup")(spark, "/root/testdata/sf0.001")
