@@ -147,6 +147,16 @@ object SparkEntry {
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
       Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
+    // round-3 additions
+    ("x7_zorder", graft.analytics.ZOrder.zorderTiles _,
+      Some(graft.analytics.ZOrder.zorderTilesSql)),
+    ("x6_sequence_detect", EventWindows.sequenceDetect _, Some(EventWindows.sequenceDetectSql)),
+    ("x6_nearest_event", EventWindows.nearestEvent _, Some(EventWindows.nearestEventSql)),
+    ("x4_web_clean", graft.ext.Redact.webClean _, Some(graft.ext.Redact.webCleanSql)),
+    ("x4_unicode_norm", TextStats.unicodeNorm _, Some(TextStats.unicodeNormSql)),
+    // custom Generator expression (lazy per-row shingle emission)
+    ("x2_shingle_stats", Dedup.shingleStats _, Some(Dedup.shingleStatsSql)),
+    ("x9_curriculum", graft.ext.Sampling.curriculum _, Some(graft.ext.Sampling.curriculumSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

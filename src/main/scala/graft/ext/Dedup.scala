@@ -152,6 +152,38 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
        |ORDER BY i, j""".stripMargin
 
+  /** Registered query `x2_shingle_stats`: corpus shingle statistics
+    * computed through the custom [[graft.functions.Shingles]]
+    * GENERATOR — one row per distinct char-8-gram, emitted lazily
+    * (the `explode(array_distinct(transform(...)))` form this mirrors
+    * materializes the full shingle array per document twice before
+    * exploding; the generator streams it, flat memory on the
+    * long-document tail). Output and oracle are shared semantics with
+    * [[shinglesExpr]], so this also pins the generator's equivalence
+    * to the expression form under the driver's hash gate. */
+  def shingleStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Shingles.shingles
+    docs(spark, sfDir)
+      .select(col("lang"), col("doc_id"), shingles(col("text"), 8).as("shingle"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shingle_rows"),
+        countDistinct(col("shingle")).as("n_distinct_shingles"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val shingleStatsSql: String =
+    """WITH sh AS (
+      |  SELECT lang, doc_id, unnest(list_distinct(
+      |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS shingle
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_shingle_rows,
+      |  CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM sh
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Unfiltered full-set exact jaccard — the oracle for
     * [[minhashNearDup]] (which verifies candidates on FULL shingle
     * sets). Only ever executed by DuckDB at the correctness SF. */

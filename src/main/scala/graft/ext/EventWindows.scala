@@ -222,4 +222,98 @@ object EventWindows {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
   }
+
+  /** Registered query `x6_sequence_detect`: per-user ordered event-type
+    * path + regex pattern detection — the batch form of CEP/
+    * MATCH_RECOGNIZE ("did signup eventually lead to purchase?",
+    * "does an error interrupt a purchase run?"). The path is built
+    * with `array_sort(collect_list(struct(t, id, type)))` so ordering
+    * is total and engine-independent: micros (both engines floor the
+    * nanos parquet ts) then event_id. One shuffle on user_id; the
+    * regex gates are per-row on the aggregated path — at corpus scale
+    * you'd cap the path length with a slice(), which composes here
+    * unchanged. */
+  def sequenceDetect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id"),
+          col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(e)), x -> x.event_type)"),
+        ">").as("path"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("path").rlike("signup(>[a-z]+)*>purchase").as("converted"),
+        col("path").rlike("error>error").as("double_error"),
+        md5(col("path")).as("path_md5"))
+      .orderBy(col("user_id"))
+
+  val sequenceDetectSql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>'
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS path,
+      |    count(*) AS n_events
+      |  FROM events
+      |  GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  regexp_matches(path, 'signup(>[a-z]+)*>purchase') AS converted,
+      |  regexp_matches(path, 'error>error') AS double_error,
+      |  md5(path) AS path_md5
+      |FROM p
+      |ORDER BY user_id""".stripMargin
+
+  /** Registered query `x6_nearest_event`: for every click, the nearest
+    * error by event time within the same user — BOTH directions (the
+    * as-of join is the backward half; "nearest" needs the forward
+    * scan too). Composed from one tagged pass: running max of error
+    * times up to each row and running min after it, via two window
+    * frames over a single user_id shuffle — no join at all, which is
+    * the trick worth copying at 100 TB (the naive form is a range
+    * self-join). Gaps in exact integer micros. */
+  def nearestEvent(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val order = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val before = order.rowsBetween(Window.unboundedPreceding, -1)
+    val after = order.rowsBetween(1, Window.unboundedFollowing)
+    val errT = when(col("event_type") === "error", col("t"))
+    e.withColumn("prev_err", max(errT).over(before))
+      .withColumn("next_err", min(errT).over(after))
+      .filter(col("event_type") === "click")
+      .withColumn("gap_back", col("t") - col("prev_err"))
+      .withColumn("gap_fwd", col("next_err") - col("t"))
+      .select(col("user_id"), col("event_id"),
+        least(col("gap_back"), col("gap_fwd")).as("nearest_gap_us"),
+        when(col("gap_back") <= coalesce(col("gap_fwd"), lit(Long.MaxValue)), "backward")
+          .when(col("gap_fwd").isNotNull, "forward").as("direction"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val nearestEventSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events
+      |  WHERE event_type IN ('click', 'error')),
+      |w AS (
+      |  SELECT user_id, event_id, event_type, t,
+      |    max(CASE WHEN event_type = 'error' THEN t END) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err,
+      |    min(CASE WHEN event_type = 'error' THEN t END) OVER (
+      |      PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  least(t - prev_err, next_err - t) AS nearest_gap_us,
+      |  CASE WHEN (t - prev_err) <= coalesce(next_err - t, 9223372036854775807)
+      |       THEN 'backward'
+      |       WHEN next_err IS NOT NULL THEN 'forward' END AS direction
+      |FROM w
+      |WHERE event_type = 'click'
+      |ORDER BY user_id, event_id""".stripMargin
 }

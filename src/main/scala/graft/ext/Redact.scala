@@ -75,4 +75,64 @@ object Redact {
       |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
       |FROM m
       |ORDER BY c_custkey""".stripMargin
+
+  // ---- web-scrape cleaning (HTML strip + link extraction) ----------------
+
+  private val TagRe = "<[^>]*>"
+  private val UrlRe = "https?://[a-z0-9./_-]+"
+
+  /** Registered query `x4_web_clean`: the markup-removal front of a
+    * web-crawl pipeline — strip HTML tags, extract+normalize outbound
+    * link hosts, report cleaned length. Like [[piiRedact]], the corpus
+    * has no organic markup, so a web-page wrapper is synthesized
+    * deterministically per document first; both halves are mirrored in
+    * the oracle so the driver verifies the regex semantics, not a
+    * no-op. Per-row narrow transforms + one host rollup shuffle. */
+  def webClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        concat(
+          lit("<html><body><p class=\"main\">"),
+          substring(col("text"), 1, 80),
+          lit("</p><a href=\"https://"), col("source"),
+          lit(".example.org/"), col("lang"), lit("/"), col("doc_id"),
+          lit("\">ref</a><a href=\"https://mirror-"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".example.net/x\">alt</a></body></html>")).as("html"))
+    page.select(
+        col("doc_id"), col("lang"),
+        length(regexp_replace(col("html"), TagRe, "")).as("clean_len"),
+        regexp_extract_all(col("html"), lit(UrlRe), lit(0)).as("urls"))
+      .select(col("doc_id"), col("lang"), col("clean_len"),
+        explode(col("urls")).as("url"))
+      .select(col("doc_id"), col("lang"), col("clean_len"),
+        regexp_extract(col("url"), "https?://([^/]+)", 1).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("clean_len")).cast("long").as("sum_clean_len"))
+      .orderBy(col("host"))
+  }
+
+  val webCleanSql: String =
+    """WITH page AS (
+      |  SELECT doc_id, lang,
+      |    '<html><body><p class="main">' || substr(text, 1, 80)
+      |      || '</p><a href="https://' || source || '.example.org/'
+      |      || lang || '/' || doc_id || '">ref</a><a href="https://mirror-'
+      |      || CAST(doc_id % 3 AS VARCHAR)
+      |      || '.example.net/x">alt</a></body></html>' AS html
+      |  FROM documents),
+      |links AS (
+      |  SELECT doc_id, lang,
+      |    length(regexp_replace(html, '<[^>]*>', '', 'g')) AS clean_len,
+      |    unnest(regexp_extract_all(html, 'https?://[a-z0-9./_-]+')) AS url
+      |  FROM page)
+      |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |  count(*) AS n_links,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(sum(clean_len) AS BIGINT) AS sum_clean_len
+      |FROM links
+      |GROUP BY 1
+      |ORDER BY host""".stripMargin
 }

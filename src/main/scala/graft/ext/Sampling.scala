@@ -173,4 +173,48 @@ object Sampling {
        |  n * 10000 / CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS frac_bp
        |FROM c
        |ORDER BY lang, split""".stripMargin
+
+  /** Registered query `x9_curriculum`: source-interleaved curriculum
+    * order for training — rank docs within each source (quality proxy:
+    * longest first, doc_id tiebreak), then emit round-robin across
+    * sources (all rank-1 docs, then all rank-2, …). No source can
+    * dominate any prefix of the stream — the property curriculum /
+    * data-mixing schedules care about — and the order is fully
+    * deterministic. Two window passes over one shuffle each; the
+    * 100 TB form writes `pos` as the sort key of a
+    * [[graft.sink.Sinks.compact]] layout rather than sorting the
+    * output. First 100 positions shown. */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQuality = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val interleave = Window.orderBy(col("rn"), col("source"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn", row_number().over(byQuality).cast("long"))
+      // pos >= rn always (a doc's own source chain precedes it in the
+      // interleave order), so pos <= 100 implies rn <= 100: prune with
+      // the partitioned window FIRST and the global single-partition
+      // window only ever sees <= 100 × n_sources rows — constant-sized,
+      // not corpus-sized
+      .filter(col("rn") <= 100)
+      .withColumn("pos", row_number().over(interleave).cast("long"))
+      .filter(col("pos") <= 100)
+      .select(col("pos"), col("doc_id"), col("source"), col("rn"), col("n_chars"))
+      .orderBy(col("pos"))
+  }
+
+  val curriculumSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT *, row_number() OVER (ORDER BY rn, source, doc_id) AS pos
+      |  FROM r)
+      |SELECT pos, doc_id, source, rn, n_chars
+      |FROM p
+      |WHERE pos <= 100
+      |ORDER BY pos""".stripMargin
 }

@@ -396,4 +396,46 @@ object TextStats {
       |JOIN utop ON t.doc_id = utop.doc_id
       |LEFT JOIN btop ON t.doc_id = btop.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  // ---- Unicode canonicalization (custom codegen'd expression) -----------
+
+  /** Registered query `x4_unicode_norm`: NFC canonical composition via
+    * the custom [[graft.functions.NfcNormalize]] expression — the
+    * equality gate before any hash/dedup/join on text. The corpus is
+    * ASCII, so a decomposed form ('e' + U+0301 combining acute) is
+    * synthesized per row first; the oracle mirrors both halves with
+    * DuckDB's native nfc_normalize, so the driver verifies real
+    * composition (code-point counts shrink back) rather than a no-op.
+    * Pure narrow projection + one lang rollup. */
+  def unicodeNorm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.StringFunctions.nfc_normalize
+    // the combining acute as a Scala literal: Spark SQL's char(769)
+    // wraps modulo 256 (ASCII semantics), unlike DuckDB's chr
+    val decomposed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        replace(substring(col("text"), 1, 60), lit("e"), lit("e\u0301")).as("raw"))
+    decomposed
+      .select(col("doc_id"), col("lang"), col("raw"),
+        nfc_normalize(col("raw")).as("nfc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("raw"))).cast("long").as("sum_len_raw"),
+        sum(length(col("nfc"))).cast("long").as("sum_len_nfc"),
+        sum(when(col("raw") =!= col("nfc"), 1L).otherwise(0L)).as("n_changed"))
+      .orderBy(col("lang"))
+  }
+
+  val unicodeNormSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    replace(substr(text, 1, 60), 'e', 'e' || chr(769)) AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, lang, raw, nfc_normalize(raw) AS nfc FROM d)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(raw)) AS BIGINT) AS sum_len_raw,
+      |  CAST(sum(length(nfc)) AS BIGINT) AS sum_len_nfc,
+      |  CAST(sum(CASE WHEN raw <> nfc THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      |FROM n
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_qdot"),
       info("vec_qdot", "vec_qdot(a, b) - integer dot product of 1e7-quantized float arrays"),
       (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text, n) - generator of distinct character n-grams"),
+      (exprs: Seq[Expression]) =>
+        Shingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
     // whole-operator extension: per-key bounded-heap top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // optimizer extension: constant-window range theta-join → binned equi-join
