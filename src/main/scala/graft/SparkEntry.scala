@@ -157,6 +157,14 @@ object SparkEntry {
     // custom Generator expression (lazy per-row shingle emission)
     ("x2_shingle_stats", Dedup.shingleStats _, Some(Dedup.shingleStatsSql)),
     ("x9_curriculum", graft.ext.Sampling.curriculum _, Some(graft.ext.Sampling.curriculumSql)),
+    ("x9_pack_shards", graft.ext.Sampling.packShards _, Some(graft.ext.Sampling.packShardsSql)),
+    ("q18_large_orders", StarQueries.largeOrders _, Some(StarQueries.largeOrdersSql)),
+    ("x7_recursive_cte", graft.analytics.Recursive.bomRollup _,
+      Some(graft.analytics.Recursive.bomRollupSql)),
+    // naive theta-join auto-rewritten by the BinnedRangeJoinRule optimizer
+    // extension; shares x6_range_join's oracle (rule is result-invariant)
+    ("x6_range_join_rule", graft.analytics.RangeJoin.errorClickImpactAuto _,
+      Some(graft.analytics.RangeJoin.errorClickImpactSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -170,4 +170,39 @@ object RangeJoin {
       |WHERE e.event_type = 'error'
       |GROUP BY e.event_id
       |ORDER BY err_id""".stripMargin
+
+  /** Registered query `x6_range_join_rule`: the SAME correlation as
+    * [[errorClickImpact]], but written as the NAIVE range theta-join —
+    * no manual binning anywhere in the query. The self-registered
+    * [[graft.plans.BinnedRangeJoinRule]] optimizer rule recognizes the
+    * constant-window pattern and performs the bin rewrite at plan
+    * time, so the user writes the obvious predicate and still gets the
+    * hash join (RangeJoinSpec asserts no BroadcastNestedLoopJoin in
+    * this query's physical plan). Shares [[errorClickImpactSql]]:
+    * the rule must be result-invariant under the driver's hash gate.
+    */
+  def errorClickImpactAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(spark, graft.plans.BinnedRangeJoinRule)
+    val winSec = 600L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("t").as("lo"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("t"), col("value"))
+    // the naive predicate — exactly what the rule's scope guards match:
+    // t >= lo AND t < lo + <positive long literal>, no equi conjunct
+    val impact = clicks.join(errors,
+        col("t") >= col("lo") && col("t") < col("lo") + lit(winSec))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(dec("value")).cast("double").as("click_value"))
+    errors.select(col("err_id"))
+      .join(impact, Seq("err_id"), "left")
+      .select(col("err_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("err_id"))
+  }
 }

@@ -207,6 +207,46 @@ object StarQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Registered query `q18_large_orders` (TPC-H Q18 shape): orders
+    * whose total lineitem quantity clears a threshold, joined back to
+    * customer — the "find the whales" composite: a grouped HAVING
+    * filter used as a semi-join input, then enrichment joins and a
+    * deterministic top-100. Plan shape at scale: one lineitem
+    * aggregate shuffle on orderkey (partial agg first), the HAVING
+    * output is tiny so both subsequent joins broadcast it. */
+  def largeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > lit(300).cast("decimal(9,2)"))
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        dec("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val largeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(9,2))) AS total_qty
+      |  FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(9,2))) > 300)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DOUBLE) AS o_totalprice,
+      |  CAST(total_qty AS DOUBLE) AS total_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
   /** Set ops: nations that have customers INTERSECT/EXCEPT suppliers. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))

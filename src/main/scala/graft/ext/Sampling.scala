@@ -204,6 +204,51 @@ object Sampling {
       .orderBy(col("pos"))
   }
 
+  /** Registered query `x9_pack_shards`: token-budget shard packing —
+    * the step that turns a cleaned corpus into fixed-size training
+    * shards. Token count is the standard chars/4 proxy (integer,
+    * deterministic); docs pack in doc_id order within each source and
+    * a doc starts a new shard when its START offset crosses the
+    * budget (start-offset rule: every shard except the last holds at
+    * least `budget` cumulative tokens' worth of starts — simple,
+    * deterministic, one window pass). Packing is inherently
+    * sequential, so the window partitions by source — shards never
+    * span sources (what a real mixing pipeline wants anyway) and the
+    * cumsum distributes. */
+  def packShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4000L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        // `div`, not `/`: Column./ on longs is DOUBLE division
+        expr("n_chars div 4 + 1").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard", expr(s"(cum - toks) div $budget"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val packShardsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars // 4 + 1 AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, toks,
+      |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, (cum - toks) // 4000 AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS sum_toks,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY source, shard""".stripMargin
+
   val curriculumSql: String =
     """WITH r AS (
       |  SELECT doc_id, source, n_chars,

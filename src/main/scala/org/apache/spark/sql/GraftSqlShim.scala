@@ -3,6 +3,7 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkStrategy
 
 /** Bridge into the `private[sql]` surface that a custom whole-operator
@@ -40,6 +41,22 @@ object GraftSqlShim {
       // every node match twice
       if (!classicSpark.sessionState.planner.strategies.contains(s)) {
         exp.extraStrategies = exp.extraStrategies :+ s
+      }
+    }
+  }
+
+  /** Idempotently register an optimizer rule on the session (same
+    * self-registration story as [[addStrategy]], for rewrite rules).
+    * A GraftExtensions-built session carries the rule inside its
+    * optimizer where this check can't see it — that double
+    * application is safe for rewrite rules whose output no longer
+    * matches their own pattern (BinnedRangeJoinRule's rewritten join
+    * has an equi-key, which its eligibility check rejects). */
+  def addOptimization(spark: SparkSession, r: Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r)) {
+        exp.extraOptimizations = exp.extraOptimizations :+ r
       }
     }
   }

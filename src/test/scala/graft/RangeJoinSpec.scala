@@ -108,4 +108,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === naive)
     assert(got.nonEmpty)
   }
+
+  test("errorClickImpactAuto: self-registered rule kills the nested loop") {
+    import spark.implicits._
+    // the registered-query path: a plain session, the query itself
+    // installs BinnedRangeJoinRule via GraftSqlShim.addOptimization
+    val auto = RangeJoin.errorClickImpactAuto(spark, sf)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+    val got = auto.select("err_id", "n_clicks").as[(Long, Long)].collect().toMap
+    val manual = RangeJoin.errorClickImpact(spark, sf)
+      .select("err_id", "n_clicks").as[(Long, Long)].collect().toMap
+    assert(got === manual)
+    assert(got.nonEmpty)
+    // idempotent under repeat invocation (second call re-registers)
+    RangeJoin.errorClickImpactAuto(spark, sf).collect()
+    assert(spark.experimental.extraOptimizations
+      .count(_ eq graft.plans.BinnedRangeJoinRule) === 1)
+  }
 }
