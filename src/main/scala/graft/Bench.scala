@@ -3,10 +3,19 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Empirically best on the 32-core contract machine at sf0.1:
+    // local[16] with 8 shuffle partitions (measured full-suite sweep:
+    // 4/4=173s, 8/8=98s, 16/16=163s, 32/32=242s, 32/8=125s, 16/8=84s).
+    // More task slots help the scan/codegen stages; FEWER shuffle
+    // partitions keep the 96-query tail's stages from drowning in
+    // per-task overhead at this data scale. Both remain overridable.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(16, Runtime.getRuntime.availableProcessors()).toString)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(8, cpus.toInt).toString)
+    val spark = LocalDirs.configure(SparkSession.builder())
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // answer min/max/count-only aggregates from parquet footers

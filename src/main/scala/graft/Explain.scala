@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * WholeStageCodegen coverage. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark = LocalDirs.configure(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

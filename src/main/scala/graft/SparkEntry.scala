@@ -165,6 +165,11 @@ object SparkEntry {
     // extension; shares x6_range_join's oracle (rule is result-invariant)
     ("x6_range_join_rule", graft.analytics.RangeJoin.errorClickImpactAuto _,
       Some(graft.analytics.RangeJoin.errorClickImpactSql)),
+    // SQ8 compressed scan + exact re-rank (third ANN family: compression)
+    ("x3_sq_rerank", Similarity.sqRerank _, Some(Similarity.sqRerankSql)),
+    ("x4_chunk", graft.ext.Chunks.chunkDocs _, Some(graft.ext.Chunks.chunkDocsSql)),
+    ("x2_segment_dedup", Dedup.segmentDedup _, Some(Dedup.segmentDedupSql)),
+    ("x6_anomaly", EventWindows.anomalies _, Some(EventWindows.anomaliesSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,10 +97,7 @@ object Dedup {
     // stop-shingle filter, pair generation) runs on the rare-only
     // groups. No persist(): a cache set here can never be released
     // (the returned plan reads it lazily — library callers would leak
-    // a pinned RDD per call). Instead, all consumers are derived from
-    // ONE aggregated pair frame so Spark's ReuseExchange computes the
-    // heavy subtree (scan → shingle explode → group agg → pair
-    // explode → partial count) exactly once.
+    // a pinned RDD per call).
     val groups = sh.groupBy(col("s"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(col("df") <= MaxShingleDf)
@@ -110,8 +107,7 @@ object Dedup {
     // group (df ≤ MaxShingleDf caps the quadratic term per group).
     // The a==b self-pair (i,i) is emitted on purpose: its count IS the
     // per-doc rare-shingle size, so sizes and commons come out of the
-    // same single aggregation — one stream, no second consumer of the
-    // expensive groups frame.
+    // same single aggregation.
     val pairCounts = groups
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 1), a ->
@@ -119,15 +115,25 @@ object Dedup {
           |    struct(ids[a] AS i, ids[b] AS j))))""".stripMargin)).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("common"))
-    val sizes = pairCounts.filter(col("i") === col("j"))
-      .select(col("i").as("doc_id"), col("common").as("cnt"))
-    val common = pairCounts.filter(col("i") < col("j"))
-    common
-      .join(sizes.as("si"), col("i") === col("si.doc_id"))
-      .join(sizes.as("sj"), col("j") === col("sj.doc_id"))
+    // Attach the per-doc sizes with WINDOWS over the pair frame, not
+    // joins back to it: a join would make pairCounts a multi-consumer
+    // subtree, and Catalyst pushes the divergent i=j / i<j predicates
+    // BELOW the pair aggregate — the three copies stop being identical
+    // exchanges, ReuseExchange cannot fire, and the whole shingle
+    // pipeline executes three times (measured 17× wall-time at sf0.1).
+    // Windows keep the plan a LINEAR chain: the heavy subtree runs
+    // once, then two cheap shuffles of the already-aggregated pairs.
+    // Partition i of window `wi` contains the self-pair (i,i) whose
+    // count is doc i's rare-shingle size; partition j of `wj` likewise
+    // contains (j,j) — max(common WHERE i=j) extracts them.
+    val selfCnt = max(when(col("i") === col("j"), col("common")))
+    pairCounts
+      .withColumn("cnt_i", selfCnt.over(Window.partitionBy(col("i"))))
+      .withColumn("cnt_j", selfCnt.over(Window.partitionBy(col("j"))))
+      .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("common"),
         (col("common").cast("double") /
-          (col("si.cnt") + col("sj.cnt") - col("common")).cast("double")).as("jaccard"))
+          (col("cnt_i") + col("cnt_j") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("i"), col("j"))
   }
@@ -656,4 +662,86 @@ object Dedup {
        |GROUP BY md5(span)
        |HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY span_md5""".stripMargin
+
+  // ---- X2: cross-document boilerplate segment removal -------------------
+
+  /** Aligned segment width (words). */
+  val SegWords = 8
+  /** A segment text appearing in ≥ this many distinct documents is
+    * boilerplate. */
+  val BoilerDocs = 3
+
+  /** C4-style boilerplate removal, document-reassembling form: split
+    * every document into aligned [[SegWords]]-word segments, count
+    * each distinct segment text's document frequency across the WHOLE
+    * corpus, drop segments shared by ≥ [[BoilerDocs]] documents
+    * (navigation chrome, licence blocks, templated headers — the
+    * segments exact whole-doc dedup can't touch), and reassemble each
+    * document from its surviving segments in order.
+    *
+    * Scale shape: two aggregations and one join, all on bounded keys —
+    * (doc_id, seg) partial-aggregates map-side (segments of one doc
+    * co-locate with its words), the global segment-frequency count
+    * shuffles once on seg_text hash (boilerplate by definition has
+    * high df ⇒ the HAVING-style filter keeps that frame tiny), and the
+    * marking join is a shuffle-hash/broadcast join against that small
+    * boilerplate set. Per-row HOFs (`array_sort`/`transform`) touch
+    * ≤ [[SegWords]]-element arrays — constant work, no corpus-sized
+    * interpreted lambda.
+    */
+  def segmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val segs = words
+      .groupBy(col("doc_id"), expr(s"cast(pos div $SegWords as bigint)").as("seg"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))), _.getField("w")),
+        " ").as("seg_text"))
+    val boiler = segs.groupBy(col("seg_text"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerDocs)
+      .select(col("seg_text"), lit(true).as("is_boiler"))
+    segs.join(boiler, Seq("seg_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("seg"), col("seg_text"))))),
+            _.getField("seg_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("doc_id"), col("clean_text"), col("n_segs"), col("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror of [[segmentDedup]] (positions via list comprehension —
+    * DuckDB has no WITH ORDINALITY; `string_agg ORDER BY` ≡ the
+    * struct-sorted `array_join`). */
+  val segmentDedupSql: String =
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, unnest([{'pos': CAST(i - 1 AS BIGINT), 'w': ws[i]}
+       |    FOR i IN range(1, len(ws) + 1)], recursive := true)
+       |  FROM w0),
+       |segs AS (
+       |  SELECT doc_id, pos // $SegWords AS seg,
+       |    string_agg(w, ' ' ORDER BY pos) AS seg_text
+       |  FROM words GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT seg_text FROM segs
+       |  GROUP BY seg_text HAVING count(DISTINCT doc_id) >= $BoilerDocs),
+       |marked AS (
+       |  SELECT s.doc_id, s.seg, s.seg_text, b.seg_text IS NOT NULL AS is_boiler
+       |  FROM segs s LEFT JOIN boiler b USING (seg_text))
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN NOT is_boiler THEN seg_text END, ' ' ORDER BY seg), '')
+       |    AS clean_text,
+       |  count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM marked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

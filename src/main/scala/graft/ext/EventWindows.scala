@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -316,4 +317,52 @@ object EventWindows {
       |FROM w
       |WHERE event_type = 'click'
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Minimum group size before a z-score is meaningful. */
+  val AnomalyMinN = 8
+
+  /** Per-(user, event_type) outlier detection, integer-exact: flag
+    * events whose value is more than 2 standard deviations from their
+    * group mean. The z² > 4 test is cross-multiplied into integer
+    * arithmetic at cents scale — (v·n − s)² > 4·(n·q − s²) with
+    * s = Σv, q = Σv² — so there is no float division or sqrt anywhere
+    * and the oracle matches bit-exactly. (Magnitude bound: |v| ≤ 5·10⁴
+    * cents and n ≤ 10⁷ rows per group keep (v·n − s)² under 2⁶³;
+    * beyond that, promote to decimal(38,0).)
+    *
+    * Scale shape: one shuffle on the group key for the window
+    * aggregates, then a codegen'd filter — no self-join, no collect.
+    * The same moments could come from a groupBy + re-join; the window
+    * form keeps event rows intact for the output. */
+  def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    Tables.events(spark, sfDir)
+      .withColumn("cents", (dec("value") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") >= AnomalyMinN &&
+        (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s")) >
+          lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("cents"), col("n").as("n_group"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomaliesSql: String =
+    s"""WITH c AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |g AS (
+       |  SELECT event_id, user_id, event_type, cents,
+       |    CAST(count(*) OVER w AS BIGINT) AS n,
+       |    CAST(sum(cents) OVER w AS BIGINT) AS s,
+       |    CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+       |  FROM c WINDOW w AS (PARTITION BY user_id, event_type))
+       |SELECT event_id, user_id, event_type, cents, n AS n_group
+       |FROM g
+       |WHERE n >= $AnomalyMinN
+       |  AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
+       |ORDER BY event_id""".stripMargin
 }

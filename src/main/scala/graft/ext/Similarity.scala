@@ -308,6 +308,83 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  val SqOverfetch = 4
+
+  /** SQ8 compressed-scan + exact re-rank — the third classic ANN
+    * family beside hashing ([[annCosineTopK]]) and coarse quantization
+    * ([[ivfGridTopK]]): score every vector in the *compressed* int8
+    * domain (via [[graft.functions.Sq8Dot]], one codegen'd loop; at
+    * cluster scale the codes are materialized at write time for 4×
+    * smaller scan I/O), keep the top `TopK·SqOverfetch` per query by
+    * approximate score, and exact-re-rank only those at full
+    * precision. Unlike LSH/IVF this scans everything — its win is
+    * bandwidth, not candidate pruning — so it composes with either
+    * (IVF-SQ8) when both I/O and compute must shrink.
+    *
+    * The whole pipeline (int8 quantizer with ⌊x+0.5⌋ rounding, clamp,
+    * overfetch cut, exact re-rank, tie-breaks) is integer-deterministic
+    * and mirrored by [[sqRerankSql]] — approximation included. */
+  def sqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_sq8dot
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("n2"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"), col("n2").as("q_n2"))
+    val approx = e.crossJoin(broadcast(queries))
+      .withColumn("adot", vec_sq8dot(col("q_embedding"), col("embedding")))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+    val cands = approx
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= TopK * SqOverfetch)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Full mirror of [[sqRerank]] — `floor(x*127 + 0.5)` matches
+    * `Math.round` bit-for-bit (negative halves included), clamp and
+    * cut order identical. */
+  val sqRerankSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv,
+       |    list_transform(embedding, x -> greatest(-127, least(127,
+       |      CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)))) AS c8
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, c8, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |approx AS (
+       |  SELECT qs.vec_id AS q_id, c.vec_id,
+       |    list_sum(list_transform(list_zip(qs.c8, c.c8), p -> p[1] * p[2])) AS adot
+       |  FROM n qs, n c
+       |  WHERE qs.vec_id < $NumQueries),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ark
+       |    FROM approx)
+       |  WHERE ark <= ${TopK * SqOverfetch}),
+       |sims AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qn.iv, cn.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS sim
+       |  FROM cands cand
+       |  JOIN n qn ON qn.vec_id = cand.q_id
+       |  JOIN n cn ON cn.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Per-label corpus statistics over the embedding column — the
     * health-check pass every vector pipeline runs before indexing
     * (dimension consistency, norm distribution per class). Squared

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_qdot", "vec_qdot(a, b) - integer dot product of 1e7-quantized float arrays"),
       (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_sq8dot"),
+      info("vec_sq8dot", "vec_sq8dot(a, b) - integer dot product of int8-clamped quantized float arrays"),
+      (exprs: Seq[Expression]) => Sq8Dot(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))

@@ -114,12 +114,70 @@ case class QuantizedDot(left: Expression, right: Expression) extends VectorBinar
     copy(left = l, right = r)
 }
 
+/** Int8 scalar-quantized dot(a, b): Σ clamp₁₂₇(⌊aᵢ·127+0.5⌋) ·
+  * clamp₁₂₇(⌊bᵢ·127+0.5⌋) as a LONG — the compressed-domain score of
+  * an SQ8 scan (FAISS-style scalar quantization): at cluster scale the
+  * int8 code arrays are materialized at write time (4× smaller scan
+  * I/O than float32) and this loop runs over codes; here the quantizer
+  * is fused into one codegen'd pass over the float arrays. Uses
+  * ⌊x+0.5⌋ (= Math.round) so the oracle mirror `floor(x*127 + 0.5)`
+  * is bit-identical in every rounding case, negative halves included.
+  */
+case class Sq8Dot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sq8dot"
+
+  @inline private def q(f: Float): Long = {
+    val r = Math.floor(f.toDouble * 127d + 0.5d).toLong
+    if (r > 127L) 127L else if (r < -127L) -127L else r
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += q(x.getFloat(i)) * q(y.getFloat(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val qa = ctx.freshName("qa")
+      val qb = ctx.freshName("qb")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $qa = (long) java.lang.Math.floor(((double) $x.getFloat($i)) * 127.0d + 0.5d);
+         |  long $qb = (long) java.lang.Math.floor(((double) $y.getFloat($i)) * 127.0d + 0.5d);
+         |  $qa = $qa > 127L ? 127L : ($qa < -127L ? -127L : $qa);
+         |  $qb = $qb > 127L ? 127L : ($qb < -127L ? -127L : $qb);
+         |  $acc += $qa * $qb;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column API. */
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def vec_qdot(a: Column, b: Column): Column =
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
+  def vec_sq8dot(a: Column, b: Column): Column =
+    Bridge.column(Sq8Dot(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration (also injectable via SparkSessionExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -127,5 +185,7 @@ object VectorFunctions {
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_qdot", exprs => QuantizedDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sq8dot", exprs => Sq8Dot(exprs.head, exprs(1)), "built-in")
   }
 }

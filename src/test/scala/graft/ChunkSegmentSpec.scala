@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Chunks, Dedup, EventWindows}
+
+/** Round-3 batch: chunking, boilerplate segment removal, SQ8 re-rank,
+  * integer z-score anomalies — invariants beyond the driver hash gate. */
+class ChunkSegmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("chunks tile every document with the declared overlap") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), length(col("text")).as("len"))
+    val chunks = Chunks.chunkDocs(spark, sf)
+    val byDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      max(col("start") + col("chunk_len") - 1).as("covered"),
+      min(col("start")).as("first"))
+      .join(docs, "doc_id")
+    // first chunk starts at 1, last chunk reaches the end of the doc
+    assert(byDoc.filter(col("first") =!= 1L).count() === 0)
+    assert(byDoc.filter(col("covered") =!= col("len")).count() === 0)
+    // chunk count = number of stride positions
+    assert(byDoc.filter(col("n") =!=
+      ceil(greatest(col("len"), lit(1)).cast("double") / Chunks.ChunkStride).cast("long")).count() === 0)
+    // consecutive chunks overlap by width − stride (except a short tail)
+    val overlap = Chunks.ChunkWidth - Chunks.ChunkStride
+    val bad = chunks.as("a").join(chunks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.chunk_id") === col("a.chunk_id") + 1)
+      .filter(col("a.start") + col("a.chunk_len") - col("b.start") =!= overlap &&
+        col("a.chunk_len") === Chunks.ChunkWidth)
+    assert(bad.count() === 0)
+  }
+
+  test("segment dedup drops exactly the segments shared by >= BoilerDocs docs") {
+    val out = Dedup.segmentDedup(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() === docs.count())
+    // reassembly identity: docs with zero dropped segments round-trip verbatim
+    val joined = out.join(docs, "doc_id")
+    val untouched = joined.filter(col("n_dropped") === 0)
+    assert(untouched.filter(col("clean_text") =!= col("text")).count() === 0)
+    // dropped counts are consistent with the corpus-wide df computation
+    val segs = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "w")
+      .groupBy(col("doc_id"), expr(s"pos div ${Dedup.SegWords}").as("seg"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        _.getField("w")), " ").as("seg_text"))
+    val df = segs.groupBy("seg_text").agg(countDistinct("doc_id").as("nd"))
+    val expected = segs.join(df, "seg_text")
+      .filter(col("nd") >= Dedup.BoilerDocs)
+      .groupBy("doc_id").agg(count(lit(1)).as("exp_dropped"))
+    val mismatches = out.join(expected, Seq("doc_id"), "left")
+      .filter(col("n_dropped") =!= coalesce(col("exp_dropped"), lit(0L)))
+    assert(mismatches.count() === 0)
+  }
+
+  test("sq8 re-rank: overfetch window contains the true top-k here (exact recall)") {
+    val exact = graft.ext.Similarity.cosineTopK(spark, sf)
+      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = graft.ext.Similarity.sqRerank(spark, sf)
+      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both emit a full (q_id, rk) grid; identical keys
+    assert(sq === exact)
+  }
+
+  test("anomalies are exactly the |z| > 2 events of groups with n >= AnomalyMinN") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val stats = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+      .filter(col("n") >= EventWindows.AnomalyMinN)
+    // recompute with float z-scores and compare the flag sets
+    val expected = ev.join(stats, Seq("user_id", "event_type"))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("varr",
+        (col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double"))
+      .filter(pow(col("cents") - col("mean"), 2) > lit(4.0) * col("varr"))
+      .select("event_id")
+    val got = EventWindows.anomalies(spark, sf).select("event_id")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+}

@@ -32,6 +32,22 @@ class VectorExpressionSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("vec_sq8dot equals the HOF int8-clamp formulation and its codegen matches eval") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val both = e.select(
+      VectorFunctions.vec_sq8dot(col("embedding"), col("embedding")).as("expr_dot"),
+      expr("""aggregate(zip_with(
+        transform(embedding, x -> greatest(-127L, least(127L, cast(floor(cast(x as double) * 127 + 0.5) as bigint)))),
+        transform(embedding, x -> greatest(-127L, least(127L, cast(floor(cast(x as double) * 127 + 0.5) as bigint)))),
+        (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)""").as("hof_dot"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // clamp actually engages on out-of-range components
+    val big = Seq((Array(2.0f, -3.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val d = big.select(VectorFunctions.vec_sq8dot(col("a"), col("b"))).head.getLong(0)
+    assert(d === 127L * 127L + (-127L) * 127L)
+  }
+
   test("null input yields null") {
     val withNull = df.withColumn("a", when(col("id") === 1L, col("a")))
     val rows = withNull.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
