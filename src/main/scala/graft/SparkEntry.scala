@@ -170,6 +170,11 @@ object SparkEntry {
     ("x4_chunk", graft.ext.Chunks.chunkDocs _, Some(graft.ext.Chunks.chunkDocsSql)),
     ("x2_segment_dedup", Dedup.segmentDedup _, Some(Dedup.segmentDedupSql)),
     ("x6_anomaly", EventWindows.anomalies _, Some(EventWindows.anomaliesSql)),
+    ("x6_cohort_retention", EventWindows.cohortRetention _, Some(EventWindows.cohortRetentionSql)),
+    ("x6_top_paths", EventWindows.topPaths _, Some(EventWindows.topPathsSql)),
+    ("x7_cms_freq", StarQueries.cmsFreq _, Some(StarQueries.cmsFreqSql)),
+    ("x8_scd2_history", graft.analytics.MergeUpsert.scd2History _,
+      Some(graft.analytics.MergeUpsert.scd2HistorySql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -68,4 +69,44 @@ object MergeUpsert {
       |       ELSE 'updated' END AS op
       |FROM base FULL OUTER JOIN upd ON c_custkey = k
       |ORDER BY 1""".stripMargin
+
+  /** SCD2 (slowly-changing-dimension type 2) history build: turn the
+    * per-customer order log into validity intervals — each row's
+    * `valid_to` is the next change's `valid_from` (lead), the last row
+    * stays open (sentinel 9999-12-31, `is_current`). The standard
+    * CDC-log → dimension-history transformation, complementing
+    * [[scd1Merge]]'s overwrite form.
+    *
+    * One window shuffle on the dimension key, nothing else — the shape
+    * that holds at any scale (each entity's history lands in one
+    * partition; no self-join against the log). Total order within an
+    * entity: (event time, order key) so equal-timestamp changes are
+    * deterministic. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("next_from"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("next_from").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH h AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS next_from
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, o_orderstatus,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  COALESCE(strftime(next_from, '%Y-%m-%d %H:%M:%S'),
+      |    '9999-12-31 00:00:00') AS valid_to,
+      |  next_from IS NULL AS is_current
+      |FROM h
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 }

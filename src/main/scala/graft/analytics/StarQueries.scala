@@ -389,6 +389,45 @@ object StarQueries {
       |  TRUE AS median_in_bounds, TRUE AS p99_in_bounds
       |FROM lineitem""".stripMargin
 
+  /** CMS ε (relative to total count). */
+  val CmsEps = 0.001
+
+  /** Count-min-sketch frequency estimation beside its exact
+    * counterpart — the third sketch family in the suite (HLL distinct
+    * counts and quantile sketches live in [[approxStats]]). The sketch
+    * builds in ONE distributed pass (`stat.countMinSketch` is a
+    * depth×width counter-matrix aggregate — constant size, counters
+    * merge by addition, so the result is partitioning- and
+    * order-independent given the fixed seed). Point lookups happen
+    * AFTER aggregation on the enum-sized (5-row) key frame — the one
+    * place a driver-side structure is legitimate, same bound as the
+    * IVF centroid collect. The oracle pins the exact counts and
+    * requires the CMS guarantees to hold: est ≥ exact (always true of
+    * CMS) and est ≤ exact + ε·N (holds w.p. 1−δ; deterministic here
+    * under the fixed seed). */
+  def cmsFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir).select(col("event_type"))
+    val sketch = ev.stat.countMinSketch(col("event_type"), CmsEps, 0.99, 42)
+    val total = sketch.totalCount
+    val est = udf((k: String) => sketch.estimateCount(k))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("e", est(col("event_type")))
+      .select(col("event_type"), col("n_exact"),
+        (col("e") >= col("n_exact")).as("est_ge_exact"),
+        (col("e") <= col("n_exact") + lit((CmsEps * total).toLong)).as("est_within_eps"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle for [[cmsFreq]]: exact counts; the sketch must prove its
+    * published one-sided error bounds. */
+  val cmsFreqSql: String =
+    """SELECT event_type, count(*) AS n_exact,
+      |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Scalar + correlated subqueries: orders above the global average
     * price, with each customer's own order count (Catalyst rewrites
     * the correlated scalar subquery into an aggregate + join). The

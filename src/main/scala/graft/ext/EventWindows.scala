@@ -365,4 +365,99 @@ object EventWindows {
        |WHERE n >= $AnomalyMinN
        |  AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
        |ORDER BY event_id""".stripMargin
+
+  /** Cohort retention matrix — users cohorted by first-activity day,
+    * activity counted per (cohort, day-offset): the standard
+    * product-analytics retention triangle.
+    *
+    * Scale shape: distinct user-days (one shuffle), per-user min via a
+    * window over the SAME user-partitioned shuffle (no separate
+    * first-day frame + join — Catalyst would recompute the distinct
+    * for each consumer, the ngramJaccard lesson), then one aggregation
+    * to the matrix, whose cohort-size denominator is read from the
+    * offset-0 cell by a window rather than a second aggregation. Every
+    * step is a groupBy/window on bounded keys; nothing touches the
+    * driver. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val withCohort = userDays
+      .withColumn("cohort_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val matrix = withCohort
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // user-days are distinct ⇒ count = distinct users
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort_day"))))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |wc AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM ud),
+      |m AS (
+      |  SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+      |    count(*) AS n_active
+      |  FROM wc GROUP BY 1, 2)
+      |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+      |  CAST(day_offset AS BIGINT) AS day_offset,
+      |  n_active,
+      |  max(CASE WHEN day_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_day) AS cohort_size,
+      |  CAST(n_active AS DOUBLE) /
+      |    CAST(max(CASE WHEN day_offset = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention
+      |FROM m
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Events per path prefix considered. */
+  val PathLen = 8
+  /** Paths reported. */
+  val PathTopK = 20
+
+  /** Most common early-journey event paths: each user's first
+    * [[PathLen]] events (total order (micros, event_id)) joined into a
+    * path string, global frequency count, top [[PathTopK]] by
+    * (count desc, path). One user-keyed shuffle for the sequence
+    * window, one aggregation on the path string, and a global
+    * TakeOrderedAndProject for the top-k — no driver round-trips. */
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val paths = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          _.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val topPathsSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+       |  FROM events),
+       |paths AS (
+       |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM seq WHERE rn <= $PathLen GROUP BY user_id)
+       |SELECT path, count(*) AS n_users
+       |FROM paths GROUP BY path
+       |ORDER BY n_users DESC, path
+       |LIMIT $PathTopK""".stripMargin
 }

@@ -66,6 +66,43 @@ class ChunkSegmentSpec extends SparkSpec {
     assert(sq === exact)
   }
 
+  test("cohort retention: offset-0 cells are full cohorts; counts never exceed cohort size") {
+    val m = EventWindows.cohortRetention(spark, sf)
+    assert(m.filter(col("day_offset") === 0 &&
+      (col("n_active") =!= col("cohort_size") || col("retention") =!= 1.0)).count() === 0)
+    assert(m.filter(col("n_active") > col("cohort_size")).count() === 0)
+    // cohort sizes sum to the distinct-user count
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val sizes = m.filter(col("day_offset") === 0)
+      .agg(sum(col("cohort_size"))).head.getLong(0)
+    assert(sizes === users)
+  }
+
+  test("top paths: every path has at most PathLen hops and counts sum to <= distinct users") {
+    val p = EventWindows.topPaths(spark, sf).collect()
+    assert(p.nonEmpty && p.length <= EventWindows.PathTopK)
+    p.foreach { r =>
+      assert(r.getString(0).split(">").length <= EventWindows.PathLen)
+    }
+    // sorted by count desc
+    val counts = p.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
+  test("scd2 history: intervals chain per customer with one open row") {
+    val h = graft.analytics.MergeUpsert.scd2History(spark, sf)
+    // exactly one current row per customer
+    val multi = h.filter(col("is_current")).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= 1)
+    assert(multi.count() === 0)
+    // each non-current row's valid_to equals the next row's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("valid_from"), col("o_orderkey"))
+    val chained = h.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+      .filter(!col("is_current"))
+    assert(chained.filter(col("valid_to") =!= col("nxt")).count() === 0)
+  }
+
   test("anomalies are exactly the |z| > 2 events of groups with n >= AnomalyMinN") {
     val ev = Tables.events(spark, sf)
       .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
