@@ -175,6 +175,7 @@ object SparkEntry {
     ("x7_cms_freq", StarQueries.cmsFreq _, Some(StarQueries.cmsFreqSql)),
     ("x8_scd2_history", graft.analytics.MergeUpsert.scd2History _,
       Some(graft.analytics.MergeUpsert.scd2HistorySql)),
+    ("x6_markov", EventWindows.markovTransitions _, Some(EventWindows.markovTransitionsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -440,20 +440,27 @@ object Dedup {
     * both engines, so the ENTIRE pipeline (signature, banding radius,
     * hamming filter) is mirrored by [[simhashSql]] and driver
     * hash-verified; no engine-specific hashing in the data path. */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // one md5+hex-fold per shingle, then 60 codegen'd conditional sums
-    // per doc (explode + groupBy beats interpreted HOF lambdas ~100×)
-    val hashed = docs(spark, sfDir)
+  /** (doc_id, simhash) for a (doc_id, text) frame — one md5+hex-fold
+    * per shingle, then 60 codegen'd conditional sums per doc (explode
+    * + groupBy beats interpreted HOF lambdas ~100×). Shared by the
+    * batch near-dup query and (as the ground truth the typed streaming
+    * hasher is spec-pinned against) the streaming path. */
+  private[graft] def simhashFrame(docFrame: DataFrame): DataFrame = {
+    val hashed = docFrame
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
       .select(col("doc_id"), expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
     val bitSums = hashed.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
       (1 until SimHashBits).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
-    val sims = bitSums.select(col("doc_id"),
+    bitSums.select(col("doc_id"),
       (0 until SimHashBits).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
       ).reduce(_ + _).as("simhash"))
+  }
+
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = simhashFrame(docs(spark, sfDir))
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimHashChunks - 1}), c -> named_struct(" +
         "'chunk', c, 'ck', shiftright(simhash, c * 15) & 32767))")).as("c"))

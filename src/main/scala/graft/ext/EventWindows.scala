@@ -460,4 +460,42 @@ object EventWindows {
        |FROM paths GROUP BY path
        |ORDER BY n_users DESC, path
        |LIMIT $PathTopK""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current) with exact integer counts
+    * and a single final division (bit-identical across engines). One
+    * user-keyed shuffle for the lag window, one 25-cell aggregation,
+    * one row-total window over the 25-row matrix — the heavy work is
+    * all in the first shuffle, everything after is constant-sized. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM m
+      |ORDER BY from_type, to_type""".stripMargin
 }

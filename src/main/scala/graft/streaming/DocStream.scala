@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.security.MessageDigest
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the incremental form of the
+  * batch SimHash dedup ([[graft.ext.Dedup.simhashNearDup]]): documents
+  * arrive as a stream, and each is checked against the recent corpus
+  * without ever joining the stream with itself.
+  *
+  * Same algorithm, re-shaped for unbounded input:
+  *  - per-document 60-bit SimHash, computed by [[simhash60]] — a typed
+  *    function bit-identical to the batch pipeline (spec-pinned);
+  *  - 4×15-bit pigeonhole banding: hamming ≤ 3 ⟹ the pair collides in
+  *    at least one chunk, so state is keyed by (chunk, chunk-value)
+  *    and a document only meets the members of its 4 buckets — the
+  *    stream never meets the whole history;
+  *  - `flatMapGroupsWithState` holds each bucket's recent
+  *    (simhash, doc_id, event-time) members and prunes them against
+  *    the watermark — state is bounded by the watermark window × bucket
+  *    fan-in, the property that keeps this runnable forever.
+  *
+  * Emitted hits may repeat (a pair can collide in up to 4 chunks);
+  * exact-once pair output would add one downstream
+  * `dropDuplicatesWithinWatermark` on a carried event-time column.
+  */
+object DocStream {
+
+  val SimHashBits = 60
+  val SimHashChunks = 4
+  val SimHashMaxHamming = 3
+
+  case class DocRow(doc_id: Long, ts: Timestamp, text: String)
+  // carries the WATERMARKED event-time column through to the stateful
+  // operator — EventTimeTimeout requires it to survive the projections.
+  // (Public: the encoder's generated deserializer constructs these.)
+  case class BucketRow(chunk: Int, ck: Int, doc_id: Long,
+      ts: Timestamp, simhash: Long) {
+    def tsMicros: Long = ts.getTime * 1000L
+  }
+  case class DupHit(i: Long, j: Long, hamming: Int, chunk: Int)
+  case class BucketState(members: List[(Long, Long, Long)]) // (simhash, doc_id, tsMicros)
+
+  /** 60-bit SimHash of a text — typed mirror of the batch expression
+    * pipeline (distinct char-8-grams → md5 hex prefix as 60-bit int →
+    * per-bit majority). Kept bit-identical: same shingle starts
+    * (1 ≤ i ≤ max(len−7, 1), tail shingles clipped like `substring`),
+    * same first-15-hex-chars fold, same strict-majority bit rule. */
+  def simhash60(text: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](SimHashBits)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val last = math.max(text.length - 7, 1)
+    var i = 0
+    while (i < last) {
+      val s = text.substring(i, math.min(i + 8, text.length))
+      if (seen.add(s)) {
+        val hex = md.digest(s.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        var b = 0
+        while (b < SimHashBits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    (0 until SimHashBits).foldLeft(0L) { (acc, b) =>
+      if (counts(b) > 0) acc | (1L << b) else acc
+    }
+  }
+
+  /** docs: streaming frame with (doc_id, ts, text). Returns the
+    * detected near-dup pair stream (append mode). */
+  def nearDupStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = udf(simhash60 _)
+    val buckets = docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("simhash", sh(col("text")))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(expr(s"transform(sequence(0, ${SimHashChunks - 1}), c -> named_struct(" +
+          "'chunk', cast(c as int), 'ck', cast(shiftright(simhash, c * 15) & 32767 as int)))"))
+          .as("c"))
+      .select(col("c.chunk"), col("c.ck"), col("doc_id"), col("ts"), col("simhash"))
+      .as[BucketRow]
+    buckets
+      .groupByKey(r => (r.chunk, r.ck))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        detectGroup)
+  }
+
+  /** Per-bucket detection: new members meet current state (and each
+    * other, in (ts, doc_id) order for determinism); state is pruned to
+    * the watermark and times out with it. */
+  private[graft] def detectGroup(key: (Int, Int), rows: Iterator[BucketRow],
+      state: GroupState[BucketState]): Iterator[DupHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val watermark = state.getCurrentWatermarkMs() * 1000L // micros
+    var members = state.getOption.map(_.members).getOrElse(Nil)
+      .filter(_._3 >= watermark)
+    val hits = scala.collection.mutable.ListBuffer.empty[DupHit]
+    rows.toSeq.sortBy(r => (r.tsMicros, r.doc_id)).foreach { r =>
+      members.foreach { case (sh, id, _) =>
+        if (id != r.doc_id) {
+          val ham = java.lang.Long.bitCount(sh ^ r.simhash)
+          if (ham <= SimHashMaxHamming)
+            hits += DupHit(math.min(id, r.doc_id), math.max(id, r.doc_id), ham, key._1)
+        }
+      }
+      members = (r.simhash, r.doc_id, r.tsMicros) :: members
+    }
+    state.update(BucketState(members))
+    // keep state alive only while the watermark can still match it
+    val newest = members.map(_._3).foldLeft(Long.MinValue)(math.max)
+    if (newest > Long.MinValue)
+      state.setTimeoutTimestamp(newest / 1000L, "10 minutes")
+    hits.iterator
+  }
+}

@@ -77,6 +77,22 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("format breadth: ORC and JSON round-trip the orders table losslessly") {
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+      // JSON has no timestamp type — ISO strings survive both formats
+      .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+    for (fmt <- Seq("orc", "json")) {
+      val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/out"
+      src.write.format(fmt).save(dir)
+      val back = spark.read.format(fmt)
+        .schema(src.schema) // pin the schema: JSON inference widens types
+        .load(dir)
+      assert(back.count() === src.count(), s"$fmt row count")
+      assert(back.exceptAll(src).count() === 0, s"$fmt rows differ")
+      assert(src.exceptAll(back).count() === 0, s"$fmt rows missing")
+    }
+  }
+
   test("partitioned write: dynamic overwrite replaces only the touched partition") {
     val dir = Files.createTempDirectory("graft-part").toString + "/events"
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

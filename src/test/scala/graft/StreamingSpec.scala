@@ -179,6 +179,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup detects cross-batch simhash twins; far docs stay clean") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val twin = base.dropRight(2) + "x " // tail tweak → simhash hamming = 3
+    val other = "completely different content about spark shuffles " * 8
+    val mem = MemoryStream[DocStream.DocRow]
+    val q = DocStream.nearDupStream(mem.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("nd").start()
+    try {
+      mem.addData(DocStream.DocRow(1L, ts(1), base), DocStream.DocRow(2L, ts(2), other))
+      q.processAllAvailable()
+      assert(spark.table("nd").count() === 0) // batch 1: no dups yet
+      mem.addData(DocStream.DocRow(3L, ts(3), twin)) // arrives in a LATER batch
+      q.processAllAvailable()
+      val hits = spark.table("nd").select("i", "j").distinct().as[(Long, Long)].collect()
+      assert(hits.toSet === Set((1L, 3L))) // twin found across batches, other not
+    } finally q.stop()
+  }
+
+  test("streaming near-dup state expires with the watermark (no stale matches)") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = "state must not outlive the watermark window " * 10
+    val mem = MemoryStream[DocStream.DocRow]
+    val q = DocStream.nearDupStream(mem.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ndexp").start()
+    try {
+      mem.addData(DocStream.DocRow(1L, ts(1), base))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1 (unrelated doc at 02:00)
+      mem.addData(DocStream.DocRow(2L, tsHM(2, 0), "unrelated filler text " * 10))
+      q.processAllAvailable()
+      // doc 1's twin arrives long after doc 1 left the window → clean
+      mem.addData(DocStream.DocRow(3L, tsHM(2, 1), base))
+      q.processAllAvailable()
+      assert(spark.table("ndexp").count() === 0)
+    } finally q.stop()
+  }
+
+  test("typed streaming simhash matches the batch expression pipeline bit-for-bit") {
+    import spark.implicits._
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val batch = graft.ext.Dedup.simhashFrame(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val typed = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> DocStream.simhash60(t) }.toMap
+    assert(typed === batch)
+  }
+
   test("foreachBatch landing sink is idempotent under batch replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
