@@ -176,6 +176,10 @@ object SparkEntry {
     ("x8_scd2_history", graft.analytics.MergeUpsert.scd2History _,
       Some(graft.analytics.MergeUpsert.scd2HistorySql)),
     ("x6_markov", EventWindows.markovTransitions _, Some(EventWindows.markovTransitionsSql)),
+    ("x8_pit_join", graft.analytics.AsOfJoin.pitEnrich _,
+      Some(graft.analytics.AsOfJoin.pitEnrichSql)),
+    ("x8_bloom_prefilter", StarQueries.bloomPrefilter _, Some(StarQueries.bloomPrefilterSql)),
+    ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

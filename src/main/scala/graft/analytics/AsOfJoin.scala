@@ -58,6 +58,54 @@ object AsOfJoin {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Point-in-time enrichment against dimension HISTORY (the
+    * feature-store correctness pattern): each probe reads the version
+    * of its entity that was valid AT its timestamp — never a later one
+    * (no feature leakage). Probes are synthesized deterministically
+    * from the order log itself (each order's date + 100 days) so every
+    * probe lands mid-history. Same one-shuffle union + ordered-window
+    * composition as [[asOf]]; versions sort before probes at equal
+    * timestamps. */
+  def pitEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val versions = orders.select(col("o_custkey"), col("o_orderdate").as("ts"),
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderkey").as("version_key"))
+    val probes = orders.select(col("o_custkey"),
+      expr("o_orderdate + INTERVAL 100 DAYS").as("ts"),
+      col("o_orderkey"))
+    asOf(versions, probes, "o_custkey", "ts", "o_orderkey",
+      Seq("o_orderstatus", "version_key"))
+      .select(col("o_custkey"), col("__tb").as("probe_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("probe_ts"),
+        col("asof_o_orderstatus").as("status_at_probe"),
+        col("asof_version_key").as("version_key"))
+      .orderBy(col("o_custkey"), col("probe_id"))
+  }
+
+  val pitEnrichSql: String =
+    """WITH combined AS (
+      |  SELECT o_custkey, o_orderdate AS ts, 0 AS side, o_orderkey,
+      |    o_orderstatus AS c_status, o_orderkey AS c_vk
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderdate + INTERVAL 100 DAY AS ts, 1 AS side,
+      |    o_orderkey, NULL AS c_status, NULL AS c_vk
+      |  FROM orders),
+      |annotated AS (
+      |  SELECT o_custkey, ts, side, o_orderkey,
+      |    last_value(c_status IGNORE NULLS) OVER w AS status_at_probe,
+      |    last_value(c_vk IGNORE NULLS) OVER w AS version_key
+      |  FROM combined
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, side, o_orderkey
+      |               ROWS UNBOUNDED PRECEDING))
+      |SELECT o_custkey, o_orderkey AS probe_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+      |  status_at_probe, version_key
+      |FROM annotated
+      |WHERE side = 1
+      |ORDER BY o_custkey, probe_id""".stripMargin
+
   val errorsWithLastClickSql: String =
     """WITH combined AS (
       |  SELECT user_id, ts, 0 AS side, event_id, ts AS c_ts, value AS c_val

@@ -428,6 +428,79 @@ object StarQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Explicit Bloom-filter semi-join prefilter — the manual form of
+    * the runtime-filter optimization (the automatic
+    * `InjectRuntimeFilter` path is pinned in RuntimeFilterSpec): build
+    * a Bloom filter over the small side's keys in one pass
+    * (`stat.bloomFilter` — bit-array OR-merge is commutative, and
+    * Spark's Murmur3 hashing is unseeded, so the filter is
+    * partitioning-independent), prefilter the big side BEFORE the
+    * shuffle, then exact semi-join. At cluster scale the prefilter
+    * drops non-matching rows at the scan, shrinking the shuffle by the
+    * selectivity factor; Bloom filters have NO false negatives, so the
+    * result is provably identical to the plain semi-join — which is
+    * exactly what the oracle checks. */
+  def bloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = cust.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    Tables.orders(spark, sfDir)
+      .filter(mightContain(col("o_custkey"))) // scan-side prefilter
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Oracle: the plain semi-join aggregate — the Bloom stage must be
+    * invisible in the result. */
+  val bloomPrefilterSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    * Spark 4 `hll_sketch_agg` family): one sketch per segment, then
+    * the per-segment sketches UNIONED into a global estimate — the
+    * merge step is what makes sketches the scalable rollup path (exact
+    * distinct cannot reuse per-group work; sketches union in constant
+    * space). Customers are unique rows, so per-segment exact distincts
+    * sum to the global exact. The output proves both levels landed
+    * within ±3% of exact. */
+  def hllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val seg = Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_exact"),
+        expr("hll_sketch_agg(c_custkey)").as("sk"))
+    val perSeg = seg.select(col("c_mktsegment").as("segment"), col("n_exact"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")).cast("double") /
+        col("n_exact").cast("double") <= 0.03).as("in_bounds"))
+    val merged = seg.agg(sum(col("n_exact")).as("n_exact"),
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(lit("ALL").as("segment"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= 0.03).as("in_bounds"))
+    perSeg.unionByName(merged).orderBy(col("segment"))
+  }
+
+  /** Oracle: exact distincts per segment and overall; booleans must
+    * prove the sketch bounds. */
+  val hllMergeSql: String =
+    """SELECT c_mktsegment AS segment,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+      |  TRUE AS in_bounds
+      |FROM customer GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'ALL', CAST(count(DISTINCT c_custkey) AS BIGINT), TRUE FROM customer
+      |ORDER BY segment""".stripMargin
+
   /** Scalar + correlated subqueries: orders above the global average
     * price, with each customer's own order count (Catalyst rewrites
     * the correlated scalar subquery into an aggregate + join). The
