@@ -180,6 +180,8 @@ object SparkEntry {
       Some(graft.analytics.AsOfJoin.pitEnrichSql)),
     ("x8_bloom_prefilter", StarQueries.bloomPrefilter _, Some(StarQueries.bloomPrefilterSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
+    ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
+    ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

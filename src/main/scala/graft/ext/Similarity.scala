@@ -385,6 +385,42 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Per-label mean embedding (class centroids) — the building block
+    * under IVF coarse quantizers, class prototypes, and semantic-dedup
+    * cluster seeds. Elementwise sums in ×1e7-quantized INTEGER space
+    * (posexplode → groupBy (label, dim): 64·L cells, fully map-side
+    * combinable, one shuffle), single final division to the double
+    * mean. At 100 TB this is the canonical "reduce a billion vectors
+    * to L×D numbers" pass — no driver state, no HOF on the corpus
+    * path. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        expr("cast(round(cast(col as double) * 10000000) as bigint)").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n_vectors"), col("sum_q"),
+        (col("sum_q").cast("double") / (col("n_vectors") * 10000000L).cast("double"))
+          .as("mean"))
+      .orderBy(col("label"), col("dim"))
+
+  val labelCentroidsSql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT label, unnest([{'dim': CAST(i - 1 AS BIGINT), 'q': iv[i]}
+      |    FOR i IN range(1, len(iv) + 1)], recursive := true)
+      |  FROM q)
+      |SELECT label, dim, count(*) AS n_vectors,
+      |  CAST(sum(q) AS BIGINT) AS sum_q,
+      |  CAST(sum(q) AS DOUBLE) / CAST(count(*) * 10000000 AS DOUBLE) AS mean
+      |FROM cells
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   /** Per-label corpus statistics over the embedding column — the
     * health-check pass every vector pipeline runs before indexing
     * (dimension consistency, norm distribution per class). Squared

@@ -183,12 +183,11 @@ object TextStats {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
-        // empty-text guard: sequence(1,0) would DESCEND in Spark while
-        // the DuckDB mirror's range(1,1) is empty — pin both to 0
-        expr("""CASE WHEN length(text) = 0 THEN cast(0 as bigint) ELSE aggregate(
-          |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
-          |  cast(0 as bigint),
-          |  (acc, c) -> (acc * 31 + c) % 1000000007) END""".stripMargin).as("rolling_hash"),
+        // codegen'd expression (functions/StringExpressions.RollingHash):
+        // one primitive loop per document, replacing the corpus-length
+        // interpreted-HOF fold (aggregate∘transform∘sequence) — same
+        // values, pinned by the equivalence spec + this query's oracle
+        graft.functions.StringFunctions.rolling_hash(col("text")).as("rolling_hash"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -438,4 +437,38 @@ object TextStats {
       |FROM n
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** Per-source dataset card — the one-page corpus report every
+    * training-data release ships with: volume, exact-dup rate,
+    * length/word totals, language mix. ONE aggregation pass over the
+    * corpus (dup detection via count-distinct of the text hash inside
+    * the same groupBy — no join with a dedup frame), all measures
+    * integer-exact until two final divisions. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(size(split(col("text"), " "))).as("total_words"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        (col("n_docs") - col("n_unique_texts")).as("n_dup_docs"),
+        col("total_chars"), col("total_words"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        (col("n_en").cast("double") / col("n_docs").cast("double")).as("pct_en"))
+      .orderBy(col("source"))
+
+  val datasetCardSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS pct_en
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - polynomial rolling hash (base 31, mod 1e9+7)"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(text, n) - generator of distinct character n-grams"),
       (exprs: Seq[Expression]) =>

@@ -51,10 +51,64 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static helper for [[RollingHash]] — one tight primitive loop. */
+object RollingHashHelper {
+  val Base = 31L
+  val Mod = 1000000007L
+
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * Base + str.charAt(i)) % Mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `rolling_hash(str)` — polynomial rolling hash
+  * (Σ cᵢ·31^(n−i) mod 1e9+7) as a codegen'd expression.
+  *
+  * The HOF formulation (`aggregate(transform(sequence(1, length(text)),
+  * i -> ascii(substring(text, i, 1))), …)`) materializes a per-char
+  * array and walks TWO interpreted lambda closures per character —
+  * the corpus-length interpreted-lambda trap this suite bans from hot
+  * paths. This expression is one primitive loop inside
+  * WholeStageCodegen, no intermediate array. Character semantics:
+  * UTF-16 code units (`charAt`), identical to the HOF's `ascii()` for
+  * all BMP text and pinned by an equivalence spec on the real corpus.
+  * Null → null; empty string → 0 (same as the HOF's guarded branch).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHashHelper.hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashHelper.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object StringFunctions {
   def nfc_normalize(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
+  def rolling_hash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+  }
 }

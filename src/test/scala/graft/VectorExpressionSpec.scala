@@ -48,6 +48,24 @@ class VectorExpressionSpec extends SparkSpec {
     assert(d === 127L * 127L + (-127L) * 127L)
   }
 
+  test("rolling_hash equals the interpreted HOF fold on real docs, empty, and null") {
+    import graft.functions.StringFunctions.rolling_hash
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val both = docs.select(
+      rolling_hash(col("text")).as("expr_hash"),
+      expr("""CASE WHEN length(text) = 0 THEN cast(0 as bigint) ELSE aggregate(
+        |  transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        |  cast(0 as bigint),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) END""".stripMargin).as("hof_hash"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val edge = Seq(Some(""), Some("a"), None).toDF("t")
+      .select(rolling_hash(col("t"))).collect()
+    assert(edge(0).getLong(0) === 0L)
+    assert(edge(1).getLong(0) === 'a'.toLong)
+    assert(edge(2).isNullAt(0))
+  }
+
   test("null input yields null") {
     val withNull = df.withColumn("a", when(col("id") === 1L, col("a")))
     val rows = withNull.select(VectorFunctions.vec_dot(col("a"), col("b"))).collect()
