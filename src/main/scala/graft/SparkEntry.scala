@@ -182,6 +182,8 @@ object SparkEntry {
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),
+    ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
+    ("x6_interval_merge", EventWindows.mergeIntervals _, Some(EventWindows.mergeIntervalsSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -266,6 +266,59 @@ object Dedup {
     verifyCandidates(spark, sfDir, cand)
   }
 
+  /** Incremental (delta) near-dup dedup — the production shape at
+    * 100 TB: a daily delta lands against an already-deduped index, and
+    * only NEW×INDEX and NEW×NEW candidate pairs are ever generated;
+    * the index never meets itself again. Here the delta is the
+    * deterministic `doc_id % 5 = 0` slice (in production: yesterday's
+    * signatures/bands are a materialized table — same plan with the
+    * recompute replaced by a scan). Banding, candidate join, and exact
+    * verification are identical to [[minhashNearDup]]; the only
+    * change is the `≥ 1 delta side` predicate on the band join, which
+    * is what turns full-corpus O(pairs) into O(delta-adjacent pairs).
+    * Oracle: the full exact-jaccard pair set restricted to pairs with
+    * a delta side. */
+  def minhashDeltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    val sig = sh.groupBy(col("doc_id")).agg(
+      min(xxhash64(lit(0), col("s"))).as("h0"),
+      (1 until NumPerms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64((0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"),
+        (col("doc_id") % 5 === 0).as("is_delta"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_delta") || col("b.is_delta")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+    verifyCandidates(spark, sfDir, cand)
+  }
+
+  /** [[fullJaccardSql]] restricted to pairs with ≥1 delta side. */
+  val minhashDeltaSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, common,
+      |  CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) AS jaccard
+      |FROM pairs
+      |JOIN sizes si ON si.doc_id = i
+      |JOIN sizes sj ON sj.doc_id = j
+      |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
+      |  AND (i % 5 = 0 OR j % 5 = 0)
+      |ORDER BY i, j""".stripMargin
+
   /** [[minhashNearDup]] built on the custom
     * [[graft.functions.MinHashAgg]] sketch aggregate: ONE
     * TypedImperativeAggregate computes the 32-perm signature per doc

@@ -482,6 +482,71 @@ object EventWindows {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Interval half-width: each event claims [ts, ts + 5 min). */
+  val MergeSpanMinutes = 5
+
+  /** Interval merging (gaps-and-islands): each event opens a 5-minute
+    * activity interval; overlapping/touching intervals per user merge
+    * into islands — the generalized sessionizer, and the same pattern
+    * that coalesces validity ranges, IP blocks, or genomic regions.
+    *
+    * Plan: one user-keyed shuffle; island boundaries from a running
+    * `max(end)` window (an interval starts an island iff its start
+    * exceeds every previous end), island ids from a running sum of
+    * boundary flags, then one aggregation per island. All integer
+    * micros — no float time math. */
+  def mergeIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val span = MergeSpanMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("start"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start"),
+        (unix_micros(col("ts")) + span).as("end"))
+      .withColumn("prev_max_end", max(col("end")).over(wPrev))
+      .withColumn("new_island",
+        (col("prev_max_end").isNull || col("start") > col("prev_max_end")).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("start")).as("island_start"),
+        max(col("end")).as("island_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island"), col("island_start"), col("island_end"),
+        (col("island_end") - col("island_start")).as("span_us"), col("n_events"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
+  val mergeIntervalsSql: String = {
+    val span = MergeSpanMinutes * 60L * 1000000L
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS start,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) + $span AS "end"
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, start, "end",
+       |    CASE WHEN max("end") OVER (PARTITION BY user_id ORDER BY start, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |           OR start > max("end") OVER (PARTITION BY user_id ORDER BY start, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS new_island
+       |  FROM iv),
+       |islands AS (
+       |  SELECT user_id, start, "end",
+       |    CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY start, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+       |  FROM flagged)
+       |SELECT user_id, island,
+       |  CAST(min(start) AS BIGINT) AS island_start,
+       |  CAST(max("end") AS BIGINT) AS island_end,
+       |  CAST(max("end") - min(start) AS BIGINT) AS span_us,
+       |  count(*) AS n_events
+       |FROM islands
+       |GROUP BY user_id, island
+       |ORDER BY user_id, island""".stripMargin
+  }
+
   val markovTransitionsSql: String =
     """WITH seq AS (
       |  SELECT user_id, event_type AS from_type,

@@ -103,6 +103,29 @@ class ChunkSegmentSpec extends SparkSpec {
     assert(chained.filter(col("valid_to") =!= col("nxt")).count() === 0)
   }
 
+  test("delta dedup = full near-dup pair set restricted to pairs with a delta side") {
+    val full = Dedup.minhashNearDup(spark, sf).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val delta = Dedup.minhashDeltaDedup(spark, sf).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta === full.filter { case (i, j) => i % 5 == 0 || j % 5 == 0 })
+  }
+
+  test("merged intervals are disjoint per user and cover every event") {
+    import graft.ext.EventWindows
+    val islands = EventWindows.mergeIntervals(spark, sf)
+    // disjoint: next island starts strictly after this one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("island"))
+    val overlap = islands
+      .withColumn("next_start", lead(col("island_start"), 1).over(w))
+      .filter(col("next_start").isNotNull && col("next_start") <= col("island_end"))
+    assert(overlap.count() === 0)
+    // conservation: island event counts sum to the events table size
+    val n = islands.agg(sum(col("n_events"))).head.getLong(0)
+    assert(n === Tables.events(spark, sf).count())
+  }
+
   test("anomalies are exactly the |z| > 2 events of groups with n >= AnomalyMinN") {
     val ev = Tables.events(spark, sf)
       .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
