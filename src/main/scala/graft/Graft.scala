@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library front door — the one-call session a user of the engine
+  * starts from:
+  *
+  * {{{
+  *   val spark = Graft.session()          // local, extensions wired
+  *   graft.SparkEntry.queries("a1_county_rollup")(spark, dir)
+  * }}}
+  *
+  * Wires everything the library registers via
+  * `SparkSessionExtensions` (custom expressions `vec_dot`/`vec_qdot`/
+  * `vec_sq8dot`/`nfc_normalize`/`rolling_hash`, the `shingles`
+  * generator, the TopKPerKey planner strategy, the BinnedRangeJoin
+  * optimizer rule) plus the local-mode configs the mains use. On a
+  * real cluster, pass the same extension class through
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` and
+  * only the session-builder sugar here is local-specific.
+  */
+object Graft {
+  def builder(
+      master: String = s"local[${math.min(16, Runtime.getRuntime.availableProcessors())}]",
+      shufflePartitions: Int = 8): SparkSession.Builder =
+    LocalDirs.configure(
+      SparkSession.builder()
+        .master(master)
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true"))
+
+  def session(): SparkSession = builder().getOrCreate()
+}

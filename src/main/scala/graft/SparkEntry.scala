@@ -94,6 +94,7 @@ object SparkEntry {
     // multimodal (X5)
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     ("x5_frames_meta", Multimodal.framesMeta _, Some(Multimodal.framesMetaSql)),
+    ("x5_resize_meta", Multimodal.resizeMeta _, Some(Multimodal.resizeMetaSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),

@@ -165,4 +165,38 @@ object Multimodal {
       |FROM f
       |WHERE i % 4 = 0
       |ORDER BY media_id, frame_no""".stripMargin
+
+  /** Resize target for the oracled query (w×h = 42 bytes — strictly
+    * below the corpus minimum asset size, so the stub only truncates
+    * and the oracle needs no binary zero-padding, which DuckDB's
+    * VARCHAR md5 could not express). */
+  val ResizeW = 6
+  val ResizeH = 7
+
+  /** Third oracled X5 query: drive the REAL resize mapPartitions
+    * pipeline and pin its output metadata + payload digest under the
+    * hash gate. Assets below the target size are excluded up front
+    * (semantics: you only downscale assets at least as large as the
+    * target), keeping the path truncation-only at any SF. */
+  def resizeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val target = ResizeW * ResizeH
+    val src = mediaTable(spark, sfDir)
+      .filter(col("n_bytes") >= target).as[MediaRecord]
+    src.mapPartitions(it => resizeStub(it, ResizeW, ResizeH)).toDF()
+      .select(col("media_id"), col("mime"), col("n_bytes"),
+        md5(col("payload")).as("out_md5"))
+      .orderBy(col("media_id"))
+  }
+
+  val resizeMetaSql: String = {
+    val target = ResizeW * ResizeH
+    s"""SELECT doc_id AS media_id,
+       |  'text/plain;src=' || source || ';resized=${ResizeW}x$ResizeH' AS mime,
+       |  CAST($target AS BIGINT) AS n_bytes,
+       |  md5(substr(text, 1, $target)) AS out_md5
+       |FROM documents
+       |WHERE octet_length(encode(text)) >= $target
+       |ORDER BY media_id""".stripMargin
+  }
 }
