@@ -9,17 +9,10 @@ object Bench {
     // More task slots help the scan/codegen stages; FEWER shuffle
     // partitions keep the 96-query tail's stages from drowning in
     // per-task overhead at this data scale. Both remain overridable.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(16, Runtime.getRuntime.availableProcessors()).toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Graft.defaultCores.toString)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(8, cpus.toInt).toString)
-    val spark = LocalDirs.configure(SparkSession.builder())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // answer min/max/count-only aggregates from parquet footers
-      .config("spark.sql.parquet.aggregatePushdown", "true")
+    val spark = Graft.builder(s"local[$cpus]", shuffle.toInt)
       // testdata files are single small parquets (lineitem@sf0.1 ≈ 11 MB);
       // the 128 MB default split → 1-task scans. 4 MB splits let scans
       // use the cores while shuffle stages already use `cpus` partitions.

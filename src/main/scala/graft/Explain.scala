@@ -8,13 +8,7 @@ import org.apache.spark.sql.SparkSession
   * WholeStageCodegen coverage. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = LocalDirs.configure(SparkSession.builder())
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // answer min/max/count-only aggregates from parquet footers
-      .config("spark.sql.parquet.aggregatePushdown", "true")
+    val spark = Graft.builder("local[4]", 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -20,8 +20,12 @@ import org.apache.spark.sql.SparkSession
   * only the session-builder sugar here is local-specific.
   */
 object Graft {
+  /** Default core count for local sessions (measured sweet spot on
+    * the 32-core contract machine — see Bench). */
+  def defaultCores: Int = math.min(16, Runtime.getRuntime.availableProcessors())
+
   def builder(
-      master: String = s"local[${math.min(16, Runtime.getRuntime.availableProcessors())}]",
+      master: String = s"local[$defaultCores]",
       shufflePartitions: Int = 8): SparkSession.Builder =
     LocalDirs.configure(
       SparkSession.builder()
@@ -32,5 +36,18 @@ object Graft {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true"))
 
-  def session(): SparkSession = builder().getOrCreate()
+  /** `getOrCreate` returns a PRE-EXISTING session unchanged (its
+    * builder-time extensions never ran in that case), so the function
+    * surface is (re-)registered post-hoc — temp-function registration
+    * is idempotent and works on any session. The TopKPerKey strategy
+    * self-registers on first use (GraftSqlShim) and the range-join
+    * rule is only additive, so functions are the one piece that would
+    * otherwise go missing. */
+  def session(): SparkSession = {
+    val s = builder().getOrCreate()
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.StringFunctions.register(s)
+    graft.functions.Shingles.register(s)
+    s
+  }
 }

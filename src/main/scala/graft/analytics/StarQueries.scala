@@ -444,7 +444,11 @@ object StarQueries {
     val cust = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bloom = cust.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    // size the filter from the ACTUAL build side (one scalar count on
+    // the small dimension — same bound as tfidf's corpus size): a
+    // hardcoded capacity saturates at larger SFs and the FPP → 1,
+    // turning the prefilter into pure overhead
+    val bloom = cust.stat.bloomFilter("c_custkey", math.max(cust.count(), 64L), 0.01)
     val mightContain = udf((k: Long) => bloom.mightContain(k))
     Tables.orders(spark, sfDir)
       .filter(mightContain(col("o_custkey"))) // scan-side prefilter

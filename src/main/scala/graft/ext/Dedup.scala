@@ -244,20 +244,26 @@ object Dedup {
     * margins (planted near-dups ≥ 0.92 full-set jaccard, random pairs
     * ≤ ~0.3) the miss probability at b=8, r=4 is (1-0.92⁴)⁸ ≈ 4e-5,
     * so LSH-then-verify equals the exact full-set result. */
-  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // signatures via explode + 32 codegen'd min-aggregates (NOT
-    // interpreted HOF lambdas): one narrow shuffle on doc_id
-    val sh = docs(spark, sfDir)
+  /** (doc_id, band, bh) LSH band buckets for a (doc_id, text) frame:
+    * signatures via explode + 32 codegen'd min-aggregates (NOT
+    * interpreted HOF lambdas; one narrow shuffle on doc_id), then
+    * 8 bands × 4 rows. Shared by the full and incremental (delta)
+    * near-dup paths so the hash family/banding can never diverge. */
+  private def bandedFrame(docFrame: DataFrame): DataFrame = {
+    val sh = docFrame
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
     val sig = sh.groupBy(col("doc_id")).agg(
       min(xxhash64(lit(0), col("s"))).as("h0"),
       (1 until NumPerms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-    // LSH banding: 8 bands × 4 rows
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until Bands).map(j =>
         struct(lit(j).as("band"),
           xxhash64((0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*).as("bh"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
+  }
+
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = bandedFrame(docs(spark, sfDir))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -279,17 +285,8 @@ object Dedup {
     * Oracle: the full exact-jaccard pair set restricted to pairs with
     * a delta side. */
   def minhashDeltaDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docs(spark, sfDir)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    val sig = sh.groupBy(col("doc_id")).agg(
-      min(xxhash64(lit(0), col("s"))).as("h0"),
-      (1 until NumPerms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until Bands).map(j =>
-        struct(lit(j).as("band"),
-          xxhash64((0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}")): _*).as("bh"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"),
-        (col("doc_id") % 5 === 0).as("is_delta"))
+    val banded = bandedFrame(docs(spark, sfDir))
+      .withColumn("is_delta", col("doc_id") % 5 === 0)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id") &&

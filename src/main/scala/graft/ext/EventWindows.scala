@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,9 +326,11 @@ object EventWindows {
     * group mean. The z² > 4 test is cross-multiplied into integer
     * arithmetic at cents scale — (v·n − s)² > 4·(n·q − s²) with
     * s = Σv, q = Σv² — so there is no float division or sqrt anywhere
-    * and the oracle matches bit-exactly. (Magnitude bound: |v| ≤ 5·10⁴
-    * cents and n ≤ 10⁷ rows per group keep (v·n − s)² under 2⁶³;
-    * beyond that, promote to decimal(38,0).)
+    * and the oracle matches bit-exactly. The squared terms overflow
+    * 64-bit long at group sizes around 3·10⁴ (|v·n − s| passes 3·10⁹
+    * well before the docless-long bound suggests), so the PREDICATE is
+    * evaluated in decimal(38,0) ↔ DuckDB HUGEINT — exact 128-bit
+    * integer comparison on both engines, good to n ≈ 10¹⁴ per group.
     *
     * Scale shape: one shuffle on the group key for the window
     * aggregates, then a codegen'd filter — no self-join, no collect.
@@ -336,14 +338,16 @@ object EventWindows {
     * form keeps event rows intact for the output. */
   def anomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
+    def d(c: Column) = c.cast("decimal(38,0)")
     Tables.events(spark, sfDir)
       .withColumn("cents", (dec("value") * 100).cast("long"))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("cents")).over(w))
       .withColumn("q", sum(col("cents") * col("cents")).over(w))
       .filter(col("n") >= AnomalyMinN &&
-        (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s")) >
-          lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        (d(col("cents")) * d(col("n")) - d(col("s"))) *
+          (d(col("cents")) * d(col("n")) - d(col("s"))) >
+          (d(col("n")) * d(col("q")) - d(col("s")) * d(col("s"))) * lit(4))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("cents"), col("n").as("n_group"))
       .orderBy(col("event_id"))
@@ -363,7 +367,8 @@ object EventWindows {
        |SELECT event_id, user_id, event_type, cents, n AS n_group
        |FROM g
        |WHERE n >= $AnomalyMinN
-       |  AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
+       |  AND (CAST(cents AS HUGEINT) * n - s) * (CAST(cents AS HUGEINT) * n - s)
+       |    > 4 * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
        |ORDER BY event_id""".stripMargin
 
   /** Cohort retention matrix — users cohorted by first-activity day,

@@ -60,9 +60,14 @@ object RollingHashHelper {
     val str = s.toString
     var acc = 0L
     var i = 0
+    // iterate CODE POINTS, not UTF-16 units: the HOF formulation this
+    // replaces (ascii ∘ per-character substring) and the DuckDB oracle
+    // both see one step per code point — charAt would split non-BMP
+    // characters into two surrogate steps and diverge from the oracle
     while (i < str.length) {
-      acc = (acc * Base + str.charAt(i)) % Mod
-      i += 1
+      val cp = str.codePointAt(i)
+      acc = (acc * Base + cp) % Mod
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -77,8 +82,9 @@ object RollingHashHelper {
   * the corpus-length interpreted-lambda trap this suite bans from hot
   * paths. This expression is one primitive loop inside
   * WholeStageCodegen, no intermediate array. Character semantics:
-  * UTF-16 code units (`charAt`), identical to the HOF's `ascii()` for
-  * all BMP text and pinned by an equivalence spec on the real corpus.
+  * Unicode CODE POINTS (`codePointAt`), identical to the HOF's
+  * `ascii(substring(…))` and the DuckDB mirror on every input incl.
+  * non-BMP, pinned by an equivalence spec on the real corpus.
   * Null → null; empty string → 0 (same as the HOF's guarded branch).
   */
 case class RollingHash(child: Expression) extends UnaryExpression {

@@ -59,10 +59,12 @@ class ChunkSegmentSpec extends SparkSpec {
 
   test("sq8 re-rank: overfetch window contains the true top-k here (exact recall)") {
     val exact = graft.ext.Similarity.cosineTopK(spark, sf)
-      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("q_id", "rk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val sq = graft.ext.Similarity.sqRerank(spark, sf)
-      .select("q_id", "rk", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // both emit a full (q_id, rk) grid; identical keys
+      .select("q_id", "rk", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full triples incl. WHICH vector ranked where — not just the grid
     assert(sq === exact)
   }
 

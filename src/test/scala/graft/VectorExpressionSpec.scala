@@ -64,6 +64,15 @@ class VectorExpressionSpec extends SparkSpec {
     assert(edge(0).getLong(0) === 0L)
     assert(edge(1).getLong(0) === 'a'.toLong)
     assert(edge(2).isNullAt(0))
+    // non-BMP: one step per CODE POINT (😀 = U+1F600), matching the HOF
+    val emoji = Seq("a😀b").toDF("t").select(
+      rolling_hash(col("t")).as("e"),
+      expr("""aggregate(
+        |  transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1))),
+        |  cast(0 as bigint),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("h")).head
+    assert(emoji.getLong(0) === emoji.getLong(1))
+    assert(emoji.getLong(0) === (('a'.toLong * 31 + 0x1F600) % 1000000007L * 31 + 'b') % 1000000007L)
   }
 
   test("null input yields null") {
