@@ -95,6 +95,8 @@ object SparkEntry {
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     ("x5_frames_meta", Multimodal.framesMeta _, Some(Multimodal.framesMetaSql)),
     ("x5_resize_meta", Multimodal.resizeMeta _, Some(Multimodal.resizeMetaSql)),
+    ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
+      Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),

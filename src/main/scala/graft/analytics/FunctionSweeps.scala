@@ -187,6 +187,31 @@ object FunctionSweeps {
 
   val sqlApiSql: String = sqlApiText("orders")
 
+  /** LATERAL correlated subquery — a planner path none of the other
+    * queries touch (Catalyst decorrelates the per-row dependent
+    * subquery into a join; DuckDB executes the same ANSI text as a
+    * lateral join). Per customer: their single most expensive order
+    * (price desc, key asc tiebreak). Restricted to one segment so the
+    * output stays result-set-sized. */
+  def lateralTopOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_lat")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_customer_lat")
+    spark.sql(lateralText("graft_customer_lat", "graft_orders_lat"))
+  }
+
+  private def lateralText(customer: String, orders: String): String =
+    s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       |FROM $customer c, LATERAL (
+       |  SELECT o_orderkey, o_totalprice
+       |  FROM $orders
+       |  WHERE o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey
+       |  LIMIT 1) o
+       |WHERE c.c_mktsegment = 'MACHINERY'
+       |ORDER BY c.c_custkey""".stripMargin
+
+  val lateralTopOrderSql: String = lateralText("customer", "orders")
+
   /** Map-function sweep: per-order linenumber→quantity maps through
     * construction (`map_from_entries` over sorted entries — insertion
     * order is the iteration order in BOTH engines, which is what makes
