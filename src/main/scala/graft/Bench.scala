@@ -25,7 +25,25 @@ object Bench {
     // measure the query, not first-touch costs.
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach(t => try Tables.read(spark, sfDir, t).count() catch { case _: Throwable => () })
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm EVERY query's generated code at the smallest SF: whole-stage
+    // codegen classes + their C2 compilation depend on plan SHAPE, not
+    // data size, and first execution of the heavy shapes costs up to
+    // 15 s extra (measured: ngram run1 23 s → run3 6.5 s in one JVM).
+    // Without this, per-query numbers depend on which earlier query
+    // happened to share codegen shapes — i.e. on Map iteration order.
+    val warmSf = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (warmSf != sfDir && new java.io.File(warmSf).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmSf).count() catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
+    // Re-time threshold: queries under this get a second run and the
+    // MIN is reported. The shared host shows 2-3× noise spikes on
+    // individual queries (CPU steal / stragglers); min-of-2 removes
+    // most of it while the slow tail (which would double wall time for
+    // little benefit) is reported from its single run.
+    val RetimeBelow = 5.0
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -36,7 +54,14 @@ object Bench {
       // settle the heap between queries so one query's garbage doesn't
       // surface as a GC pause inside the next query's timing window
       System.gc()
-      (name, dt, ok)
+      (dt, ok)
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val (dt1, ok1) = once(name, fn)
+      val dt =
+        if (ok1 && dt1 < RetimeBelow) math.min(dt1, once(name, fn)._1)
+        else dt1
+      (name, dt, ok1)
     }
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success
