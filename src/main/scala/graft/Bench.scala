@@ -39,10 +39,11 @@ object Bench {
     spark.catalog.clearCache()
     // Re-time threshold: queries under this get a second run and the
     // MIN is reported. The shared host shows 2-3× noise spikes on
-    // individual queries (CPU steal / stragglers); min-of-2 removes
-    // most of it while the slow tail (which would double wall time for
-    // little benefit) is reported from its single run.
-    val RetimeBelow = 5.0
+    // individual queries (CPU steal / stragglers / residual JIT);
+    // min-of-2 removes most of it. 20 s covers every query's steady
+    // state (slowest ≈ 14 s) while a genuinely slow outlier (>20 s)
+    // is reported from its single run rather than paid twice.
+    val RetimeBelow = 20.0
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
