@@ -97,6 +97,7 @@ object SparkEntry {
     ("x5_resize_meta", Multimodal.resizeMeta _, Some(Multimodal.resizeMetaSql)),
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
+    ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),

@@ -438,6 +438,69 @@ object TextStats {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Stopword set for the Gopher-style stop-word rule (presence of
+    * common function words separates prose from keyword soup). */
+  val GateStopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Named quality-gate policy (Gopher/C4-style presets): every rule
+    * evaluated per document with its own audit column, keep = AND.
+    * Unlike [[qualitySignals]] (raw signals) and the x0 pipeline
+    * (three inline gates fused with dedup), this is the standalone
+    * policy operator a pipeline owner configures and audits —
+    * drop-reason analytics are a GROUP BY over the rule columns.
+    *
+    * All rules integer/exact: mean word length uses ×10 fixed-point
+    * integer division; the repetition rule is the cross-multiplied
+    * top_n·5 ≤ n_tokens. One explode-aggregate pass computes every
+    * token-level measure (top count, stopword hits, word lengths) in
+    * a single shuffle on doc_id. */
+  def qualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+    val perTok = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+    val agg = perTok.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("n_tokens"),
+      max(col("n")).as("top_n"),
+      sum(when(col("t").isin(GateStopwords: _*), 1L).otherwise(0L)).as("n_stop_kinds"),
+      sum(length(col("t")) * col("n")).as("sum_word_chars"))
+    agg.select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 100000).as("r_len"),
+        // mean word length in [3.0, 12.0], ×10 fixed point
+        (expr("sum_word_chars * 10 div n_tokens").between(30, 120)).as("r_word_len"),
+        (col("n_stop_kinds") >= 2).as("r_stopwords"),
+        (col("top_n") * 5 <= col("n_tokens")).as("r_repetition"))
+      .withColumn("keep",
+        col("r_len") && col("r_word_len") && col("r_stopwords") && col("r_repetition"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGateSql: String = {
+    val stops = GateStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |pt AS (
+       |  SELECT doc_id, t, count(*) AS n FROM tok GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    CAST(max(n) AS BIGINT) AS top_n,
+       |    CAST(sum(CASE WHEN t IN ($stops) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_kinds,
+       |    CAST(sum(length(t) * n) AS BIGINT) AS sum_word_chars
+       |  FROM pt GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  n_tokens >= 20 AND n_tokens <= 100000 AS r_len,
+       |  sum_word_chars * 10 // n_tokens BETWEEN 30 AND 120 AS r_word_len,
+       |  n_stop_kinds >= 2 AS r_stopwords,
+       |  top_n * 5 <= n_tokens AS r_repetition,
+       |  (n_tokens >= 20 AND n_tokens <= 100000)
+       |    AND (sum_word_chars * 10 // n_tokens BETWEEN 30 AND 120)
+       |    AND n_stop_kinds >= 2
+       |    AND top_n * 5 <= n_tokens AS keep
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source dataset card — the one-page corpus report every
     * training-data release ships with: volume, exact-dup rate,
     * length/word totals, language mix. ONE aggregation pass over the
