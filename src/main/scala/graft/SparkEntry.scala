@@ -98,6 +98,9 @@ object SparkEntry {
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),
+    ("x6_rfm", EventWindows.rfmSegments _, Some(EventWindows.rfmSegmentsSql)),
+    ("x9_epoch_order", graft.ext.Sampling.epochOrder _,
+      Some(graft.ext.Sampling.epochOrderSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),

@@ -466,6 +466,70 @@ object EventWindows {
        |ORDER BY n_users DESC, path
        |LIMIT $PathTopK""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic behavioral-analytics rollup: per user, days since last
+    * purchase (relative to the corpus max — deterministic, no
+    * wall-clock), purchase count, and total spend in cents, each
+    * quartile-scored with `ntile(4)` and concatenated to the segment
+    * code. One aggregation over purchases, three ntile windows over
+    * the (already user-sized) rollup — heavy work is the first
+    * shuffle, everything after is per-user-row sized.
+    *
+    * Determinism: ntile order uses (measure, user_id) total orders;
+    * recency is integer days from integer micros. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (dec("value") * 100).cast("long").as("cents"))
+    val agg = p.groupBy(col("user_id")).agg(
+      max(col("us")).as("last_us"),
+      count(lit(1)).as("frequency"),
+      sum(col("cents")).as("monetary_cents"))
+    val withRecency = agg
+      .withColumn("corpus_max_us", max(col("last_us")).over(Window.partitionBy()))
+      .withColumn("recency_days",
+        expr("(corpus_max_us - last_us) div 86400000000"))
+    val r = ntile(4).over(Window.orderBy(col("recency_days"), col("user_id")))
+    val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
+    val m = ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
+    withRecency
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |agg AS (
+      |  SELECT user_id, max(us) AS last_us,
+      |    count(*) AS frequency,
+      |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+      |  FROM p GROUP BY user_id),
+      |rec AS (
+      |  SELECT user_id, frequency, monetary_cents,
+      |    (max(last_us) OVER () - last_us) // 86400000000 AS recency_days
+      |  FROM agg),
+      |scored AS (
+      |  SELECT user_id, recency_days, frequency, monetary_cents,
+      |    CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_score,
+      |    CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+      |    CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_score
+      |  FROM rec)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+      |    AS segment
+      |FROM scored
+      |ORDER BY user_id""".stripMargin
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next event type | current) with exact integer counts
     * and a single final division (bit-identical across engines). One

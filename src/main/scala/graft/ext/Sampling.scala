@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -262,4 +263,44 @@ object Sampling {
       |FROM p
       |WHERE pos <= 100
       |ORDER BY pos""".stripMargin
+
+  /** Epochs materialized by the oracled epoch-order query. */
+  val Epochs = 2
+
+  /** Deterministic per-epoch training order: every epoch sees every
+    * document exactly once, in a pseudo-random order that is a pure
+    * function of (epoch, doc_id) — reproducible across runs, machines,
+    * and restarts, and each epoch's permutation is independent. This
+    * is the "shuffle each epoch" step of a training data loader, made
+    * a query: position = rank of md5(epoch:doc_id).
+    *
+    * Scale note: a global order per epoch is inherently a total sort —
+    * exactly what materializing an epoch shuffle costs anywhere. Spark
+    * plans it as repartitionByRange + in-partition sort on the hash;
+    * the window's tie-break (hash, doc_id) makes it total. */
+  def epochOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch")).orderBy(col("ord_hash"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, ${Epochs - 1})")).as("epoch"))
+      .withColumn("ord_hash", md5(concat(col("epoch"), lit(":"), col("doc_id"))))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("position"),
+        col("doc_id"), col("ord_hash"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  val epochOrderSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(range(0, $Epochs)) AS epoch FROM documents),
+       |h AS (
+       |  SELECT epoch, doc_id,
+       |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ord_hash
+       |  FROM e)
+       |SELECT CAST(epoch AS BIGINT) AS epoch,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY ord_hash, doc_id) AS BIGINT)
+       |    AS position,
+       |  doc_id, ord_hash
+       |FROM h
+       |ORDER BY epoch, position""".stripMargin
 }
