@@ -128,6 +128,44 @@ class ChunkSegmentSpec extends SparkSpec {
     assert(n === Tables.events(spark, sf).count())
   }
 
+  test("quality gate: keep is exactly the AND of the rule columns; rules match raw recomputation") {
+    import graft.ext.TextStats
+    val g = TextStats.qualityGate(spark, sf)
+    assert(g.filter(col("keep") =!=
+      (col("r_len") && col("r_word_len") && col("r_stopwords") && col("r_repetition"))).count() === 0)
+    // spot-check the repetition rule against qualitySignals' top-token fraction
+    val qs = TextStats.qualitySignals(spark, sf)
+      .select(col("doc_id"), (col("top_tok_n") * 5 <= col("n_tokens")).as("exp_rep"))
+    assert(g.join(qs, "doc_id").filter(col("r_repetition") =!= col("exp_rep")).count() === 0)
+  }
+
+  test("rfm: quartile scores are 1..4 and segment encodes them") {
+    val r = graft.ext.EventWindows.rfmSegments(spark, sf)
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(r.filter(col(c) < 1 || col(c) > 4).count() === 0)
+    assert(r.filter(col("segment") =!=
+      concat(col("r_score"), col("f_score"), col("m_score"))).count() === 0)
+    // recency 0 exists (the user with the corpus-max purchase)
+    assert(r.filter(col("recency_days") === 0).count() >= 1)
+  }
+
+  test("epoch order: each epoch is a complete permutation, and epochs differ") {
+    import graft.ext.Sampling
+    val e = Sampling.epochOrder(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    val byEpoch = e.groupBy("epoch").agg(
+      count(lit(1)).as("n"),
+      countDistinct("doc_id").as("nd"),
+      max(col("position")).as("maxp"))
+    assert(byEpoch.filter(col("n") =!= docs || col("nd") =!= docs || col("maxp") =!= docs)
+      .count() === 0)
+    // different epochs order documents differently (same doc, different position)
+    val moved = e.filter(col("epoch") === 0).as("a")
+      .join(e.filter(col("epoch") === 1).as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(col("a.position") =!= col("b.position"))
+    assert(moved.count() > 0)
+  }
+
   test("anomalies are exactly the |z| > 2 events of groups with n >= AnomalyMinN") {
     val ev = Tables.events(spark, sf)
       .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
