@@ -37,13 +37,6 @@ object Bench {
         try fn(spark, warmSf).count() catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
-    // Re-time threshold: queries under this get a second run and the
-    // MIN is reported. The shared host shows 2-3× noise spikes on
-    // individual queries (CPU steal / stragglers / residual JIT);
-    // min-of-2 removes most of it. 20 s covers every query's steady
-    // state (slowest ≈ 14 s) while a genuinely slow outlier (>20 s)
-    // is reported from its single run rather than paid twice.
-    val RetimeBelow = 20.0
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -57,11 +50,20 @@ object Bench {
       System.gc()
       (dt, ok)
     }
+    // Every query is timed twice and the MIN reported, unconditionally.
+    // The shared host shows 2-3× noise spikes on individual queries
+    // (CPU steal / stragglers / residual JIT); a single noisy first run
+    // on a heavy query previously faked a 20 s regression. The second
+    // run's time only counts when it SUCCEEDED — an intermittent
+    // failure's (typically short) duration must not masquerade as a
+    // fast success.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (dt1, ok1) = once(name, fn)
       val dt =
-        if (ok1 && dt1 < RetimeBelow) math.min(dt1, once(name, fn)._1)
-        else dt1
+        if (ok1) {
+          val (dt2, ok2) = once(name, fn)
+          if (ok2) math.min(dt1, dt2) else dt1
+        } else dt1
       (name, dt, ok1)
     }
     // failed queries are surfaced (negative time + errors list), never

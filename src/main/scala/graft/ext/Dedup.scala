@@ -236,14 +236,6 @@ object Dedup {
   val Bands = 8 // r = 4 rows per band: P(random band collision) = j⁴
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** MinHash signature (32 perms, xxhash64 seeded by perm index) +
-    * LSH banding (8 bands × 4 rows) + exact Jaccard verification on
-    * the candidate pairs only.
-    *
-    * Oracled with [[fullJaccardSql]]: at the testdata's similarity
-    * margins (planted near-dups ≥ 0.92 full-set jaccard, random pairs
-    * ≤ ~0.3) the miss probability at b=8, r=4 is (1-0.92⁴)⁸ ≈ 4e-5,
-    * so LSH-then-verify equals the exact full-set result. */
   /** (doc_id, band, bh) LSH band buckets for a (doc_id, text) frame:
     * signatures via explode + 32 codegen'd min-aggregates (NOT
     * interpreted HOF lambdas; one narrow shuffle on doc_id), then
@@ -262,6 +254,16 @@ object Dedup {
       .select(col("doc_id"), col("b.band"), col("b.bh"))
   }
 
+  /** MinHash signature (32 perms, xxhash64 seeded by perm index) +
+    * LSH banding (8 bands × 4 rows) + exact Jaccard verification on
+    * the candidate pairs only.
+    *
+    * Oracled with [[fullJaccardSql]]: at the testdata's similarity
+    * margins (planted near-dups ≥ 0.92 full-set jaccard, random pairs
+    * ≤ ~0.3) the miss probability at b=8, r=4 is (1-0.92⁴)⁸ ≈ 4e-5,
+    * so LSH-then-verify equals the exact full-set result. The same
+    * argument justifies [[minhashDeltaDedup]]'s oracle (the delta
+    * restriction only removes pairs, never adds miss modes). */
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = bandedFrame(docs(spark, sfDir))
     val cand = banded.as("a").join(banded.as("b"),
@@ -270,6 +272,27 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
     verifyCandidates(spark, sfDir, cand)
+  }
+
+  /** Instrumentation for [[graft.tools.ScaleProbe]]: band-row,
+    * LSH-candidate-pair, and verified-pair counts of the
+    * [[minhashNearDup]] pipeline at one scale. Candidates-per-doc
+    * staying ~flat across scales is the measured form of the "banding
+    * keeps dedup linear" claim in SCALING.md. */
+  private[graft] def bandedPairsProbe(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    val banded = bandedFrame(docs(spark, sfDir)).persist()
+    val bandRows = banded.count()
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .dropDuplicates("i", "j")
+      .persist()
+    val candPairs = cand.count()
+    val dupPairs = verifyCandidates(spark, sfDir, cand).count()
+    banded.unpersist()
+    cand.unpersist()
+    Map("band_rows" -> bandRows, "cand_pairs" -> candPairs, "dup_pairs" -> dupPairs)
   }
 
   /** Incremental (delta) near-dup dedup — the production shape at
@@ -558,39 +581,40 @@ object Dedup {
 
   // ---- X2: duplicate clustering (connected components) ------------------
 
-  /** Connected components over the near-dup pair graph — the step that
-    * turns pairwise matches into keep/drop groups (keep the minimum
-    * doc_id of each component, drop the rest). Iterative min-label
-    * propagation: every node adopts the smallest label among itself
-    * and its neighbors until fixpoint — the Pregel/GraphFrames
-    * formulation. The driver loop holds only the iteration counter and
-    * one scalar (the label sum) per round; all data movement is
-    * distributed joins keyed on doc_id, and iterations are bounded by
-    * the component diameter (near-dup clusters are shallow — copies of
-    * a common ancestor — so this converges in 2-3 rounds in practice).
-    * `localCheckpoint` truncates the growing lineage each round, which
-    * is what keeps the plan bounded at iteration 20 as much as at 2.
+  /** Min-label connected components over an undirected (i, j) edge
+    * frame: every node adopts the smallest label among itself and its
+    * neighbors until fixpoint — the Pregel/GraphFrames formulation —
+    * accelerated with POINTER JUMPING: each round a node also adopts
+    * its current label-node's label (l ← min(l, label(l)), sound
+    * because any label is reachable within the component), so the
+    * propagation radius roughly doubles per round and convergence is
+    * O(log diameter) rounds instead of O(diameter). The driver loop
+    * holds only the iteration counter and one scalar (the label sum)
+    * per round; all data movement is distributed joins keyed on
+    * doc_id, restricted to the SUBGRAPH WITH EDGES — every node
+    * outside it is trivially a singleton and never enters a join.
     *
-    * Edges are the EXACT near-dup pair set ([[minhashNearDup]] —
-    * LSH-generated, exact-verified), so the DuckDB mirror can rebuild
-    * the same graph and close it with a recursive CTE. */
-  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = minhashNearDup(spark, sfDir).select(col("i"), col("j"))
+    * Generations are persist-then-unpersist (each round reads the
+    * previous round's cache; superseded caches are freed immediately),
+    * and every CheckpointEvery=3 rounds the generation is
+    * `localCheckpoint(eager = true)` instead, truncating the lineage.
+    * The interval is deliberately SHORT: persist caches data but does
+    * NOT shrink the logical plan, and each round's plan embeds the
+    * previous generation's plan three times (neighbor-min join, hop
+    * join, jump lookup) — 3ⁿ growth, where even stringifying the tree
+    * (explain/log paths) hangs past n≈8. Truncating every 3 rounds
+    * caps the tree at 27 copies, so the plan at round 40 is as bounded
+    * as at round 2 — spec-pinned on a diameter-100 path graph.
+    *
+    * Returns (doc_id, cluster) for subgraph nodes only; the returned
+    * frame is materialized and still cached — harness mains clear it
+    * per query (`spark.catalog.clearCache()`). */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(edges.select(col("j").as("src"), col("i").as("dst")))
       .persist()
     val MaxIters = 50
-    // iterate ONLY over the dup subgraph (docs with ≥1 edge): every
-    // other doc is trivially its own singleton cluster and never needs
-    // to enter the propagation joins. At corpus scale this is the
-    // difference between iterating over the dup set (per-mille of the
-    // corpus) and re-joining the whole corpus every round.
-    //
-    // persist-then-unpersist generations: each round reads the previous
-    // round's cache, and superseded generations are freed immediately —
-    // nothing accumulates in block storage across iterations. Lineage
-    // depth is bounded by MaxIters (a production CC on an unbounded
-    // graph would checkpoint every ~10 rounds on top of this).
+    val CheckpointEvery = 3
     var labels = bidir.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).persist()
     // sum(cluster) is the convergence measure; on a clean corpus (zero
@@ -606,10 +630,22 @@ object Dedup {
     while (curSum < prevSum && iters < MaxIters) {
       val nbrMin = bidir.join(labels, bidir("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val hop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist()
+      // pointer jump: look the hopped label up in the PREVIOUS
+      // generation (already cached → no recompute, and `hop` stays
+      // single-consumer). A node's label always names a node of the
+      // same component, so min-ing with that node's own label is
+      // sound and shortcuts long chains.
+      val next0 = hop.as("a")
+        .join(labels.select(col("doc_id").as("l_id"), col("cluster").as("l_cl")),
+          col("a.cluster") === col("l_id"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.cluster"), coalesce(col("l_cl"), col("a.cluster"))).as("cluster"))
+      val next =
+        if ((iters + 1) % CheckpointEvery == 0) next0.localCheckpoint(true)
+        else next0.persist()
       prevSum = curSum
       curSum = clusterSum(next) // materializes `next`
       labels.unpersist()
@@ -619,9 +655,24 @@ object Dedup {
     bidir.unpersist()
     // a silent non-converged result would diverge from the transitive-
     // closure oracle with no symptom — refuse instead (a component with
-    // diameter > MaxIters means the dup graph isn't dup-shaped anyway)
+    // diameter > 2^MaxIters means the dup graph isn't dup-shaped anyway)
     if (curSum < prevSum) throw new IllegalStateException(
-      s"dupClusters did not converge within $MaxIters label-propagation rounds")
+      s"connectedComponents did not converge within $MaxIters label-propagation rounds")
+    labels
+  }
+
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into keep/drop groups (keep the minimum
+    * doc_id of each component, drop the rest); the iteration itself is
+    * [[connectedComponents]] (pointer-jumped min-label propagation
+    * with periodic lineage checkpoints), run on the dup subgraph only.
+    *
+    * Edges are the EXACT near-dup pair set ([[minhashNearDup]] —
+    * LSH-generated, exact-verified), so the DuckDB mirror can rebuild
+    * the same graph and close it with a recursive CTE. */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = minhashNearDup(spark, sfDir).select(col("i"), col("j"))
+    val labels = connectedComponents(edges)
     // graft singleton clusters back on for the full-corpus view
     val all = docs(spark, sfDir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

@@ -242,7 +242,7 @@ object Sampling {
       |    sum(toks) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
-      |SELECT source, (cum - toks) // 4000 AS shard,
+      |SELECT source, CAST((cum - toks) // 4000 AS BIGINT) AS shard,
       |  count(*) AS n_docs,
       |  CAST(sum(toks) AS BIGINT) AS sum_toks,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

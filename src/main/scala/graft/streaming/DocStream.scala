@@ -49,15 +49,22 @@ object DocStream {
     * pipeline (distinct char-8-grams → md5 hex prefix as 60-bit int →
     * per-bit majority). Kept bit-identical: same shingle starts
     * (1 ≤ i ≤ max(len−7, 1), tail shingles clipped like `substring`),
-    * same first-15-hex-chars fold, same strict-majority bit rule. */
+    * same first-15-hex-chars fold, same strict-majority bit rule.
+    * Lengths and offsets are Unicode CODE POINTS — Spark's `length`/
+    * `substring` count code points, so a UTF-16 walk (String.length)
+    * would shift every shingle start after a non-BMP character (emoji,
+    * rare CJK) and silently break the bit-identity this doc claims. */
   def simhash60(text: String): Long = {
     val md = MessageDigest.getInstance("MD5")
     val counts = new Array[Int](SimHashBits)
     val seen = scala.collection.mutable.HashSet.empty[String]
-    val last = math.max(text.length - 7, 1)
-    var i = 0
-    while (i < last) {
-      val s = text.substring(i, math.min(i + 8, text.length))
+    val cpLen = text.codePointCount(0, text.length)
+    val nStarts = math.max(cpLen - 7, 1)
+    var start = 0 // UTF-16 offset of the k-th code point
+    var k = 0
+    while (k < nStarts) {
+      val end = text.offsetByCodePoints(start, math.min(k + 8, cpLen) - k)
+      val s = text.substring(start, end)
       if (seen.add(s)) {
         val hex = md.digest(s.getBytes("UTF-8")).take(8)
           .map("%02x".format(_)).mkString.substring(0, 15)
@@ -68,7 +75,8 @@ object DocStream {
           b += 1
         }
       }
-      i += 1
+      k += 1
+      if (k < nStarts) start = text.offsetByCodePoints(start, 1)
     }
     (0 until SimHashBits).foldLeft(0L) { (acc, b) =>
       if (counts(b) > 0) acc | (1L << b) else acc
@@ -93,13 +101,15 @@ object DocStream {
     buckets
       .groupByKey(r => (r.chunk, r.ck))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        detectGroup)
+        detectGroup(watermarkDelay))
   }
 
   /** Per-bucket detection: new members meet current state (and each
     * other, in (ts, doc_id) order for determinism); state is pruned to
-    * the watermark and times out with it. */
-  private[graft] def detectGroup(key: (Int, Int), rows: Iterator[BucketRow],
+    * the watermark and times out with it. `timeoutPad` is the stream's
+    * configured watermark delay — the extra grace the bucket stays
+    * alive past its newest member. */
+  private[graft] def detectGroup(timeoutPad: String)(key: (Int, Int), rows: Iterator[BucketRow],
       state: GroupState[BucketState]): Iterator[DupHit] = {
     if (state.hasTimedOut) {
       state.remove()
@@ -120,10 +130,17 @@ object DocStream {
       members = (r.simhash, r.doc_id, r.tsMicros) :: members
     }
     state.update(BucketState(members))
-    // keep state alive only while the watermark can still match it
+    // keep state alive only while the watermark can still match it.
+    // flatMapGroupsWithState does NOT drop late input rows, so a
+    // bucket fed only by a row arriving > watermarkDelay+pad late
+    // would compute newest+pad EARLIER than the current watermark —
+    // and setTimeoutTimestamp throws on a timestamp ≤ watermark,
+    // killing the whole query. Clamp the base to just past the
+    // watermark so the state instead expires at the next trigger.
     val newest = members.map(_._3).foldLeft(Long.MinValue)(math.max)
     if (newest > Long.MinValue)
-      state.setTimeoutTimestamp(newest / 1000L, "10 minutes")
+      state.setTimeoutTimestamp(
+        math.max(newest / 1000L, state.getCurrentWatermarkMs() + 1), timeoutPad)
     hits.iterator
   }
 }

@@ -119,6 +119,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X2 connected components: diameter-100 path graph converges without lineage blowup") {
+    import spark.implicits._
+    // A deliberately DEEP graph — one path 0-1-2-…-100 (diameter 100,
+    // far beyond any real near-dup cluster) plus a disjoint triangle.
+    // Plain min-label propagation needs 100 rounds (> MaxIters=50) and
+    // an ever-growing plan; pointer jumping must close it in
+    // ~log2(100) ≈ 7 rounds, and the periodic localCheckpoint keeps
+    // the lineage bounded. Passing at all proves the acceleration;
+    // the label assertions prove it stayed correct.
+    val path = (0L until 100L).map(k => (k, k + 1))
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val edges = (path ++ tri).toDF("i", "j")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 104)
+    (0L to 100L).foreach(k => assert(labels(k) === 0L, s"path node $k"))
+    Seq(200L, 201L, 202L).foreach(k => assert(labels(k) === 200L, s"triangle node $k"))
+    spark.catalog.clearCache()
+  }
+
   test("X2 dup clusters: clean corpus (zero near-dup edges) is all singletons") {
     import spark.implicits._
     // a corpus with no near-dups is a legitimate input, not an error:

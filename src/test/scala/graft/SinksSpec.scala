@@ -45,6 +45,42 @@ class SinksSpec extends SparkSpec {
     assert(back.agg(max(length(col("notes")))).head.getInt(0) === 16000)
   }
 
+  test("K1: createTableColumnTypes renders the reference's Postgres DDL under PostgresDialect") {
+    // The reference's actual target is Postgres (ingestor_precinct.py:
+    // 192-218: sqltype.Text / Integer / Boolean / Date). Derby proves
+    // the round trip; this pins the DDL the same option produces under
+    // the Postgres dialect — no network needed: schemaString is
+    // exactly what df.write.jdbc hands to CREATE TABLE.
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val dialect = JdbcDialects.get("jdbc:postgresql://localhost:5432/elections")
+    val schema = StructType(Seq(
+      StructField("county", StringType),
+      StructField("candidate", StringType),
+      StructField("total_votes", LongType),
+      StructField("winner_flag", IntegerType),
+      StructField("has_primary", BooleanType),
+      StructField("election_date", DateType)))
+    val ddl = JdbcUtils.schemaString(dialect, schema, caseSensitive = false,
+      Some(Sinks.columnTypes(schema)))
+    def typeOf(colName: String): String = {
+      val q = "\"" + colName + "\""
+      ddl.split(",").map(_.trim).collectFirst {
+        case c if c.startsWith(q) || c.startsWith(colName) =>
+          c.stripPrefix(q).stripPrefix(colName).trim.split(" ")(0)
+      }.getOrElse(fail(s"column $colName missing from DDL: $ddl"))
+    }
+    // strings are OMITTED from the override so the dialect default
+    // applies — on Postgres that is TEXT, the reference's sqltype.Text
+    // (a VARCHAR(n) override would cap value length at insert time)
+    assert(typeOf("county") === "TEXT")
+    assert(typeOf("candidate") === "TEXT")
+    assert(typeOf("total_votes") === "BIGINT") // vote sums: reference Integer, widened
+    assert(typeOf("winner_flag") === "INTEGER")
+    assert(typeOf("has_primary") === "BOOLEAN")
+    assert(typeOf("election_date") === "DATE")
+  }
+
   test("K2: tsv sink writes the header exactly once across appends") {
     val dir = Files.createTempDirectory("graft-tsv").toString + "/out"
     import spark.implicits._

@@ -46,7 +46,21 @@ def compare(name, spark_df, oracle_df):
     return errs
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # --json PATH: also write a driver-shaped correctness JSON
+    # ({name: {rows_match, schema_match, hash_match, ...}}) so
+    # tools/update_coverage.py can derive COVERAGE.md's Oracle column
+    # from a LOCAL gate run between driver rounds. hash_match locally =
+    # value equality AND per-column dtype equality (the driver's hash
+    # is type-sensitive: round 3's only red row was a DuckDB HUGEINT vs
+    # Spark BIGINT divergence with identical values).
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    report = {}
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         t = os.path.basename(p)[:-len(".parquet")]
@@ -68,6 +82,30 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); fail += 1; continue
         errs = compare(name, spark_df, oracle_df)
+        schema_match = sorted(spark_df.columns) == sorted(oracle_df.columns)
+        dtype_errs = []
+        if schema_match:
+            # only NUMERIC-kind mismatches are flagged (int64 vs float64,
+            # int64 vs object-wrapped HUGEINT); date/string columns read
+            # back under different-but-equivalent pandas dtypes from
+            # pyarrow vs duckdb and are covered by the value compare
+            num = set("iuf")
+            for c in sorted(spark_df.columns):
+                sk, ok_ = spark_df[c].dtype.kind, oracle_df[c].dtype.kind
+                if (sk in num or ok_ in num) and sk != ok_:
+                    dtype_errs.append(
+                        f"col {c}: dtype kind spark={spark_df[c].dtype} oracle={oracle_df[c].dtype}")
+        if dtype_errs and not errs:
+            # values match but types don't — the driver's hash would
+            # still diverge (round-3 x9 lesson), so fail it here too
+            errs = dtype_errs
+        report[name] = {
+            "rows_match": len(spark_df) == len(oracle_df),
+            "schema_match": schema_match,
+            "hash_match": not errs,
+            "spark_rows": len(spark_df),
+            "oracle_rows": len(oracle_df),
+        }
         if errs:
             print(f"FAIL {name}:"); [print(f"   {e}") for e in errs]; fail += 1
         else:
@@ -75,6 +113,11 @@ def main():
     missing = set(oracle) - set(names)
     for m in missing:
         print(f"FAIL {m}: oracle present but no query output"); fail += 1
+        report[m] = {"rows_match": False, "schema_match": False, "hash_match": False}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} queries)")
     sys.exit(1 if fail else 0)
 
 if __name__ == "__main__":
