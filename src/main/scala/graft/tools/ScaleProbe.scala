@@ -18,17 +18,47 @@ import graft.{Graft, Tables}
   * Run: sbt "runMain graft.tools.ScaleProbe" (results go in SCALING.md).
   */
 object ScaleProbe {
+
+  /** Synthesizes an sf1-equivalent documents table (10× the sf0.1
+    * corpus) for the growth measurement ONLY — never for correctness
+    * oracles. Each copy gets a rotated alphabet via `translate`: a
+    * bijective character map preserves every within-copy shingle-set
+    * relation exactly (same near-dup structure, same jaccard values)
+    * while making cross-copy shingle sets disjoint — so a LINEAR
+    * candidate-pair growth is the expected result, and any
+    * super-linear growth would be the banding failing. */
+  private def synthesize10x(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, outDir: String): Unit = {
+    val base = Tables.documents(spark, srcDir)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val full = (0 until 10).map { c =>
+      val rot = alpha.drop(c) + alpha.take(c)
+      base.select(
+        (col("doc_id") + lit(c.toLong * 1000000000L)).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          rot + rot.toUpperCase).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    full.coalesce(4).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val dirs =
       if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "synth10:/tmp/graft-sf1equiv")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Graft.defaultCores.toString)
     val spark = Graft.builder(s"local[$cpus]", math.min(8, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(f"${"sf_dir"}%-28s ${"docs"}%8s ${"band_rows"}%10s ${"cand_pairs"}%11s ${"dup_pairs"}%10s ${"cand/doc"}%9s")
-    dirs.foreach { dir =>
+    dirs.foreach { spec =>
+      val dir = if (spec.startsWith("synth10:")) {
+        val out = spec.stripPrefix("synth10:")
+        synthesize10x(spark, "/root/testdata/sf0.1", out)
+        out
+      } else spec
       val docs = Tables.documents(spark, dir).count()
       val banded = graft.ext.Dedup.bandedPairsProbe(spark, dir)
       val bandRows = banded("band_rows")
