@@ -610,8 +610,14 @@ object Dedup {
     * frame is materialized and still cached — harness mains clear it
     * per query (`spark.catalog.clearCache()`). */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val bidir = edges.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(edges.select(col("j").as("src"), col("i").as("dst")))
+    // symmetrize with ONE consumer of `edges`: a union of two selects
+    // would materialize the upstream pair pipeline (the whole LSH
+    // near-dup plan when called from dupClusters) twice on first use
+    val bidir = edges
+      .select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst")),
+        struct(col("j").as("src"), col("i").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .persist()
     val MaxIters = 50
     val CheckpointEvery = 3
@@ -637,12 +643,17 @@ object Dedup {
       // generation (already cached → no recompute, and `hop` stays
       // single-consumer). A node's label always names a node of the
       // same component, so min-ing with that node's own label is
-      // sound and shortcuts long chains.
-      val next0 = hop.as("a")
-        .join(labels.select(col("doc_id").as("l_id"), col("cluster").as("l_cl")),
-          col("a.cluster") === col("l_id"), "left")
-        .select(col("a.doc_id").as("doc_id"),
-          least(col("a.cluster"), coalesce(col("l_cl"), col("a.cluster"))).as("cluster"))
+      // sound and shortcuts long chains. Skipped in round 1: the
+      // previous generation is the identity labeling there, so the
+      // lookup is a provable no-op — one join saved on every call,
+      // which is most of the loop's cost for shallow real dup graphs.
+      val next0 =
+        if (iters == 0) hop
+        else hop.as("a")
+          .join(labels.select(col("doc_id").as("l_id"), col("cluster").as("l_cl")),
+            col("a.cluster") === col("l_id"), "left")
+          .select(col("a.doc_id").as("doc_id"),
+            least(col("a.cluster"), coalesce(col("l_cl"), col("a.cluster"))).as("cluster"))
       val next =
         if ((iters + 1) % CheckpointEvery == 0) next0.localCheckpoint(true)
         else next0.persist()
