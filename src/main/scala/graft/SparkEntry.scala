@@ -75,6 +75,7 @@ object SparkEntry {
     ("x2_minhash_ml", Dedup.minhashNearDupMl _, Some(Dedup.mlJaccardSql)),
     ("x2_simhash", Dedup.simhashNearDup _, Some(Dedup.simhashSql)),
     ("x2_embedding_dedup", Dedup.embeddingCosineDedup _, Some(Dedup.embeddingCosineDedupSql)),
+    ("x2_sem_dedup", Dedup.semanticDedup _, Some(Dedup.semanticDedupSql)),
     ("x2_substring_dedup", Dedup.substringDedup _, Some(Dedup.substringDedupSql)),
     ("x2_dup_clusters", Dedup.dupClusters _, Some(Dedup.dupClustersSql)),
     // similarity search (X3)

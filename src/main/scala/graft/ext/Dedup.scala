@@ -494,6 +494,73 @@ object Dedup {
        |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $CosineDupThreshold
        |ORDER BY i, j""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into cells,
+    * compute cosine similarity only WITHIN each cell, and drop every
+    * vector that has an earlier (lower-id) near-semantic match in its
+    * cell. This is the scale path next to [[embeddingCosineDedup]]
+    * (which tiles the exact quadratic pair set): within-cell work is
+    * Σ(cell²), not N², and cross-cell pairs are deliberately not
+    * examined — the published technique's approximation, here made
+    * deterministic by reusing [[Similarity.ivfGridTopK]]'s sign-grid
+    * quantizer (integer sign bits of the first 4 quantized dims)
+    * instead of k-means, so the DuckDB mirror reproduces the cells
+    * bit-for-bit. At 100 TB the grid swaps for a learned coarse
+    * quantizer with corpus-scaled cell count; the plan shape (cell
+    * equi-join, per-cell pairs, drop-vs-earlier rule) is unchanged.
+    *
+    * Drop rule: vec j is dropped iff some i < j in the same cell has
+    * sim(i, j) ≥ [[CosineDupThreshold]] — the keep-lowest-id
+    * convention every dedup in this suite uses (SemDeDup's greedy
+    * keep-one-per-group agrees whenever near-duplicate groups are
+    * cliques at the threshold, the regime the technique targets).
+    * Output: one row per dropped vector with its cell, earliest
+    * witness, strongest similarity, and witness count. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_qdot
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", (0 until Similarity.GridDims).map(d =>
+        when(expr(s"cast(round(cast(embedding[$d] as double) * 10000000) as bigint)") > 0,
+          lit(1 << d)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", vec_qdot(col("a.embedding"), col("b.embedding")).cast("double") /
+        (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double"))))
+      .filter(col("sim") >= CosineDupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(min(col("a.vec_id")).as("dup_of"),
+        max(col("sim")).as("best_sim"),
+        count(lit(1)).as("n_near"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Mirror of [[semanticDedup]]: same sign-grid cells, same quantized
+    * integer dot products, same drop-vs-earlier rule. */
+  val semanticDedupSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q),
+       |cells AS (
+       |  SELECT vec_id, iv, n2,
+       |    CAST(${(0 until Similarity.GridDims).map(d =>
+            s"(CASE WHEN iv[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS cell
+       |  FROM n),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, b.cell AS cell,
+       |    CAST(list_sum(list_transform(list_zip(a.iv, b.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT j AS vec_id, cell, min(i) AS dup_of, max(sim) AS best_sim,
+       |  count(*) AS n_near
+       |FROM pairs
+       |WHERE sim >= $CosineDupThreshold
+       |GROUP BY 1, 2
+       |ORDER BY vec_id""".stripMargin
+
   // ---- X2c: SimHash -----------------------------------------------------
 
   val SimHashBits = 60 // 4 chunks × 15 bits

@@ -104,6 +104,30 @@ class ExtSpec extends SparkSpec {
       .filter(col("media_id") === 0L).head() === f)
   }
 
+  test("X2 semantic dedup: drops are witnessed by exact pairs, same-cell only") {
+    import spark.implicits._
+    // every (dup_of, vec_id) witness must appear in the EXACT
+    // corpus-wide pair set (semantic dedup examines a subset of pairs,
+    // so it can miss cross-cell dups but never invent one), with the
+    // same similarity, and best_sim must clear the threshold
+    val exact = Dedup.embeddingCosineDedup(spark, sf)
+      .select("i", "j", "sim").as[(Long, Long, Double)].collect()
+      .map { case (i, j, s) => (i, j) -> s }.toMap
+    val dropped = Dedup.semanticDedup(spark, sf).collect()
+    assert(dropped.nonEmpty, "testdata's planted embedding dups must collide in some cell")
+    dropped.foreach { r =>
+      val (i, j) = (r.getAs[Long]("dup_of"), r.getAs[Long]("vec_id"))
+      assert(i < j, s"witness must be the earlier id: ($i, $j)")
+      val sim = exact.getOrElse((i, j), fail(s"witness pair ($i,$j) not in exact pair set"))
+      assert(sim >= Dedup.CosineDupThreshold)
+      assert(r.getAs[Double]("best_sim") >= Dedup.CosineDupThreshold)
+      assert(r.getAs[Long]("n_near") >= 1L)
+    }
+    // and it is a strict subset relation: no dropped doc without an
+    // exact-pair witness, while exact pairs MAY span cells unseen here
+    assert(dropped.length <= exact.size)
+  }
+
   test("X2 dup clusters: edges stay intra-cluster, reps are cluster minima") {
     import spark.implicits._
     val clusters = Dedup.dupClusters(spark, sf)
