@@ -127,6 +127,8 @@ object SparkEntry {
       Some(graft.ext.Sampling.quotaSampleSql)),
     ("x9_mix_weights", graft.ext.Sampling.mixWeights _,
       Some(graft.ext.Sampling.mixWeightsSql)),
+    ("x9_dsir_select", graft.ext.Sampling.dsirSelect _,
+      Some(graft.ext.Sampling.dsirSelectSql)),
     ("x0_clean_pipeline", graft.ext.CleanPipeline.cleanPipeline _,
       Some(graft.ext.CleanPipeline.cleanPipelineSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),

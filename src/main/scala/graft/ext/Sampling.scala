@@ -303,4 +303,92 @@ object Sampling {
        |  doc_id, ord_hash
        |FROM h
        |ORDER BY epoch, position""".stripMargin
+
+  // ---- DSIR-style importance selection ----------------------------------
+
+  val DsirTarget = "src0"
+  val DsirBuckets = 4096
+  val DsirScale = 1000000L
+  val DsirTopN = 50
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * rank candidate documents by how much their hashed-token profile
+    * resembles a TARGET domain — the published recipe for picking
+    * pretraining data that matches a downstream distribution. Per
+    * hashed token bucket h (md5-fold mod [[DsirBuckets]] — feature
+    * hashing, collisions intended), the importance weight is the
+    * integer ratio `target_count(h)·10⁶ div corpus_count(h)`; a doc's
+    * score is its per-token mean weight (integer div again). Published
+    * DSIR uses log-ratios of smoothed n-gram LMs and stochastic
+    * gumbel resampling; the rational ratio + deterministic top-N keep
+    * the same "looks like the target" ordering while staying
+    * hash-verifiable in the oracle (no floats anywhere).
+    *
+    * Scale shape: the bucket-count table is bounded by
+    * [[DsirBuckets]] rows regardless of corpus size (map-side partial
+    * aggregation collapses each partition to ≤4096 rows before the
+    * one tiny shuffle), so it BROADCASTS — the corpus-sized token
+    * stream joins it with no shuffle and aggregates per doc (second
+    * shuffle, on doc_id). Top-N is `orderBy().limit(n)` =
+    * TakeOrderedAndProject, the distributed partial-top-N — NOT a
+    * global window sort. The token scan runs twice (counts pass +
+    * scoring pass); both are stateless projected scans, the standard
+    * trade against caching a corpus-sized frame. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .withColumn("h",
+        expr(s"cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint) % $DsirBuckets"))
+    val weights = tok.groupBy(col("h")).agg(
+        count(lit(1)).as("total_cnt"),
+        count(when(col("source") === DsirTarget, 1)).as("target_cnt"))
+      .select(col("h"), expr(s"target_cnt * $DsirScale div total_cnt").as("w"))
+    val selected = tok.filter(col("source") =!= DsirTarget)
+      .join(broadcast(weights), "h")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w")).as("raw_score"), count(lit(1)).as("n_tokens"))
+      .withColumn("score", expr("raw_score div n_tokens"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(DsirTopN)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    selected
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("doc_id"), col("source"), col("score"), col("n_tokens"))
+      .orderBy(col("rk"))
+  }
+
+  /** Mirror of [[dsirSelect]]: same md5-fold feature hashing, same
+    * integer ratio weights, same per-token-mean score and top-N. */
+  val dsirSelectSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, tk,
+       |    list_reduce(
+       |      [strpos('0123456789abcdef', x) - 1
+       |       FOR x IN string_split(substr(md5(tk), 1, 15), '')],
+       |      (a, b) -> a * 16 + b) % $DsirBuckets AS h
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+       |        FROM documents)
+       |  WHERE len(tk) > 0),
+       |wt AS (
+       |  SELECT h,
+       |    (count(CASE WHEN source = '$DsirTarget' THEN 1 END) * $DsirScale)
+       |      // count(*) AS w
+       |  FROM tok GROUP BY h),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(sum(w) AS BIGINT) AS raw_score,
+       |    CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok JOIN wt USING (h)
+       |  WHERE source <> '$DsirTarget'
+       |  GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT doc_id, source, raw_score // n_tokens AS score, n_tokens
+       |  FROM scored
+       |  ORDER BY score DESC, doc_id
+       |  LIMIT $DsirTopN)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       |  doc_id, source, CAST(score AS BIGINT) AS score, n_tokens
+       |FROM sel
+       |ORDER BY rk""".stripMargin
 }

@@ -81,6 +81,24 @@ class SamplingSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("kept")) > 0)
   }
 
+  test("dsir selection: top-N candidates only, ranked, target excluded, stable") {
+    val sel = Sampling.dsirSelect(spark, sf).collect()
+    assert(sel.length === Sampling.DsirTopN)
+    // ranks are 1..N in order; scores non-increasing along the ranks;
+    // ties broken by doc_id (strict total order)
+    sel.zipWithIndex.foreach { case (r, i) => assert(r.getAs[Long]("rk") === i + 1L) }
+    sel.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getAs[Long]("score"), b.getAs[Long]("score"))
+      assert(sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+    }
+    // the target domain provides the distribution, never the candidates
+    assert(!sel.exists(_.getAs[String]("source") == Sampling.DsirTarget))
+    sel.foreach(r => assert(r.getAs[Long]("n_tokens") > 0L))
+    // integer arithmetic end-to-end ⇒ bit-stable across runs
+    val again = Sampling.dsirSelect(spark, sf).collect()
+    assert(sel.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("mix report covers every document exactly once") {
     val total = graft.Tables.documents(spark, sf).count()
     val mix = Sampling.splitMix(spark, sf)
