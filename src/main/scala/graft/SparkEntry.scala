@@ -192,6 +192,8 @@ object SparkEntry {
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),
+    ("x4_diversity_card", TextStats.diversityCard _, Some(TextStats.diversityCardSql)),
+    ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
     ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
     ("x6_interval_merge", EventWindows.mergeIntervals _, Some(EventWindows.mergeIntervalsSql)),
   )

@@ -553,4 +553,128 @@ object TextStats {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---- corpus diversity card (distinct-n-gram ratios) -------------------
+
+  /** Per-source lexical diversity: type-token ratio and bigram
+    * diversity in integer basis points — the distinct-n-gram measures
+    * dataset cards report to expose templated/boilerplate-heavy
+    * sources (low TTR ⇒ repetitive corpus; the aggregate cousin of
+    * the per-doc Gopher repetition signals in [[qualitySignals]]).
+    *
+    * One explode pass emits (n, gram) structs for unigrams AND
+    * bigrams together, so a single hash-aggregate keyed on source
+    * computes all four counts — distinct counts expand to one
+    * per-(source, n, gram) partial aggregate underneath, shuffle
+    * bounded by DISTINCT grams (map-side combine), not corpus
+    * positions. Integer `div` basis points ⇒ oracle-exact. */
+  def diversityCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    val g = d.select(col("source"), explode(concat(
+        expr("transform(toks, t -> named_struct('n', 1, 'gram', t))"),
+        expr("if(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('n', 2, 'gram', concat(toks[i-1], ' ', toks[i]))))")))
+        .as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+    g.groupBy(col("source")).agg(
+        count(when(col("n") === 1, 1)).as("n_words"),
+        countDistinct(when(col("n") === 1, col("gram"))).as("n_distinct_words"),
+        count(when(col("n") === 2, 1)).as("n_bigrams"),
+        countDistinct(when(col("n") === 2, col("gram"))).as("n_distinct_bigrams"))
+      .select(col("source"), col("n_words"), col("n_distinct_words"),
+        expr("n_distinct_words * 10000 div n_words").as("ttr_bp"),
+        col("n_bigrams"), col("n_distinct_bigrams"),
+        expr("n_distinct_bigrams * 10000 div greatest(n_bigrams, 1)").as("bigram_ttr_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror of [[diversityCard]] — UNION ALL of the two gram streams,
+    * same conditional distinct counts, same integer basis points. */
+  val diversityCardSql: String =
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT source, 1 AS n, unnest(toks) AS gram FROM t
+      |  UNION ALL
+      |  SELECT source, 2 AS n,
+      |    unnest(list_transform(range(2, len(toks) + 1),
+      |      i -> toks[i-1] || ' ' || toks[i])) AS gram
+      |  FROM t),
+      |a AS (
+      |  SELECT source,
+      |    CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_words,
+      |    CAST(count(DISTINCT CASE WHEN n = 1 THEN gram END) AS BIGINT) AS n_distinct_words,
+      |    CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS n_bigrams,
+      |    CAST(count(DISTINCT CASE WHEN n = 2 THEN gram END) AS BIGINT) AS n_distinct_bigrams
+      |  FROM g GROUP BY source)
+      |SELECT source, n_words, n_distinct_words,
+      |  n_distinct_words * 10000 // n_words AS ttr_bp,
+      |  n_bigrams, n_distinct_bigrams,
+      |  n_distinct_bigrams * 10000 // greatest(n_bigrams, 1) AS bigram_ttr_bp
+      |FROM a
+      |ORDER BY source""".stripMargin
+
+  // ---- cross-source overlap matrix --------------------------------------
+
+  /** Pairwise source-to-source content overlap: for every source pair,
+    * the number of distinct char-8-gram shingles they share and the
+    * containment in basis points (shared / smaller source's distinct
+    * shingles) — the mixture-design input that tells you two "sources"
+    * are actually mirrors of each other before you assign them
+    * independent sampling weights.
+    *
+    * Single linear plan, no self-join and no multi-consumer reuse:
+    * per-shingle source sets (collect_set bounded by source
+    * cardinality) explode into ordered pairs INCLUDING the diagonal,
+    * so one aggregate yields both pair overlaps and (on the diagonal)
+    * per-source totals; two windows over the tiny pair matrix attach
+    * the totals and the diagonal is dropped. At web scale (millions
+    * of domains) the per-shingle set and k² pair fan-out stop being
+    * bounded — there the SQL-mirror shape (distinct frame self-joined
+    * on the shingle) with a df-capped stop-shingle prune, as
+    * [[graft.ext.Dedup.ngramJaccard]] does, is the production route. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(expr(graft.ext.Dedup.shinglesExpr)).as("s"))
+      .distinct()
+    val pairs = sh.groupBy(col("s")).agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(explode(col("srcs")).as("a"), col("srcs"))
+      .select(col("a"), explode(col("srcs")).as("b"))
+      .filter(col("a") <= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    pairs
+      .withColumn("total_a", max(when(col("a") === col("b"), col("n_shared"))).over(wa))
+      .withColumn("total_b", max(when(col("a") === col("b"), col("n_shared"))).over(wb))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("source_a"), col("b").as("source_b"), col("n_shared"),
+        expr("n_shared * 10000 div least(total_a, total_b)").as("containment_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Mirror of [[sourceOverlap]]: the (source, shingle) distinct frame
+    * self-joined on the shingle reproduces exactly the exploded
+    * ordered pairs (diagonal included), then the same windows. */
+  val sourceOverlapSql: String =
+    """WITH sh0 AS (
+      |  SELECT source, unnest(list_distinct(
+      |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT source, s FROM sh0),
+      |pairs AS (
+      |  SELECT a.source AS a, b.source AS b, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source <= b.source
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a, b, n_shared,
+      |    max(CASE WHEN a = b THEN n_shared END) OVER (PARTITION BY a) AS total_a,
+      |    max(CASE WHEN a = b THEN n_shared END) OVER (PARTITION BY b) AS total_b
+      |  FROM pairs)
+      |SELECT a AS source_a, b AS source_b, n_shared,
+      |  n_shared * 10000 // least(total_a, total_b) AS containment_bp
+      |FROM w
+      |WHERE a < b
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 
 /** Dedup / similarity / multimodal behavior on sf0.001 testdata. */
 class ExtSpec extends SparkSpec {
@@ -102,6 +102,31 @@ class ExtSpec extends SparkSpec {
     // deterministic across runs
     assert(Multimodal.extractFeatures(spark, sf)
       .filter(col("media_id") === 0L).head() === f)
+  }
+
+  test("X4 diversity card: distinct bounds, bp ranges, bigram arithmetic") {
+    val rows = TextStats.diversityCard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, dw) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct_words"))
+      val (b, db) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct_bigrams"))
+      assert(dw >= 1L && dw <= w)
+      assert(db <= b)
+      assert(r.getAs[Long]("ttr_bp") === dw * 10000L / w)
+      assert(r.getAs[Long]("bigram_ttr_bp") === db * 10000L / math.max(b, 1L))
+      assert(r.getAs[Long]("ttr_bp") <= 10000L)
+    }
+  }
+
+  test("X4 source overlap: ordered pairs, containment bounded, diagonal dropped") {
+    val rows = TextStats.sourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val bp = r.getAs[Long]("containment_bp")
+      assert(bp >= 0L && bp <= 10000L, s"containment out of range: $bp")
+      assert(r.getAs[Long]("n_shared") >= 1L)
+    }
   }
 
   test("X2 semantic dedup: drops are witnessed by exact pairs, same-cell only") {
