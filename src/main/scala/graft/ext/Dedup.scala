@@ -581,22 +581,22 @@ object Dedup {
     * hamming filter) is mirrored by [[simhashSql]] and driver
     * hash-verified; no engine-specific hashing in the data path. */
   /** (doc_id, simhash) for a (doc_id, text) frame — one md5+hex-fold
-    * per shingle, then 60 codegen'd conditional sums per doc (explode
-    * + groupBy beats interpreted HOF lambdas ~100×). Shared by the
-    * batch near-dup query and (as the ground truth the typed streaming
-    * hasher is spec-pinned against) the streaming path. */
+    * per shingle (explode + groupBy beats interpreted HOF lambdas
+    * ~100×), then ONE custom [[graft.functions.SimHashAgg]] sketch
+    * aggregate folds the 60 per-bit majority votes (the original 60
+    * separate `sum(when(bit))` aggregates paid 60 dispatches per row
+    * and a 60-column shuffle buffer; the sketch is one primitive loop
+    * and one 240-byte buffer — bit-identical output, spec-pinned).
+    * Shared by the batch near-dup query and (as the ground truth the
+    * typed streaming hasher is spec-pinned against) the streaming
+    * path. */
   private[graft] def simhashFrame(docFrame: DataFrame): DataFrame = {
-    val hashed = docFrame
+    import graft.functions.SimHashAgg.simhash_agg
+    docFrame
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
       .select(col("doc_id"), expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("h"))
-    val bitSums = hashed.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
-      (1 until SimHashBits).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")): _*)
-    bitSums.select(col("doc_id"),
-      (0 until SimHashBits).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      ).reduce(_ + _).as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(simhash_agg(col("h"), SimHashBits).as("simhash"))
   }
 
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
