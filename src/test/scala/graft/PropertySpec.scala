@@ -88,4 +88,32 @@ class PropertySpec extends SparkSpec {
       assert(binned === naive, s"width=$w")
     }
   }
+
+  test("registered queries are shuffle-partition invariant") {
+    // THE distributed-correctness property: results must not depend on
+    // physical parallelism. Exercised on the operators whose plans
+    // lean hardest on partitioning — banded LSH joins, the iterative
+    // CC loop, broadcast+TakeOrdered selection, session windows, the
+    // persist-reusing lang-ID — by re-running each under a different
+    // shuffle-partition count (runtime conf, affects every exchange)
+    // and requiring row-identical output.
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("x2_minhash_lsh", "x2_dup_clusters", "x9_dsir_select",
+      "x6_session_window", "x4_lang_id", "x2_sem_dedup")
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      names.foreach { n =>
+        val fn = SparkEntry.queries(n)
+        spark.conf.set(key, "3")
+        val a = fn(spark, sf).collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache()
+        spark.conf.set(key, "7")
+        val b = fn(spark, sf).collect().map(_.toSeq).toSeq
+        spark.catalog.clearCache()
+        assert(a === b, s"$n output depends on shuffle partitioning")
+        assert(a.nonEmpty, s"$n returned no rows at sf0.001")
+      }
+    } finally spark.conf.set(key, before)
+  }
 }
