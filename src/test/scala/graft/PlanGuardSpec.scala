@@ -1,0 +1,67 @@
+package graft
+
+/** Executable plan assertions — the PLANS.md claims as regression
+  * guards. Each case runs a registered query at sf0.001, takes the
+  * FINAL adaptive plan string, and asserts the physical property the
+  * 100 TB design depends on: pushdown reaching the scan, dimension
+  * broadcasts, TakeOrderedAndProject for global top-N, and the
+  * absence of cartesian/nested-loop joins outside deliberate
+  * broadcast-constant cases. A refactor that silently degrades one of
+  * these shapes fails here, not in a bench eyeball. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final-plan string of a registered query after execution (AQE
+    * re-plans at runtime; the pre-execution string still shows the
+    * initial plan only). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = finalPlan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("x8 star join: every dimension joins as broadcast, fact never shuffles for them") {
+    val p = finalPlan("x8_join_star")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in star query:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"star dimensions must broadcast, not sort-merge:\n$p")
+  }
+
+  test("x9 dsir: bucket weights broadcast; top-N is TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("x9_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N not TakeOrdered:\n$p")
+  }
+
+  test("x3 cosine top-k: the only cartesian is the broadcast of the constant query set") {
+    val p = finalPlan("x3_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus must never cartesian with itself:\n$p")
+  }
+
+  test("x2 minhash LSH: candidates come from an equi-join, never a nested loop") {
+    val p = finalPlan("x2_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH banding must candidate via equi-join:\n$p")
+  }
+
+  test("x4 text stats: projection pruning reaches the documents scan") {
+    val p = finalPlan("x4_text_stats")
+    // the scan must not read the full document struct when the query
+    // needs only text-derived measures + keys
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, s"no parquet ReadSchema found:\n$p")
+    assert(readSchemas.forall(!_.contains("media")),
+      s"text query must not read multimodal columns:\n$p")
+  }
+}
