@@ -194,6 +194,7 @@ object SparkEntry {
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),
     ("x4_diversity_card", TextStats.diversityCard _, Some(TextStats.diversityCardSql)),
     ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
+    ("x4_hll_distinct", TextStats.hllDistinct _, Some(TextStats.hllDistinctSql)),
     ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
     ("x6_interval_merge", EventWindows.mergeIntervals _, Some(EventWindows.mergeIntervalsSql)),
   )

@@ -677,4 +677,84 @@ object TextStats {
       |FROM w
       |WHERE a < b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- oracle-exact HyperLogLog distinct-token estimate -----------------
+
+  /** Per-source distinct-token cardinality: the custom
+    * [[graft.functions.HllAgg]] HyperLogLog estimate next to the exact
+    * `countDistinct`, with the relative error in basis points — both a
+    * production sketch (mergeable 4 KB buffer; the exact count is the
+    * thing that does NOT scale past memory) and its own accuracy
+    * report. The whole sketch is mirrored in DuckDB SQL — register
+    * updates from the same md5-fold hash, integer trailing-zero
+    * ranks, an integer harmonic sum — so the driver hash-verifies the
+    * ESTIMATE bit-for-bit, which stock approx_count_distinct
+    * implementations cannot offer. */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HllAgg.hll_estimate
+    // distinct SHINGLES (not tokens): the testdata's ~30-word vocab
+    // would put token cardinality deep in HLL's small-range regime,
+    // whose standard rescue (linear counting) needs the banned `ln`;
+    // shingle cardinality (~3.7k/source) sits where the raw estimator
+    // is specified to work (n ≳ 10·m at p = 8)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(expr(graft.ext.Dedup.shinglesExpr)).as("tk"))
+      .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("source")).agg(
+        countDistinct(col("tk")).as("n_exact"),
+        hll_estimate(col("h")).as("hll_est"))
+      .withColumn("err_bp",
+        expr("floor(abs(hll_est - cast(n_exact as double)) * 10000.0 / cast(n_exact as double))"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror of [[hllDistinct]]: same hash → bucket/rank register
+    * updates (trailing zeros via pure integer CASE), empty registers
+    * filled from a source×4096 grid, the same integer Σ 2^(rmax−r)
+    * harmonic sum, and the alpha constant spelled from the identical
+    * literals — the estimate doubles match bit-for-bit. */
+  val hllDistinctSql: String = {
+    val m = graft.functions.HllAgg.M
+    val tzCase = (0 to 48).map { t =>
+      s"WHEN w % ${BigInt(2).pow(t + 1)} = ${BigInt(2).pow(t)} THEN $t"
+    }.mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT source, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS tk
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, tk, list_reduce(
+       |    [strpos('0123456789abcdef', x) - 1
+       |     FOR x IN string_split(substr(md5(tk), 1, 15), '')],
+       |    (a, b) -> a * 16 + b) AS h
+       |  FROM tok),
+       |wv AS (
+       |  SELECT source, h % $m AS bucket, (h // $m) | (1::BIGINT << 48) AS w FROM h),
+       |reg AS (
+       |  SELECT source, bucket, max((CASE $tzCase END) + 1) AS r
+       |  FROM wv GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.source, g.bucket
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT unnest(range($m)) AS bucket) g),
+       |filled AS (
+       |  SELECT grid.source, grid.bucket, coalesce(reg.r, 0) AS r
+       |  FROM grid LEFT JOIN reg ON grid.source = reg.source AND grid.bucket = reg.bucket),
+       |rm AS (SELECT source, max(r) AS rmax FROM filled GROUP BY source),
+       |agg AS (
+       |  SELECT f.source, rm.rmax,
+       |    CAST(sum(1::BIGINT << (rm.rmax - f.r)) AS BIGINT) AS num
+       |  FROM filled f JOIN rm ON f.source = rm.source GROUP BY 1, 2),
+       |ex AS (SELECT source, CAST(count(DISTINCT tk) AS BIGINT) AS n_exact FROM h GROUP BY source),
+       |est AS (
+       |  SELECT ex.source, ex.n_exact,
+       |    (0.7213 / (1.0 + 1.079 / ${m.toDouble})) * ${m.toDouble} * ${m.toDouble} *
+       |      CAST(1::BIGINT << rmax AS DOUBLE) / CAST(num AS DOUBLE) AS hll_est
+       |  FROM ex JOIN agg ON ex.source = agg.source)
+       |SELECT source, n_exact, hll_est,
+       |  CAST(floor(abs(hll_est - CAST(n_exact AS DOUBLE)) * 10000.0 /
+       |    CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_bp
+       |FROM est
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -104,6 +104,29 @@ class ExtSpec extends SparkSpec {
       .filter(col("media_id") === 0L).head() === f)
   }
 
+  test("X4 hll distinct: estimate within spec error, merge-invariant across partitionings") {
+    import spark.implicits._
+    val rows = TextStats.hllDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // raw-estimator regime (no ln-based corrections): p=8 typical
+      // error is ~6.5 %; 15 % is the hard spec bound
+      assert(r.getAs[Long]("err_bp") < 1500L,
+        s"${r.getAs[String]("source")}: estimate off by ${r.getAs[Long]("err_bp")} bp")
+      assert(r.getAs[Double]("hll_est") > 0.0)
+    }
+    // the sketch must be a true mergeable aggregate: the estimate
+    // cannot depend on how input rows are split across partial buffers
+    val base = Tables.documents(spark, sf)
+      .select(col("source"), explode(expr(Dedup.shinglesExpr)).as("tk"))
+      .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+    def est(parts: Int): Map[String, Double] = base.repartition(parts)
+      .groupBy(col("source"))
+      .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(est(1) === est(7), "estimate depends on partial-buffer split")
+  }
+
   test("X4 diversity card: distinct bounds, bp ranges, bigram arithmetic") {
     val rows = TextStats.diversityCard(spark, sf).collect()
     assert(rows.nonEmpty)
