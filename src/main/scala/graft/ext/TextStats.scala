@@ -634,8 +634,10 @@ object TextStats {
     * on the shingle) with a df-capped stop-shingle prune, as
     * [[graft.ext.Dedup.ngramJaccard]] does, is the production route. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // custom Shingles generator, not the array-materializing
+    // expression: flat memory on the long-document tail
     val sh = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(expr(graft.ext.Dedup.shinglesExpr)).as("s"))
+      .select(col("source"), graft.functions.Shingles.shingles(col("text"), 8).as("s"))
       .distinct()
     val pairs = sh.groupBy(col("s")).agg(sort_array(collect_set(col("source"))).as("srcs"))
       .select(explode(col("srcs")).as("a"), col("srcs"))
@@ -698,7 +700,7 @@ object TextStats {
     // shingle cardinality (~3.7k/source) sits where the raw estimator
     // is specified to work (n ≳ 10·m at p = 8)
     Tables.documents(spark, sfDir)
-      .select(col("source"), explode(expr(graft.ext.Dedup.shinglesExpr)).as("tk"))
+      .select(col("source"), graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
       .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
       .groupBy(col("source")).agg(
         countDistinct(col("tk")).as("n_exact"),
