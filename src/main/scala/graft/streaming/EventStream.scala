@@ -38,6 +38,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Running distinct-user cardinality per event type via the
+    * mergeable [[graft.functions.HllAgg]] sketch — streaming distinct
+    * counting with BOUNDED state: exact streaming `countDistinct` is
+    * unsupported (state would grow with the value universe), while the
+    * sketch's 256-byte buffer rides the state store like any other
+    * aggregation buffer and merges across micro-batches by design.
+    * Works identically on a batch frame — StreamingSpec pins
+    * batch ≡ stream on the same input. Complete/update output modes
+    * (a running total has no watermark-finalized rows to append). */
+  def distinctUserEstimate(events: DataFrame): DataFrame =
+    events
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("est_users"))
+
   /** Native streaming session windows (30-minute gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -232,6 +232,39 @@ class StreamingSpec extends SparkSpec {
     assert(typed === batch)
   }
 
+  test("streaming HLL distinct estimate equals the batch estimate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // cardinality must sit in the raw estimator's regime (n ≳ 10·m =
+    // 2560 at p=8) — tiny universes are linear-counting territory,
+    // which the oracle-parity rules keep out of HllAgg (needs ln)
+    val all = (1 to 8000).map(i =>
+      Event(i.toLong, ts(i % 30), (i * 37 % 5000).toLong,
+        if (i % 3 == 0) "click" else "view", 1.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.distinctUserEstimate(mem.toDF()).writeStream
+      .format("memory").queryName("hll_users").outputMode("complete").start()
+    try {
+      // two micro-batches: the sketch buffers must MERGE in the state
+      // store, not restart — a non-mergeable aggregate would drift
+      mem.addData(all.take(5000): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(5000): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_users")
+        .as[(String, Double)].collect().toMap
+      val batch = EventStream.distinctUserEstimate(all.toDF())
+        .as[(String, Double)].collect().toMap
+      assert(streamed === batch, "streamed sketch diverged from batch")
+      // and the estimate is in range of the true distinct counts
+      val exact = all.groupBy(_.event_type)
+        .map { case (k, es) => k -> es.map(_.user_id).distinct.size }
+      exact.foreach { case (k, n) =>
+        assert(math.abs(streamed(k) - n) / n.toDouble < 0.2, s"$k: ${streamed(k)} vs $n")
+      }
+    } finally q.stop()
+  }
+
   test("file-source stream restarts from checkpoint without reprocessing or loss") {
     import spark.implicits._
     // the recovery contract a production ingest relies on: stop the
