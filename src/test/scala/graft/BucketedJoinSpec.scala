@@ -26,8 +26,24 @@ class BucketedJoinSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** A killed JVM can leave a managed table's LOCATION behind with no
+    * catalog entry (the in-memory metastore dies with the process);
+    * the next CREATE then fails LOCATION_ALREADY_EXISTS. Drop both
+    * the table and any orphaned location before writing. */
+  private def cleanTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File(wh, name)
+    if (loc.exists()) rm(loc)
+  }
+
   test("co-bucketed join plans with zero shuffle exchanges") {
     val sf = "/root/testdata/sf0.001"
+    Seq("orders_b", "customer_b").foreach(cleanTable)
     Sinks.writeBucketed(Tables.orders(spark, sf), "orders_b", 4, Seq("o_custkey"))
     Sinks.writeBucketed(
       Tables.customer(spark, sf).withColumn("c_custkey", col("c_custkey")),
