@@ -520,9 +520,7 @@ object Dedup {
     import graft.functions.VectorFunctions.vec_qdot
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
-      .withColumn("cell", (0 until Similarity.GridDims).map(d =>
-        when(expr(s"cast(round(cast(embedding[$d] as double) * 10000000) as bigint)") > 0,
-          lit(1 << d)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+      .withColumn("cell", Similarity.gridCellCol.cast("long"))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -546,8 +544,7 @@ object Dedup {
        |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q),
        |cells AS (
        |  SELECT vec_id, iv, n2,
-       |    CAST(${(0 until Similarity.GridDims).map(d =>
-            s"(CASE WHEN iv[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS cell
+       |    CAST(${Similarity.gridCellSql("iv")} AS BIGINT) AS cell
        |  FROM n),
        |pairs AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j, b.cell AS cell,

@@ -237,6 +237,20 @@ object Similarity {
 
   val GridDims = 4 // 2⁴ = 16 cells from the sign bits of dims 0..3
 
+  /** Sign-grid cell id — THE quantizer, defined once: integer sign
+    * bits of the first [[GridDims]] quantized dimensions. Shared by
+    * [[ivfGridTopK]] and [[graft.ext.Dedup.semanticDedup]] so a
+    * quantizer change can never desynchronize one consumer from its
+    * SQL mirror. */
+  private[ext] def gridCellCol: Column = (0 until GridDims).map(d =>
+    when(expr(s"cast(round(cast(embedding[$d] as double) * 10000000) as bigint)") > 0,
+      lit(1 << d)).otherwise(lit(0))).reduce(_ + _)
+
+  /** The same quantizer over a quantized-int list column in DuckDB. */
+  private[ext] def gridCellSql(iv: String): String =
+    (0 until GridDims).map(d =>
+      s"(CASE WHEN $iv[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+
   /** IVF ANN with a deterministic grid quantizer: cell = 4 sign bits
     * of the first 4 quantized dimensions (16 cells); each query probes
     * its own cell plus the [[IvfProbes]]−1 cells reached by flipping
@@ -251,9 +265,7 @@ object Similarity {
   def ivfGridTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
-      .withColumn("cell", (0 until GridDims).map(d =>
-        when(expr(s"cast(round(cast(embedding[$d] as double) * 10000000) as bigint)") > 0,
-          lit(1 << d)).otherwise(lit(0))).reduce(_ + _))
+      .withColumn("cell", gridCellCol)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
     // multiprobe: 4-element sort + flips — constant-size per-row HOFs
     val queries = e.filter(col("vec_id") < NumQueries)
@@ -285,8 +297,7 @@ object Similarity {
        |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
        |cells AS (
        |  SELECT vec_id, iv, n2,
-       |    ${(0 until GridDims).map(d =>
-              s"(CASE WHEN iv[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")} AS cell
+       |    ${gridCellSql("iv")} AS cell
        |  FROM n),
        |qp AS (
        |  SELECT vec_id AS q_id, n2 AS qn2, iv AS qiv,

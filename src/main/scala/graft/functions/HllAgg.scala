@@ -53,7 +53,10 @@ case class HllAgg(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      val bucket = (h % M).toInt
+      // floorMod: the corpus md5-fold hash is non-negative (identical
+      // result), but a caller wiring a SIGNED hash (xxhash64) must not
+      // index the register array negatively
+      val bucket = java.lang.Math.floorMod(h, M.toLong).toInt
       val w = (h >>> P) | Sentinel
       val rho = (java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
       if (rho > buf(bucket)) buf(bucket) = rho

@@ -105,11 +105,13 @@ object FuzzyMatch {
       val ptser = (if ((tokens(x).toSet & tokens(y).toSet).nonEmpty) 100
         else partialRatio(tokens(x).sorted.mkString(" "),
           tokens(y).sorted.mkString(" "))) * unbase * pscale
-      math.max(math.max(base, partial), math.max(ptsor, ptser)).toInt
+      // int(round(...)) like fuzzywuzzy — truncation would report
+      // half-point scores one lower and flip threshold-60 decisions
+      math.round(math.max(math.max(base, partial), math.max(ptsor, ptser))).toInt
     } else {
       val tsor = tokenSortRatio(x, y) * unbase
       val tser = tokenSetRatio(x, y) * unbase
-      math.max(base, math.max(tsor, tser)).toInt
+      math.round(math.max(base, math.max(tsor, tser))).toInt
     }
   }
 

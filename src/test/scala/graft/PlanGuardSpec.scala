@@ -57,11 +57,20 @@ class PlanGuardSpec extends SparkSpec {
 
   test("x4 text stats: projection pruning reaches the documents scan") {
     val p = finalPlan("x4_text_stats")
-    // the scan must not read the full document struct when the query
-    // needs only text-derived measures + keys
+    // assert the scanned column set EXACTLY: a vacuous not-contains
+    // check would pass even with pruning fully broken
     val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(readSchemas.nonEmpty, s"no parquet ReadSchema found:\n$p")
-    assert(readSchemas.forall(!_.contains("media")),
-      s"text query must not read multimodal columns:\n$p")
+    readSchemas.foreach { rs =>
+      val cols = "struct<(.*)>".r.findFirstMatchIn(rs).map(_.group(1))
+        .getOrElse(fail(s"unparseable ReadSchema line: $rs"))
+        .split(",").map(_.split(":")(0).trim).toSet
+      // the query outputs doc_id/lang/source and derives everything
+      // else from text; n_chars exists in the file but must be pruned
+      assert(cols.subsetOf(Set("doc_id", "text", "lang", "source")),
+        s"x4_text_stats must prune to doc_id/text/lang/source, scanned $cols:\n$p")
+      assert(!cols.contains("n_chars"),
+        s"n_chars is derivable and must not be scanned:\n$p")
+    }
   }
 }

@@ -57,6 +57,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: oracle_check.py [--json REPORT.json] <sfDir> <verifyOutDir>")
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
@@ -70,8 +72,12 @@ def main():
     names = [os.path.basename(d) for d in sorted(glob.glob(f"{out_dir}/*")) if os.path.isdir(d)]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # every pre-compare failure must still land in the report —
+        # an omitted key would leave a stale COVERAGE.md cell green
         if not files:
-            print(f"FAIL {name}: no spark output parquet"); fail += 1; continue
+            print(f"FAIL {name}: no spark output parquet"); fail += 1
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False}
+            continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
@@ -80,7 +86,9 @@ def main():
         try:
             oracle_df = con.execute(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); fail += 1
+            report[name] = {"rows_match": False, "schema_match": False, "hash_match": False}
+            continue
         errs = compare(name, spark_df, oracle_df)
         schema_match = sorted(spark_df.columns) == sorted(oracle_df.columns)
         dtype_errs = []
