@@ -207,6 +207,56 @@ object StarQueries {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Registered query `q5_local_supplier` (TPC-H Q5 shape): revenue
+    * by nation for orders where the CUSTOMER's nation equals the
+    * SUPPLIER's nation inside one region and year — the canonical
+    * 6-table star composite. Scale shape: the fact chain
+    * (lineitem ⋈ orders) is the only shuffle join; customer,
+    * supplier, nation, region all broadcast, and the
+    * same-nation predicate rides the supplier join condition so no
+    * post-join filter materializes mismatched rows. Region filter
+    * prunes the nation/customer/supplier broadcasts BEFORE they ship. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Registered query `q18_large_orders` (TPC-H Q18 shape): orders
     * whose total lineitem quantity clears a threshold, joined back to
     * customer — the "find the whales" composite: a grouped HAVING

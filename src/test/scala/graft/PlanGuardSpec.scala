@@ -49,6 +49,15 @@ class PlanGuardSpec extends SparkSpec {
       s"corpus must never cartesian with itself:\n$p")
   }
 
+  test("q5: the fact chain is the only shuffle join; all dimensions broadcast") {
+    val p = finalPlan("q5_local_supplier")
+    val smjCount = p.linesIterator.count(_.contains("SortMergeJoin"))
+    val shuffleHashCount = p.linesIterator.count(_.contains("ShuffledHashJoin"))
+    assert(smjCount + shuffleHashCount <= 1,
+      s"only lineitem-orders may shuffle; dims must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins found:\n$p")
+  }
+
   test("x2 minhash LSH: candidates come from an equi-join, never a nested loop") {
     val p = finalPlan("x2_minhash_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
