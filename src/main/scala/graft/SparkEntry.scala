@@ -130,6 +130,8 @@ object SparkEntry {
       Some(graft.ext.Sampling.mixWeightsSql)),
     ("x9_dsir_select", graft.ext.Sampling.dsirSelect _,
       Some(graft.ext.Sampling.dsirSelectSql)),
+    ("x9_decontam_split", graft.ext.Sampling.decontaminatedSplit _,
+      Some(graft.ext.Sampling.decontaminatedSplitSql)),
     ("x0_clean_pipeline", graft.ext.CleanPipeline.cleanPipeline _,
       Some(graft.ext.CleanPipeline.cleanPipelineSql)),
     ("x7_math_funcs", StarQueries.mathFuncs _, Some(StarQueries.mathFuncsSql)),

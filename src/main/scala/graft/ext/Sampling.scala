@@ -304,6 +304,74 @@ object Sampling {
        |FROM h
        |ORDER BY epoch, position""".stripMargin
 
+  // ---- decontaminated split manifest ------------------------------------
+
+  val LeakThresholdBp = 8000L
+
+  /** Decontaminated split manifest — the composition a real training
+    * run needs before anything ships: assign every document its
+    * deterministic hash split, then measure each HELD-OUT (val/test)
+    * document's char-8-gram containment against the TRAIN split's
+    * shingle set and quarantine documents at ≥ 80 % containment
+    * (train leakage makes the held-out metric a lie — GPT-3 appendix C
+    * / Gopher's decontamination step, here as one query over the real
+    * split rather than a parity-based stand-in). Output: one row per
+    * held-out doc with its split, shingle counts, integer containment
+    * basis points, and the quarantine verdict.
+    *
+    * Scale: train shingles reduce to a DISTINCT set (one shuffle);
+    * the held-out side left-joins it on the shingle — at corpus scale
+    * the distinct set swaps for a bloom filter (exactness traded for
+    * one broadcast, as [[graft.ext.TextStats.contamination]]'s
+    * scaladoc details). */
+  def decontaminatedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitCol)
+    val sh = d.select(col("doc_id"), col("split"),
+      graft.functions.Shingles.shingles(col("text"), 8).as("s"))
+    val train = sh.filter(col("split") === "train")
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("split") =!= "train")
+      .join(train, Seq("s"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("containment_bp", expr("n_hits * 10000 div n_shingles"))
+      .withColumn("quarantined", col("containment_bp") >= LeakThresholdBp)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mirror of [[decontaminatedSplit]]: same md5-fold buckets and
+    * thresholds, same distinct-train shingle join, same integer
+    * containment. */
+  val decontaminatedSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    $bucketSql AS bucket
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, text,
+       |    $splitSql AS split
+       |  FROM b),
+       |sh AS (
+       |  SELECT doc_id, split, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+       |  FROM sp),
+       |train AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+       |scored AS (
+       |  SELECT sh.doc_id, sh.split,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN train.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM sh LEFT JOIN train ON sh.s = train.s
+       |  WHERE sh.split <> 'train'
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, split, n_shingles, n_hits,
+       |  n_hits * 10000 // n_shingles AS containment_bp,
+       |  n_hits * 10000 // n_shingles >= $LeakThresholdBp AS quarantined
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
   // ---- DSIR-style importance selection ----------------------------------
 
   val DsirTarget = "src0"

@@ -99,6 +99,25 @@ class SamplingSpec extends SparkSpec {
     assert(sel.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("decontaminated split: every held-out doc scored once, verdict matches threshold") {
+    val rows = Sampling.decontaminatedSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length, "held-out doc scored twice")
+    rows.foreach { r =>
+      assert(Set("val", "test")(r.getAs[String]("split")))
+      val bp = r.getAs[Long]("containment_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(r.getAs[Boolean]("quarantined") === (bp >= Sampling.LeakThresholdBp))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_shingles"))
+    }
+    // coverage: a proper manifest holds SOME but not ALL docs (the
+    // 80/10/10 split leaves ~20% held out)
+    val total = graft.Tables.documents(spark, sf).count()
+    val heldOut = rows.length.toLong
+    assert(heldOut > 0 && heldOut < total)
+  }
+
   test("mix report covers every document exactly once") {
     val total = graft.Tables.documents(spark, sf).count()
     val mix = Sampling.splitMix(spark, sf)
