@@ -44,6 +44,7 @@ object SparkEntry {
     ("q1_pricing_summary", StarQueries.pricingSummary _, Some(StarQueries.pricingSummarySql)),
     ("q3_shipping_priority", StarQueries.shippingPriority _, Some(StarQueries.shippingPrioritySql)),
     ("q5_local_supplier", StarQueries.localSupplierVolume _, Some(StarQueries.localSupplierVolumeSql)),
+    ("q10_returned_items", StarQueries.returnedItems _, Some(StarQueries.returnedItemsSql)),
     ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
     ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
     ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),

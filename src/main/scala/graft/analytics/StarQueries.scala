@@ -257,6 +257,53 @@ object StarQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Registered query `q10_returned_items` (TPC-H Q10 shape): revenue
+    * lost to returned lineitems per customer in one quarter, top 20 —
+    * the classic "angriest customers" composite. Scale shape: the
+    * return-flag and date filters reach both fact scans as pushed
+    * predicates BEFORE the lineitem ⋈ orders shuffle join; customer
+    * and nation broadcast; top-20 is `orderBy.limit` =
+    * TakeOrderedAndProject, not a global sort. */
+  def returnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), col("n_name"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        dec("c_acctbal").cast("double").as("c_acctbal"),
+        col("n_name"), col("c_mktsegment"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(c_acctbal AS DECIMAL(9,2)) AS DOUBLE) AS c_acctbal,
+      |  n_name, c_mktsegment
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   /** Registered query `q18_large_orders` (TPC-H Q18 shape): orders
     * whose total lineitem quantity clears a threshold, joined back to
     * customer — the "find the whales" composite: a grouped HAVING
