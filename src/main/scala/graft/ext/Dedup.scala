@@ -295,6 +295,24 @@ object Dedup {
     Map("band_rows" -> bandRows, "cand_pairs" -> candPairs, "dup_pairs" -> dupPairs)
   }
 
+  /** Instrumentation for [[graft.tools.ScaleProbe]]: the corpus-scaled
+    * quantizer's bit count, occupied-cell count, and the total
+    * within-cell pair count Σ cell·(cell−1)/2 — the work
+    * [[semanticDedup]]'s cell equi-join actually performs. Pairs-per-
+    * vector staying ~flat across scales is the measured form of the
+    * "corpus-scaled cells keep SemDeDup linear" claim in SCALING.md. */
+  private[graft] def semanticPairsProbe(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    val cells = semanticCells(Tables.embeddings(spark, sfDir))
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+    val row = cells.agg(
+      count(lit(1)).as("cells_used"),
+      sum(expr("c * (c - 1) div 2")).as("within_pairs"),
+      sum(col("c")).as("n_vecs")).collect()(0)
+    val drops = semanticDedup(spark, sfDir).count()
+    Map("cells_used" -> row.getLong(0), "within_pairs" -> row.getLong(1),
+      "n_vecs" -> row.getLong(2), "dropped" -> drops)
+  }
+
   /** Incremental (delta) near-dup dedup — the production shape at
     * 100 TB: a daily delta lands against an already-deduped index, and
     * only NEW×INDEX and NEW×NEW candidate pairs are ever generated;
@@ -494,20 +512,70 @@ object Dedup {
        |    (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $CosineDupThreshold
        |ORDER BY i, j""".stripMargin
 
+  /** Target rows per quantizer cell for [[semanticDedup]]: the sign-bit
+    * count is the smallest b (floored at [[Similarity.GridDims]], i.e.
+    * parity with the fixed grid on tiny corpora) such that
+    * 2^b · [[SemDedupCellRows]] ≥ N — so cell count GROWS WITH THE
+    * CORPUS and expected within-cell pair work stays ~linear:
+    * Σ(cell²) ≈ N · [[SemDedupCellRows]], not N²/constant. */
+  val SemDedupCellRows = 64
+  /** Upper bound on sign bits (2¹⁶ = 65 536 cells); testdata embeddings
+    * carry 64 dims, so 16 sign dims always exist. */
+  val SemDedupMaxBits = 16
+
+  /** Attaches the corpus-scaled quantizer cell to an embeddings frame:
+    * a 1-row count aggregate derives the bit count
+    * b = max(GridDims, #{d < MaxBits : CellRows·2^d < N}) (pure
+    * shift-compare integer arithmetic, mirrored verbatim in DuckDB),
+    * broadcast-crossed back, then cell = Σ_{d<b} signbit_d·2^d over
+    * the quantized dims. The count is a column, not a driver action —
+    * the whole thing is one declarative plan. */
+  private[ext] def semanticCells(emb: DataFrame): DataFrame = {
+    val params = emb.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(Similarity.GridDims),
+        expr(s"aggregate(sequence(0, ${SemDedupMaxBits - 1}), 0, (acc, d) -> " +
+          s"acc + IF(shiftleft(cast($SemDedupCellRows as bigint), d) < n, 1, 0))"))
+        .as("b"))
+    emb.crossJoin(broadcast(params))
+      .withColumn("cell",
+        expr(s"aggregate(sequence(0, ${SemDedupMaxBits - 1}), cast(0 as bigint), (acc, d) -> " +
+          "acc + IF(d < b AND cast(round(cast(element_at(embedding, d + 1) as double) " +
+          "* 10000000) as bigint) > 0, shiftleft(cast(1 as bigint), d), cast(0 as bigint)))"))
+      .drop("b")
+  }
+
+  /** The same derivation in DuckDB: CTEs `params` (bit count from the
+    * corpus count) and a `cell` expression over the quantized list. */
+  private def semanticCellsSqlParams: String =
+    s"""params AS (
+       |  SELECT greatest(${Similarity.GridDims},
+       |    len([d FOR d IN range(0, $SemDedupMaxBits) IF ($SemDedupCellRows::BIGINT << d) < n])) AS b
+       |  FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
+
+  private def semanticCellSqlExpr(iv: String): String =
+    s"CAST(list_sum([CASE WHEN d < b AND $iv[d + 1] > 0 THEN (1::BIGINT << d) ELSE 0 END " +
+      s"FOR d IN range(0, $SemDedupMaxBits)]) AS BIGINT)"
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space into cells,
     * compute cosine similarity only WITHIN each cell, and drop every
     * vector that has an earlier (lower-id) near-semantic match in its
     * cell. This is the scale path next to [[embeddingCosineDedup]]
-    * (which tiles the exact quadratic pair set): within-cell work is
-    * Σ(cell²), not N², and cross-cell pairs are deliberately not
-    * examined — the published technique's approximation, here made
-    * deterministic by reusing [[Similarity.ivfGridTopK]]'s sign-grid
-    * quantizer (integer sign bits of the first 4 quantized dims)
-    * instead of k-means, so the DuckDB mirror reproduces the cells
-    * bit-for-bit. At 100 TB the grid swaps for a learned coarse
-    * quantizer with corpus-scaled cell count; the plan shape (cell
-    * equi-join, per-cell pairs, drop-vs-earlier rule) is unchanged.
+    * (which tiles the exact quadratic pair set): cross-cell pairs are
+    * deliberately not examined — the published technique's
+    * approximation, here made deterministic with a CORPUS-SCALED
+    * sign-bit quantizer: cell id = the first b sign bits of the
+    * quantized embedding, where b is derived from the corpus count by
+    * the integer rule at [[SemDedupCellRows]]. Deriving b from
+    * shift-compare integer arithmetic (never floating log2) lets the
+    * DuckDB mirror reproduce both b and every cell id bit-for-bit,
+    * and makes within-cell work Σ(cell²) ≈ N·64 — linear in the
+    * corpus, measured by `graft.tools.ScaleProbe` (SCALING.md). The
+    * count that sizes b rides the same single-pass plan as a 1-row
+    * broadcast (no driver action); at 100 TB the sign grid swaps for
+    * a learned coarse quantizer (k-means centroids, the
+    * [[Similarity.ivfCosineTopK]] machinery) with the SAME
+    * cell-equi-join → drop-vs-earlier plan shape.
     *
     * Drop rule: vec j is dropped iff some i < j in the same cell has
     * sim(i, j) ≥ [[CosineDupThreshold]] — the keep-lowest-id
@@ -518,9 +586,8 @@ object Dedup {
     * witness, strongest similarity, and witness count. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_qdot
-    val e = Tables.embeddings(spark, sfDir)
+    val e = semanticCells(Tables.embeddings(spark, sfDir))
       .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
-      .withColumn("cell", Similarity.gridCellCol.cast("long"))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -534,18 +601,20 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** Mirror of [[semanticDedup]]: same sign-grid cells, same quantized
-    * integer dot products, same drop-vs-earlier rule. */
+  /** Mirror of [[semanticDedup]]: same corpus-scaled bit count (integer
+    * shift-compare), same sign-bit cells, same quantized integer dot
+    * products, same drop-vs-earlier rule. */
   val semanticDedupSql: String =
     s"""WITH q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
        |  FROM embeddings),
        |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q),
+       |$semanticCellsSqlParams,
        |cells AS (
        |  SELECT vec_id, iv, n2,
-       |    CAST(${Similarity.gridCellSql("iv")} AS BIGINT) AS cell
-       |  FROM n),
+       |    ${semanticCellSqlExpr("iv")} AS cell
+       |  FROM n, params),
        |pairs AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j, b.cell AS cell,
        |    CAST(list_sum(list_transform(list_zip(a.iv, b.iv), p -> p[1] * p[2])) AS DOUBLE) /

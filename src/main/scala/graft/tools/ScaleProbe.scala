@@ -45,6 +45,21 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     full.coalesce(4).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // Embeddings 10×: each copy flips a deterministic sign pattern over
+    // the dims (flip dim i in copy c iff bit (i mod 4) of c is set) — a
+    // bijective isometry, so every within-copy cosine (and thus the
+    // near-dup structure) is preserved exactly while copies land in
+    // different quantizer cells. Growth of semanticDedup's within-cell
+    // pair count on this corpus measures the corpus-scaled quantizer.
+    val embBase = Tables.embeddings(spark, srcDir)
+    val embFull = (0 until 10).map { c =>
+      embBase.select(
+        (col("vec_id") + lit(c.toLong * 1000000000L)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> CAST(x * IF((($c >> (i % 4)) & 1) = 1, " +
+          "CAST(-1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS FLOAT))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embFull.coalesce(4).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,6 +85,17 @@ object ScaleProbe {
       val cand = banded("cand_pairs")
       val dups = banded("dup_pairs")
       println(f"$dir%-28s $docs%8d $bandRows%10d $cand%11d $dups%10d ${cand.toDouble / docs}%9.3f")
+      spark.catalog.clearCache()
+    }
+    // SemDeDup corpus-scaled quantizer: within-cell pair work must grow
+    // ~linearly with the corpus (pairs/vec ~flat) — the round-5 claim.
+    println()
+    println(f"${"sf_dir"}%-28s ${"n_vecs"}%8s ${"cells"}%7s ${"within_pairs"}%13s ${"dropped"}%8s ${"pairs/vec"}%10s")
+    dirs.foreach { spec =>
+      val dir = if (spec.startsWith("synth10:")) spec.stripPrefix("synth10:") else spec
+      val m = graft.ext.Dedup.semanticPairsProbe(spark, dir)
+      println(f"$dir%-28s ${m("n_vecs")}%8d ${m("cells_used")}%7d ${m("within_pairs")}%13d " +
+        f"${m("dropped")}%8d ${m("within_pairs").toDouble / m("n_vecs")}%10.3f")
       spark.catalog.clearCache()
     }
     spark.stop()
