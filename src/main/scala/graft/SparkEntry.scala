@@ -102,6 +102,8 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),
     ("x6_rfm", EventWindows.rfmSegments _, Some(EventWindows.rfmSegmentsSql)),
+    // distributed-rank scale path; ntile-exact, so it shares x6_rfm's oracle
+    ("x6_rfm_scaled", EventWindows.rfmSegmentsScaled _, Some(EventWindows.rfmSegmentsSql)),
     ("x9_epoch_order", graft.ext.Sampling.epochOrder _,
       Some(graft.ext.Sampling.epochOrderSql)),
     // event windows (X6)

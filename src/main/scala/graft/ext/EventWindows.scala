@@ -543,6 +543,89 @@ object EventWindows {
       |FROM scored
       |ORDER BY user_id""".stripMargin
 
+  /** The rfm SCALE PATH — identical output to [[rfmSegments]] (same
+    * oracle SQL) with NO unpartitioned window anywhere in the plan
+    * (asserted by PlanGuardSpec). The exact-ntile formulation moves
+    * the whole user rollup through one partition three times; here
+    * exact global ranks are computed distributively, TeraSort-style:
+    *
+    *  1. melt the three measures to (measure, sort_value) rows with a
+    *     sign flip normalizing all three to ascending order;
+    *  2. derive 7 range-bucket boundaries per measure with
+    *     `percentile_approx` (a tiny mergeable aggregate, broadcast
+    *     back). Boundary QUALITY only affects load balance — ranks
+    *     stay exact whatever the boundaries, so approximation here is
+    *     free;
+    *  3. bucket = #boundaries strictly below the value (monotone in
+    *     the sort key, ties share a bucket), then `row_number` over
+    *     the PARTITIONED window (measure, bucket);
+    *  4. per-bucket counts (24 rows) self-join into prefix offsets —
+    *     bounded work, no window — and offset + local row number is
+    *     the exact global rank;
+    *  5. ntile's integer bucket formula applied to the rank
+    *     reproduces `ntile(4)` bit-for-bit, and a pivot folds the
+    *     three measures back to one row per user.
+    *
+    * At a billion users every stage is a bounded shuffle or a
+    * broadcast of a constant-size frame; nothing single-partitions. */
+  def rfmSegmentsScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (dec("value") * 100).cast("long").as("cents"))
+    val agg = p.groupBy(col("user_id")).agg(
+      max(col("us")).as("last_us"),
+      count(lit(1)).as("frequency"),
+      sum(col("cents")).as("monetary_cents"))
+    // corpus max + user count as a 1-row broadcast (the exact variant's
+    // unpartitioned max-window, made explicit and constant-sized)
+    val glob = agg.agg(max(col("last_us")).as("corpus_max_us"),
+      count(lit(1)).as("n_users"))
+    val melted = agg.crossJoin(broadcast(glob))
+      .withColumn("recency_days",
+        expr("(corpus_max_us - last_us) div 86400000000"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("n_users"),
+        explode(array(
+          struct(lit("r").as("m"), col("recency_days").cast("long").as("sv")),
+          struct(lit("f").as("m"), (-col("frequency")).cast("long").as("sv")),
+          struct(lit("m").as("m"), (-col("monetary_cents")).cast("long").as("sv")))).as("mv"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("n_users"),
+        col("mv.m").as("m"), col("mv.sv").as("sv"))
+    val bounds = melted.groupBy(col("m")).agg(
+      percentile_approx(col("sv"),
+        array((1 to 7).map(i => lit(i / 8.0)): _*), lit(100)).as("bs"))
+    val bucketed = melted.join(broadcast(bounds), Seq("m"))
+      .withColumn("bucket",
+        expr("aggregate(bs, 0, (acc, bv) -> acc + IF(bv < sv, 1, 0))"))
+    val ranked = bucketed.withColumn("lr", row_number().over(
+      Window.partitionBy(col("m"), col("bucket")).orderBy(col("sv"), col("user_id"))))
+    val cnts = bucketed.groupBy(col("m"), col("bucket")).agg(count(lit(1)).as("c"))
+    val offs = cnts.as("a").join(cnts.as("b"),
+        col("a.m") === col("b.m") && col("b.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.m").as("m"), col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    // ntile(4)'s exact integer rule: the first n%4 buckets carry
+    // n/4+1 rows, the rest n/4 (ELSE unreachable when n < 4).
+    val scoreExpr = expr(
+      """CASE WHEN rk <= (n_users % 4) * (n_users div 4 + 1)
+        |  THEN (rk - 1) div (n_users div 4 + 1) + 1
+        |  ELSE (n_users % 4) + (rk - (n_users % 4) * (n_users div 4 + 1) - 1)
+        |    div (n_users div 4) + 1 END""".stripMargin)
+    ranked.join(broadcast(offs), Seq("m", "bucket"))
+      .withColumn("rk", col("off") + col("lr"))
+      .withColumn("score", scoreExpr.cast("long"))
+      .groupBy(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"))
+      .agg(max(when(col("m") === "r", col("score"))).as("r_score"),
+        max(when(col("m") === "f", col("score"))).as("f_score"),
+        max(when(col("m") === "m", col("score"))).as("m_score"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: P(next event type | current) with exact integer counts
     * and a single final division (bit-identical across engines). One

@@ -64,6 +64,21 @@ class PlanGuardSpec extends SparkSpec {
       s"LSH banding must candidate via equi-join:\n$p")
   }
 
+  test("x6 rfm scaled: no unpartitioned window anywhere; output ntile-exact") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val df = SparkEntry.queries("x6_rfm_scaled")(spark, sf)
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"scale path must not contain a global-sort Window:\n${df.queryExecution.optimizedPlan}")
+    // and the distributed-rank formulation reproduces ntile(4) exactly
+    val exact = SparkEntry.queries("x6_rfm")(spark, sf).collect()
+    val scaled = df.collect()
+    assert(exact.nonEmpty && scaled.sameElements(exact),
+      s"scaled rfm diverged from exact ntile output (${scaled.length} vs ${exact.length} rows)")
+  }
+
   test("x4 text stats: projection pruning reaches the documents scan") {
     val p = finalPlan("x4_text_stats")
     // assert the scanned column set EXACTLY: a vacuous not-contains
