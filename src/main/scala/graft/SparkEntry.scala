@@ -98,6 +98,8 @@ object SparkEntry {
     ("x5_media_meta", Multimodal.mediaMeta _, Some(Multimodal.mediaMetaSql)),
     ("x5_frames_meta", Multimodal.framesMeta _, Some(Multimodal.framesMetaSql)),
     ("x5_resize_meta", Multimodal.resizeMeta _, Some(Multimodal.resizeMetaSql)),
+    // real javax.imageio PNG encode->decode roundtrip under the hash gate
+    ("x5_decode_meta", Multimodal.decodeMeta _, Some(Multimodal.decodeMetaSql)),
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),

@@ -12,11 +12,16 @@ import graft.Tables
   * would produce, here synthesized from `documents.text` bytes so the
   * plumbing is testable in this container.
   *
-  * The actual decode (image/audio libraries) is STUBBED behind
-  * [[FakeDecoder]] — a deterministic fake with the same batch-iterator
-  * shape a real vectorized decoder (Arrow batches / pandas UDF in
-  * PySpark, `mapPartitions` here) would have. Everything Spark-side is
-  * real: schema, per-partition batching, feature column layout.
+  * IMAGE decode is REAL (round 5): [[ImageIoCodec]] drives the
+  * JDK-builtin `javax.imageio` PNG codec inside `mapPartitions`, and
+  * the oracled `x5_decode_meta` query hash-verifies an actual
+  * encode → decode roundtrip (lossless grayscale ⇒ the oracle can
+  * predict decoded dimensions and pixel sums exactly). Audio/VIDEO
+  * decode stays STUBBED behind [[FakeDecoder]] — the JDK ships no such
+  * codec and the sandbox has no media libraries — with the same
+  * batch-iterator shape a real vectorized decoder would have.
+  * Everything Spark-side is real either way: schema, per-partition
+  * batching, feature column layout.
   *
   * Scale notes: payloads never shuffle (decode happens before any
   * wide op); feature extraction is `mapPartitions` so per-batch
@@ -32,6 +37,54 @@ object Multimodal {
       mime: String,
       source: String,
       n_bytes: Long)
+
+  case class PngRecord(media_id: Long, png: Array[Byte], src_bytes: Long)
+  case class DecodedMeta(media_id: Long, width: Long, height: Long, px_sum: Long)
+
+  /** REAL image codec (round 5): `javax.imageio` — JDK-builtin, zero
+    * new dependencies. Grayscale PNG is lossless, so a decode returns
+    * exactly the samples that were encoded; [[decodeMeta]] exploits
+    * that to put an actual codec under the driver's hash-compare gate.
+    * JPEG would decode lossy (not oracle-mirrorable bit-for-bit) and
+    * video stays on [[FakeDecoder]] — the JDK genuinely ships no video
+    * codec. */
+  object ImageIoCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Pack `bytes` row-major into a w×h 8-bit grayscale PNG
+      * (truncate past w·h, zero-pad short payloads). */
+    def encodePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      val n = math.min(bytes.length, w * h)
+      while (i < n) {
+        raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode via the real codec; (width, height) come from the PNG
+      * header, px_sum from the decoded raster samples. */
+    def decode(png: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
+    }
+  }
 
   case class MediaFeatures(
       media_id: Long,
@@ -165,6 +218,60 @@ object Multimodal {
       |FROM f
       |WHERE i % 4 = 0
       |ORDER BY media_id, frame_no""".stripMargin
+
+  /** Synthesize REAL PNG assets (one per document): text bytes packed
+    * into a w×h grayscale image with per-asset dimensions
+    * w = 16 + media_id mod 17, h = 16 + len mod 13, encoded by the
+    * real `javax.imageio` PNG writer inside `mapPartitions` (payloads
+    * never shuffle; codec state is partition-local). */
+  def pngTable(spark: SparkSession, sfDir: String): Dataset[PngRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("src_bytes"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, n) =>
+          val w = (16 + id % 17).toInt
+          val h = (16 + n % 13).toInt
+          PngRecord(id, ImageIoCodec.encodePng(bytes, w, h), n)
+        }
+      }
+  }
+
+  /** Fourth oracled X5 query (round 5): a REAL codec under the hash
+    * gate. The PNG roundtrip is lossless grayscale, so the DECODED
+    * width/height (read from the PNG header by `ImageIO.read`) and the
+    * decoded-raster pixel sum are exactly predictable from the source
+    * text — the DuckDB mirror computes them arithmetically (ASCII
+    * testdata ⇒ byte values = code points, as at [[mediaMetaSql]])
+    * while Spark's values come out of an actual encode → decode
+    * through `javax.imageio`. Any codec deviation (wrong dimensions,
+    * sample corruption, dropped rows) breaks the hash match. */
+  def decodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    pngTable(spark, sfDir)
+      .mapPartitions { it =>
+        // per-partition init point for codec state (ImageIO is static)
+        it.map { r =>
+          val (w, h, sum) = ImageIoCodec.decode(r.png)
+          DecodedMeta(r.media_id, w.toLong, h.toLong, sum)
+        }
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val decodeMetaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 + (doc_id % 17) AS BIGINT) AS width,
+      |  CAST(16 + (length(text) % 13) AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(
+      |    range(1, least((16 + (doc_id % 17)) * (16 + (length(text) % 13)), length(text)) + 1),
+      |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS px_sum
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
 
   /** Resize target for the oracled query (w×h = 42 bytes — strictly
     * below the corpus minimum asset size, so the stub only truncates

@@ -104,6 +104,39 @@ class ExtSpec extends SparkSpec {
       .filter(col("media_id") === 0L).head() === f)
   }
 
+  test("X5 multimodal: ImageIoCodec PNG roundtrip is lossless incl. truncation and padding") {
+    import graft.ext.Multimodal.ImageIoCodec
+    // exact fit
+    val exact = Array.tabulate(12)(i => (i * 21).toByte)
+    val (w1, h1, s1) = ImageIoCodec.decode(ImageIoCodec.encodePng(exact, 4, 3))
+    assert((w1, h1) === (4, 3))
+    assert(s1 === exact.map(b => (b & 0xff).toLong).sum)
+    // short payload zero-pads (padding adds nothing to the sum)
+    val short = Array[Byte](1, 2, 3)
+    val (w2, h2, s2) = ImageIoCodec.decode(ImageIoCodec.encodePng(short, 4, 4))
+    assert((w2, h2) === (4, 4) && s2 === 6L)
+    // long payload truncates at w*h
+    val long = Array.tabulate(100)(_ => 1.toByte)
+    val (_, _, s3) = ImageIoCodec.decode(ImageIoCodec.encodePng(long, 5, 5))
+    assert(s3 === 25L)
+    // high-bit bytes survive the 8-bit gray channel
+    val hi = Array[Byte](-1, -128, 127) // 255, 128, 127
+    val (_, _, s4) = ImageIoCodec.decode(ImageIoCodec.encodePng(hi, 3, 1))
+    assert(s4 === 255L + 128L + 127L)
+  }
+
+  test("X5 multimodal: decodeMeta drives the real codec and matches the arithmetic oracle") {
+    val rows = Multimodal.decodeMeta(spark, sf).collect()
+    assert(rows.length === Multimodal.mediaTable(spark, sf).count())
+    // spot-check one row against direct computation from the document
+    val doc = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    val (w, h) = (16 + 0 % 17, 16 + doc.length % 13)
+    assert(r0.getLong(1) === w.toLong && r0.getLong(2) === h.toLong)
+    assert(r0.getLong(3) === doc.take(w * h).map(_.toLong).sum)
+  }
+
   test("X4 hll distinct: estimate within spec error, merge-invariant across partitionings") {
     import spark.implicits._
     val rows = TextStats.hllDistinct(spark, sf).collect()
