@@ -54,6 +54,23 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("est_users"))
 
+  /** The REGISTERED batch session query (`x6_session_window`,
+    * [[graft.ext.EventWindows.sessionize]]) under streaming: same
+    * `session_window` expression, same aggregates, same decimal-exact
+    * value sum, same output columns — only `withWatermark` added.
+    * StreamingSpec pins its append-mode output bit-equal to the batch
+    * query on the shared corpus (the round-5 batch≡stream pin, next to
+    * the simhash60 and HLL ones). */
+  def sessionAggregate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** Native streaming session windows (30-minute gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

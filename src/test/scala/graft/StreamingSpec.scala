@@ -130,6 +130,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the registered batch query bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+    val maxMs = events.map(_.ts.getTime).max
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionAggregate(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("sessagree").start()
+    try {
+      mem.addData(events.toSeq)
+      q.processAllAvailable()
+      // append mode only emits sessions the watermark has sealed; two
+      // sentinel batches push the watermark far past every real session
+      // (watermark for batch N is computed from batch N-1's max event)
+      mem.addData(Event(-1, new Timestamp(maxMs + 11 * 3600 * 1000L), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(-2, new Timestamp(maxMs + 22 * 3600 * 1000L), -998L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessagree").filter(col("user_id") >= 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch,
+        s"stream/batch session divergence: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops re-arrivals within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
