@@ -56,27 +56,30 @@ object Bench {
     // on a heavy query previously faked a 20 s regression. The second
     // run's time only counts when it SUCCEEDED — an intermittent
     // failure's (typically short) duration must not masquerade as a
-    // fast success.
+    // fast success — and a pass-then-fail query is surfaced in the
+    // `flaky` list rather than silently reported green on run 1 alone.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (dt1, ok1) = once(name, fn)
-      val dt =
+      val (dt, flaky) =
         if (ok1) {
           val (dt2, ok2) = once(name, fn)
-          if (ok2) math.min(dt1, dt2) else dt1
-        } else dt1
-      (name, dt, ok1)
+          if (ok2) (math.min(dt1, dt2), false) else (dt1, true)
+        } else (dt1, false)
+      (name, dt, ok1, flaky)
     }
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val allEntries = results.toSeq.map { case (k, v, ok) =>
+    val allEntries = results.toSeq.map { case (k, v, ok, _) =>
       ("\"" + k + "\":" + (if (ok) fmt(v) else "-1.0"), if (ok) v else Double.MaxValue)
     }
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val flaky = results.collect { case (k, _, true, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val fullQs = allEntries.map(_._1).mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errors,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
     // Complete per-query detail goes to a file; the harness that captures
     // stdout keeps only the last ~2000 characters, so the printed line is
     // size-bounded: slowest queries first, greedily packed to the budget.
@@ -84,7 +87,7 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
-    val suffixTail = s""","errors":$errors,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    val suffixTail = s""","errors":$errors,"flaky":$flaky,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     val prefixBase = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"""
     val budget = 1600 - suffixTail.length - prefixBase.length - 64 // slack for n_shown + braces
     val sortedBySlow = allEntries.sortBy { case (_, t) => -t } // errors (MaxValue) first: always visible

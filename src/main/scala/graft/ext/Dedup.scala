@@ -727,10 +727,17 @@ object Dedup {
     * doc_id, restricted to the SUBGRAPH WITH EDGES — every node
     * outside it is trivially a singleton and never enters a join.
     *
-    * Generations are persist-then-unpersist (each round reads the
-    * previous round's cache; superseded caches are freed immediately),
-    * and every CheckpointEvery=3 rounds the generation is
+    * Generations are persist-then-unpersist — each round reads the
+    * previous round's cache, and a PERSISTED generation's blocks are
+    * freed immediately by the `unpersist` below. Every
+    * CheckpointEvery=3 rounds the generation is
     * `localCheckpoint(eager = true)` instead, truncating the lineage.
+    * NOTE the asymmetry: `unpersist()` is a no-op for CHECKPOINTED
+    * generations (their RDD blocks live outside the CacheManager), so
+    * those blocks linger until the ContextCleaner GCs the dropped
+    * references — transient executor-storage growth of at most
+    * ⌈rounds/3⌉ label frames (each a slim (id, label) pair set), the
+    * accepted cost of bounded plans.
     * The interval is deliberately SHORT: persist caches data but does
     * NOT shrink the logical plan, and each round's plan embeds the
     * previous generation's plan three times (neighbor-min join, hop

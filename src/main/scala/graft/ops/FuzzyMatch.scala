@@ -102,9 +102,25 @@ object FuzzyMatch {
       val partial = partialRatio(x, y) * pscale
       val ptsor = partialRatio(tokens(x).sorted.mkString(" "),
         tokens(y).sorted.mkString(" ")) * unbase * pscale
-      val ptser = (if ((tokens(x).toSet & tokens(y).toSet).nonEmpty) 100
-        else partialRatio(tokens(x).sorted.mkString(" "),
-          tokens(y).sorted.mkString(" "))) * unbase * pscale
+      // partial_token_set_ratio via fuzzywuzzy's t0/t1/t2 construction:
+      // t0 = sorted intersection, t1/t2 = t0 + sorted remainder of each
+      // side; score = max pairwise partial_ratio, where fuzzywuzzy's
+      // @check_empty_string decorator scores any pair with an EMPTY
+      // side as 0 (without that guard, difflib's empty-vs-empty
+      // ratio=1.0 would make every disjoint pair score 100). Non-empty
+      // intersection degenerates to 100 (t0 is a prefix window of t1
+      // and t2); disjoint sets reduce to partialRatio(t1, t2) over the
+      // two sorted remainder strings.
+      val ptser = {
+        def pr(a: String, b: String): Int =
+          if (a.isEmpty || b.isEmpty) 0 else partialRatio(a, b)
+        val ta = tokens(x).toSet
+        val tb = tokens(y).toSet
+        val t0 = (ta & tb).toSeq.sorted.mkString(" ")
+        val t1 = (t0 + " " + (ta -- tb).toSeq.sorted.mkString(" ")).trim
+        val t2 = (t0 + " " + (tb -- ta).toSeq.sorted.mkString(" ")).trim
+        Seq(pr(t0, t1), pr(t0, t2), pr(t1, t2)).max * unbase * pscale
+      }
       // int(round(...)) like fuzzywuzzy — truncation would report
       // half-point scores one lower and flip threshold-60 decisions
       math.round(math.max(math.max(base, partial), math.max(ptsor, ptser))).toInt

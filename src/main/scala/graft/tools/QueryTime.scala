@@ -6,7 +6,7 @@ import graft.{Graft, SparkEntry}
   * named query N times in one JVM (same session config as Bench) and
   * prints every run's wall seconds plus the min — separating real
   * regressions from shared-host noise without paying for the full
-  * 113-query sweep.
+  * Bench sweep.
   *
   * Run: sbt "runMain graft.tools.QueryTime x2_dup_clusters [more...] [--n=4]"
   */

@@ -82,6 +82,11 @@ def main():
         if name not in oracle:
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
             if len(spark_df) == 0: print(f"WARN {name}: 0 rows")
+            # distinct verdict (not a bare omission): lets
+            # update_coverage.py flag the COVERAGE.md cell instead of
+            # silently preserving a stale green mark if a query's
+            # oracle is ever removed
+            report[name] = {"oracle_present": False, "spark_rows": len(spark_df)}
             continue
         try:
             oracle_df = con.execute(oracle[name]).df()

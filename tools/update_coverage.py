@@ -37,8 +37,14 @@ def load_correctness(path=None):
         data = json.load(f)
     verdict = {}
     for k, v in data.items():
-        verdict[k] = bool(v.get("rows_match")) and bool(v.get("schema_match")) \
-            and bool(v.get("hash_match"))
+        if v.get("oracle_present") is False:
+            # query output exists but its oracle SQL is gone — a
+            # distinct state (None) so the cell is flagged, never
+            # silently left green
+            verdict[k] = None
+        else:
+            verdict[k] = bool(v.get("rows_match")) and bool(v.get("schema_match")) \
+                and bool(v.get("hash_match"))
     return path, verdict
 
 
@@ -50,12 +56,18 @@ def rewrite(lines, verdict):
         if len(cells) == 8 and line.lstrip().startswith("|"):
             keys = [k for k in re.findall(r"`([a-z0-9_]+)`", cells[4]) if k in verdict]
             if keys:
-                bad = [k for k in keys if not verdict[k]]
-                want = " ✗ (" + ", ".join(bad) + ") " if bad else " ✓ "
+                bad = [k for k in keys if verdict[k] is False]
+                noracle = [k for k in keys if verdict[k] is None]
+                if bad:
+                    want = " ✗ (" + ", ".join(bad) + ") "
+                elif noracle:
+                    want = " — (no oracle: " + ", ".join(noracle) + ") "
+                else:
+                    want = " ✓ "
                 # preserve any parenthesized qualifier on a green cell
                 # (e.g. "✓ (vs full-set exact SQL)") — only the mark is derived
                 cur = cells[5]
-                if not bad and cur.strip().startswith("✓"):
+                if not bad and not noracle and cur.strip().startswith("✓"):
                     want = cur
                 if cur != want:
                     changes.append((keys, cur.strip(), want.strip()))
