@@ -32,7 +32,7 @@ object ScaleProbe {
     * candidate pairs pick up a cross-copy excess from those non-letter
     * shingles that the exact-verify step then rejects. SCALING.md
     * reports the measurement with that decomposition. */
-  private def synthesize10x(spark: org.apache.spark.sql.SparkSession,
+  private[tools] def synthesize10x(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, outDir: String): Unit = {
     val base = Tables.documents(spark, srcDir)
     val alpha = "abcdefghijklmnopqrstuvwxyz"
