@@ -204,6 +204,9 @@ object SparkEntry {
     ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
     ("x4_hll_distinct", TextStats.hllDistinct _, Some(TextStats.hllDistinctSql)),
     ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
+    // round-5 additions: Gopher repetition gate + corpus-novelty scoring
+    ("x4_repetition", TextStats.repetitionSignals _, Some(TextStats.repetitionSignalsSql)),
+    ("x4_novelty", TextStats.noveltyScores _, Some(TextStats.noveltyScoresSql)),
     ("x6_interval_merge", EventWindows.mergeIntervals _, Some(EventWindows.mergeIntervalsSql)),
   )
 

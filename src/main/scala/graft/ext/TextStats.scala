@@ -415,6 +415,145 @@ object TextStats {
       |LEFT JOIN btop ON t.doc_id = btop.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- Gopher repetition signals (token n-gram form, round 5) -----------
+
+  /** Gopher's repetition filters (Rae et al. 2021 §A1.1) in the form
+    * that applies to this corpus's single-line word streams: per
+    * document, the TOP-n-gram token coverage (fraction of tokens
+    * covered by instances of the single most frequent n-gram — Gopher
+    * removes docs whose top 2-gram covers > 0.20) and the DUPLICATE-
+    * n-gram fraction (fraction of n-gram instances whose gram occurs
+    * more than once in the doc), for n = 2 and 3, plus the combined
+    * Gopher-style gate. (The paper's line/paragraph variants need
+    * newline structure this corpus doesn't have; the n-gram family is
+    * the one that generalizes.)
+    *
+    * Plan: ONE explode emits both n-gram sizes as (n, gram) structs
+    * (a second scan would cost more than the wider shuffle), then two
+    * hash aggregations — (doc, n, gram) counts, (doc, n) rollup — and
+    * a conditional-agg pivot back to one row per doc. Everything is
+    * doc-keyed: the shuffle partitions by document, per-group state is
+    * one doc's n-grams, nothing is corpus-global. Ratios divide exact
+    * integers ⇒ bit-identical doubles in both engines. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(expr(
+          """concat(
+            |  transform(sequence(0, size(toks) - 2), i ->
+            |    named_struct('n', 2, 'g', concat_ws(' ', toks[i], toks[i + 1]))),
+            |  transform(sequence(0, size(toks) - 3), i ->
+            |    named_struct('n', 3, 'g',
+            |      concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))""".stripMargin)).as("e"))
+      .select(col("doc_id"), col("n_tokens"), col("e.n").as("n"), col("e.g").as("g"))
+    val counts = grams.groupBy(col("doc_id"), col("n_tokens"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("doc_id"), col("n_tokens"), col("n"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+    per.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        max(when(col("n") === 2, col("top_c") * 2)).as("top2_toks"),
+        max(when(col("n") === 3, col("top_c") * 3)).as("top3_toks"),
+        max(when(col("n") === 2, col("dup_c"))).as("dup2_c"),
+        max(when(col("n") === 2, col("total"))).as("tot2"),
+        max(when(col("n") === 3, col("dup_c"))).as("dup3_c"),
+        max(when(col("n") === 3, col("total"))).as("tot3"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top2_toks").cast("double") / col("n_tokens").cast("double")).as("top2_cov"),
+        (col("top3_toks").cast("double") / col("n_tokens").cast("double")).as("top3_cov"),
+        (col("dup2_c").cast("double") / col("tot2").cast("double")).as("dup2_frac"),
+        (col("dup3_c").cast("double") / col("tot3").cast("double")).as("dup3_frac"))
+      .withColumn("rep_flag",
+        col("top2_cov") > 0.20 || col("top3_cov") > 0.18 || col("dup2_frac") > 0.60)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+      |grams AS (
+      |  SELECT doc_id, n_tokens, 2 AS n,
+      |    unnest([toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]) AS g
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id, n_tokens, 3 AS n,
+      |    unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |      FOR i IN range(0, len(toks)-2)]) AS g
+      |  FROM base),
+      |counts AS (SELECT doc_id, n_tokens, n, g, count(*) AS c FROM grams GROUP BY ALL),
+      |per AS (
+      |  SELECT doc_id, n_tokens, n, max(c) AS top_c, sum(c) AS total,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+      |  FROM counts GROUP BY ALL)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(max(CASE WHEN n = 2 THEN top_c * 2 END) AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) AS top2_cov,
+      |  CAST(max(CASE WHEN n = 3 THEN top_c * 3 END) AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE) AS top3_cov,
+      |  CAST(max(CASE WHEN n = 2 THEN dup_c END) AS DOUBLE)
+      |    / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE) AS dup2_frac,
+      |  CAST(max(CASE WHEN n = 3 THEN dup_c END) AS DOUBLE)
+      |    / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE) AS dup3_frac,
+      |  (CAST(max(CASE WHEN n = 2 THEN top_c * 2 END) AS DOUBLE)
+      |     / CAST(n_tokens AS DOUBLE) > 0.20
+      |   OR CAST(max(CASE WHEN n = 3 THEN top_c * 3 END) AS DOUBLE)
+      |     / CAST(n_tokens AS DOUBLE) > 0.18
+      |   OR CAST(max(CASE WHEN n = 2 THEN dup_c END) AS DOUBLE)
+      |     / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE) > 0.60) AS rep_flag
+      |FROM per GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
+  // ---- n-gram novelty (corpus-uniqueness) scoring (round 5) -------------
+
+  /** Per-document novelty: the fraction of a doc's DISTINCT token
+    * 3-grams that appear in no other document (corpus document
+    * frequency 1). The complement of contamination/overlap scoring —
+    * used to up-weight documents that add new content to a training
+    * mix and to spot boilerplate-heavy sources (low novelty) without
+    * running a full dedup.
+    *
+    * Plan: per-doc distinct grams (array_distinct before the explode —
+    * dedup before the shuffle, not after), df via a count window
+    * PARTITIONED by gram (one shuffle, whole-partition count, no sort),
+    * then a doc-keyed rollup. Both shuffles are hash exchanges on keys
+    * with corpus-proportional cardinality — nothing global, nothing
+    * quadratic; skewed grams (stop-phrases) cost one hot partition in
+    * the df exchange, the standard salting candidate if it ever shows. */
+  def noveltyScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+            |  concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))""".stripMargin)).as("g"))
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyScoresSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |exploded AS (
+      |  SELECT doc_id,
+      |    unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |      FOR i IN range(0, len(toks)-2)]) AS g
+      |  FROM t),
+      |grams AS (SELECT DISTINCT doc_id, g FROM exploded),
+      |withdf AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM grams)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM withdf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- Unicode canonicalization (custom codegen'd expression) -----------
 
   /** Registered query `x4_unicode_norm`: NFC canonical composition via

@@ -137,6 +137,24 @@ class ExtSpec extends SparkSpec {
     assert(r0.getLong(3) === doc.take(w * h).map(_.toLong).sum)
   }
 
+  test("X4 repetition/novelty: ratios well-formed and internally consistent") {
+    val rep = TextStats.repetitionSignals(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (t2, t3, d2, d3) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(t2 > 0.0 && t2 <= 1.0 && t3 > 0.0 && t3 <= 1.0)
+      assert(d2 >= 0.0 && d2 <= 1.0 && d3 >= 0.0 && d3 <= 1.0)
+      // a duplicated 3-gram forces duplicated 2-grams inside it
+      if (d3 > 0.0) assert(d2 > 0.0)
+    }
+    val nov = TextStats.noveltyScores(spark, sf).collect()
+    assert(nov.length === rep.length)
+    nov.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("X4 hll distinct: estimate within spec error, merge-invariant across partitionings") {
     import spark.implicits._
     val rows = TextStats.hllDistinct(spark, sf).collect()
