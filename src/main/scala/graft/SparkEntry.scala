@@ -165,6 +165,8 @@ object SparkEntry {
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
       Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
+    // round-5: single-pass mergeable embedding moments (drift monitor)
+    ("x3_covariance", Similarity.covarianceReport _, Some(Similarity.covarianceReportSql)),
     // round-3 additions
     ("x7_zorder", graft.analytics.ZOrder.zorderTiles _,
       Some(graft.analytics.ZOrder.zorderTilesSql)),

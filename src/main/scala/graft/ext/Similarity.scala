@@ -432,6 +432,82 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Dims covered by [[covarianceReport]] (leading block — the report
+    * is O(CovDims²) output cells regardless of corpus size). */
+  val CovDims = 8
+  /** Coarser ×1e3 quantization for second moments: keeps n·Σqd·qe and
+    * Σqd·Σqe inside BIGINT at billions of vectors (×1e7 squared would
+    * overflow), while first moments still mirror bit-for-bit. */
+  val CovQuant = 1000L
+
+  /** Embedding covariance/correlation report over the leading
+    * [[CovDims]] dims — the drift/health monitor every production
+    * vector pipeline runs continuously (a distribution shift in the
+    * embedding space shows up as moved means/covariances long before
+    * retrieval quality visibly degrades). Single-pass MERGEABLE
+    * moments: each vector emits its (d ≤ e) pair cells, one map-side-
+    * combinable shuffle on 36 keys aggregates (n, Σqd, Σqe, Σqd·qe),
+    * and covariance/correlation come from the exact integer moments by
+    * one double division each (n·Σp − Σd·Σe over n², IEEE-identical in
+    * both engines) — the same sums a cluster combiner or a streaming
+    * sketch would merge. The diagonal joins back as a broadcast
+    * 8-row frame for the correlation denominator. */
+  def covarianceReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.embeddings(spark, sfDir)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${CovDims - 1}), d ->
+           |  transform(sequence(d, ${CovDims - 1}), e -> named_struct(
+           |    'd', cast(d as bigint), 'e', cast(e as bigint),
+           |    'qd', cast(round(cast(embedding[d] as double) * $CovQuant) as bigint),
+           |    'qe', cast(round(cast(embedding[e] as double) * $CovQuant) as bigint)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.d").as("d"), col("p.e").as("e"),
+        col("p.qd").as("qd"), col("p.qe").as("qe"))
+    val agg = pairs.groupBy(col("d"), col("e"))
+      .agg(count(lit(1)).as("n"), sum(col("qd")).as("sd"),
+        sum(col("qe")).as("se"), sum(col("qd") * col("qe")).as("sp"))
+    val diag = agg.filter(col("d") === col("e"))
+      .select(col("d").as("dd"),
+        (col("n") * col("sp") - col("sd") * col("sd")).as("var_num"))
+    agg
+      .join(broadcast(diag.select(col("dd").as("d1"), col("var_num").as("v1"))),
+        col("d") === col("d1"))
+      .join(broadcast(diag.select(col("dd").as("d2"), col("var_num").as("v2"))),
+        col("e") === col("d2"))
+      .select(col("d"), col("e"), col("n"),
+        (col("sd").cast("double") / (col("n") * CovQuant).cast("double")).as("mean_d"),
+        (col("se").cast("double") / (col("n") * CovQuant).cast("double")).as("mean_e"),
+        ((col("n") * col("sp") - col("sd") * col("se")).cast("double") /
+          (col("n") * col("n") * CovQuant * CovQuant).cast("double")).as("cov"),
+        ((col("n") * col("sp") - col("sd") * col("se")).cast("double") /
+          sqrt(col("v1").cast("double") * col("v2").cast("double"))).as("corr"))
+      .orderBy(col("d"), col("e"))
+  }
+
+  val covarianceReportSql: String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $CovQuant) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT unnest(flatten([[{'d': d, 'e': e, 'qd': iv[d+1], 'qe': iv[e+1]}
+       |    FOR e IN range(d, $CovDims)] FOR d IN range(0, $CovDims)]), recursive := true)
+       |  FROM q),
+       |agg AS (
+       |  SELECT CAST(d AS BIGINT) AS d, CAST(e AS BIGINT) AS e, count(*) AS n,
+       |    CAST(sum(qd) AS BIGINT) AS sd, CAST(sum(qe) AS BIGINT) AS se,
+       |    CAST(sum(qd * qe) AS BIGINT) AS sp
+       |  FROM pairs GROUP BY 1, 2),
+       |diag AS (SELECT d AS dd, n * sp - sd * sd AS var_num FROM agg WHERE d = e)
+       |SELECT a.d, a.e, a.n,
+       |  CAST(a.sd AS DOUBLE) / CAST(a.n * $CovQuant AS DOUBLE) AS mean_d,
+       |  CAST(a.se AS DOUBLE) / CAST(a.n * $CovQuant AS DOUBLE) AS mean_e,
+       |  CAST(a.n * a.sp - a.sd * a.se AS DOUBLE)
+       |    / CAST(a.n * a.n * ${CovQuant * CovQuant} AS DOUBLE) AS cov,
+       |  CAST(a.n * a.sp - a.sd * a.se AS DOUBLE)
+       |    / sqrt(CAST(v1.var_num AS DOUBLE) * CAST(v2.var_num AS DOUBLE)) AS corr
+       |FROM agg a JOIN diag v1 ON a.d = v1.dd JOIN diag v2 ON a.e = v2.dd
+       |ORDER BY a.d, a.e""".stripMargin
+
   /** Per-label corpus statistics over the embedding column — the
     * health-check pass every vector pipeline runs before indexing
     * (dimension consistency, norm distribution per class). Squared
