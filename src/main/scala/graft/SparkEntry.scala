@@ -167,6 +167,7 @@ object SparkEntry {
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),
     // round-5: single-pass mergeable embedding moments (drift monitor)
     ("x3_covariance", Similarity.covarianceReport _, Some(Similarity.covarianceReportSql)),
+    ("x3_sq_error", Similarity.sqErrorReport _, Some(Similarity.sqErrorReportSql)),
     // round-3 additions
     ("x7_zorder", graft.analytics.ZOrder.zorderTiles _,
       Some(graft.analytics.ZOrder.zorderTilesSql)),
@@ -178,6 +179,8 @@ object SparkEntry {
     ("x2_shingle_stats", Dedup.shingleStats _, Some(Dedup.shingleStatsSql)),
     ("x9_curriculum", graft.ext.Sampling.curriculum _, Some(graft.ext.Sampling.curriculumSql)),
     ("x9_pack_shards", graft.ext.Sampling.packShards _, Some(graft.ext.Sampling.packShardsSql)),
+    // round-5: padding-waste planner (choose L before running the packer)
+    ("x9_padding_waste", graft.ext.Sampling.paddingWaste _, Some(graft.ext.Sampling.paddingWasteSql)),
     ("q18_large_orders", StarQueries.largeOrders _, Some(StarQueries.largeOrdersSql)),
     ("x7_recursive_cte", graft.analytics.Recursive.bomRollup _,
       Some(graft.analytics.Recursive.bomRollupSql)),

@@ -304,6 +304,55 @@ object Sampling {
        |FROM h
        |ORDER BY epoch, position""".stripMargin
 
+  // ---- sequence-packing waste planner (round 5) -------------------------
+
+  /** Padding-waste report per (source, target sequence length) — the
+    * planning pass run before choosing a training sequence length:
+    * for each candidate L, how many pad slots does one-doc-per-
+    * sequence batching burn (`unpacked_slots − tokens`), and how many
+    * sequences would dense packing need at minimum (`ceil(Σtokens/L)`,
+    * the bin-packing lower bound)? The gap between `n_docs·⌈t/L⌉` and
+    * that bound is the headroom that justifies running the
+    * [[packShards]] packer at all. Whitespace token counts (exact,
+    * not the chars/4 proxy — the planner wants real lengths), every
+    * measure an integer; one explode (3 candidate lengths) and one
+    * (source, L)-keyed map-side-combinable aggregation. */
+  def paddingWaste(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        explode(expr("array(32L, 64L, 128L)")).as("seq_len"))
+      .groupBy(col("source"), col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(expr("ceil(toks / seq_len)") * col("seq_len")).cast("long").as("unpacked_slots"),
+        sum((col("toks") > col("seq_len")).cast("long")).as("n_truncated"))
+      .select(col("source"), col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("unpacked_slots"),
+        ((col("unpacked_slots") - col("total_tokens")).cast("double") /
+          col("unpacked_slots").cast("double")).as("waste_frac"),
+        expr("cast(ceil(total_tokens / seq_len) as bigint)").as("packed_seqs_lb"),
+        col("n_truncated"))
+      .orderBy(col("source"), col("seq_len"))
+
+  val paddingWasteSql: String =
+    """WITH t AS (
+      |  SELECT source, len(string_split(text, ' ')) AS toks,
+      |    unnest([32, 64, 128]) AS seq_len
+      |  FROM documents)
+      |SELECT source, CAST(seq_len AS BIGINT) AS seq_len, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CAST(ceil(CAST(toks AS DOUBLE) / seq_len) AS BIGINT) * seq_len) AS BIGINT)
+      |    AS unpacked_slots,
+      |  CAST(sum(CAST(ceil(CAST(toks AS DOUBLE) / seq_len) AS BIGINT) * seq_len) - sum(toks) AS DOUBLE)
+      |    / CAST(sum(CAST(ceil(CAST(toks AS DOUBLE) / seq_len) AS BIGINT) * seq_len) AS DOUBLE)
+      |    AS waste_frac,
+      |  CAST(ceil(CAST(sum(toks) AS DOUBLE) / seq_len) AS BIGINT) AS packed_seqs_lb,
+      |  CAST(sum(CASE WHEN toks > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+      |FROM t
+      |GROUP BY source, seq_len
+      |ORDER BY source, seq_len""".stripMargin
+
   // ---- decontaminated split manifest ------------------------------------
 
   val LeakThresholdBp = 8000L

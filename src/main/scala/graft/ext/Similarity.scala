@@ -432,6 +432,58 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** SQ8 quantization-error audit, per label — the check a pipeline
+    * runs BEFORE trusting a compressed index (pair to [[sqRerank]]):
+    * mean and max absolute reconstruction error of the int8 code
+    * against the ×1e7 quantized reference, in exact integer space
+    * (err_q = |127·iv − 1e7·c8|, descaled by 127e7 only at the final
+    * division). One projection + one label-keyed aggregation —
+    * map-side combinable, no shuffle of the vectors themselves.
+    * err_q sums stay < 2⁶³ up to ~10⁹ vectors of 64 dims (5e6 max
+    * per-dim error × 64 × 1e9 ≈ 3e17). */
+  def sqErrorReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long").as("label"),
+        expr("""transform(embedding, x -> abs(
+          |  127 * cast(round(cast(x as double) * 10000000) as bigint)
+          |  - 10000000 * greatest(-127L, least(127L,
+          |      cast(floor(cast(x as double) * 127 + 0.5) as bigint)))))""".stripMargin)
+          .as("errs"),
+        size(col("embedding")).cast("long").as("dims"))
+      .select(col("label"), col("dims"),
+        expr("aggregate(errs, cast(0 as bigint), (acc, x) -> acc + x)").as("serr"),
+        expr("array_max(errs)").as("vmax"))
+      .groupBy(col("label"), col("dims"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("serr")).as("sum_err_q"),
+        max(col("vmax")).as("vmax"))
+      .select(col("label"), col("n_vectors"), col("sum_err_q"),
+        (col("sum_err_q").cast("double") / (col("n_vectors") * col("dims")).cast("double")
+          / 1270000000.0).as("mean_abs_err"),
+        (col("vmax").cast("double") / 1270000000.0).as("max_abs_err"))
+      .orderBy(col("label"))
+
+  /** Mirror of [[sqErrorReport]] — same `floor(x·127 + 0.5)` / clamp
+    * code construction as [[sqRerankSql]], same integer error. */
+  val sqErrorReportSql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> abs(
+      |      127 * CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+      |      - 10000000 * greatest(-127, least(127,
+      |          CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))))) AS errs,
+      |    len(embedding) AS dims
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT label, dims, CAST(list_sum(errs) AS BIGINT) AS serr,
+      |    CAST(list_max(errs) AS BIGINT) AS vmax
+      |  FROM q)
+      |SELECT label, count(*) AS n_vectors,
+      |  CAST(sum(serr) AS BIGINT) AS sum_err_q,
+      |  CAST(sum(serr) AS DOUBLE) / CAST(count(*) * dims AS DOUBLE) / 1270000000.0
+      |    AS mean_abs_err,
+      |  CAST(max(vmax) AS DOUBLE) / 1270000000.0 AS max_abs_err
+      |FROM per GROUP BY label, dims ORDER BY label""".stripMargin
+
   /** Dims covered by [[covarianceReport]] (leading block — the report
     * is O(CovDims²) output cells regardless of corpus size). */
   val CovDims = 8
