@@ -80,6 +80,8 @@ object SparkEntry {
     ("x2_sem_dedup", Dedup.semanticDedup _, Some(Dedup.semanticDedupSql)),
     ("x2_substring_dedup", Dedup.substringDedup _, Some(Dedup.substringDedupSql)),
     ("x2_dup_clusters", Dedup.dupClusters _, Some(Dedup.dupClustersSql)),
+    // round-5: production retention policy — keep the best copy, not the first
+    ("x2_canonical", Dedup.canonicalByQuality _, Some(Dedup.canonicalByQualitySql)),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
     ("x3_ann_lsh", Similarity.annCosineTopK _, Some(Similarity.annCosineTopKSql)),

@@ -836,6 +836,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonicalization BY QUALITY (round 5): per near-dup cluster, keep
+    * the most lexically rich copy (max distinct-token count, doc_id as
+    * the deterministic tiebreak) instead of [[dupClusters]]'s
+    * keep-lowest-id convention — the production retention policy: when
+    * a crawl yields near-identical variants, you keep the best one,
+    * not the first-seen one. Reuses the exact cluster labels
+    * ([[connectedComponents]] over the LSH-verified pair graph), joins
+    * the per-doc quality measure (computed in the same pass as the
+    * doc scan), and takes one `row_number` over the CLUSTER-partitioned
+    * window — cluster-keyed shuffles only, nothing global. Output: one
+    * row per cluster with its canonical doc, the quality that won, and
+    * how many near-dups were folded away. */
+  def canonicalByQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val labeled = dupClusters(spark, sfDir).select(col("doc_id"), col("cluster"))
+    val quality = docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+    val ranked = labeled.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("n_distinct").desc, col("doc_id"))))
+    ranked
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when(col("rk") === 1, col("doc_id"))).as("canonical_doc"),
+        max(when(col("rk") === 1, col("n_distinct"))).as("canonical_distinct"),
+        (count(lit(1)) - 1).as("n_folded"))
+      .orderBy(col("cluster"))
+  }
+
   /** Oracle: same exact pair graph, closed with a recursive CTE
     * (transitive closure), component label = min reachable doc_id. */
   val dupClustersSql: String =
@@ -869,6 +899,34 @@ object Dedup {
       |  doc_id = cluster AS is_rep
       |FROM labels
       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[canonicalByQuality]]: [[dupClustersSql]]'s
+    * transitive-closure `labels` CTE, re-tailed with the quality join
+    * (as a subquery — no CTE-list surgery) and per-cluster argmax.
+    * Declared AFTER `dupClustersSql` (object vals initialize in
+    * order); the `require` trips if the shared tail ever drifts. */
+  val canonicalByQualitySql: String = {
+    val tail = "SELECT doc_id, cluster,\n" +
+      "  count(*) OVER (PARTITION BY cluster) AS cluster_size,\n" +
+      "  doc_id = cluster AS is_rep\nFROM labels\nORDER BY doc_id"
+    require(dupClustersSql.endsWith(tail),
+      "dupClustersSql tail changed; update canonicalByQualitySql")
+    dupClustersSql.dropRight(tail.length) +
+      """SELECT cluster, count(*) AS cluster_size,
+        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+        |  CAST(max(CASE WHEN rk = 1 THEN n_distinct END) AS BIGINT) AS canonical_distinct,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_folded
+        |FROM (
+        |  SELECT l.cluster, l.doc_id, q.n_distinct,
+        |    row_number() OVER (PARTITION BY l.cluster
+        |      ORDER BY q.n_distinct DESC, l.doc_id) AS rk
+        |  FROM labels l
+        |  JOIN (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |        FROM documents) q
+        |    ON q.doc_id = l.doc_id) ranked
+        |GROUP BY cluster
+        |ORDER BY cluster""".stripMargin
+  }
 
   // ---- X2: exact repeated-substring detection ---------------------------
 

@@ -242,6 +242,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X2 canonical-by-quality: winner is the cluster's richest member, folds add up") {
+    import spark.implicits._
+    val clusters = Dedup.dupClusters(spark, sf)
+      .select("doc_id", "cluster").as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2).map { case (c, ms) => (c, ms.map(_._1).toSet) }
+    val distinctTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(array_distinct(split(col("text"), " "))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val canon = Dedup.canonicalByQuality(spark, sf).collect()
+    assert(canon.length === byCluster.size)
+    canon.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster"))
+      val winner = r.getAs[Long]("canonical_doc")
+      assert(members.contains(winner), "canonical doc must belong to its cluster")
+      assert(r.getAs[Long]("cluster_size") === members.size.toLong)
+      assert(r.getAs[Long]("n_folded") === members.size.toLong - 1)
+      val best = members.map(distinctTokens).max
+      assert(r.getAs[Long]("canonical_distinct") === best,
+        s"cluster ${r.getAs[Long]("cluster")} kept a poorer copy than its best")
+      // deterministic tiebreak: among equally-rich members, lowest id wins
+      val tied = members.filter(distinctTokens(_) == best)
+      assert(winner === tied.min)
+    }
+  }
+
   test("X2 connected components: diameter-100 path graph converges without lineage blowup") {
     import spark.implicits._
     // A deliberately DEEP graph — one path 0-1-2-…-100 (diameter 100,
