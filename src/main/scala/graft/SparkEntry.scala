@@ -82,6 +82,8 @@ object SparkEntry {
     ("x2_dup_clusters", Dedup.dupClusters _, Some(Dedup.dupClustersSql)),
     // round-5: production retention policy — keep the best copy, not the first
     ("x2_canonical", Dedup.canonicalByQuality _, Some(Dedup.canonicalByQualitySql)),
+    // round-5: per-source retention accounting after near-dup dedup
+    ("x2_retention", Dedup.dedupRetention _, Some(Dedup.dedupRetentionSql)),
     // similarity search (X3)
     ("x3_cosine_topk", Similarity.cosineTopK _, Some(Similarity.cosineTopKSql)),
     ("x3_ann_lsh", Similarity.annCosineTopK _, Some(Similarity.annCosineTopKSql)),
@@ -137,6 +139,9 @@ object SparkEntry {
       Some(graft.ext.Sampling.mixWeightsSql)),
     ("x9_dsir_select", graft.ext.Sampling.dsirSelect _,
       Some(graft.ext.Sampling.dsirSelectSql)),
+    // round-5: cluster-balanced prototype selection (data-pruning coreset)
+    ("x9_coreset", graft.ext.Sampling.coresetSample _,
+      Some(graft.ext.Sampling.coresetSampleSql)),
     ("x9_decontam_split", graft.ext.Sampling.decontaminatedSplit _,
       Some(graft.ext.Sampling.decontaminatedSplitSql)),
     ("x0_clean_pipeline", graft.ext.CleanPipeline.cleanPipeline _,

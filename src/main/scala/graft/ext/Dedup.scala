@@ -530,7 +530,7 @@ object Dedup {
     * broadcast-crossed back, then cell = Σ_{d<b} signbit_d·2^d over
     * the quantized dims. The count is a column, not a driver action —
     * the whole thing is one declarative plan. */
-  private[ext] def semanticCells(emb: DataFrame): DataFrame = {
+  private[graft] def semanticCells(emb: DataFrame): DataFrame = {
     val params = emb.agg(count(lit(1)).as("n"))
       .select(greatest(lit(Similarity.GridDims),
         expr(s"aggregate(sequence(0, ${SemDedupMaxBits - 1}), 0, (acc, d) -> " +
@@ -546,13 +546,13 @@ object Dedup {
 
   /** The same derivation in DuckDB: CTEs `params` (bit count from the
     * corpus count) and a `cell` expression over the quantized list. */
-  private def semanticCellsSqlParams: String =
+  private[ext] def semanticCellsSqlParams: String =
     s"""params AS (
        |  SELECT greatest(${Similarity.GridDims},
        |    len([d FOR d IN range(0, $SemDedupMaxBits) IF ($SemDedupCellRows::BIGINT << d) < n])) AS b
        |  FROM (SELECT count(*) AS n FROM embeddings))""".stripMargin
 
-  private def semanticCellSqlExpr(iv: String): String =
+  private[ext] def semanticCellSqlExpr(iv: String): String =
     s"CAST(list_sum([CASE WHEN d < b AND $iv[d + 1] > 0 THEN (1::BIGINT << d) ELSE 0 END " +
       s"FOR d IN range(0, $SemDedupMaxBits)]) AS BIGINT)"
 
@@ -927,6 +927,68 @@ object Dedup {
         |GROUP BY cluster
         |ORDER BY cluster""".stripMargin
   }
+
+  /** Per-source dedup retention accounting: apply the near-dup drop
+    * rule (doc j dropped iff some i < j verifies at ≥
+    * [[JaccardThreshold]] — the keep-lowest-id convention) and roll
+    * the outcome up BY SOURCE — docs and characters kept/dropped plus
+    * an integer basis-point retention rate. This is the accounting
+    * step a production pipeline runs between dedup and mix-weight
+    * planning ([[graft.ext.Sampling.mixWeights]] consumes per-source
+    * counts — after dedup those are THESE numbers, not the raw ones).
+    * Rides [[minhashNearDup]]'s banded pair set (no clustering pass);
+    * the rollup is one broadcast-ed anti-join-shaped left join on
+    * doc_id plus a source-keyed aggregate — nothing global, all
+    * integer. */
+  def dedupRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val dropped = minhashNearDup(spark, sfDir)
+      .select(col("j").as("doc_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("is_dropped")).as("n_dropped"),
+        (count(lit(1)) - count(col("is_dropped"))).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        coalesce(sum(when(col("is_dropped").isNull, col("n_chars"))), lit(0L)).as("chars_kept"))
+      .withColumn("retention_bp", expr("n_kept * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Mirror of [[dedupRetention]]: the exact pair set (the LSH
+    * pipeline's proven-equal ground truth, as in [[fullJaccardSql]])
+    * derives the dropped ids, then the same source rollup. */
+  val dedupRetentionSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+       |  FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT j AS doc_id
+       |  FROM pairs
+       |  JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes sj ON sj.doc_id = j
+       |  WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE)
+       |    >= $JaccardThreshold)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(d.doc_id) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(d.doc_id) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(coalesce(sum(CASE WHEN d.doc_id IS NULL THEN n_chars END), 0) AS BIGINT)
+       |    AS chars_kept,
+       |  (CAST(count(*) AS BIGINT) - count(d.doc_id)) * 10000 // count(*) AS retention_bp
+       |FROM documents doc
+       |LEFT JOIN dropped d USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // ---- X2: exact repeated-substring detection ---------------------------
 

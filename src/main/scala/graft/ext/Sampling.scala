@@ -508,4 +508,99 @@ object Sampling {
        |  doc_id, source, CAST(score AS BIGINT) AS score, n_tokens
        |FROM sel
        |ORDER BY rk""".stripMargin
+
+  // ---- X9: cluster-balanced coreset selection ---------------------------
+
+  /** Coreset size per quantizer cell. */
+  val CoresetPerCell = 8
+
+  /** Cluster-balanced prototype selection (the data-pruning shape of
+    * Sorscher et al., "Beyond neural scaling laws", arXiv:2206.14486):
+    * partition the embedding space into cells, score every vector by
+    * cosine against its CELL CENTROID (prototypicality), and keep the
+    * [[CoresetPerCell]] most prototypical per cell — a diversity-
+    * preserving subset whose size scales with cell count, not corpus
+    * size. Reuses [[Dedup.semanticCells]]'s corpus-scaled sign-bit
+    * quantizer (cell count grows with N, so per-cell work is bounded)
+    * and stays integer-exact end to end: centroids are per-dim
+    * floor(mean) in ×1e7-quantized space (the double division of two
+    * BIGINTs + floor is bit-identical across engines), dot products
+    * are 64-term integer sums (|term| ≤ 1e7·1e7 → the 64-dim sum is
+    * < 2⁵³, exact), and the only IEEE arithmetic is the final
+    * cosine division, computed from identical integers on both sides.
+    *
+    * Plan shape at 100 TB: one posexplode → (cell, dim)-keyed
+    * map-side-combinable aggregate reduces the corpus to ≤ cells×64
+    * centroid rows; the centroid frame re-assembles per cell (tiny)
+    * and BROADCASTS back to the single corpus scan; the final
+    * `row_number` window is CELL-partitioned — no global sort, no
+    * driver state, two corpus-touching exchanges total. */
+  def coresetSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Dedup.semanticCells(Tables.embeddings(spark, sfDir))
+      .withColumn("iv",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))"))
+      .withColumn("n2", graft.functions.VectorFunctions.vec_qdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("iv"), col("n2"), col("cell"))
+    val cent = e
+      .select(col("cell"), posexplode(col("iv")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col")).as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("cq", floor(col("sum_q").cast("double") / col("n")))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("cell_size"),
+        expr("transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)").as("cv"))
+      .withColumn("n2c", expr("aggregate(cv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+    val scored = e.join(broadcast(cent), "cell")
+      .withColumn("dot",
+        expr("aggregate(zip_with(iv, cv, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+      .withColumn("proto_sim", col("dot").cast("double") /
+        (sqrt(col("n2").cast("double")) * sqrt(col("n2c").cast("double"))))
+    val w = Window.partitionBy(col("cell")).orderBy(col("proto_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= CoresetPerCell)
+      .select(col("cell"), col("rk"), col("vec_id"), col("cell_size"), col("proto_sim"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  /** Mirror of [[coresetSample]]: same corpus-scaled cells
+    * ([[Dedup.semanticCellsSqlParams]]), same floor-mean centroids,
+    * same integer dots, same cell-partitioned rank. */
+  val coresetSampleSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |${Dedup.semanticCellsSqlParams},
+       |cells AS (
+       |  SELECT vec_id, iv,
+       |    list_sum(list_transform(iv, x -> x * x)) AS n2,
+       |    ${Dedup.semanticCellSqlExpr("iv")} AS cell
+       |  FROM q0, params),
+       |cd AS (
+       |  SELECT cell, unnest([{'dim': CAST(i - 1 AS BIGINT), 'q': iv[i]}
+       |    FOR i IN range(1, len(iv) + 1)], recursive := true)
+       |  FROM cells),
+       |cent0 AS (
+       |  SELECT cell, dim,
+       |    CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS cq,
+       |    count(*) AS n
+       |  FROM cd GROUP BY cell, dim),
+       |cent AS (
+       |  SELECT cell, CAST(max(n) AS BIGINT) AS cell_size,
+       |    list(cq ORDER BY dim) AS cv
+       |  FROM cent0 GROUP BY cell),
+       |scored AS (
+       |  SELECT c.vec_id, c.cell, ct.cell_size,
+       |    CAST(list_sum(list_transform(list_zip(c.iv, ct.cv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(c.n2 AS DOUBLE)) *
+       |       sqrt(CAST(list_sum(list_transform(ct.cv, x -> x * x)) AS DOUBLE))) AS proto_sim
+       |  FROM cells c JOIN cent ct USING (cell)),
+       |ranked AS (
+       |  SELECT cell, vec_id, cell_size, proto_sim,
+       |    row_number() OVER (PARTITION BY cell ORDER BY proto_sim DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT cell, CAST(rk AS BIGINT) AS rk, vec_id, cell_size, proto_sim
+       |FROM ranked WHERE rk <= $CoresetPerCell
+       |ORDER BY cell, rk""".stripMargin
 }

@@ -267,6 +267,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X2 retention: kept+dropped=total per source, bp formula, drops match pair set") {
+    import spark.implicits._
+    val rows = Dedup.dedupRetention(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"n_chars".cast("long"))
+      .as[(Long, String, Long)].collect()
+    val bySource = docs.groupBy(_._2)
+    assert(rows.map(_.getAs[String]("source")).toSet === bySource.keySet)
+    val droppedIds = Dedup.minhashNearDup(spark, sf)
+      .select("j").as[Long].collect().toSet
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val members = bySource(src)
+      val nDocs = r.getAs[Long]("n_docs")
+      val nKept = r.getAs[Long]("n_kept")
+      val nDropped = r.getAs[Long]("n_dropped")
+      assert(nDocs === members.length.toLong)
+      assert(nKept + nDropped === nDocs)
+      assert(nDropped === members.count(m => droppedIds(m._1)).toLong)
+      assert(r.getAs[Long]("chars_total") === members.map(_._3).sum)
+      assert(r.getAs[Long]("chars_kept") ===
+        members.filterNot(m => droppedIds(m._1)).map(_._3).sum)
+      assert(r.getAs[Long]("retention_bp") === nKept * 10000L / nDocs)
+    }
+  }
+
   test("X2 connected components: diameter-100 path graph converges without lineage blowup") {
     import spark.implicits._
     // A deliberately DEEP graph — one path 0-1-2-…-100 (diameter 100,

@@ -118,6 +118,35 @@ class SamplingSpec extends SparkSpec {
     assert(heldOut > 0 && heldOut < total)
   }
 
+  test("X9 coreset: per-cell caps hold and rank-1 really is the cell's argmax") {
+    import spark.implicits._
+    val rows = Sampling.coresetSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (cell, members) =>
+      val size = members.head.getAs[Long]("cell_size")
+      assert(members.forall(_.getAs[Long]("cell_size") === size))
+      // the coreset takes min(cell_size, CoresetPerCell) members
+      assert(members.length === math.min(size, Sampling.CoresetPerCell.toLong))
+      // ranks are 1..k dense and ordered by descending prototypicality
+      val ordered = members.sortBy(_.getAs[Long]("rk"))
+      assert(ordered.map(_.getAs[Long]("rk")).toSeq === (1L to members.length))
+      val sims = ordered.map(_.getAs[Double]("proto_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"cell $cell coreset not sorted by prototypicality")
+      sims.foreach(s => assert(s <= 1.0 + 1e-9 && s >= -1.0 - 1e-9))
+    }
+    // every selected vec belongs to the cell it was selected for, and
+    // rank 1 is the true argmax over the FULL cell membership
+    val cells = graft.ext.Dedup.semanticCells(Tables.embeddings(spark, sf))
+      .select($"vec_id", $"cell").as[(Long, Long)].collect()
+    val cellOf = cells.toMap
+    rows.foreach(r => assert(cellOf(r.getAs[Long]("vec_id")) === r.getAs[Long]("cell")))
+    val fullSizes = cells.groupBy(_._2).map { case (c, ms) => (c, ms.length.toLong) }
+    byCell.foreach { case (cell, members) =>
+      assert(members.head.getAs[Long]("cell_size") === fullSizes(cell)) }
+  }
+
   test("mix report covers every document exactly once") {
     val total = graft.Tables.documents(spark, sf).count()
     val mix = Sampling.splitMix(spark, sf)
