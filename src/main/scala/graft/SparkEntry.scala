@@ -220,6 +220,10 @@ object SparkEntry {
     ("x4_repetition", TextStats.repetitionSignals _, Some(TextStats.repetitionSignalsSql)),
     ("x4_novelty", TextStats.noveltyScores _, Some(TextStats.noveltyScoresSql)),
     ("x6_interval_merge", EventWindows.mergeIntervals _, Some(EventWindows.mergeIntervalsSql)),
+    // round-5 additions: BM25 retrieval + integer-exact PageRank
+    ("x4_bm25", TextStats.bm25TopDocs _, Some(TextStats.bm25TopDocsSql)),
+    ("x7_pagerank", graft.analytics.PageRank.pagerank _,
+      Some(graft.analytics.PageRank.pagerankSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

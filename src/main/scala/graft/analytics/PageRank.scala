@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X7 — integer-exact PageRank over the customer↔supplier trade graph.
+  *
+  * Graph: distinct (customer, supplier) pairs that share an order
+  * (orders ⋈ lineitem on the order key), symmetrized — every trade
+  * contributes both c→s and s→c, so each node in the edge set has
+  * out-degree ≥ 1 and there is no dangling-mass special case. Node ids
+  * are namespaced into one key space (2·custkey even, 2·suppkey+1 odd).
+  *
+  * Cross-engine determinism: ranks are integer micro-units. r₀ =
+  * 1,000,000 per node; each of the 5 fixed iterations distributes
+  * `r div outdeg` along out-edges and damps with
+  * `r' = 150000 + (85·Σcontrib) div 100` (d = 0.85 as the rational
+  * 85/100). Every step is integer multiply / truncating divide / BIGINT
+  * sum — no floating point anywhere, so shuffle order cannot perturb
+  * the result and the oracle (the same 5 iterations unrolled as CTEs)
+  * matches bit-for-bit. Operands stay ≪ 2⁶³: Σcontrib is bounded by
+  * total mass ≈ 1.15·10⁶·|V|, and the one multiply is ×85.
+  *
+  * Scale shape: the edge list is the corpus-sized frame; each
+  * iteration is ONE shuffle — the (much smaller) rank frame joins to
+  * the edge partitioning on src, then a dst-keyed partial+final
+  * aggregate. Out-degree is attached to the edges once, up front, and
+  * the combined edge frame is lazily local-checkpointed so all five
+  * iterations read one materialization (the iteration subtrees don't
+  * canonicalize to a shared exchange — see the inline note).
+  * Five fixed iterations grow the plan linearly (join chain),
+  * not exponentially — no lineage checkpoint needed, unlike the
+  * while-loop connected-components in [[graft.ext.Dedup]]. Top-20
+  * compiles to TakeOrderedAndProject (distributed partial top-k); the
+  * rank window runs on the 20-row post-limit frame.
+  */
+object PageRank {
+  private val Iters = 5
+
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * lit(2L)).as("c"),
+        (col("l_suppkey") * lit(2L) + lit(1L)).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // The edge frame feeds all 5 iterations plus the seed. Identical
+    // exchanges do NOT canonicalize across the iteration subtrees (each
+    // re-derivation mints fresh expression ids), so without this the
+    // distinct+union+outdeg pipeline runs 6×. A LAZY localCheckpoint
+    // (eager = false — no job at construction time, the registered
+    // query stays declarative) materializes it exactly once on first
+    // use; every later iteration reads the persisted blocks. Measured:
+    // 2.2 s → 0.9 s steady-state at sf0.1.
+    val edgesD = edges.join(outdeg, "src").localCheckpoint(eager = false)
+
+    var ranks = edgesD.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to Iters) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          expr("150000 + (85 * m) div 100").as("r"))
+    }
+
+    ranks.orderBy(col("r").desc, col("node")).limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("r").desc, col("node"))).cast("long"))
+      .select(
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
+        expr("node div 2").as("entity_id"),
+        col("r").as("rank_micro"),
+        col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val pagerankSql: String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM pairs),
+        |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |it0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM outdeg)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""it$i AS (
+         |  SELECT e.dst AS node,
+         |    150000 + (85 * CAST(sum(r.r // o.outdeg) AS BIGINT)) // 100 AS r
+         |  FROM edges e
+         |  JOIN outdeg o ON e.src = o.src
+         |  JOIN it${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters,
+       |top AS (
+       |  SELECT node, r,
+       |    CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rk
+       |  FROM it$Iters ORDER BY r DESC, node LIMIT 20)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       |  node // 2 AS entity_id, r AS rank_micro, rk
+       |FROM top ORDER BY rk""".stripMargin
+  }
+}

@@ -898,4 +898,97 @@ object TextStats {
        |FROM est
        |ORDER BY source""".stripMargin
   }
+
+  // ---- BM25 retrieval scoring (integer-deterministic) -------------------
+
+  /** Fixed 4-term retrieval query for [[bm25TopDocs]]: mixed document
+    * frequencies (`dup` is rare, the rest near-ubiquitous) so the idf
+    * term actually discriminates on the synthetic corpus. */
+  val Bm25Terms: Seq[String] = Seq("dup", "vector", "spark", "batch")
+
+  /** Top-10 documents by BM25 (k1 = 1.2, b = 0.75) for [[Bm25Terms]].
+    *
+    * Cross-engine determinism: each per-term score is reduced to two
+    * exact-integer ratios — Robertson idf `(2N−2df+1)/(2df+1)` (the
+    * ±0.5 cleared by doubling) and the saturated-tf part
+    * `22·tf·T / (10·tf·T + 3·T + 9·dl·N)` (k1 = 6/5, b = 3/4 and
+    * avgdl = T/N substituted, then cleared of denominators). All four
+    * integers stay < 2⁵³, so ONE IEEE double division each, one
+    * multiply, and a floor to micro-units are bit-identical in any
+    * IEEE-754 engine; the per-document total then sums BIGINTs —
+    * associative, so shuffle order can't change the hash.
+    *
+    * Scale shape: N and T ride a broadcast 1-row stats frame; the
+    * ≤4-row df frame broadcasts; the only corpus-sized shuffle is the
+    * (doc, term) tf aggregate (map-side combinable). Top-10 compiles
+    * to TakeOrderedAndProject — distributed partial top-k, no global
+    * sort; the rank window runs on the 10-row post-limit frame. */
+  def bm25TopDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val ex = d.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("dl"),
+      explode(split(col("text"), " ")).as("term"))
+    val inQ = ex.filter(col("term").isin(Bm25Terms: _*))
+    val tf = inQ.groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).cast("long").as("dl"), count(lit(1)).as("tf"))
+    val dfF = inQ.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = d
+      .select(size(split(col("text"), " ")).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n"), sum(col("dl0")).as("t"))
+    val scored = tf
+      .join(broadcast(dfF), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_r",
+        (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double"))
+      .withColumn("tf_r",
+        (lit(22L) * col("tf") * col("t")).cast("double") /
+          (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
+            lit(9L) * col("dl") * col("n")).cast("double"))
+      .withColumn("micro", floor((lit(1000000.0d) * col("idf_r")) * col("tf_r")))
+    scored.groupBy(col("doc_id")).agg(sum(col("micro")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_micro"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val bm25TopDocsSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |q AS (SELECT * FROM ex WHERE term IN ($terms)),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(max(dl) AS BIGINT) AS dl, count(*) AS tf
+       |  FROM q GROUP BY 1, 2),
+       |dfx AS (
+       |  SELECT term, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM q) t GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+       |  FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor((1000000.0 *
+       |      (CAST(2 * stats.n - 2 * dfx.df + 1 AS DOUBLE) /
+       |       CAST(2 * dfx.df + 1 AS DOUBLE))) *
+       |      (CAST(22 * tf.tf * stats.t AS DOUBLE) /
+       |       CAST(10 * tf.tf * stats.t + 3 * stats.t + 9 * tf.dl * stats.n
+       |            AS DOUBLE))) AS BIGINT) AS micro
+       |  FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS bm25_micro
+       |  FROM scored GROUP BY 1),
+       |top AS (
+       |  SELECT doc_id, bm25_micro,
+       |    CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS rk
+       |  FROM agg ORDER BY bm25_micro DESC, doc_id LIMIT 10)
+       |SELECT doc_id, bm25_micro, rk FROM top ORDER BY rk""".stripMargin
+  }
 }

@@ -160,6 +160,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: ranks descend, every node keeps the damping floor, ids resolve") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.analytics.PageRank.pagerank(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length).toSeq)
+    val ranks = rows.map(_.getAs[Long]("rank_micro"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // r' = 150000 + damped inbound mass ⇒ nothing can fall below the floor
+    assert(ranks.forall(_ >= 150000L))
+    assert(rows.forall(r => Set("cust", "supp").contains(r.getAs[String]("kind"))))
+    val custIds = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val suppIds = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("entity_id")
+      if (r.getAs[String]("kind") == "cust") assert(custIds.contains(id))
+      else assert(suppIds.contains(id))
+    }
+  }
+
   test("array sweep: aggregate/transform identities hold") {
     val rows = graft.analytics.FunctionSweeps.arrayFuncs(spark, sf).collect()
     assert(rows.nonEmpty)

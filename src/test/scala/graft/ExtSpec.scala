@@ -344,4 +344,21 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Long]("first_doc") < r.getAs[Long]("last_doc"))
     }
   }
+
+  test("X4 BM25: ranks dense 1..k, scores descend, hits contain a query term") {
+    import spark.implicits._
+    val rows = TextStats.bm25TopDocs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Long]("rk")).toSeq === (1L to rows.length).toSeq)
+    val scores = rows.map(_.getAs[Long]("bm25_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0L)) // idf (2N-2df+1)/(2df+1) > 0 even at df = N
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").toSet
+      assert(TextStats.Bm25Terms.exists(toks.contains),
+        s"doc ${r.getAs[Long]("doc_id")} scored without any query term")
+    }
+  }
 }
