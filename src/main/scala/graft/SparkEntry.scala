@@ -224,6 +224,9 @@ object SparkEntry {
     ("x4_bm25", TextStats.bm25TopDocs _, Some(TextStats.bm25TopDocsSql)),
     ("x7_pagerank", graft.analytics.PageRank.pagerank _,
       Some(graft.analytics.PageRank.pagerankSql)),
+    ("x7_triangles", graft.analytics.Triangles.triangles _,
+      Some(graft.analytics.Triangles.trianglesSql)),
+    ("x3_kmeans", graft.ext.KMeans.kmeansLloyd _, Some(graft.ext.KMeans.kmeansLloydSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

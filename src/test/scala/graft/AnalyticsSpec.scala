@@ -181,6 +181,63 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("triangles: count matches driver-side brute force, wedge bound holds") {
+    import org.apache.spark.sql.functions.{col, count => cnt, lit}
+    val r = graft.analytics.Triangles.triangles(spark, sf).head()
+    // independent brute force: rebuild the support-filtered edge set,
+    // collect it (small by construction), count common-neighbor closures
+    val l = graft.Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+    val b = l.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+    val edges = a.join(b, "ok").filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(cnt(lit(1)).as("s"))
+      .filter(col("s") >= graft.analytics.Triangles.MinSupport)
+      .select("p1", "p2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val bruteTri = edges.map { case (u, v) => (adj(u) & adj(v)).size }.sum / 3L
+    assert(r.getAs[Long]("n_triangles") === bruteTri)
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("n_wedges") >= 3 * r.getAs[Long]("n_triangles"))
+    assert(r.getAs[Long]("global_cc_bp") >= 0 && r.getAs[Long]("global_cc_bp") <= 10000)
+  }
+
+  test("kmeans: distributed Lloyd equals a driver-side reimplementation") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = graft.ext.KMeans.kmeansLloyd(spark, sf).collect()
+      .map(r => (r.getAs[Long]("j"), (r.getAs[Long]("n_members"),
+        r.getAs[Long]("inertia_m"), r.getAs[Long]("first_member")))).toMap
+    val pts = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))").as("iv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def d2(x: Array[Long], y: Array[Long]): Long =
+      x.indices.map(i => { val d = x(i) - y(i); d * d }).sum
+    var cent: Map[Long, Array[Long]] =
+      pts.filter(_._1 < graft.ext.KMeans.K).map { case (id, v) => (id, v) }.toMap
+    for (_ <- 1 to graft.ext.KMeans.Iters) {
+      val assigned = pts.map { case (id, v) =>
+        val j = cent.toSeq.map { case (cj, cv) => (d2(v, cv), cj) }.min._2
+        (j, v)
+      }
+      cent = assigned.groupBy(_._1).map { case (j, vs) =>
+        val n = vs.length
+        val dims = vs.head._2.indices.map { i =>
+          math.floor(vs.map(_._2(i)).sum.toDouble / n).toLong
+        }.toArray
+        (j, dims)
+      }
+    }
+    val fin = pts.map { case (id, v) =>
+      val (dist, j) = cent.toSeq.map { case (cj, cv) => (d2(v, cv), cj) }.min
+      (j, id, dist)
+    }
+    val expected = fin.groupBy(_._1).map { case (j, xs) =>
+      (j, (xs.length.toLong, xs.map(_._3 / 1000000L).sum, xs.map(_._2).min))
+    }
+    assert(out === expected)
+  }
+
   test("array sweep: aggregate/transform identities hold") {
     val rows = graft.analytics.FunctionSweeps.arrayFuncs(spark, sf).collect()
     assert(rows.nonEmpty)
