@@ -227,6 +227,7 @@ object SparkEntry {
     ("x7_triangles", graft.analytics.Triangles.triangles _,
       Some(graft.analytics.Triangles.trianglesSql)),
     ("x3_kmeans", graft.ext.KMeans.kmeansLloyd _, Some(graft.ext.KMeans.kmeansLloydSql)),
+    ("x3_mmr", graft.ext.Mmr.mmrSelect _, Some(graft.ext.Mmr.mmrSelectSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

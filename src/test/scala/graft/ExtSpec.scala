@@ -345,6 +345,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X3 MMR: equals a driver-side greedy reimplementation, scores non-increasing") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val out = graft.ext.Mmr.mmrSelect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("vec_id"), r.getAs[Double]("mmr")))
+    // non-increasing greedy scores: the step-t winner was available at
+    // t-1 with a maxsim that can only have grown since
+    assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // driver-side reimplementation with the identical IEEE arithmetic
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))").as("iv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    def sim(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)).toDouble /
+        (math.sqrt(dot(vecs(a), vecs(a)).toDouble) * math.sqrt(dot(vecs(b), vecs(b)).toDouble))
+    val cand = vecs.keys.filter(_ > 0).toSeq
+      .map(id => (id, sim(0L, id))).sortBy { case (id, r) => (-r, id) }
+      .take(graft.ext.Mmr.PoolK)
+    var sel = Vector.empty[(Long, Long, Double)]
+    for (s <- 1 to graft.ext.Mmr.SelectK) {
+      val chosen = cand.filterNot(c => sel.exists(_._2 == c._1)).map { case (id, rel) =>
+        // max over the SELECTED SET (can be negative); 0 only when empty
+        val sims = sel.map(x => sim(id, x._2))
+        val maxsim = if (sims.isEmpty) 0.0 else sims.max
+        (id, (0.7 * rel) - (0.3 * maxsim))
+      }.sortBy { case (id, m) => (-m, id) }.head
+      sel :+= ((s.toLong, chosen._1, chosen._2))
+    }
+    assert(out.toSeq === sel)
+  }
+
   test("X4 BM25: ranks dense 1..k, scores descend, hits contain a query term") {
     import spark.implicits._
     val rows = TextStats.bm25TopDocs(spark, sf).collect()
