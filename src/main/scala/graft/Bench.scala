@@ -99,5 +99,14 @@ object Bench {
     val qs = shown.mkString("{", ",", "}")
     println(prefixBase + s""""n_shown":${shown.size},"queries":$qs""" + suffixTail)
     spark.stop()
+    // A broken registered query must never ride into the round gate
+    // disguised as a bench artifact with a quiet `-1.0`: the JSON line is
+    // already printed/persisted above, so failing the process loses no
+    // data but turns any error red in CI and in tools/round_check.sh.
+    val nErrors = results.count { case (_, _, ok, _) => !ok }
+    if (nErrors > 0) {
+      System.err.println(s"BENCH RED: $nErrors queries errored: $errors")
+      sys.exit(1)
+    }
   }
 }

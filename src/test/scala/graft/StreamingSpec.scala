@@ -180,6 +180,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup equals the registered x1_exact_dedup batch query bit-for-bit") {
+    // The registered batch query doubles the corpus with an id-shifted
+    // copy and keeps the lowest doc_id per text. Stream the SAME doubled
+    // corpus through dropDuplicatesWithinWatermark — originals in batch 1,
+    // shifted copies in batch 2 (inside the watermark) — and the stream's
+    // keep-first-arrival semantics must reproduce the batch result
+    // exactly: testdata texts are unique, so batch 1 has no intra-batch
+    // duplicates and every batch-2 copy is a within-watermark re-arrival.
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("x1_exact_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(batch.nonEmpty)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val shift = base.map(_._1).max + 1
+    val mem = MemoryStream[(Long, Timestamp, String, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text", "lang", "source")
+    val q = EventStream.dedupStream(docs)
+      .select(col("doc_id"), col("lang"), col("source"), col("text_md5"))
+      .writeStream.outputMode("append").format("memory").queryName("x1agree").start()
+    try {
+      mem.addData(base.map { case (id, t, l, s) => (id, ts(1), t, l, s) }.toSeq)
+      q.processAllAvailable()
+      mem.addData(base.map { case (id, t, l, s) => (id + shift, ts(2), t, l, s) }.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("x1agree").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(streamed === batch,
+        s"stream/batch dedup divergence: only-stream=${(streamed -- batch).take(3)} " +
+          s"only-batch=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("transformWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

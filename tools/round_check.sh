@@ -11,4 +11,10 @@ python3 tools/oracle_check.py --json /tmp/GRAFT_CORRECTNESS_local.json \
   /root/testdata/sf0.01 /tmp/graft_verify_out
 python3 tools/update_coverage.py --check /tmp/GRAFT_CORRECTNESS_local.json
 sbt -batch test
+# Fast execution sweep of the full registered surface at sf0.001:
+# Bench now exits non-zero when ANY query errors, so an analysis-time
+# breakage (e.g. a testdata schema/encoding flip) is caught here even
+# when it doesn't change oracle rows — the class of miss that let the
+# round-5 TIMESTAMP_NTZ regression ride into the driver gate.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 sbt -batch "runMain graft.Bench"
 echo "ROUND CHECK GREEN"
