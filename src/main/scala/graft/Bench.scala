@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Pure-CPU host-speed probe: per-thread xorshift64* loops, wall ms.
+    * Identical code and data have measured 73 s and 152 s full-surface
+    * totals on this class of shared host in the SAME day (near-uniform
+    * per-query inflation + vmstat steal spikes — co-tenant contention).
+    * Embedding the probe in every BENCH_FULL.json gives later readers
+    * the denominator: per-query regressions are only meaningful
+    * between runs whose probe values agree (see BASELINE.md). */
+  private def hostProbe(threads: Int): Long = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val pool = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var acc = 0L
+        var n = 0
+        while (n < 100000000) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          acc += x * 0x2545F4914F6CDD1DL
+          n += 1
+        }
+        sink.addAndGet(acc)
+      })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Empirically best on the 32-core contract machine at sf0.1:
@@ -78,8 +106,13 @@ object Bench {
     val flaky = results.collect { case (k, _, true, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
+    // host-speed denominators measured AFTER the queries so they can't
+    // perturb the timings; 1-thread isolates clock speed, all-threads
+    // exposes co-tenant steal (both wall ms, lower = faster host)
+    val probe1 = hostProbe(1)
+    val probeN = hostProbe(Runtime.getRuntime.availableProcessors())
     val fullQs = allEntries.map(_._1).mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_probe_1t_ms":$probe1,"host_probe_nt_ms":$probeN,"queries":$fullQs,"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
     // Complete per-query detail goes to a file; the harness that captures
     // stdout keeps only the last ~2000 characters, so the printed line is
     // size-bounded: slowest queries first, greedily packed to the budget.

@@ -228,6 +228,10 @@ object SparkEntry {
       Some(graft.analytics.Triangles.trianglesSql)),
     ("x3_kmeans", graft.ext.KMeans.kmeansLloyd _, Some(graft.ext.KMeans.kmeansLloydSql)),
     ("x3_mmr", graft.ext.Mmr.mmrSelect _, Some(graft.ext.Mmr.mmrSelectSql)),
+    ("x2_containment", Dedup.containmentDedup _, Some(Dedup.containmentDedupSql)),
+    ("x6_attribution", EventWindows.attribution _, Some(EventWindows.attributionSql)),
+    ("x9_weighted_sample", graft.ext.Sampling.weightedSample _,
+      Some(graft.ext.Sampling.weightedSampleSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -158,6 +158,71 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
        |ORDER BY i, j""".stripMargin
 
+  /** Containment threshold for [[containmentDedup]] — deliberately below
+    * the Jaccard near-dup bar: containment(A,B) = |A∩B| / min(|A|,|B|)
+    * flags SUBSUMPTION (a small doc embedded in a larger one), which
+    * symmetric Jaccard dilutes away (at sf0.01, 39 of the 64 pairs at
+    * this bar are invisible to the 0.5-Jaccard query). */
+  val ContainmentThreshold = 0.35
+
+  /** Registered query `x2_containment`: ASYMMETRIC near-dup —
+    * containment over rare char-8-gram sets. The production use is
+    * sub-document duplication (boilerplate wrappers around a copied
+    * core, quoted articles, licence blocks): Jaccard punishes the size
+    * difference, containment does not. Identical physical shape to
+    * [[ngramJaccard]] — one shuffle builds df + per-shingle doc lists,
+    * pairs generated in-group under the df ≤ [[MaxShingleDf]] cap, doc
+    * sizes recovered from the self-pair via two windows keeping the
+    * plan a linear chain (see ngramJaccard's scaladoc for why windows,
+    * not joins) — only the final score divides by min(|A|,|B|) instead
+    * of the union size. Scale story is therefore ngramJaccard's:
+    * rare-shingle-bounded pair growth, no all-pairs term. */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = docs(spark, sfDir)
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+    val groups = sh.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("ids"))
+    val pairCounts = groups
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 1), a ->
+          |  transform(sequence(a, size(ids) - 1), b ->
+          |    struct(ids[a] AS i, ids[b] AS j))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("common"))
+    val selfCnt = max(when(col("i") === col("j"), col("common")))
+    pairCounts
+      .withColumn("cnt_i", selfCnt.over(Window.partitionBy(col("i"))))
+      .withColumn("cnt_j", selfCnt.over(Window.partitionBy(col("j"))))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("common"),
+        (col("common").cast("double") /
+          least(col("cnt_i"), col("cnt_j")).cast("double")).as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val containmentDedupSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)])) AS s
+       |  FROM documents),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS cnt FROM shf GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, common,
+       |  CAST(common AS DOUBLE) / CAST(least(si.cnt, sj.cnt) AS DOUBLE) AS containment
+       |FROM pairs
+       |JOIN sizes si ON si.doc_id = i
+       |JOIN sizes sj ON sj.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / CAST(least(si.cnt, sj.cnt) AS DOUBLE) >= $ContainmentThreshold
+       |ORDER BY i, j""".stripMargin
+
   /** Registered query `x2_shingle_stats`: corpus shingle statistics
     * computed through the custom [[graft.functions.Shingles]]
     * GENERATOR — one row per distinct char-8-gram, emitted lazily

@@ -728,4 +728,70 @@ object EventWindows {
       |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM m
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** Attribution lookback: a purchase credits its last preceding
+    * non-purchase touch only if that touch is at most this many
+    * microseconds old — older (or absent) → the 'direct' channel. */
+  val AttributionWindowUs: Long = 30L * 60 * 1000000
+
+  /** Registered query `x6_attribution`: last-touch revenue attribution —
+    * each purchase is credited to the user's most recent preceding
+    * non-purchase event type within a 30-minute lookback ('direct' when
+    * none), then revenue and purchase counts roll up by channel. The
+    * carry-forward is ONE pass over the user-time-ordered stream
+    * (`last(..., ignoreNulls)` over an unbounded-preceding row window —
+    * no self-join, no per-purchase probe), so the whole query is a
+    * single user-keyed shuffle plus a channel-cardinality aggregate:
+    * the same shape at 100 TB, with state bounded by the window frame.
+    * Value sums go through DECIMAL(18,2) (exact; testdata is 2-dp). */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    // both window columns are declared in ONE select over the SAME
+    // pre-projected sort-key attribute (ts_us): re-deriving
+    // unix_micros(ts) per withColumn mints fresh expression ids, the
+    // window specs stop being provably equal, CollapseWindow can't
+    // fire, and the plan pays a second full in-partition sort
+    // (observed: two Window+Sort pairs instead of one Window node)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchUs = when(col("event_type") =!= "purchase", col("ts_us"))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .select(col("event_type"), col("value"), col("ts_us"),
+        last(touch, ignoreNulls = true).over(w).as("last_touch"),
+        last(touchUs, ignoreNulls = true).over(w).as("last_touch_us"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch_us").isNotNull &&
+            col("ts_us") - col("last_touch_us") <= AttributionWindowUs,
+          col("last_touch")).otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(dec("value")).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  val attributionSql: String =
+    s"""WITH t AS (
+       |  SELECT event_id, ts, user_id, event_type, value,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+       |      OVER w AS last_touch,
+       |    last_value(CASE WHEN event_type <> 'purchase'
+       |               THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+       |      OVER w AS last_touch_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CASE WHEN last_touch_us IS NOT NULL
+       |         AND epoch_us(CAST(ts AS TIMESTAMP)) - last_touch_us <= $AttributionWindowUs
+       |       THEN last_touch ELSE 'direct' END AS channel,
+       |  count(*) AS n_purchases,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM t
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
 }

@@ -603,4 +603,43 @@ object Sampling {
        |SELECT cell, CAST(rk AS BIGINT) AS rk, vec_id, cell_size, proto_sim
        |FROM ranked WHERE rk <= $CoresetPerCell
        |ORDER BY cell, rk""".stripMargin
+
+  /** Sample size for [[weightedSample]]. */
+  val WeightedSampleK = 50
+
+  /** Registered query `x9_weighted_sample`: deterministic
+    * size-weighted selection — the Efraimidis–Spirtas priority-sampling
+    * shape (every item gets key = u^(1/w); the k best keys win) with
+    * the random u replaced by the corpus' stable md5 hex-fold and the
+    * floating-point key replaced by the INTEGER priority h div n_chars,
+    * so longer documents systematically win more slots and the whole
+    * selection is reproducible across runs, engines, and partition
+    * layouts (same device as [[bucket]]; no rand(), no seed plumbing).
+    * Used when a mix plan says "take k docs from this source, biased
+    * by length" and the take must be auditable. Physically a narrow
+    * projection + distributed top-k (TakeOrderedAndProject): per
+    * partition keep k, merge k·P rows on one reducer — no global sort,
+    * no full shuffle, the same plan at any corpus size. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("priority", expr("h div n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedSampleK)
+
+  val weightedSampleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(list_reduce(
+       |      [strpos('0123456789abcdef', x) - 1
+       |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
+       |      (a, b) -> a * 16 + b) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, CAST(h // n_chars AS BIGINT) AS priority
+       |FROM keyed
+       |ORDER BY priority, doc_id
+       |LIMIT $WeightedSampleK""".stripMargin
 }

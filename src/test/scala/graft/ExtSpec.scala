@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, EventWindows, Multimodal, Sampling, Similarity, TextStats}
 
 /** Dedup / similarity / multimodal behavior on sf0.001 testdata. */
 class ExtSpec extends SparkSpec {
@@ -393,5 +393,81 @@ class ExtSpec extends SparkSpec {
       assert(TextStats.Bm25Terms.exists(toks.contains),
         s"doc ${r.getAs[Long]("doc_id")} scored without any query term")
     }
+  }
+
+  test("X2 containment: subsumed doc scores 1.0; asymmetric pairs invisible to jaccard") {
+    import spark.implicits._
+    // doc 1's shingle set is a strict subset of doc 0's → containment
+    // 1.0 but jaccard well under the 0.5 near-dup bar; doc 2 is disjoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-containment").toString
+    val core = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    Seq(
+      (0L, core + " and then a very long unrelated continuation stretches this document " +
+        "with many additional unique words that dilute the union size considerably more",
+        "en", "web", 160L),
+      (1L, core, "en", "web", 70L),
+      (2L, "completely different content about databases and distributed query engines",
+        "en", "news", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.containmentDedup(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("i") === 0L && rows.head.getAs[Long]("j") === 1L)
+    assert(rows.head.getAs[Double]("containment") === 1.0)
+    // the same pair is NOT a jaccard near-dup (union dominated by doc 0)
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+    assert(!jac.exists(r => r.getAs[Long]("i") == 0L && r.getAs[Long]("j") == 1L),
+      "fixture pair unexpectedly passed the jaccard bar — weaken the overlap")
+  }
+
+  test("X6 attribution: purchases credit the last in-window touch, else direct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-attribution").toString
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    Seq(
+      // user 1: click then purchase 10 min later → credited to click
+      (0L, t(0), 1L, "click", 0.0, "{}"),
+      (1L, t(10), 1L, "purchase", 10.0, "{}"),
+      // user 1: second purchase 45 min after the click → outside the
+      // 30-min lookback (the first purchase is not a touch) → direct
+      (2L, t(45), 1L, "purchase", 5.0, "{}"),
+      // user 2: no prior touch at all → direct
+      (3L, t(20), 2L, "purchase", 2.5, "{}"),
+      // user 3: view then click then purchase → last touch (click) wins
+      (4L, t(1), 3L, "view", 0.0, "{}"),
+      (5L, t(2), 3L, "click", 0.0, "{}"),
+      (6L, t(3), 3L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventWindows.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows === Map(
+      "click" -> (2L, 17.0), // 10.0 (user 1) + 7.0 (user 3)
+      "direct" -> (2L, 7.5))) // 5.0 (user 1 late) + 2.5 (user 2)
+  }
+
+  test("X9 weighted sample: deterministic k smallest integer priorities, length-biased") {
+    import spark.implicits._
+    val out = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === Sampling.WeightedSampleK)
+    // identical on re-run (no rand() anywhere)
+    val out2 = Sampling.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === out2.toSeq)
+    // matches a from-scratch recomputation of priority = h div n_chars
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, src, nc, h) => (id, src, nc, h / nc) }
+    val expected = all.sortBy(r => (r._4, r._1)).take(Sampling.WeightedSampleK)
+    assert(out.toSeq === expected.toSeq)
+    // the selection is genuinely length-biased: winners' mean length
+    // exceeds the corpus mean (priority divides the hash by n_chars)
+    val meanAll = all.map(_._3).sum.toDouble / all.length
+    val meanWin = out.map(_._3).sum.toDouble / out.length
+    assert(meanWin > meanAll,
+      s"weighted sample mean length $meanWin not above corpus mean $meanAll")
   }
 }
