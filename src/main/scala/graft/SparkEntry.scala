@@ -232,6 +232,9 @@ object SparkEntry {
     ("x6_attribution", EventWindows.attribution _, Some(EventWindows.attributionSql)),
     ("x9_weighted_sample", graft.ext.Sampling.weightedSample _,
       Some(graft.ext.Sampling.weightedSampleSql)),
+    ("x9_dedup_mix", graft.ext.Sampling.dedupAdjustedMix _,
+      Some(graft.ext.Sampling.dedupAdjustedMixSql)),
+    ("x3_ivf_sq", Similarity.ivfSqTopK _, Some(Similarity.ivfSqTopKSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

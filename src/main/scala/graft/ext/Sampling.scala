@@ -604,6 +604,50 @@ object Sampling {
        |FROM ranked WHERE rk <= $CoresetPerCell
        |ORDER BY cell, rk""".stripMargin
 
+  /** Registered query `x9_dedup_mix`: temperature-scaled mixing weights
+    * computed over POST-DEDUP per-source counts — the composition a
+    * production pipeline actually runs: [[graft.ext.Dedup.dedupRetention]]
+    * says what survives near-dup removal per source, and THOSE counts
+    * (not the raw ones, which overweight the most-duplicated crawls)
+    * feed the √n allocation rule of [[mixWeights]]. The retention frame
+    * is a per-source handful of rows but its lineage is the whole LSH
+    * pair pipeline, and both the weight projection and the 1-row total
+    * consume it — a LAZY `localCheckpoint` (the PageRank device)
+    * materializes that pipeline once instead of twice. Downstream is a
+    * source-cardinality crossJoin against the broadcast 1-row total:
+    * constant-size work at any corpus scale. */
+  def dedupAdjustedMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 100000L
+    val kept = Dedup.dedupRetention(spark, sfDir)
+      .select(col("source"), col("n_docs"), col("n_kept"))
+      .localCheckpoint(false)
+    val w = kept.withColumn("w",
+      expr("cast(floor(sqrt(cast(n_kept as double))) as bigint)"))
+    val tot = w.agg(sum(col("w")).as("w_total"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("w"),
+        expr(s"($budget * w) div w_total").as("alloc"),
+        (col("w") * 10000L / col("w_total")).as("share_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: [[graft.ext.Dedup.dedupRetentionSql]] verbatim as a nested
+    * CTE (DuckDB allows WITH inside a CTE body), re-tailed with the
+    * same integer √-weight allocation as [[mixWeightsSql]]. */
+  val dedupAdjustedMixSql: String =
+    s"""WITH r AS (
+       |${Dedup.dedupRetentionSql}
+       |),
+       |w AS (SELECT source, n_docs, n_kept,
+       |        CAST(floor(sqrt(CAST(n_kept AS DOUBLE))) AS BIGINT) AS w
+       |      FROM r),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w)
+       |SELECT source, n_docs, n_kept, w,
+       |  (100000 * w) // w_total AS alloc,
+       |  w * 10000 / w_total AS share_bp
+       |FROM w, t
+       |ORDER BY source""".stripMargin
+
   /** Sample size for [[weightedSample]]. */
   val WeightedSampleK = 50
 

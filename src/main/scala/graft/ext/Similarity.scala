@@ -396,6 +396,97 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Registered query `x3_ivf_sq`: the IVF-SQ8 composition — the two
+    * orthogonal ANN cost levers applied together, which is how
+    * production vector stores (FAISS `IVF…,SQ8` indexes) actually run:
+    * the [[ivfGridTopK]] coarse quantizer prunes WHICH vectors are
+    * scored (multiprobe cell join — candidate count, the compute
+    * lever), then every surviving candidate is scored in the
+    * compressed int8 domain ([[sqRerank]]'s codegen'd
+    * [[graft.functions.Sq8Dot]] — bytes per score, the bandwidth
+    * lever), and only the top `TopK·SqOverfetch` per query get the
+    * exact full-precision re-rank. Entirely integer-deterministic
+    * (grid cells, int8 codes with ⌊x+0.5⌋ rounding, overfetch cut,
+    * tie-breaks), so the DuckDB mirror reproduces the approximation
+    * bit-for-bit. At 100 TB the cell join replaces SQ8's full scan
+    * with a probed fraction while the int8 codes shrink the scan I/O
+    * of whatever remains — multiplicative, not alternative, savings. */
+  def ivfSqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_sq8dot
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", gridCellCol)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .withColumn("dims", expr(s"""array_sort(transform(sequence(0, ${GridDims - 1}), d ->
+        |named_struct('a', abs(cast(round(cast(embedding[d] as double) * 10000000) as bigint)), 'd', d)))""".stripMargin))
+      .withColumn("probe", explode(expr(
+        s"concat(array(cell), transform(slice(dims, 1, ${IvfProbes - 1}), s -> cell ^ shiftleft(1, s.d)))")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2"), col("probe"))
+    val approx = e.join(broadcast(queries), col("cell") === col("probe"))
+      .withColumn("adot", vec_sq8dot(col("q_embedding"), col("embedding")))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+    val cands = approx
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= TopK * SqOverfetch)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Mirror: [[ivfGridTopKSql]]'s cells/multiprobe CTEs feeding
+    * [[sqRerankSql]]'s int8 approximate cut and exact re-rank. */
+  val ivfSqTopKSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv,
+       |    list_transform(embedding, x -> greatest(-127, least(127,
+       |      CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)))) AS c8
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, c8, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |cells AS (
+       |  SELECT vec_id, iv, c8, n2,
+       |    ${gridCellSql("iv")} AS cell
+       |  FROM n),
+       |qp AS (
+       |  SELECT vec_id AS q_id, n2 AS qn2, iv AS qiv, c8 AS qc8,
+       |    unnest(list_concat([cell],
+       |      [xor(cell, 1 << s.d) FOR s IN
+       |        list_sort([{'a': abs(iv[d + 1]), 'd': d} FOR d IN range(0, $GridDims)])[1:${IvfProbes - 1}]]))
+       |      AS cell
+       |  FROM cells WHERE vec_id < $NumQueries),
+       |approx AS (
+       |  SELECT qp.q_id, c.vec_id,
+       |    list_sum(list_transform(list_zip(qp.qc8, c.c8), p -> p[1] * p[2])) AS adot
+       |  FROM cells c JOIN qp USING (cell)),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ark
+       |    FROM approx)
+       |  WHERE ark <= ${TopK * SqOverfetch}),
+       |sims AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qn.iv, cn.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS sim
+       |  FROM cands cand
+       |  JOIN n qn ON qn.vec_id = cand.q_id
+       |  JOIN n cn ON cn.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Per-label mean embedding (class centroids) — the building block
     * under IVF coarse quantizers, class prototypes, and semantic-dedup
     * cluster seeds. Elementwise sums in ×1e7-quantized INTEGER space

@@ -68,6 +68,25 @@ class ExtSpec extends SparkSpec {
     assert(exact.intersect(grid).size >= (exact.size * 2) / 5)
   }
 
+  test("X3 IVF-SQ8: self found, agrees with exact-scored IVF over the same probes") {
+    val grid = Similarity.ivfGridTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.ivfSqTopK(spark, sf).collect()
+    val ivfsq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // same multiprobe candidate pool as ivfGridTopK; the int8 cut with
+    // 4x overfetch should almost never evict a true top-k member
+    assert(ivfsq.count { case (q, v) => q == v } === Similarity.NumQueries)
+    assert(grid.intersect(ivfsq).size * 5 >= grid.size * 4,
+      s"IVF-SQ8 overlap with exact-scored IVF too low: ${grid.intersect(ivfsq).size}/${grid.size}")
+    // ranks dense per query, sims non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("X3 IVF ANN: recall@5 vs exact top-k is usable") {
     val exact = Similarity.cosineTopK(spark, sf)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -147,6 +147,27 @@ class SamplingSpec extends SparkSpec {
       assert(members.head.getAs[Long]("cell_size") === fullSizes(cell)) }
   }
 
+  test("dedup-adjusted mix: weights derive from POST-dedup counts, budget respected") {
+    val rows = Sampling.dedupAdjustedMix(spark, sf).collect()
+    val retention = graft.ext.Dedup.dedupRetention(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet === retention.keySet)
+    val wTotal = rows.map(r => r.getAs[Long]("w")).sum
+    rows.foreach { r =>
+      val (nDocs, nKept) = retention(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("n_kept") === nKept)
+      // the weight is the isqrt of the KEPT count, not the raw count
+      val w = r.getAs[Long]("w")
+      assert(w * w <= nKept && (w + 1) * (w + 1) > nKept,
+        s"w=$w is not isqrt(n_kept=$nKept)")
+      assert(r.getAs[Long]("alloc") === 100000L * w / wTotal)
+    }
+    // allocations never exceed the budget (floor division undershoots)
+    assert(rows.map(_.getAs[Long]("alloc")).sum <= 100000L)
+  }
+
   test("mix report covers every document exactly once") {
     val total = graft.Tables.documents(spark, sf).count()
     val mix = Sampling.splitMix(spark, sf)
