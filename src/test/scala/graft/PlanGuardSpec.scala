@@ -79,6 +79,27 @@ class PlanGuardSpec extends SparkSpec {
       s"scaled rfm diverged from exact ntile output (${scaled.length} vs ${exact.length} rows)")
   }
 
+  test("x6 attribution: both carry-forward columns collapse into ONE Window node") {
+    // the withColumn form re-derives the sort key per column, the specs
+    // stop being provably equal, and CollapseWindow can't fire — the
+    // plan then pays a second full in-partition sort (PLANS.md round 6)
+    val p = finalPlan("x6_attribution")
+    val windows = "\\bWindow \\[".r.findAllIn(p).length
+    assert(windows == 1, s"expected exactly 1 Window node, found $windows:\n$p")
+  }
+
+  test("x9 weighted sample: top-k is TakeOrderedAndProject, never a global sort") {
+    val p = finalPlan("x9_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
+  test("x3 ivf-sq: candidates come from a broadcast cell join, no corpus shuffle join") {
+    val p = finalPlan("x3_ivf_sq")
+    assert(p.contains("BroadcastHashJoin"), s"probe set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"IVF-SQ8 must not shuffle or cartesian the corpus for candidates:\n$p")
+  }
+
   test("x4 text stats: projection pruning reaches the documents scan") {
     val p = finalPlan("x4_text_stats")
     // assert the scanned column set EXACTLY: a vacuous not-contains
