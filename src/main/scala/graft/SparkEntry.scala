@@ -235,6 +235,7 @@ object SparkEntry {
     ("x9_dedup_mix", graft.ext.Sampling.dedupAdjustedMix _,
       Some(graft.ext.Sampling.dedupAdjustedMixSql)),
     ("x3_ivf_sq", Similarity.ivfSqTopK _, Some(Similarity.ivfSqTopKSql)),
+    ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

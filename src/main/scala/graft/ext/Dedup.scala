@@ -730,7 +730,11 @@ object Dedup {
       .agg(simhash_agg(col("h"), SimHashBits).as("simhash"))
   }
 
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The simhash near-dup pair set WITHOUT the presentation sort —
+    * shared by [[simhashNearDup]] (which only adds the ORDER BY) and
+    * [[editVerify]] (which joins texts onto it; a mid-pipeline global
+    * sort there would survive as a useless Exchange+Sort). */
+  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sims = simhashFrame(docs(spark, sfDir))
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimHashChunks - 1}), c -> named_struct(" +
@@ -743,8 +747,10 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .dropDuplicates("i", "j")
       .filter(col("hamming") <= SimHashMaxHamming)
-      .orderBy(col("i"), col("j"))
   }
+
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashPairs(spark, sfDir).orderBy(col("i"), col("j"))
 
   /** Full mirror of [[simhashNearDup]]: same md5-hex-fold hash, same
     * 60 majority bits, brute-force all-pairs hamming ≤ 3 (the banding
@@ -776,6 +782,58 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashMaxHamming
        |ORDER BY i, j""".stripMargin
   }
+
+  /** Relative edit-distance bar for [[editVerify]]: a candidate pair
+    * verifies when levenshtein ≤ 5 % of the longer text (integer form
+    * `ed * 20 ≤ max_len` — no division, no doubles). */
+  val EditVerifyPct20 = 20L
+
+  /** Registered query `x2_edit_verify`: EDIT-DISTANCE verification of
+    * the simhash candidate set — the fourth verification metric beside
+    * shingle Jaccard ([[minhashNearDup]]), embedding cosine
+    * ([[embeddingCosineDedup]]) and simhash hamming
+    * ([[simhashNearDup]]). Hamming over 60-bit sketches says two docs
+    * share most 8-gram mass; levenshtein says HOW MUCH text actually
+    * changed — the metric a human auditing a near-dup cluster reaches
+    * for, and the one that catches a sketch collision outright.
+    * Levenshtein is O(len²) per pair, so running it on all pairs is
+    * absurd at any scale; here it runs ONLY on the banding-bounded
+    * candidate set (the standard sketch-then-verify discipline: cheap
+    * candidate generation, expensive metric on the survivors). Shape:
+    * the banded pair set, two doc-keyed text joins, one codegen'd
+    * `levenshtein` projection + integer relative filter. */
+  def editVerify(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    simhashPairs(spark, sfDir)
+      .join(t.select(col("doc_id").as("i"), col("text").as("ta")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("text").as("tb")), Seq("j"))
+      .select(col("i"), col("j"), col("hamming"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("ed"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("len_max"))
+      .filter(col("ed") * EditVerifyPct20 <= col("len_max"))
+      .withColumn("ed_permille", expr("ed * 1000 div len_max"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Mirror: [[simhashSql]] verbatim as a nested CTE (its pair set is
+    * already the lossless hamming ≤ 3 equivalence of the banding),
+    * re-tailed with the levenshtein verification. */
+  val editVerifySql: String =
+    s"""WITH p AS (
+       |$simhashSql
+       |),
+       |t AS (SELECT doc_id, text FROM documents)
+       |SELECT p.i, p.j, p.hamming,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS ed,
+       |  CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS len_max,
+       |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 1000
+       |    // greatest(length(ta.text), length(tb.text)) AS ed_permille
+       |FROM p
+       |JOIN t ta ON ta.doc_id = p.i
+       |JOIN t tb ON tb.doc_id = p.j
+       |WHERE CAST(levenshtein(ta.text, tb.text) AS BIGINT) * $EditVerifyPct20
+       |  <= greatest(length(ta.text), length(tb.text))
+       |ORDER BY i, j""".stripMargin
 
   // ---- X2: duplicate clustering (connected components) ------------------
 

@@ -414,6 +414,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("X2 edit verify: candidates are the simhash pairs; survivors meet the 5% bar") {
+    import spark.implicits._
+    val cands = Dedup.simhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.editVerify(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture corpus should contain verifiable near-dups")
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i"), r.getAs[Long]("j"))
+      assert(cands.contains((i, j)), s"($i,$j) not in the simhash candidate set")
+      val ed = r.getAs[Long]("ed")
+      val mx = r.getAs[Long]("len_max")
+      assert(mx === math.max(texts(i).length, texts(j).length).toLong)
+      assert(ed * Dedup.EditVerifyPct20 <= mx, s"($i,$j) ed=$ed over the bar for mx=$mx")
+      assert(r.getAs[Long]("ed_permille") === ed * 1000 / mx)
+    }
+    // the verification is a FILTER on candidates, never an expansion
+    assert(rows.length <= cands.size)
+  }
+
   test("X2 containment: subsumed doc scores 1.0; asymmetric pairs invisible to jaccard") {
     import spark.implicits._
     // doc 1's shingle set is a strict subset of doc 0's → containment
