@@ -89,7 +89,14 @@ object Dedup {
   /** Exact Jaccard over discriminative (df ≤ 100) char-8-gram shingle
     * sets via a shingle equi-join. The verification baseline;
     * [[minhashNearDup]] is the sub-quadratic scale path. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The exact rare-shingle pair frame — (i < j, common, cnt_i, cnt_j)
+    * for every doc pair sharing ≥1 rare shingle — shared by
+    * [[ngramJaccard]] and [[containmentDedup]], which differ ONLY in
+    * the final score (union vs min denominator). Memoized via the
+    * pair-set memo (see there): two registered consumers, one
+    * materialization per session. This fresh builder stays assertable.
+    */
+  private[graft] def rareSharedPairsFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docs(spark, sfDir)
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
     // ONE shuffle of the full shingle stream computes df and the
@@ -131,12 +138,19 @@ object Dedup {
       .withColumn("cnt_i", selfCnt.over(Window.partitionBy(col("i"))))
       .withColumn("cnt_j", selfCnt.over(Window.partitionBy(col("j"))))
       .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("common"), col("cnt_i"), col("cnt_j"))
+  }
+
+  private def rareSharedPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memoizedPairs("rare-shingle", spark, sfDir)(rareSharedPairsFresh(spark, sfDir))
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    rareSharedPairs(spark, sfDir)
       .select(col("i"), col("j"), col("common"),
         (col("common").cast("double") /
           (col("cnt_i") + col("cnt_j") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("i"), col("j"))
-  }
 
   val ngramJaccardSql: String =
     s"""WITH sh AS (
@@ -170,38 +184,19 @@ object Dedup {
     * sub-document duplication (boilerplate wrappers around a copied
     * core, quoted articles, licence blocks): Jaccard punishes the size
     * difference, containment does not. Identical physical shape to
-    * [[ngramJaccard]] — one shuffle builds df + per-shingle doc lists,
-    * pairs generated in-group under the df ≤ [[MaxShingleDf]] cap, doc
-    * sizes recovered from the self-pair via two windows keeping the
-    * plan a linear chain (see ngramJaccard's scaladoc for why windows,
-    * not joins) — only the final score divides by min(|A|,|B|) instead
-    * of the union size. Scale story is therefore ngramJaccard's:
-    * rare-shingle-bounded pair growth, no all-pairs term. */
-  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docs(spark, sfDir)
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-    val groups = sh.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("ids"))
-    val pairCounts = groups
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 1), a ->
-          |  transform(sequence(a, size(ids) - 1), b ->
-          |    struct(ids[a] AS i, ids[b] AS j))))""".stripMargin)).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("common"))
-    val selfCnt = max(when(col("i") === col("j"), col("common")))
-    pairCounts
-      .withColumn("cnt_i", selfCnt.over(Window.partitionBy(col("i"))))
-      .withColumn("cnt_j", selfCnt.over(Window.partitionBy(col("j"))))
-      .filter(col("i") < col("j"))
+    * [[ngramJaccard]] — in fact it IS the same pair frame
+    * ([[rareSharedPairsFresh]], memoized so the two registered
+    * consumers materialize it once per session) — only the final score
+    * divides by min(|A|,|B|) instead of the union size. Scale story is
+    * therefore ngramJaccard's: rare-shingle-bounded pair growth, no
+    * all-pairs term. */
+  def containmentDedup(spark: SparkSession, sfDir: String): DataFrame =
+    rareSharedPairs(spark, sfDir)
       .select(col("i"), col("j"), col("common"),
         (col("common").cast("double") /
           least(col("cnt_i"), col("cnt_j")).cast("double")).as("containment"))
       .filter(col("containment") >= ContainmentThreshold)
       .orderBy(col("i"), col("j"))
-  }
 
   val containmentDedupSql: String =
     s"""WITH sh AS (
@@ -334,8 +329,10 @@ object Dedup {
     * to the two shared pair pipelines: the verified minhash pair set
     * has FOUR registered consumers (`x2_minhash_lsh`, `x2_retention`,
     * `x9_dedup_mix`, and the CC behind `x2_dup_clusters`/
-    * `x2_canonical`) and the simhash candidate set two (`x2_simhash`,
-    * `x2_edit_verify`); a production pipeline materializes its sketch
+    * `x2_canonical`), the simhash candidate set two (`x2_simhash`,
+    * `x2_edit_verify`), and the exact rare-shingle pair frame two
+    * (`x2_ngram_jaccard`, `x2_containment`); a production pipeline
+    * materializes its sketch
     * tables once and every stage reads them. `localCheckpoint` so the
     * memoized frame survives per-query `clearCache()`; pair sets are
     * candidate-bounded (ScaleProbe-measured ~linear), trivially

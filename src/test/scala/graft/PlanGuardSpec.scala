@@ -115,6 +115,18 @@ class PlanGuardSpec extends SparkSpec {
       s"IVF-SQ8 must not shuffle or cartesian the corpus for candidates:\n$p")
   }
 
+  test("x2 rare-shingle pairs: ONE documents scan — the linear-chain property") {
+    // a join-based size attachment would triple-execute the shingle
+    // subtree (measured 17x wall — see the builder's scaladoc); the
+    // windows formulation keeps exactly one scan in the plan
+    val df = graft.ext.Dedup.rareSharedPairsFresh(spark, sf)
+    df.collect()
+    spark.catalog.clearCache()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly 1 documents scan, found $scans:\n$p")
+  }
+
   test("x4 text stats: projection pruning reaches the documents scan") {
     val p = finalPlan("x4_text_stats")
     // assert the scanned column set EXACTLY: a vacuous not-contains
