@@ -180,6 +180,60 @@ object EventStream {
       .transformWithState(new SpendTracker, TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- transformWithState: streaming last-touch attribution -------------
+
+  case class TouchState(touchType: String, touchUs: Long)
+  case class AttributionOut(user_id: Long, channel: String, value: Double, ts_us: Long)
+
+  /** Streaming form of the registered `x6_attribution` batch query:
+    * one ValueState per user holds the LAST non-purchase touch (type +
+    * event-time micros); each purchase is credited to that touch when
+    * it is within [[graft.ext.EventWindows.AttributionWindowUs]], else
+    * 'direct'. Rows within a micro-batch arrive unordered per key, so
+    * the handler sorts its per-user iterator by (event time, event_id)
+    * — the same total order the batch window uses; cross-batch order
+    * is the source's responsibility (event-time-ordered feeds, e.g. a
+    * log compacted by time). State is ONE row per user regardless of
+    * history length — the carry-forward column of the batch window
+    * materialized as keyed state. Timestamps are folded to exact
+    * micros (getTime millis + sub-milli nanos), matching the batch
+    * `unix_micros` arithmetic bit-for-bit. */
+  class AttributionProcessor extends StatefulProcessor[Long, Event, AttributionOut] {
+    @transient private var touch: ValueState[TouchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[TouchState]("touch",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    private def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[AttributionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = if (touch.exists()) Some(touch.get()) else None
+      val out = Seq.newBuilder[AttributionOut]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        if (e.event_type == "purchase") {
+          val ch = cur match {
+            case Some(t) if us - t.touchUs <= graft.ext.EventWindows.AttributionWindowUs =>
+              t.touchType
+            case _ => "direct"
+          }
+          out += AttributionOut(user, ch, e.value, us)
+        } else {
+          cur = Some(TouchState(e.event_type, us))
+        }
+      }
+      cur.foreach(touch.update)
+      out.result().iterator
+    }
+  }
+
+  def attributionStream(events: Dataset[Event]): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -216,6 +216,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution equals the registered x6_attribution batch query") {
+    // same corpus, split into two event-time-ordered micro-batches at
+    // the global median so touch state must survive the batch boundary;
+    // streamed per-purchase rows aggregated by channel with the same
+    // DECIMAL(18,2) arithmetic must equal the batch query bit-for-bit
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ext.EventWindows.attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP))).toMap
+    assert(batch.nonEmpty)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mid = events(events.length / 2).ts.getTime
+    val mem = MemoryStream[Event]
+    val q = EventStream.attributionStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("attragree").start()
+    try {
+      mem.addData(events.filter(_.ts.getTime <= mid).toSeq)
+      q.processAllAvailable()
+      mem.addData(events.filter(_.ts.getTime > mid).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("attragree").collect()
+        .map(r => (r.getString(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (ch, rows) =>
+          ch -> (rows.length.toLong,
+            rows.map(r => BigDecimal(r._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum)
+        }
+      assert(streamed === batch,
+        s"stream/batch attribution divergence: stream=$streamed batch=$batch")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
