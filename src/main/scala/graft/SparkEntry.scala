@@ -236,6 +236,8 @@ object SparkEntry {
       Some(graft.ext.Sampling.dedupAdjustedMixSql)),
     ("x3_ivf_sq", Similarity.ivfSqTopK _, Some(Similarity.ivfSqTopKSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
+    ("x0_data_quality", graft.ext.DataQuality.dataQuality _,
+      Some(graft.ext.DataQuality.dataQualitySql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declarative data-quality gate — the pre-training validation pass a
+  * production pipeline runs on every landed table (the Deequ/Great
+  * Expectations capability re-expressed as one declarative plan):
+  * each constraint is a metric computed in a SINGLE pass over the fact
+  * table (uniqueness via count vs distinct, completeness via null
+  * counts, range and domain via conditional sums) plus one broadcast
+  * anti-join for referential integrity against the dimension, then the
+  * five metrics pivot into one row per constraint via `stack`. At
+  * 100 TB the whole gate costs one scan + one broadcast anti-join —
+  * constraints share the pass instead of re-scanning per check (the
+  * design point Deequ's analyzer runtime makes; here Catalyst collapses
+  * the conditional aggregates into one HashAggregate for free).
+  *
+  * Output: (check_name, violations, status) — integer violation counts,
+  * 'pass' iff zero, mirrored exactly in DuckDB so the gate itself is
+  * driver-hash-verified.
+  */
+object DataQuality {
+
+  def dataQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val metrics = o.agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpos_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val orphans = o.select(col("o_custkey"))
+      .join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_custkey"))
+    metrics.crossJoin(broadcast(orphans))
+      .select(expr(
+        """stack(5,
+          |  'custkey_complete', null_custkey,
+          |  'custkey_referential', orphan_custkey,
+          |  'orderkey_unique', n_rows - n_distinct_key,
+          |  'orderstatus_domain', bad_status,
+          |  'totalprice_positive', nonpos_price)
+          |AS (check_name, violations)""".stripMargin))
+      .withColumn("status", when(col("violations") === 0L, "pass").otherwise("fail"))
+      .orderBy(col("check_name"))
+  }
+
+  val dataQualitySql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+      |    CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT)
+      |      AS null_custkey,
+      |    CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS BIGINT)
+      |      AS nonpos_price,
+      |    CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END), 0)
+      |      AS BIGINT) AS bad_status
+      |  FROM orders),
+      |orph AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS orphan_custkey
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |rows_out AS (
+      |  SELECT 'custkey_complete' AS check_name, null_custkey AS violations FROM m
+      |  UNION ALL SELECT 'custkey_referential', orphan_custkey FROM orph
+      |  UNION ALL SELECT 'orderkey_unique', n_rows - n_distinct_key FROM m
+      |  UNION ALL SELECT 'orderstatus_domain', bad_status FROM m
+      |  UNION ALL SELECT 'totalprice_positive', nonpos_price FROM m)
+      |SELECT check_name, violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM rows_out
+      |ORDER BY check_name""".stripMargin
+}

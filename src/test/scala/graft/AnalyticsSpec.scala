@@ -248,4 +248,36 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_distinct_qty") <= r.getAs[Long]("n_items"))
     }
   }
+
+  test("data quality gate: clean corpus all-pass; injected violations each counted") {
+    import spark.implicits._
+    val clean = graft.ext.DataQuality.dataQuality(spark, sf).collect()
+    assert(clean.length === 5)
+    assert(clean.forall(_.getAs[String]("status") == "pass"),
+      s"testdata should pass every constraint: ${clean.mkString(", ")}")
+    // corrupted fixture: one violation of each kind
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    Seq(
+      (1L, java.lang.Long.valueOf(10L), 100.0, "O"),
+      (1L, java.lang.Long.valueOf(10L), 50.0, "F"), // duplicate orderkey
+      (2L, null.asInstanceOf[java.lang.Long], 70.0, "P"), // null custkey
+      (3L, java.lang.Long.valueOf(10L), -5.0, "O"), // non-positive price
+      (4L, java.lang.Long.valueOf(10L), 30.0, "X"), // bad status
+      (5L, java.lang.Long.valueOf(99L), 20.0, "F")) // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(10L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val bad = graft.ext.DataQuality.dataQuality(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(bad("orderkey_unique") === (1L, "fail"))
+    assert(bad("custkey_complete") === (1L, "fail"))
+    assert(bad("totalprice_positive") === (1L, "fail"))
+    assert(bad("orderstatus_domain") === (1L, "fail"))
+    // orphans: custkey 99 missing from dims, PLUS the null-keyed row —
+    // a null key never equi-matches, so anti-join keeps it, and DuckDB's
+    // NOT EXISTS agrees; both engines count 2 (completeness separately
+    // reports the null itself)
+    assert(bad("custkey_referential") === (2L, "fail"))
+  }
 }
