@@ -95,6 +95,22 @@ object Bench {
         } else (dt1, false)
       (name, dt, ok1, flaky)
     }
+    // Cold-accounting pass (round-7, per ADVICE r6): the memoized
+    // pair-set consumers' steady-state numbers above are checkpoint-scan
+    // timings — run 1 of the first consumer pays the LSH/shingle/simhash
+    // materialization and min-of-2 discards it. Re-time each memoized
+    // query with the memos INVALIDATED immediately before it, so its
+    // cold number includes the full pipeline build. Runs after the
+    // steady-state loop (cannot perturb those timings); both
+    // accountings land in BENCH_FULL.json (`queries` = steady-state /
+    // production marginal cost, `cold_queries` = first-consumer cost),
+    // with `memoized` naming exactly which keys the split applies to.
+    val coldResults = SparkEntry.memoizedQueries.toSeq.sorted.map { name =>
+      graft.ext.Dedup.invalidateMemos()
+      val (dt, ok) = once(name, SparkEntry.queries(name))
+      (name, dt, ok)
+    }
+    graft.ext.Dedup.invalidateMemos()
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -112,7 +128,13 @@ object Bench {
     val probe1 = hostProbe(1)
     val probeN = hostProbe(Runtime.getRuntime.availableProcessors())
     val fullQs = allEntries.map(_._1).mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_probe_1t_ms":$probe1,"host_probe_nt_ms":$probeN,"queries":$fullQs,"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
+    val memoized = SparkEntry.memoizedQueries.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val coldQs = coldResults
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1.0") }
+      .mkString("{", ",", "}")
+    val coldTotal = coldResults.collect { case (_, v, true) => v }.sum
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"host_probe_1t_ms":$probe1,"host_probe_nt_ms":$probeN,"queries":$fullQs,"memoized":$memoized,"cold_queries":$coldQs,"cold_total":${fmt(coldTotal)},"errors":$errors,"flaky":$flaky,"sf":"$sfDir"}"""
     // Complete per-query detail goes to a file; the harness that captures
     // stdout keeps only the last ~2000 characters, so the printed line is
     // size-bounded: slowest queries first, greedily packed to the budget.
@@ -120,7 +142,7 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
-    val suffixTail = s""","errors":$errors,"flaky":$flaky,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    val suffixTail = s""","cold_total":${fmt(coldTotal)},"n_memoized":${coldResults.size},"errors":$errors,"flaky":$flaky,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     val prefixBase = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"""
     val budget = 1600 - suffixTail.length - prefixBase.length - 64 // slack for n_shown + braces
     val sortedBySlow = allEntries.sortBy { case (_, t) => -t } // errors (MaxValue) first: always visible
@@ -136,7 +158,8 @@ object Bench {
     // disguised as a bench artifact with a quiet `-1.0`: the JSON line is
     // already printed/persisted above, so failing the process loses no
     // data but turns any error red in CI and in tools/round_check.sh.
-    val nErrors = results.count { case (_, _, ok, _) => !ok }
+    val nErrors = results.count { case (_, _, ok, _) => !ok } +
+      coldResults.count { case (_, _, ok) => !ok }
     if (nErrors > 0) {
       System.err.println(s"BENCH RED: $nErrors queries errored: $errors")
       sys.exit(1)

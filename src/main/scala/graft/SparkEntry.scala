@@ -107,9 +107,11 @@ object SparkEntry {
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),
-    ("x6_rfm", EventWindows.rfmSegments _, Some(EventWindows.rfmSegmentsSql)),
-    // distributed-rank scale path; ntile-exact, so it shares x6_rfm's oracle
-    ("x6_rfm_scaled", EventWindows.rfmSegmentsScaled _, Some(EventWindows.rfmSegmentsSql)),
+    // round-7: the registered rfm IS the distributed-rank scale path
+    // (ntile-exact — same oracle); the naive global-ntile formulation
+    // (EventWindows.rfmSegments) is demoted to a spec-only baseline,
+    // pinned output-equal in PlanGuardSpec
+    ("x6_rfm", EventWindows.rfmSegmentsScaled _, Some(EventWindows.rfmSegmentsSql)),
     ("x9_epoch_order", graft.ext.Sampling.epochOrder _,
       Some(graft.ext.Sampling.epochOrderSql)),
     // event windows (X6)
@@ -216,6 +218,9 @@ object SparkEntry {
     ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
     ("x4_hll_distinct", TextStats.hllDistinct _, Some(TextStats.hllDistinctSql)),
     ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
+    // round-7: persisted bucketed band table + incremental consumer —
+    // same oracle as x2_delta_dedup (same pairs, production physics)
+    ("x2_sketch_table", Dedup.sketchTableDedup _, Some(Dedup.minhashDeltaSql)),
     // round-5 additions: Gopher repetition gate + corpus-novelty scoring
     ("x4_repetition", TextStats.repetitionSignals _, Some(TextStats.repetitionSignalsSql)),
     ("x4_novelty", TextStats.noveltyScores _, Some(TextStats.noveltyScoresSql)),
@@ -235,6 +240,8 @@ object SparkEntry {
     ("x9_dedup_mix", graft.ext.Sampling.dedupAdjustedMix _,
       Some(graft.ext.Sampling.dedupAdjustedMixSql)),
     ("x3_ivf_sq", Similarity.ivfSqTopK _, Some(Similarity.ivfSqTopKSql)),
+    // round-7: driver-gated recall@k of every ANN family vs exact
+    ("x3_recall_report", Similarity.recallReport _, Some(Similarity.recallReportSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
     ("x0_data_quality", graft.ext.DataQuality.dataQuality _,
       Some(graft.ext.DataQuality.dataQualitySql)),
@@ -242,6 +249,19 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) => n -> f }.toMap
+
+  /** Registered queries whose steady-state timing is a checkpoint scan
+    * over a once-per-session pair-set/cluster memo
+    * ([[graft.ext.Dedup]]): the minhash pair-set consumers, the
+    * simhash pair consumers, the rare-shingle pair consumers, and the
+    * connected-components consumers. Bench re-times each of these COLD
+    * (memos invalidated via `Dedup.invalidateMemos`) so BENCH_FULL.json
+    * always carries both accountings. */
+  val memoizedQueries: Set[String] = Set(
+    "x2_minhash_lsh", "x2_retention", "x9_dedup_mix", // minhash pair set
+    "x2_dup_clusters", "x2_canonical", // CC cluster map (over minhash pairs)
+    "x2_simhash", "x2_edit_verify", // simhash candidate set
+    "x2_ngram_jaccard", "x2_containment") // rare-shingle pair frame
 
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap

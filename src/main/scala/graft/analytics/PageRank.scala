@@ -70,9 +70,8 @@ object PageRank {
           expr("150000 + (85 * m) div 100").as("r"))
     }
 
-    ranks.orderBy(col("r").desc, col("node")).limit(20)
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("r").desc, col("node"))).cast("long"))
+    val top = ranks.orderBy(col("r").desc, col("node")).limit(20)
+    graft.Ranks.withBoundedRank(top, "rk", -col("r"), col("node"))
       .select(
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("kind"),
         expr("node div 2").as("entity_id"),

@@ -541,11 +541,15 @@ object StarQueries {
     val cust = Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    // size the filter from the ACTUAL build side (one scalar count on
-    // the small dimension — same bound as tfidf's corpus size): a
-    // hardcoded capacity saturates at larger SFs and the FPP → 1,
-    // turning the prefilter into pure overhead
-    val bloom = cust.stat.bloomFilter("c_custkey", math.max(cust.count(), 64L), 0.01)
+    // size the filter from the UNfiltered dimension row count: under
+    // parquet aggregate pushdown (Graft.builder sets it) a bare
+    // count() resolves from row-group metadata — no data scan — and it
+    // upper-bounds the filtered build side, so the realized FPP only
+    // lands BELOW the 1% target (a hardcoded capacity would saturate
+    // at larger SFs and send FPP → 1). This replaces round 6's full
+    // filtered-scan count action with a metadata lookup.
+    val capacity = math.max(Tables.customer(spark, sfDir).count(), 64L)
+    val bloom = cust.stat.bloomFilter("c_custkey", capacity, 0.01)
     val mightContain = udf((k: Long) => bloom.mightContain(k))
     Tables.orders(spark, sfDir)
       .filter(mightContain(col("o_custkey"))) // scan-side prefilter

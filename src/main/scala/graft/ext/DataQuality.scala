@@ -12,7 +12,7 @@ import graft.Tables
   * table (uniqueness via count vs distinct, completeness via null
   * counts, range and domain via conditional sums) plus one broadcast
   * anti-join for referential integrity against the dimension, then the
-  * five metrics pivot into one row per constraint via `stack`. At
+  * six metrics pivot into one row per constraint via `stack`. At
   * 100 TB the whole gate costs one scan + one broadcast anti-join —
   * constraints share the pass instead of re-scanning per check (the
   * design point Deequ's analyzer runtime makes; here Catalyst collapses
@@ -28,8 +28,15 @@ object DataQuality {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val metrics = o.agg(
-      count(lit(1)).as("n_rows"),
+      // count(col) (non-null count) vs n_rows: uniqueness and
+      // completeness are SEPARATE constraints. count_distinct drops
+      // NULLs, so `n_rows - count_distinct` would book every NULL key
+      // as a duplicate; `count(col) - count_distinct(col)` counts only
+      // genuine repeats, and the NULL keys surface under their own
+      // orderkey_complete check below.
+      count(col("o_orderkey")).as("n_key"),
       count_distinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
       sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
       sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpos_price"),
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
@@ -40,10 +47,11 @@ object DataQuality {
       .agg(count(lit(1)).as("orphan_custkey"))
     metrics.crossJoin(broadcast(orphans))
       .select(expr(
-        """stack(5,
+        """stack(6,
           |  'custkey_complete', null_custkey,
           |  'custkey_referential', orphan_custkey,
-          |  'orderkey_unique', n_rows - n_distinct_key,
+          |  'orderkey_complete', null_orderkey,
+          |  'orderkey_unique', n_key - n_distinct_key,
           |  'orderstatus_domain', bad_status,
           |  'totalprice_positive', nonpos_price)
           |AS (check_name, violations)""".stripMargin))
@@ -53,8 +61,10 @@ object DataQuality {
 
   val dataQualitySql: String =
     """WITH m AS (
-      |  SELECT count(*) AS n_rows,
+      |  SELECT CAST(count(o_orderkey) AS BIGINT) AS n_key,
       |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+      |    CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 END), 0) AS BIGINT)
+      |      AS null_orderkey,
       |    CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS BIGINT)
       |      AS null_custkey,
       |    CAST(coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0) AS BIGINT)
@@ -69,7 +79,8 @@ object DataQuality {
       |rows_out AS (
       |  SELECT 'custkey_complete' AS check_name, null_custkey AS violations FROM m
       |  UNION ALL SELECT 'custkey_referential', orphan_custkey FROM orph
-      |  UNION ALL SELECT 'orderkey_unique', n_rows - n_distinct_key FROM m
+      |  UNION ALL SELECT 'orderkey_complete', null_orderkey FROM m
+      |  UNION ALL SELECT 'orderkey_unique', n_key - n_distinct_key FROM m
       |  UNION ALL SELECT 'orderstatus_domain', bad_status FROM m
       |  UNION ALL SELECT 'totalprice_positive', nonpos_price FROM m)
       |SELECT check_name, violations,

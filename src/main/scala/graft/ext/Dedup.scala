@@ -337,13 +337,85 @@ object Dedup {
     * memoized frame survives per-query `clearCache()`; pair sets are
     * candidate-bounded (ScaleProbe-measured ~linear), trivially
     * executor-resident. Plan-shape tests assert on the `*Fresh`
-    * builders — the memoized return is a checkpoint scan. */
+    * builders — the memoized return is a checkpoint scan. Memo keys
+    * carry a content fingerprint of the underlying files (rewritten
+    * data invalidates, stale slots are freed), and [[invalidateMemos]]
+    * gives explicit teardown — Bench uses it to publish COLD
+    * (pipeline-inclusive) timings next to the steady-state ones. */
+  /** One memo slot. The expensive Spark build runs inside [[frame]]'s
+    * own lock — NOT inside `ConcurrentHashMap.computeIfAbsent` — so
+    * concurrent first calls whose keys collide on a map bin never
+    * serialize behind each other's materialization job, and a
+    * re-entrant build (one pipeline consuming another's memo through
+    * the same map) cannot deadlock on the map's bin lock. */
+  private final class MemoSlot(build: () => DataFrame) {
+    @volatile private var cached: DataFrame = _
+    def frame: DataFrame = {
+      val c = cached
+      if (c != null) c
+      else synchronized { if (cached == null) cached = build(); cached }
+    }
+    /** The frame if already materialized — never triggers a build
+      * (invalidation must not run the pipeline it is discarding). */
+    def peek: Option[DataFrame] = Option(cached)
+  }
+
+  private type MemoKey = (String, SparkSession, String, String)
   private val pairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[MemoKey, MemoSlot]()
+
+  /** Cheap content fingerprint of the documents asset under `sfDir`
+    * (name, length, mtime of every file): part of the memo key, so a
+    * session that REWRITES the data under an already-memoized path
+    * (mode("overwrite") fixtures, regenerated testdata) gets a fresh
+    * build instead of the stale checkpoint. One local directory
+    * listing per memo access — noise next to a Spark job launch. */
+  private def docsFingerprint(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$sfDir/documents.parquet")
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+
+  /** Drop the checkpoint blocks behind a memoized frame. A
+    * `localCheckpoint` result is a `LogicalRDD` over the persisted
+    * RDD; unpersisting THAT rdd (not the Dataset, whose `unpersist`
+    * only consults the cache manager) frees the executor blocks
+    * immediately instead of waiting for the ContextCleaner's GC-driven
+    * sweep. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Clear every memoized pair set and cluster map, releasing their
+    * checkpoint blocks. Used by Bench's cold-accounting pass and by
+    * anyone rewriting data mid-session who wants deterministic (rather
+    * than fingerprint-triggered) invalidation. */
+  def invalidateMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    (pairMemo.values.asScala ++ ccMemo.values.asScala).foreach(_.peek.foreach(release))
+    pairMemo.clear()
+    ccMemo.clear()
+  }
 
   private def memoizedPairs(key: String, spark: SparkSession, sfDir: String)(
-      build: => DataFrame): DataFrame =
-    pairMemo.computeIfAbsent((key, spark, sfDir), _ => build.localCheckpoint(true))
+      build: => DataFrame): DataFrame = {
+    val fp = docsFingerprint(sfDir)
+    // evict (and free) any slot for the same logical key whose data
+    // has since been rewritten — without this, superseded entries
+    // would pin their checkpoint blocks for the JVM lifetime
+    import scala.jdk.CollectionConverters._
+    pairMemo.keySet.asScala
+      .filter(k => k._1 == key && (k._2 eq spark) && k._3 == sfDir && k._4 != fp)
+      .foreach(k => Option(pairMemo.remove(k)).foreach(_.peek.foreach(release)))
+    pairMemo.computeIfAbsent((key, spark, sfDir, fp),
+      _ => new MemoSlot(() => build.localCheckpoint(true))).frame
+  }
 
   private[graft] def minhashNearDupFresh(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = bandedFrame(docs(spark, sfDir))
@@ -440,6 +512,58 @@ object Dedup {
       |WHERE CAST(common AS DOUBLE) / CAST(si.cnt + sj.cnt - common AS DOUBLE) >= 0.5
       |  AND (i % 5 = 0 OR j % 5 = 0)
       |ORDER BY i, j""".stripMargin
+
+  // ---- X2f: persisted sketch-table lifecycle (round 7) ------------------
+
+  /** Bucket count for the persisted band table. At 100 TB this is the
+    * table's parallelism contract (thousands of buckets); locally 8
+    * matches the session's shuffle partitioning so the bucketed side
+    * co-partitions without coercion. */
+  val BandTableBuckets = 8
+
+  /** BUILD+PERSIST phase of the sketch-table lifecycle: the minhash
+    * band table of the already-deduped INDEX side (doc_id % 5 != 0 —
+    * same split as [[minhashDeltaDedup]]) written as a managed table
+    * bucketed AND sorted on the band join key `(band, bh)` via
+    * [[graft.sink.Sinks.replaceBucketed]]. Returns the table name
+    * (content-addressed per sfDir so concurrent SFs never collide).
+    * In production this job runs once per index rebuild; every daily
+    * increment then reads the LAYOUT instead of recomputing the
+    * corpus' signatures. */
+  private[graft] def bandIndexTable(spark: SparkSession, sfDir: String): String = {
+    val table = "graft_band_idx_" +
+      java.lang.Integer.toHexString(sfDir.hashCode).toLowerCase
+    val index = bandedFrame(docs(spark, sfDir).filter(col("doc_id") % 5 =!= 0))
+    graft.sink.Sinks.replaceBucketed(index, table, BandTableBuckets, Seq("band", "bh"))
+    table
+  }
+
+  /** Registered query `x2_sketch_table` — the PRODUCTION sketch-table
+    * lifecycle end-to-end, closing VERDICT r6's top item: (1) build
+    * and persist the index band table ([[bandIndexTable]], bucketed on
+    * the join key); (2) compute the daily delta's (doc_id % 5 = 0)
+    * bands fresh — delta-sized work only; (3) candidate-join the delta
+    * bands against the PERSISTED table — the bucketed scan side plans
+    * with ZERO shuffle exchange (asserted in BucketedJoinSpec) — plus
+    * the delta×delta self-join, then exact-verify. The index never
+    * meets itself: candidate generation is O(delta-adjacent pairs),
+    * and the index side's signatures come off layout, not recompute.
+    * Output ≡ [[minhashDeltaDedup]] (pairs with ≥1 delta side), so it
+    * shares [[minhashDeltaSql]] — same answer, production physics. */
+  def sketchTableDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = spark.table(bandIndexTable(spark, sfDir))
+    val delta = bandedFrame(docs(spark, sfDir).filter(col("doc_id") % 5 === 0))
+    val deltaVsIndex = delta.as("d").join(idx.as("x"),
+        col("d.band") === col("x.band") && col("d.bh") === col("x.bh"))
+      .select(least(col("d.doc_id"), col("x.doc_id")).as("i"),
+        greatest(col("d.doc_id"), col("x.doc_id")).as("j"))
+    val deltaVsDelta = delta.as("a").join(delta.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val cand = deltaVsIndex.unionByName(deltaVsDelta).dropDuplicates("i", "j")
+    verifyCandidates(spark, sfDir, cand)
+  }
 
   /** [[minhashNearDup]] built on the custom
     * [[graft.functions.MinHashAgg]] sketch aggregate: ONE
@@ -978,10 +1102,17 @@ object Dedup {
     * per-query `clearCache()`; the frame is two long columns over the
     * corpus, trivially executor-resident at any SF. */
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[MemoKey, MemoSlot]()
 
-  private[graft] def clusterMap(spark: SparkSession, sfDir: String): DataFrame =
-    ccMemo.computeIfAbsent((spark, sfDir), { _ =>
+  private[graft] def clusterMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = docsFingerprint(sfDir)
+    import scala.jdk.CollectionConverters._
+    ccMemo.keySet.asScala
+      .filter(k => (k._2 eq spark) && k._3 == sfDir && k._4 != fp)
+      .foreach(k => Option(ccMemo.remove(k)).foreach(_.peek.foreach(release)))
+    ccMemo.computeIfAbsent(("cc", spark, sfDir, fp), _ => new MemoSlot({ () =>
+      // builds OUTSIDE the map lock (MemoSlot), which matters here:
+      // this build re-enters pairMemo via minhashNearDup
       val edges = minhashNearDup(spark, sfDir).select(col("i"), col("j"))
       val labels = connectedComponents(edges)
       // graft singleton clusters back on for the full-corpus view
@@ -991,7 +1122,8 @@ object Dedup {
         .localCheckpoint(true)
       labels.unpersist()
       all
-    })
+    })).frame
+  }
 
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val all = clusterMap(spark, sfDir)

@@ -475,18 +475,16 @@ object EventWindows {
     * the (already user-sized) rollup — heavy work is the first
     * shuffle, everything after is per-user-row sized.
     *
-    * SCALE NOTE: the corpus-max window and the three global ntile
-    * orderings are UNPARTITIONED — each moves the entire user rollup
-    * through one partition (the "No Partition Defined for Window
-    * operation" warnings in the bench logs come from here). That is
-    * a deliberate trade: exact rank-quartiles need a total order, the
-    * frame is user-cardinality (not event-cardinality), and the
-    * oracle pins exact ntile semantics. At a scale where even the
-    * user rollup doesn't fit one partition, the scalable variant
-    * derives approximate cut points with a small aggregate
-    * (approx_percentile → broadcast) and scores by comparison —
-    * different tie behavior at the boundaries, so it is not
-    * oracle-identical and is not what this registered query runs.
+    * SPEC-ONLY BASELINE (round 7): the corpus-max window and the
+    * three global ntile orderings are UNPARTITIONED — each moves the
+    * entire user rollup through one partition, which at 100× users is
+    * a single-partition sort ×3. The REGISTERED `x6_rfm` is therefore
+    * [[rfmSegmentsScaled]], the distributed-rank formulation that
+    * reproduces this output bit-for-bit with no unpartitioned window
+    * anywhere (PlanGuardSpec pins both the plan shape and the
+    * output equality against this baseline). This naive form stays as
+    * the readable semantic definition the scaled plan is tested
+    * against.
     *
     * Determinism: ntile order uses (measure, user_id) total orders;
     * recency is integer days from integer micros. */

@@ -12,16 +12,18 @@ import graft.Tables
   * would produce, here synthesized from `documents.text` bytes so the
   * plumbing is testable in this container.
   *
-  * IMAGE decode is REAL (round 5): [[ImageIoCodec]] drives the
-  * JDK-builtin `javax.imageio` PNG codec inside `mapPartitions`, and
-  * the oracled `x5_decode_meta` query hash-verifies an actual
-  * encode → decode roundtrip (lossless grayscale ⇒ the oracle can
-  * predict decoded dimensions and pixel sums exactly). Audio/VIDEO
-  * decode stays STUBBED behind [[FakeDecoder]] — the JDK ships no such
-  * codec and the sandbox has no media libraries — with the same
-  * batch-iterator shape a real vectorized decoder would have.
-  * Everything Spark-side is real either way: schema, per-partition
-  * batching, feature column layout.
+  * IMAGE decode AND resize are REAL (rounds 5+7): [[ImageIoCodec]]
+  * drives the JDK-builtin `javax.imageio` PNG codec inside
+  * `mapPartitions`; the oracled `x5_decode_meta` query hash-verifies
+  * an actual encode → decode roundtrip, and `x5_resize_meta`
+  * hash-verifies decode → nearest-neighbor resample (lossless
+  * grayscale ⇒ the oracle predicts decoded dimensions, pixel sums,
+  * and every resampled pixel exactly). Audio/VIDEO decode stays
+  * STUBBED behind [[FakeDecoder]] — the JDK ships no such codec and
+  * the sandbox has no media libraries — with the same batch-iterator
+  * shape a real vectorized decoder would have. Everything Spark-side
+  * is real either way: schema, per-partition batching, feature column
+  * layout.
   *
   * Scale notes: payloads never shuffle (decode happens before any
   * wide op); feature extraction is `mapPartitions` so per-batch
@@ -84,6 +86,39 @@ object Multimodal {
       }
       (w, h, sum)
     }
+
+    /** REAL resize (round 7): nearest-neighbor resample of a decoded
+      * grayscale raster to w×h. Source index per output pixel is pure
+      * integer arithmetic — `src = (y·srcH div h, x·srcW div w)` — so
+      * the whole pixel pipeline (encode → decode → resample) is
+      * deterministic and mirrored exactly by [[resizeMetaSql]]'s
+      * arithmetic model of it. Returns row-major samples. */
+    def resizeNearest(png: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      val raster = img.getRaster
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = y * sh / h
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x * sw / w, sy, 0); x += 1 }
+        y += 1
+      }
+      out
+    }
+
+    /** Re-encode resampled samples as a grayscale PNG (the binary-out
+      * half of a real resize operator). */
+    def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
   }
 
   case class MediaFeatures(
@@ -115,16 +150,7 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
-  /** Resize stub: real impl would decode → scale → re-encode; the fake
-    * deterministically truncates/pads payload to `w*h` bytes so the
-    * Spark-side contract (binary in, binary out, metadata updated) is
-    * exercised. */
-  def resizeStub(rows: Iterator[MediaRecord], w: Int, h: Int): Iterator[MediaRecord] =
-    rows.map { r =>
-      val target = w * h
-      val b = java.util.Arrays.copyOf(r.payload, target)
-      r.copy(payload = b, mime = r.mime + s";resized=${w}x$h", n_bytes = target.toLong)
-    }
+  case class ResizedRecord(media_id: Long, png: Array[Byte], width: Long, height: Long)
 
   /** Frame-sample stub: treats the payload as a "video" of fixed-size
     * frames and emits every `stride`-th frame — the row-explosion
@@ -136,11 +162,19 @@ object Multimodal {
         .map { case (bytes, i) => Frame(r.media_id, i, bytes) }
     }
 
-  /** Resize pipeline over the stub (mapPartitions — binary never
-    * shuffles; partition-local batch transform). */
-  def resized(spark: SparkSession, sfDir: String, w: Int, h: Int): Dataset[MediaRecord] = {
+  /** REAL resize pipeline (round 7, replacing the round-5 truncation
+    * stub): decode each PNG asset with the actual `javax.imageio`
+    * codec, nearest-neighbor resample to w×h, re-encode — binary in,
+    * binary out, inside `mapPartitions` so payloads never shuffle and
+    * codec state stays partition-local. */
+  def resized(spark: SparkSession, sfDir: String, w: Int, h: Int): Dataset[ResizedRecord] = {
     import spark.implicits._
-    mediaTable(spark, sfDir).mapPartitions(it => resizeStub(it, w, h))
+    pngTable(spark, sfDir).mapPartitions { it =>
+      it.map { r =>
+        val px = ImageIoCodec.resizeNearest(r.png, w, h)
+        ResizedRecord(r.media_id, ImageIoCodec.encodeGrayPng(px, w, h), w.toLong, h.toLong)
+      }
+    }
   }
 
   /** Frame sampling pipeline (1 → N explosion via mapPartitions). */
@@ -273,37 +307,68 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  /** Resize target for the oracled query (w×h = 42 bytes — strictly
-    * below the corpus minimum asset size, so the stub only truncates
-    * and the oracle needs no binary zero-padding, which DuckDB's
-    * VARCHAR md5 could not express). */
-  val ResizeW = 6
-  val ResizeH = 7
+  /** Output raster for the oracled resize (nearest-neighbor target). */
+  val ResizeW = 8
+  val ResizeH = 8
 
-  /** Third oracled X5 query: drive the REAL resize mapPartitions
-    * pipeline and pin its output metadata + payload digest under the
-    * hash gate. Assets below the target size are excluded up front
-    * (semantics: you only downscale assets at least as large as the
-    * target), keeping the path truncation-only at any SF. */
+  case class ResizedPx(media_id: Long, width: Long, height: Long,
+      px_sum: Long, px_csv: String)
+
+  /** Third oracled X5 query, upgraded in round 7 from the truncation
+    * stub to REAL pixel compute: every asset runs
+    * encode → `ImageIO.read` decode → nearest-neighbor resample to
+    * [[ResizeW]]×[[ResizeH]] inside `mapPartitions`, and the resampled
+    * raster is pinned under the driver hash gate as its pixel sum plus
+    * an md5 over the canonical comma-joined sample string (raw binary
+    * would need NUL bytes, which the oracle's VARCHAR md5 cannot
+    * carry). The DuckDB mirror models the whole pixel chain
+    * arithmetically — source raster = row-major text bytes
+    * zero-padded, NN source index = integer `(y·srcH div H, x·srcW
+    * div W)` — so any codec or resampler deviation (wrong sample,
+    * wrong mapping, dropped row) breaks the hash match. */
   def resizeMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val target = ResizeW * ResizeH
-    val src = mediaTable(spark, sfDir)
-      .filter(col("n_bytes") >= target).as[MediaRecord]
-    src.mapPartitions(it => resizeStub(it, ResizeW, ResizeH)).toDF()
-      .select(col("media_id"), col("mime"), col("n_bytes"),
-        md5(col("payload")).as("out_md5"))
+    pngTable(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val px = ImageIoCodec.resizeNearest(r.png, ResizeW, ResizeH)
+          ResizedPx(r.media_id, ResizeW.toLong, ResizeH.toLong,
+            px.foldLeft(0L)(_ + _), px.mkString(","))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"), col("px_sum"),
+        md5(col("px_csv")).as("px_md5"))
       .orderBy(col("media_id"))
   }
 
+  /** Arithmetic model of the real pixel pipeline: the source raster
+    * packs text bytes row-major into w=16+id mod 17, h=16+len mod 13
+    * (zero-padded, truncated past w·h — [[pngTable]]'s layout, decode
+    * losslessness established by [[decodeMeta]]), and each output
+    * pixel reads source index (Y·h div RH)·w + (X·w div RW). */
   val resizeMetaSql: String = {
-    val target = ResizeW * ResizeH
-    s"""SELECT doc_id AS media_id,
-       |  'text/plain;src=' || source || ';resized=${ResizeW}x$ResizeH' AS mime,
-       |  CAST($target AS BIGINT) AS n_bytes,
-       |  md5(substr(text, 1, $target)) AS out_md5
-       |FROM documents
-       |WHERE octet_length(encode(text)) >= $target
+    val (rw, rh) = (ResizeW, ResizeH)
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, text,
+       |    16 + (doc_id % 17) AS sw,
+       |    16 + (length(text) % 13) AS sh
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id,
+       |    [CASE WHEN ((i // $rw) * sh // $rh) * sw + ((i % $rw) * sw // $rw)
+       |            < least(length(text), sw * sh)
+       |          THEN ascii(substr(text,
+       |            ((i // $rw) * sh // $rh) * sw + ((i % $rw) * sw // $rw) + 1, 1))
+       |          ELSE 0 END
+       |     FOR i IN range(0, ${rw * rh})] AS p
+       |  FROM d)
+       |SELECT media_id,
+       |  CAST($rw AS BIGINT) AS width,
+       |  CAST($rh AS BIGINT) AS height,
+       |  CAST(list_sum(p) AS BIGINT) AS px_sum,
+       |  md5(array_to_string(p, ',')) AS px_md5
+       |FROM px
        |ORDER BY media_id""".stripMargin
   }
 }

@@ -189,17 +189,17 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val byQuality = Window.partitionBy(col("source"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    val interleave = Window.orderBy(col("rn"), col("source"), col("doc_id"))
-    Tables.documents(spark, sfDir)
+    val pruned = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .withColumn("rn", row_number().over(byQuality).cast("long"))
       // pos >= rn always (a doc's own source chain precedes it in the
       // interleave order), so pos <= 100 implies rn <= 100: prune with
-      // the partitioned window FIRST and the global single-partition
-      // window only ever sees <= 100 × n_sources rows — constant-sized,
-      // not corpus-sized
+      // the partitioned window FIRST and the interleave rank only ever
+      // sees <= 100 × n_sources rows — constant-sized, not corpus-sized,
+      // hence the bounded-frame rank device
       .filter(col("rn") <= 100)
-      .withColumn("pos", row_number().over(interleave).cast("long"))
+    graft.Ranks.withBoundedRank(pruned, "pos",
+        col("rn"), col("source"), col("doc_id"))
       .filter(col("pos") <= 100)
       .select(col("pos"), col("doc_id"), col("source"), col("rn"), col("n_chars"))
       .orderBy(col("pos"))
@@ -468,9 +468,9 @@ object Sampling {
       .withColumn("score", expr("raw_score div n_tokens"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(DsirTopN)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    selected
-      .withColumn("rk", row_number().over(w).cast("long"))
+    // `selected` is the post-limit DsirTopN-row frame — rank via the
+    // bounded-frame device, not a partition-less window
+    graft.Ranks.withBoundedRank(selected, "rk", -col("score"), col("doc_id"))
       .select(col("rk"), col("doc_id"), col("source"), col("score"), col("n_tokens"))
       .orderBy(col("rk"))
   }
@@ -669,7 +669,12 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"),
         expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)")
           .as("h"))
-      .withColumn("priority", expr("h div n_chars"))
+      // greatest(n_chars, 1): a zero-length doc would make the priority
+      // NULL in Spark (div by 0) but an ERROR in DuckDB's `//` — and
+      // Spark's nulls-first ascending sort would hand such rows
+      // permanent sample slots. Clamping keeps both engines total,
+      // identical, and deterministic on degenerate rows.
+      .withColumn("priority", expr("h div greatest(n_chars, 1L)"))
       .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(WeightedSampleK)
@@ -682,7 +687,8 @@ object Sampling {
        |       FOR x IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), '')],
        |      (a, b) -> a * 16 + b) AS BIGINT) AS h
        |  FROM documents)
-       |SELECT doc_id, source, n_chars, CAST(h // n_chars AS BIGINT) AS priority
+       |SELECT doc_id, source, n_chars,
+       |  CAST(h // greatest(n_chars, 1) AS BIGINT) AS priority
        |FROM keyed
        |ORDER BY priority, doc_id
        |LIMIT $WeightedSampleK""".stripMargin

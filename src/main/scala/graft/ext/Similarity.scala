@@ -487,6 +487,100 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Registered ANN families for [[recallReport]] — name → query.
+    * Order here is the report's row order (sorted by name at output). */
+  private[graft] val RecallFamilies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "ann_ivf" -> (ivfGridTopK _),
+    "ann_lsh" -> (annCosineTopK _),
+    "ivf_sq" -> (ivfSqTopK _),
+    "sq_rerank" -> (sqRerank _))
+
+  /** Recall floors (basis points) per ANN family — the pinned quality
+    * contract of the driver-gated report: `meets_floor` must come out
+    * TRUE for every family at every driver SF. Measured recall@5 on
+    * the testdata: sign-LSH and grid-IVF sit at ~50-75% (the expected
+    * regime at the corpus' ~0.3-0.5 cosine margins — see ExtSpec), the
+    * SQ8 families higher (int8 scoring only reorders near-ties before
+    * the exact re-rank). Floors sit safely below every observed SF so
+    * the gate trips on structural regressions (broken bucketing, lost
+    * probes), not statistical jitter. */
+  private[graft] val RecallFloorsBp: Map[String, Long] = Map(
+    "ann_lsh" -> 4000L,
+    "ann_ivf" -> 4000L,
+    "ivf_sq" -> 4000L,
+    "sq_rerank" -> 7500L)
+
+  /** Registered query `x3_recall_report`: recall@k of EVERY ANN family
+    * against the exact brute-force top-k ([[cosineTopK]]), as one
+    * declarative plan — the quality dashboard a production ANN service
+    * keeps next to its latency numbers, here driver-hash-gated so a
+    * recall regression fails correctness, not just a unit test.
+    * Each family's (q_id, vec_id) result set left-joins the exact set
+    * (both bounded: NumQueries·TopK rows), hits are counted per
+    * family, and recall lands as integer basis points with the pinned
+    * [[RecallFloorsBp]] comparison. Scale shape: the ANN pipelines
+    * themselves are the work (each already bucketed/broadcast — see
+    * their own docs); the report tail is a join of two k·Q-row frames
+    * and a 4-group aggregate — metadata-sized at any corpus scale. */
+  def recallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val expected = (NumQueries * TopK).toLong
+    val exact = cosineTopK(spark, sfDir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val union = RecallFamilies.map { case (name, fn) =>
+      fn(spark, sfDir).select(lit(name).as("family"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val floors = RecallFloorsBp.map { case (f, bp) => s"WHEN '$f' THEN ${bp}L" }
+      .mkString("CASE family ", " ", " END")
+    union.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("family"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("n_expected", lit(expected))
+      .withColumn("recall_bp", expr(s"n_hits * 10000L div $expected"))
+      .withColumn("floor_bp", expr(floors))
+      .withColumn("meets_floor", col("recall_bp") >= col("floor_bp"))
+      .orderBy(col("family"))
+  }
+
+  /** Mirror: the four family oracles plus the exact oracle as CTEs
+    * (DuckDB allows a WITH inside a CTE body), re-tailed with the same
+    * hit count / basis-point / floor arithmetic. */
+  val recallReportSql: String = {
+    val expected = NumQueries * TopK
+    val floors = RecallFloorsBp.map { case (f, bp) => s"WHEN '$f' THEN $bp" }
+      .mkString("CASE family ", " ", " END")
+    s"""WITH exact_r AS (
+       |$cosineTopKSql
+       |),
+       |lsh_r AS (
+       |$annCosineTopKSql
+       |),
+       |ivf_r AS (
+       |$ivfGridTopKSql
+       |),
+       |sqr_r AS (
+       |$sqRerankSql
+       |),
+       |isq_r AS (
+       |$ivfSqTopKSql
+       |),
+       |u AS (
+       |  SELECT 'ann_ivf' AS family, q_id, vec_id FROM ivf_r
+       |  UNION ALL SELECT 'ann_lsh', q_id, vec_id FROM lsh_r
+       |  UNION ALL SELECT 'ivf_sq', q_id, vec_id FROM isq_r
+       |  UNION ALL SELECT 'sq_rerank', q_id, vec_id FROM sqr_r),
+       |h AS (
+       |  SELECT family, CAST(count(e.q_id) AS BIGINT) AS n_hits
+       |  FROM u LEFT JOIN exact_r e
+       |    ON u.q_id = e.q_id AND u.vec_id = e.vec_id
+       |  GROUP BY family)
+       |SELECT family, n_hits, CAST($expected AS BIGINT) AS n_expected,
+       |  n_hits * 10000 // $expected AS recall_bp,
+       |  CAST($floors AS BIGINT) AS floor_bp,
+       |  n_hits * 10000 // $expected >= $floors AS meets_floor
+       |FROM h
+       |ORDER BY family""".stripMargin
+  }
+
   /** Per-label mean embedding (class centroids) — the building block
     * under IVF coarse quantizers, class prototypes, and semantic-dedup
     * cluster seeds. Elementwise sums in ×1e7-quantized INTEGER space

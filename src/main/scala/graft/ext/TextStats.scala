@@ -948,10 +948,9 @@ object TextStats {
           (lit(10L) * col("tf") * col("t") + lit(3L) * col("t") +
             lit(9L) * col("dl") * col("n")).cast("double"))
       .withColumn("micro", floor((lit(1000000.0d) * col("idf_r")) * col("tf_r")))
-    scored.groupBy(col("doc_id")).agg(sum(col("micro")).as("bm25_micro"))
+    val top = scored.groupBy(col("doc_id")).agg(sum(col("micro")).as("bm25_micro"))
       .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10)
-      .withColumn("rk", row_number()
-        .over(Window.orderBy(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+    graft.Ranks.withBoundedRank(top, "rk", -col("bm25_micro"), col("doc_id"))
       .select(col("doc_id"), col("bm25_micro"), col("rk"))
       .orderBy(col("rk"))
   }

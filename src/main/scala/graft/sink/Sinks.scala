@@ -153,4 +153,23 @@ object Sinks {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** [[writeBucketed]] hardened for unattended re-runs: a killed JVM
+    * leaves a managed table's LOCATION on disk with no catalog entry
+    * (the in-memory metastore dies with the process), and the next
+    * CREATE then fails LOCATION_ALREADY_EXISTS — so drop both the
+    * catalog entry and any orphaned location first. This is the write
+    * path the registered sketch-table lifecycle uses. */
+  def replaceBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) rm(loc)
+    writeBucketed(df, table, buckets, keys)
+  }
 }

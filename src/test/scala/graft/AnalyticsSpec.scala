@@ -252,25 +252,31 @@ class AnalyticsSpec extends SparkSpec {
   test("data quality gate: clean corpus all-pass; injected violations each counted") {
     import spark.implicits._
     val clean = graft.ext.DataQuality.dataQuality(spark, sf).collect()
-    assert(clean.length === 5)
+    assert(clean.length === 6)
     assert(clean.forall(_.getAs[String]("status") == "pass"),
       s"testdata should pass every constraint: ${clean.mkString(", ")}")
     // corrupted fixture: one violation of each kind
     val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
     Seq(
-      (1L, java.lang.Long.valueOf(10L), 100.0, "O"),
-      (1L, java.lang.Long.valueOf(10L), 50.0, "F"), // duplicate orderkey
-      (2L, null.asInstanceOf[java.lang.Long], 70.0, "P"), // null custkey
-      (3L, java.lang.Long.valueOf(10L), -5.0, "O"), // non-positive price
-      (4L, java.lang.Long.valueOf(10L), 30.0, "X"), // bad status
-      (5L, java.lang.Long.valueOf(99L), 20.0, "F")) // orphan custkey
+      (jl(1L), jl(10L), 100.0, "O"),
+      (jl(1L), jl(10L), 50.0, "F"), // duplicate orderkey
+      (jl(2L), null.asInstanceOf[java.lang.Long], 70.0, "P"), // null custkey
+      (jl(3L), jl(10L), -5.0, "O"), // non-positive price
+      (jl(4L), jl(10L), 30.0, "X"), // bad status
+      (jl(5L), jl(99L), 20.0, "F"), // orphan custkey
+      (null.asInstanceOf[java.lang.Long], jl(10L), 40.0, "O")) // null orderkey
       .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     Seq(Tuple1(10L)).toDF("c_custkey")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val bad = graft.ext.DataQuality.dataQuality(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the null-keyed row books under COMPLETENESS, not uniqueness:
+    // count(o_orderkey) - count(DISTINCT o_orderkey) sees only the
+    // genuine repeat of orderkey 1
     assert(bad("orderkey_unique") === (1L, "fail"))
+    assert(bad("orderkey_complete") === (1L, "fail"))
     assert(bad("custkey_complete") === (1L, "fail"))
     assert(bad("totalprice_positive") === (1L, "fail"))
     assert(bad("orderstatus_domain") === (1L, "fail"))

@@ -61,4 +61,47 @@ class BucketedJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).toSet === viaPlain)
   }
+
+  test("x2 sketch table: persisted band table joins with zero exchange on the bucketed side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    val sf = "/root/testdata/sf0.001"
+    // build phase: persist the index band table (content-addressed name)
+    val table = graft.ext.Dedup.bandIndexTable(spark, sf)
+    val scanDesc = spark.table(table).queryExecution.sparkPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scanDesc.bucketedScan || scanDesc.relation.bucketSpec.nonEmpty,
+      "index table must carry its bucket spec")
+    // consume phase: the registered incremental query. AQE is on in
+    // this session's default? — assert on the pre-execution sparkPlan,
+    // which is concrete (no AdaptiveSparkPlanExec wrapper there).
+    val df = graft.ext.Dedup.sketchTableDedup(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    // locate every join whose one side scans the persisted table, and
+    // assert that side has NO shuffle exchange between scan and join:
+    // the bucketed layout replaces it
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => j.children
+      case j: ShuffledHashJoinExec => j.children
+      case j: BroadcastHashJoinExec => j.children
+    }
+    val idxSides = joins.flatten.filter(_.collectFirst {
+      case s: FileSourceScanExec if s.relation.bucketSpec.nonEmpty => s
+    }.nonEmpty)
+    assert(idxSides.nonEmpty, s"no join consumes the bucketed table:\n$plan")
+    idxSides.foreach { side =>
+      val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed side must not shuffle (layout IS the partitioning):\n$side")
+    }
+    // and the lifecycle's answer equals the recompute-everything form
+    val viaTable = df.collect().map(_.toSeq).toSeq
+    val viaRecompute = graft.ext.Dedup.minhashDeltaDedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaTable === viaRecompute,
+      s"sketch-table result diverged: ${viaTable.length} vs ${viaRecompute.length} rows")
+  }
 }

@@ -96,13 +96,24 @@ class ExtSpec extends SparkSpec {
     assert(exact.intersect(ivf).size >= exact.size / 2)
   }
 
-  test("X5 multimodal: resize keeps row count, frame-sample explodes rows") {
+  test("X5 multimodal: real resize keeps row count + emits true 8x8 PNGs; frame-sample explodes rows") {
     val n = Multimodal.mediaTable(spark, sf).count()
     val r = Multimodal.resized(spark, sf, 8, 8)
     assert(r.count() === n)
     val first = r.filter(col("media_id") === 0L).head()
-    assert(first.n_bytes === 64L && first.payload.length === 64)
-    assert(first.mime.endsWith(";resized=8x8"))
+    assert(first.width === 8L && first.height === 8L)
+    // the output payload is a REAL PNG: the codec reads it back with
+    // the target dimensions, and the roundtrip is deterministic
+    val (dw, dh, dsum) = Multimodal.ImageIoCodec.decode(first.png)
+    assert((dw, dh) === (8, 8))
+    val again = Multimodal.resized(spark, sf, 8, 8)
+      .filter(col("media_id") === 0L).head()
+    assert(Multimodal.ImageIoCodec.decode(again.png)._3 === dsum)
+    // and the resampled sum matches a direct resample of the source
+    val srcPng = Multimodal.pngTable(spark, sf)
+      .filter(col("media_id") === 0L).head().png
+    val px = Multimodal.ImageIoCodec.resizeNearest(srcPng, 8, 8)
+    assert(px.foldLeft(0L)(_ + _) === dsum)
     val f = Multimodal.frames(spark, sf, frameSize = 64, stride = 4)
     assert(f.count() > n) // 1 asset → many frames
     val f0 = f.filter(col("media_id") === 0L).collect()
@@ -500,7 +511,7 @@ class ExtSpec extends SparkSpec {
       .select(col("doc_id"), col("source"), col("n_chars"),
         expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"))
       .as[(Long, String, Long, Long)].collect()
-      .map { case (id, src, nc, h) => (id, src, nc, h / nc) }
+      .map { case (id, src, nc, h) => (id, src, nc, h / math.max(nc, 1L)) }
     val expected = all.sortBy(r => (r._4, r._1)).take(Sampling.WeightedSampleK)
     assert(out.toSeq === expected.toSeq)
     // the selection is genuinely length-biased: winners' mean length
