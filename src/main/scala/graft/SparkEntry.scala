@@ -116,6 +116,10 @@ object SparkEntry {
       Some(graft.ext.Sampling.epochOrderSql)),
     // event windows (X6)
     ("x6_tumbling_window", EventWindows.tumbling _, Some(EventWindows.tumblingSql)),
+    // round-7: readStream -> foreachBatch landing -> read-back, gated
+    // against the BATCH oracle (first streaming row in the driver gate)
+    ("x6_stream_tumbling", graft.streaming.EventStream.streamedTumbling _,
+      Some(EventWindows.tumblingSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),

@@ -26,7 +26,14 @@ object EventWindows {
 
   /** Tumbling 1-hour windows per event_type. */
   def tumbling(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    tumblingOf(Tables.events(spark, sfDir))
+
+  /** The tumbling aggregation over an arbitrary events frame — shared
+    * by the batch query above and the driver-oracled streaming path
+    * ([[graft.streaming.EventStream.streamedTumbling]]), so the two
+    * can never diverge in shape. */
+  private[graft] def tumblingOf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec("value")).cast("double").as("sum_value"),

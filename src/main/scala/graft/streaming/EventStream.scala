@@ -142,6 +142,64 @@ object EventStream {
     graft.sink.Sinks.writePartitioned(
       batch.withColumn("batch_id", lit(batchId)), dir, Seq("batch_id"))
 
+  /** Registered query `x6_stream_tumbling` (round 7) — the FIRST
+    * driver-oracled streaming path: the events table is consumed via
+    * an ACTUAL `readStream` file source on a bounded trigger
+    * (`Trigger.AvailableNow` — process everything available, then
+    * stop), landed to parquet through the replay-safe
+    * [[landToParquet]] foreachBatch sink (batch-id partition
+    * overwrite), read BACK off the landed layout, and aggregated with
+    * the exact batch tumbling shape
+    * ([[graft.ext.EventWindows.tumblingOf]]) — so the whole
+    * stream-ingest-to-query loop sits under the driver's hash gate
+    * against the BATCH oracle (`x6_tumbling`'s SQL): any loss,
+    * duplication, or type drift through the streaming source, the
+    * sink, or the landing layout breaks the hash match.
+    *
+    * Idempotence: the checkpoint and landing dirs are wiped TOGETHER
+    * before each run — a stale checkpoint over an empty landing dir
+    * would mark every source file already-processed and land nothing.
+    * Scratch lives on the session's tmpfs when available (same policy
+    * as [[graft.LocalDirs]]), keyed by sfDir so concurrent SFs never
+    * collide. At production scale this query IS the architecture: a
+    * continuous trigger instead of AvailableNow, a partitioned lake
+    * path instead of scratch, and the same downstream batch query over
+    * the landed table. */
+  def streamedTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = s"$sfDir/events.parquet"
+    // the file stream source needs an explicit schema; take the
+    // batch-inferred one so every ts encoding the lake writer chose
+    // (int64-nanos / NTZ / UTC micros) flows through unchanged and is
+    // normalized once, after landing
+    val schema = spark.read.parquet(src).schema
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new java.io.File(root,
+      "graft-stream-land-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    // the file stream source requires a DIRECTORY path ("Option
+    // 'basePath' must be a directory"); point it at the sf dir and
+    // glob-filter to the events asset
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val query = stream.writeStream
+      .foreachBatch(landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    graft.ext.EventWindows.tumblingOf(
+      graft.Tables.normalizeEventTime(
+        spark.read.parquet(landDir).drop("batch_id")))
+  }
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
 
   case class SpendState(n: Long, total: Double)

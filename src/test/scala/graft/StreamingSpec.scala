@@ -130,6 +130,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x6_stream_tumbling: readStream -> land -> read-back equals the batch query bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.ext.EventWindows.tumbling(spark, sf).collect()
+    val streamed = EventStream.streamedTumbling(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"streamed landing diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    // and a SECOND invocation (stale scratch from the first) is
+    // idempotent — the wipe-together contract
+    val again = EventStream.streamedTumbling(spark, sf).collect()
+    assert(again.sameElements(batch))
+  }
+
   test("streaming session windows equal the registered batch query bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
