@@ -215,6 +215,10 @@ object SparkEntry {
     ("x8_pit_join", graft.analytics.AsOfJoin.pitEnrich _,
       Some(graft.analytics.AsOfJoin.pitEnrichSql)),
     ("x8_bloom_prefilter", StarQueries.bloomPrefilter _, Some(StarQueries.bloomPrefilterSql)),
+    // round-7: copy-on-write versioned table format (ACID upsert +
+    // time travel) under the hash gate vs a declarative MERGE mirror
+    ("x8_lake_upsert", graft.lake.LakeQueries.lakeUpsert _,
+      Some(graft.lake.LakeQueries.lakeUpsertSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),

@@ -1,0 +1,85 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Registered query `x8_lake_upsert` — the [[Lake]] table format under
+  * the driver hash gate, end-to-end: create a versioned table from the
+  * non-`%3` orders slice, commit ONE copy-on-write upsert batch (the
+  * `%3` rows as inserts + price-doubling updates for the `%7` keys of
+  * the existing slice), then report BOTH snapshots — version 1 via
+  * time travel and version 2 as the current state — as per-priority
+  * decimal-exact aggregates. The DuckDB mirror computes the merged
+  * states declaratively from raw orders, so the whole protocol
+  * (manifest commit, file skipping, anti-join merge, snapshot
+  * isolation, time travel) must reproduce the relational MERGE answer
+  * bit-for-bit or the hash gate fails.
+  *
+  * Scratch lives on the session tmpfs (same policy as the streaming
+  * landing), keyed by sfDir, wiped per invocation for idempotence.
+  */
+object LakeQueries {
+
+  private[graft] def scratchDir(sfDir: String): String = {
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    new java.io.File(root,
+      "graft-lake-" + java.lang.Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  def lakeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir)
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    Lake.create(base, dir, "o_orderkey", targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val priceUpdates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
+    def snapshotAgg(version: Long): DataFrame =
+      Lake.read(spark, dir, version)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("revenue_cents"))
+        .withColumn("version", lit(version))
+    snapshotAgg(1L).unionByName(snapshotAgg(2L))
+      .select(col("version"), col("o_orderpriority"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy(col("version"), col("o_orderpriority"))
+  }
+
+  /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
+    * (inserts as-is, price-doubled updates winning over their old
+    * rows), both aggregated identically. */
+  val lakeUpsertSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |v2 AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT 1 AS version, o_orderpriority, o_totalprice FROM v1
+      |  UNION ALL
+      |  SELECT 2 AS version, o_orderpriority, o_totalprice FROM v2)
+      |SELECT CAST(version AS BIGINT) AS version, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM u
+      |GROUP BY version, o_orderpriority
+      |ORDER BY version, o_orderpriority""".stripMargin
+}

@@ -48,17 +48,25 @@ class RangeJoinSpec extends SparkSpec {
         col("t") >= col("lo") && col("t") < col("lo") + 600L)
         .select(col("iid"), col("pid"))
     }
-    val naive = thetaJoin()
-    // no equi-key: only nested-loop shapes are available (which of the
-    // two depends on the broadcast threshold — suites run concurrently
-    // against the shared session, so accept either)
-    val naivePlan = naive.queryExecution.executedPlan.toString
-    assert(naivePlan.contains("BroadcastNestedLoopJoin")
-      || naivePlan.contains("CartesianProduct"), naivePlan)
-    val expected = naive.as[(Long, Long)].collect().toSet
     val exp = spark.experimental
     val saved = exp.extraOptimizations
-    exp.extraOptimizations = saved :+ graft.plans.BinnedRangeJoinRule
+    // the rule SELF-REGISTERS on the shared session when any earlier
+    // test (or the PlanGuard full-surface sweep, which executes
+    // x6_range_join_rule) ran the auto path — strip it so the naive
+    // shape is actually naive here
+    exp.extraOptimizations = saved.filterNot(_ eq graft.plans.BinnedRangeJoinRule)
+    val (expected, naivePlan) = try {
+      val naive = thetaJoin()
+      // no equi-key: only nested-loop shapes are available (which of
+      // the two depends on the broadcast threshold — suites run
+      // concurrently against the shared session, so accept either)
+      (naive.as[(Long, Long)].collect().toSet,
+        naive.queryExecution.executedPlan.toString)
+    } finally exp.extraOptimizations = saved
+    assert(naivePlan.contains("BroadcastNestedLoopJoin")
+      || naivePlan.contains("CartesianProduct"), naivePlan)
+    exp.extraOptimizations =
+      saved.filterNot(_ eq graft.plans.BinnedRangeJoinRule) :+ graft.plans.BinnedRangeJoinRule
     try {
       val rewritten = thetaJoin()
       val plan = rewritten.queryExecution.executedPlan.toString
