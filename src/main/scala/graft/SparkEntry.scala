@@ -120,6 +120,9 @@ object SparkEntry {
     // against the BATCH oracle (first streaming row in the driver gate)
     ("x6_stream_tumbling", graft.streaming.EventStream.streamedTumbling _,
       Some(EventWindows.tumblingSql)),
+    // round-7: exactly-once streaming ingest into the Lake table format
+    ("x6_stream_lake", graft.streaming.EventStream.streamedLakeIngest _,
+      Some(graft.streaming.EventStream.streamedLakeIngestSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),

@@ -50,24 +50,37 @@ object Lake {
     extends RuntimeException(s"concurrent commit lost the race for version $version")
 
   case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long)
-  case class Manifest(version: Long, key: String, files: Seq[FileEntry])
+
+  /** `txns` carries the highest applied transaction version per
+    * writer-app id (the Delta `txnAppId`/`txnVersion` device): a
+    * replayed [[streamUpsert]] whose (appId, txnVersion) is already
+    * recorded commits NOTHING — exactly-once sink semantics over
+    * at-least-once micro-batch replay. Forwarded unchanged by every
+    * other commit so markers survive compaction and maintenance. */
+  case class Manifest(version: Long, key: String, files: Seq[FileEntry],
+      txns: Map[String, Long] = Map.empty)
 
   private def manifestDir(dir: String) = Paths.get(dir, "_manifests")
 
   private def render(m: Manifest): String =
     (s"version=${m.version}" +: s"key=${m.key}" +:
-      m.files.map(f => s"${f.name}|${f.rows}|${f.minKey}|${f.maxKey}"))
+      (m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
+        m.files.map(f => s"${f.name}|${f.rows}|${f.minKey}|${f.maxKey}")))
       .mkString("", "\n", "\n")
 
   private def parse(version: Long, text: String): Manifest = {
     val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
     val key = lines.collectFirst { case s if s.startsWith("key=") => s.stripPrefix("key=") }
       .getOrElse(sys.error("manifest missing key="))
+    val txns = lines.collect { case s if s.startsWith("txn=") =>
+      val Array(a, v) = s.stripPrefix("txn=").split('|')
+      a -> v.toLong
+    }.toMap
     val files = lines.filterNot(_.contains("=")).map { l =>
       val Array(n, r, lo, hi) = l.split('|')
       FileEntry(n, r.toLong, lo.toLong, hi.toLong)
     }
-    Manifest(version, key, files)
+    Manifest(version, key, files, txns)
   }
 
   /** Latest committed version, or 0 when the table does not exist. */
@@ -158,11 +171,11 @@ object Lake {
     * [min,max] key range intersects the update keys are rewritten;
     * everything else carries forward by reference. Returns the new
     * version. */
-  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      targetFiles: Int = 2): Long = {
-    val base = latestVersion(dir)
-    require(base > 0L, s"no lake table at $dir")
-    val m = manifest(dir, base)
+  /** The shared copy-on-write merge: full new file list = untouched
+    * files by reference + rewrites of intersecting files with
+    * `updates` folded in. */
+  private def mergedFileList(spark: SparkSession, dir: String, m: Manifest,
+      updates: DataFrame, targetFiles: Int): Seq[FileEntry] = {
     val key = m.key
     // file pruning: a broadcast of the (bounded) file-range list
     // against the distinct update keys — the only rows that can
@@ -183,7 +196,39 @@ object Lake {
           Seq(key), "left_anti")
         writeFiles(survivors.unionByName(updates), dir, key, targetFiles)
       }
-    commit(dir, Manifest(base + 1L, key, untouched ++ newFiles))
+    untouched ++ newFiles
+  }
+
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = mergedFileList(spark, dir, m, updates, targetFiles)
+    commit(dir, Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** EXACTLY-ONCE upsert for streaming sinks: the (appId, txnVersion)
+    * marker commits atomically WITH the data manifest, so a replayed
+    * micro-batch (Structured Streaming re-runs the last uncommitted
+    * batch with the SAME batch id after a failure) observes its marker
+    * already recorded and commits nothing — at-least-once delivery
+    * becomes exactly-once table state. Creates the table on the first
+    * batch. Returns the (possibly unchanged) latest version. */
+  def streamUpsert(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, appId: String, txnVersion: Long, targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    if (base == 0L) {
+      val files = writeFiles(updates, dir, key, targetFiles)
+      commit(dir, Manifest(1L, key, files, Map(appId -> txnVersion)))
+      return 1L
+    }
+    val m = manifest(dir, base)
+    require(m.key == key, s"table at $dir is keyed by ${m.key}, not $key")
+    if (m.txns.get(appId).exists(_ >= txnVersion)) return base // replay: no-op
+    val files = mergedFileList(spark, dir, m, updates, targetFiles)
+    commit(dir, Manifest(base + 1L, m.key, files, m.txns + (appId -> txnVersion)))
     base + 1L
   }
 
@@ -197,7 +242,7 @@ object Lake {
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val files = writeFiles(read(spark, dir, base), dir, m.key, targetFiles)
-    commit(dir, Manifest(base + 1L, m.key, files))
+    commit(dir, Manifest(base + 1L, m.key, files, m.txns))
     base + 1L
   }
 
@@ -246,7 +291,7 @@ object Lake {
           keys.select(col(keyCol).as(key)).distinct(), Seq(key), "left_anti")
         writeFiles(survivors, dir, key, math.max(touched.size, 1))
       }
-    commit(dir, Manifest(base + 1L, key, untouched ++ newFiles))
+    commit(dir, Manifest(base + 1L, key, untouched ++ newFiles, m.txns))
     base + 1L
   }
 }

@@ -200,6 +200,64 @@ object EventStream {
         spark.read.parquet(landDir).drop("batch_id")))
   }
 
+  /** Registered query `x6_stream_lake` (round 7) — EXACTLY-ONCE
+    * streaming ingest into the [[graft.lake.Lake]] table format: the
+    * events table streams through a file-source `readStream` and each
+    * micro-batch lands as a TRANSACTIONAL Lake upsert keyed by
+    * event_id, with the micro-batch id recorded as the sink's
+    * (appId, txnVersion) marker IN THE SAME manifest commit. Structured
+    * Streaming replays the last uncommitted batch after a failure with
+    * the same id; the marker makes that replay a no-op, so
+    * at-least-once delivery becomes exactly-once table state — the
+    * Delta-sink idempotence contract, reproduced on the hand-built
+    * format and pinned by LakeSpec. The registered output aggregates
+    * the final snapshot against the raw batch oracle: any loss,
+    * duplication, or double-application anywhere in the loop breaks
+    * the driver hash match. */
+  def streamedLakeIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new java.io.File(root,
+      "graft-stream-lake-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.lake.Lake.streamUpsert(batch.sparkSession, tableDir, batch.toDF(),
+          "event_id", "events-ingest", batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    graft.lake.Lake.read(spark, tableDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mirror of [[streamedLakeIngest]]'s snapshot aggregate over the
+    * raw events — the streamed, transactionally-landed table must be
+    * indistinguishable from the source. */
+  val streamedLakeIngestSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
 
   case class SpendState(n: Long, total: Double)

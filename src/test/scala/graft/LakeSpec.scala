@@ -118,6 +118,40 @@ class LakeSpec extends SparkSpec {
     intercept[Exception] { Lake.manifest(dir, 1L) } // history actually gone
   }
 
+  test("streamUpsert: replayed (appId, txnVersion) commits NOTHING — exactly-once state") {
+    val dir = freshDir("txn")
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // batch 0 creates the table with its marker
+    assert(Lake.streamUpsert(spark, dir, events, "event_id", "ingest", 0L) === 1L)
+    val v1State = Lake.read(spark, dir).collect().map(_.toSeq).toSet
+    // the same batch REPLAYED (post-failure re-run, same id) with a
+    // corrupted payload must be a version-preserving no-op
+    val poisoned = events.limit(10).withColumn("event_type", lit("POISON"))
+    assert(Lake.streamUpsert(spark, dir, poisoned, "event_id", "ingest", 0L) === 1L)
+    assert(Lake.latestVersion(dir) === 1L)
+    assert(Lake.read(spark, dir).collect().map(_.toSeq).toSet === v1State)
+    // a genuinely NEW batch id applies...
+    val upd = events.limit(5).withColumn("event_type", lit("B1"))
+    assert(Lake.streamUpsert(spark, dir, upd, "event_id", "ingest", 1L) === 2L)
+    assert(Lake.read(spark, dir).filter(col("event_type") === "B1").count() === 5L)
+    // ...and markers survive maintenance commits (compaction)
+    Lake.compact(spark, dir, targetFiles = 1)
+    assert(Lake.streamUpsert(spark, dir, poisoned, "event_id", "ingest", 1L)
+      === Lake.latestVersion(dir))
+    assert(Lake.read(spark, dir).filter(col("event_type") === "POISON").count() === 0L)
+  }
+
+  test("x6_stream_lake: streamed transactional ingest equals the batch aggregate") {
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("event_type")).collect()
+    val streamed = graft.streaming.EventStream.streamedLakeIngest(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("x8_lake_upsert query is idempotent across invocations (scratch wiped per run)") {
     val a = LakeQueries.lakeUpsert(spark, sf).collect()
     val b = LakeQueries.lakeUpsert(spark, sf).collect()
