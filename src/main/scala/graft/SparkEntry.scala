@@ -178,6 +178,9 @@ object SparkEntry {
       Some(graft.analytics.FunctionSweeps.histogramSql)),
     ("x7_sql_api", graft.analytics.FunctionSweeps.sqlApi _,
       Some(graft.analytics.FunctionSweeps.sqlApiSql)),
+    // round-7: Spark 4 VARIANT semi-structured path
+    ("x7_variant", graft.analytics.FunctionSweeps.variantJson _,
+      Some(graft.analytics.FunctionSweeps.variantJsonSql)),
     ("x7_stats_moments", graft.analytics.FunctionSweeps.statsMoments _,
       Some(graft.analytics.FunctionSweeps.statsMomentsSql)),
     ("x3_vector_stats", Similarity.vectorStats _, Some(Similarity.vectorStatsSql)),

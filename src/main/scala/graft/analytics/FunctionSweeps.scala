@@ -450,4 +450,40 @@ object FunctionSweeps {
       |  qtys[-1] AS last_qty
       |FROM g
       |ORDER BY l_orderkey""".stripMargin
+
+  /** Registered query `x7_variant` — Spark 4's VARIANT type over the
+    * events JSON props: `parse_json` into open-schema variant values,
+    * typed extraction with `variant_get`, schema introspection with
+    * `schema_of_variant`, and the canonical `to_json` rendering — the
+    * semi-structured path a lake of heterogenous JSON takes before
+    * columns are promoted. VARIANT's binary encoding replaces
+    * re-parsing the JSON text per access at scale; here every derived
+    * value is integer/string-deterministic so the whole surface is
+    * hash-gated (the mirror models the canonical rendering
+    * arithmetically — props are single-key integer objects by
+    * construction, `TESTDATA.md`). */
+  def variantJson(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("schema_of_variant(v)").as("sch"),
+        expr("to_json(v)").as("js"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count_distinct(col("sch")).as("n_schemas"),
+        min(col("js")).as("min_json"))
+      .orderBy(col("event_type"))
+
+  val variantJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(1 AS BIGINT) AS n_schemas,
+      |  min('{"k":' || CAST(k AS VARCHAR) || '}') AS min_json
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

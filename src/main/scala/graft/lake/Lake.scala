@@ -166,6 +166,28 @@ object Lake {
     spark.read.parquet(paths: _*)
   }
 
+  /** Snapshot read restricted to key ∈ [lo, hi] with MANIFEST-STAT
+    * file skipping: only files whose [minKey, maxKey] intersects the
+    * requested range are opened at all — the read-side payoff of the
+    * range-clustered layout (a point lookup on a billion-row table
+    * opens one file's footer, not a listing-wide scan). A residual
+    * key predicate keeps exactness; parquet row-group pruning then
+    * applies within the surviving files (the files are key-sorted, so
+    * group min/max stats bite too). */
+  def readRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Long = 0L): DataFrame = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val m = manifest(dir, v)
+    val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    if (hit.isEmpty)
+      // schema-correct empty frame without opening any data file twice
+      read(spark, dir, v).filter(lit(false))
+    else
+      spark.read.parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
+        .filter(col(m.key) >= lo && col(m.key) <= hi)
+  }
+
   /** SCD1 upsert: rows of `updates` replace same-key rows and insert
     * otherwise. Copy-on-write at FILE granularity: only files whose
     * [min,max] key range intersects the update keys are rewritten;

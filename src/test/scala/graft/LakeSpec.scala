@@ -118,6 +118,28 @@ class LakeSpec extends SparkSpec {
     intercept[Exception] { Lake.manifest(dir, 1L) } // history actually gone
   }
 
+  test("readRange: manifest stats skip non-intersecting files; result stays exact") {
+    val dir = freshDir("range")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    val m = Lake.manifest(dir, 1L)
+    assert(m.files.size >= 2)
+    // query exactly the first file's key range
+    val f0 = m.files.minBy(_.minKey)
+    val ranged = Lake.readRange(spark, dir, f0.minKey, f0.maxKey)
+    val expected = orders
+      .filter(col("o_orderkey") >= f0.minKey && col("o_orderkey") <= f0.maxKey)
+      .collect().map(_.toSeq).toSet
+    assert(ranged.collect().map(_.toSeq).toSet === expected)
+    // the skip actually happened: fewer files opened than the table has
+    assert(ranged.inputFiles.length < m.files.size,
+      s"expected file skipping, scanned ${ranged.inputFiles.length}/${m.files.size}")
+    // empty range: schema-correct, zero rows, no crash
+    val empty = Lake.readRange(spark, dir, Long.MaxValue - 1, Long.MaxValue)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === ranged.columns.toSeq)
+  }
+
   test("streamUpsert: replayed (appId, txnVersion) commits NOTHING — exactly-once state") {
     val dir = freshDir("txn")
     val events = Tables.events(spark, sf)
