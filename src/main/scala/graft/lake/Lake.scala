@@ -157,13 +157,17 @@ object Lake {
     1L
   }
 
-  /** Snapshot read at `version` (default: latest). */
+  /** Snapshot read at `version` (default: latest). `mergeSchema` makes
+    * SCHEMA EVOLUTION work: after an upsert added columns, a
+    * snapshot's untouched old files lack them — the merged read fills
+    * them with NULLs (additive evolution, the Delta default; renames
+    * and type changes stay rejected by parquet's merge rules). */
   def read(spark: SparkSession, dir: String, version: Long = 0L): DataFrame = {
     val v = if (version == 0L) latestVersion(dir) else version
     require(v > 0L, s"no committed version at $dir")
     val m = manifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f.name).toString)
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Snapshot read restricted to key ∈ [lo, hi] with MANIFEST-STAT
@@ -184,7 +188,8 @@ object Lake {
       // schema-correct empty frame without opening any data file twice
       read(spark, dir, v).filter(lit(false))
     else
-      spark.read.parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
+      spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
         .filter(col(m.key) >= lo && col(m.key) <= hi)
   }
 
@@ -212,11 +217,16 @@ object Lake {
     val newFiles =
       if (touched.isEmpty) writeFiles(updates, dir, key, targetFiles)
       else {
-        val old = spark.read.parquet(
+        val old = spark.read.option("mergeSchema", "true").parquet(
           touched.map(f => Paths.get(dir, f.name).toString): _*)
         val survivors = old.join(updates.select(col(key)).distinct(),
           Seq(key), "left_anti")
-        writeFiles(survivors.unionByName(updates), dir, key, targetFiles)
+        // allowMissingColumns: additive schema evolution — an upsert
+        // carrying NEW columns null-fills them on surviving old rows
+        // (and vice versa), so the rewritten files hold the merged
+        // schema while untouched files evolve lazily at read time
+        writeFiles(survivors.unionByName(updates, allowMissingColumns = true),
+          dir, key, targetFiles)
       }
     untouched ++ newFiles
   }

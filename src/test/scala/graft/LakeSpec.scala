@@ -140,6 +140,25 @@ class LakeSpec extends SparkSpec {
     assert(empty.columns.toSeq === ranged.columns.toSeq)
   }
 
+  test("schema evolution: an upsert with a NEW column null-fills old rows on read") {
+    val dir = freshDir("evo")
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val evolved = orders.filter(col("o_orderkey") === minKey)
+      .withColumn("audit_tag", lit("round7"))
+    Lake.upsert(spark, dir, evolved)
+    val cur = Lake.read(spark, dir)
+    assert(cur.columns.contains("audit_tag"), cur.columns.mkString(","))
+    assert(cur.count() === orders.count())
+    assert(cur.filter(col("audit_tag") === "round7").count() === 1L)
+    // every untouched row reads the evolved column as NULL
+    assert(cur.filter(col("audit_tag").isNull).count() === orders.count() - 1L)
+    // and time travel still reads v1 with the ORIGINAL schema
+    assert(!Lake.read(spark, dir, 1L).columns.contains("audit_tag"))
+  }
+
   test("streamUpsert: replayed (appId, txnVersion) commits NOTHING — exactly-once state") {
     val dir = freshDir("txn")
     val events = Tables.events(spark, sf)
