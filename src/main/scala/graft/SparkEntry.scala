@@ -225,6 +225,11 @@ object SparkEntry {
     // time travel) under the hash gate vs a declarative MERGE mirror
     ("x8_lake_upsert", graft.lake.LakeQueries.lakeUpsert _,
       Some(graft.lake.LakeQueries.lakeUpsertSql)),
+    // round-7: row-level change data feed derived from the CoW file
+    // diff — inserts/updates(pre+post)/deletes across a 3-version
+    // history, copied rows provably excluded
+    ("x8_lake_cdf", graft.lake.LakeQueries.lakeCdf _,
+      Some(graft.lake.LakeQueries.lakeCdfSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),

@@ -301,6 +301,109 @@ object Lake {
     doomed
   }
 
+  /** Row-level CHANGE DATA FEED between two committed versions — the
+    * Delta `table_changes` capability derived from the copy-on-write
+    * layout with NO extra write-path cost: because an upsert/delete
+    * rewrites only the files whose key range the batch touched, the
+    * exact change set of version `v` is recoverable by diffing the
+    * files REMOVED from manifest v−1 against the files ADDED in v.
+    * Rows identical on both sides are copy-forward artifacts of file
+    * granularity and are excluded; the rest classify as
+    *  - `insert`            — key only on the added side,
+    *  - `delete`            — key only on the removed side,
+    *  - `update_preimage` / `update_postimage` — key on both sides
+    *    with any column changed (both images emitted, Delta's CDF
+    *    row pair).
+    * A compaction rewrites everything and changes nothing, so its
+    * change feed is EMPTY by construction (LakeSpec pins this).
+    *
+    * Cost model at 100 TB: each version's diff reads only the files
+    * that version touched — the same bounded set the upsert itself
+    * rewrote — never the table; the join is keyed on the table key
+    * and both sides are the touched-file rows. Downstream incremental
+    * consumers (a training-set delta refresh, a replicated mart) read
+    * `changes` instead of re-scanning snapshots.
+    *
+    * Schema evolution: both sides are read with `mergeSchema` and
+    * aligned to the UNION of their columns (missing columns
+    * null-fill), so a feed spanning an additive-evolution commit
+    * reports old rows with NULL new columns — same as Delta.
+    *
+    * Returns the aligned data columns plus `_change_type` and
+    * `_commit_version`. */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long = 0L): DataFrame = {
+    val latest = latestVersion(dir)
+    val to = if (toVersion == 0L) latest else toVersion
+    require(fromVersion >= 1L && to <= latest && fromVersion <= to,
+      s"bad change range [$fromVersion, $to] at $dir (latest $latest)")
+    val key = manifest(dir, to).key
+    // target column set: union across the whole range (additive
+    // evolution only ever grows it, so the latest snapshot suffices;
+    // taking the union keeps the feed total even if that invariant
+    // is ever relaxed)
+    val snapshots = (fromVersion to to).map(v => manifest(dir, v))
+    def align(df: DataFrame, cols: Seq[String]): DataFrame =
+      df.select(cols.map(c =>
+        (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
+    val steps = snapshots.sliding(2).collect { case Seq(prev, cur) =>
+      val prevNames = prev.files.map(_.name).toSet
+      val curNames = cur.files.map(_.name).toSet
+      val removed = prev.files.filterNot(f => curNames(f.name))
+      val added = cur.files.filterNot(f => prevNames(f.name))
+      (cur.version, removed, added)
+    }.toSeq
+    val read = (files: Seq[FileEntry]) =>
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => Paths.get(dir, f.name).toString): _*)
+    // one frame per version step; steps are independent file sets so
+    // the union is a plain append of per-step plans
+    val stepFrames = steps.flatMap { case (v, removed, added) =>
+      if (removed.isEmpty && added.isEmpty) None
+      else {
+        val beforeRaw = if (removed.isEmpty) None else Some(read(removed))
+        val afterRaw = if (added.isEmpty) None else Some(read(added))
+        val cols = (beforeRaw.toSeq ++ afterRaw.toSeq)
+          .flatMap(_.columns).distinct.sorted
+        val dataCols = key +: cols.filterNot(_ == key)
+        val empty = align(
+          (beforeRaw orElse afterRaw).get.filter(lit(false)), dataCols)
+        // row-identity hash over ALL aligned columns: copy-forward
+        // rows (file-granularity rewrites of untouched rows) hash
+        // equal and drop out of the feed
+        def hashed(df: Option[DataFrame], pfx: String): DataFrame = {
+          val a = align(df.getOrElse(empty), dataCols)
+          a.select(col(key).as(s"${pfx}_k") +:
+            xxhash64(to_json(struct(dataCols.map(col): _*))).as(s"${pfx}_h") +:
+            dataCols.map(c => col(c).as(s"$pfx$c")): _*)
+        }
+        val b = hashed(beforeRaw, "b_")
+        val a = hashed(afterRaw, "a_")
+        val j = b.join(a, col("b__k") === col("a__k"), "full_outer")
+        def payload(pfx: String) = dataCols.map(c => col(s"$pfx$c").as(c))
+        val inserts = j.filter(col("b__k").isNull)
+          .select(payload("a_") :+ lit("insert").as("_change_type"): _*)
+        val deletes = j.filter(col("a__k").isNull)
+          .select(payload("b_") :+ lit("delete").as("_change_type"): _*)
+        val updated = j.filter(col("b__k").isNotNull && col("a__k").isNotNull &&
+          col("b__h") =!= col("a__h"))
+        val pre = updated.select(payload("b_") :+ lit("update_preimage").as("_change_type"): _*)
+        val post = updated.select(payload("a_") :+ lit("update_postimage").as("_change_type"): _*)
+        Some(inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+          .withColumn("_commit_version", lit(v)))
+      }
+    }
+    stepFrames match {
+      case Nil =>
+        // whole range was no-op commits (or fromVersion == to):
+        // schema-correct empty feed off the latest snapshot
+        read(manifest(dir, to).files).filter(lit(false))
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+      case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** Delete by key set (copy-on-write, same file skipping). */
   def delete(spark: SparkSession, dir: String, keys: DataFrame): Long = {
     val base = latestVersion(dir)

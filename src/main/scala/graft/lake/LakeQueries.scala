@@ -58,6 +58,71 @@ object LakeQueries {
       .orderBy(col("version"), col("o_orderpriority"))
   }
 
+  /** Registered query `x8_lake_cdf` — the [[Lake.changes]] CHANGE DATA
+    * FEED under the driver hash gate: build a three-version history
+    * (create the non-`%3` slice → one upsert batch of `%3` inserts +
+    * `%7` price-doubling updates → delete the `%11` keys) and emit the
+    * row-level feed for versions 2..3. The DuckDB mirror derives the
+    * SAME feed relationally from raw orders — so the diff must report
+    * exactly the inserted keys as `insert`, exactly the updated keys
+    * as an `update_preimage`/`update_postimage` pair (old and new
+    * price), exactly the deleted keys as `delete` carrying their
+    * VERSION-2 values, and — the sharp edge — NONE of the rows the
+    * copy-on-write rewrite merely copied forward. A file-skipping bug
+    * (too many files rewritten), a hash-alignment bug (copied rows
+    * leaking into the feed), or a lost image row all break the match. */
+  def lakeCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-cdf"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val priceUpdates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
+    Lake.delete(spark, dir,
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    Lake.changes(spark, dir, 1L)
+      .select(col("_commit_version"), col("_change_type"), col("o_orderkey"),
+        col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+      .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
+  }
+
+  /** Mirror: the feed reconstructed relationally — v2 inserts are the
+    * `%3` keys, v2 update pairs the `%3∧%7` keys at raw and doubled
+    * prices, v3 deletes the `%11` keys at their post-upsert values. */
+  val lakeCdfSql: String =
+    """WITH v2price AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |feed AS (
+      |  SELECT 2 AS _commit_version, 'insert' AS _change_type,
+      |    o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 2, 'update_preimage', o_orderkey, o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 2, 'update_postimage', o_orderkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 3, 'delete', o_orderkey, o_orderpriority, o_totalprice
+      |  FROM v2price WHERE o_orderkey % 11 = 0)
+      |SELECT CAST(_commit_version AS BIGINT) AS _commit_version, _change_type,
+      |  o_orderkey, o_orderpriority,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+      |FROM feed
+      |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

@@ -198,4 +198,66 @@ class LakeSpec extends SparkSpec {
     val b = LakeQueries.lakeUpsert(spark, sf).collect()
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("changes: insert/update-pair/delete classified exactly; copied rows excluded") {
+    val dir = freshDir("cdf")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val updates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("9-CHANGED"))
+    Lake.upsert(spark, dir, inserts.unionByName(updates))
+    val feed = Lake.changes(spark, dir, 1L).persist()
+    val byType = feed.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) === inserts.count())
+    assert(byType.getOrElse("update_preimage", 0L) === updates.count())
+    assert(byType.getOrElse("update_postimage", 0L) === updates.count())
+    assert(byType.getOrElse("delete", 0L) === 0L)
+    // copied rows excluded: every feed key is an insert or update key
+    val feedKeys = feed.select(col("o_orderkey")).distinct().count()
+    assert(feedKeys === inserts.count() + updates.count())
+    // postimages carry the new value, preimages the old
+    assert(feed.filter(col("_change_type") === "update_postimage" &&
+      col("o_orderpriority") =!= "9-CHANGED").count() === 0L)
+    assert(feed.filter(col("_change_type") === "update_preimage" &&
+      col("o_orderpriority") === "9-CHANGED").count() === 0L)
+    feed.unpersist()
+    // delete steps feed as deletes with the pre-delete payload
+    Lake.delete(spark, dir,
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    val delFeed = Lake.changes(spark, dir, 2L)
+    assert(delFeed.filter(col("_change_type") =!= "delete").count() === 0L)
+    assert(delFeed.count() === orders.filter(col("o_orderkey") % 11 === 0).count())
+  }
+
+  test("changes: a compaction commit contributes an EMPTY change feed") {
+    val dir = freshDir("cdf-compact")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 6)
+    Lake.compact(spark, dir, targetFiles = 2)
+    // every file rewrote, every row copied → nothing changed
+    assert(Lake.changes(spark, dir, 1L).count() === 0L)
+  }
+
+  test("changes: a feed spanning additive schema evolution null-fills old images") {
+    val dir = freshDir("cdf-evolve")
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    val evolved = orders.limit(10)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+      .withColumn("flag", lit("new"))
+    Lake.upsert(spark, dir, evolved)
+    val feed = Lake.changes(spark, dir, 1L).persist()
+    // preimages predate the column: NULL flag; postimages carry it
+    assert(feed.filter(col("_change_type") === "update_preimage" &&
+      col("flag").isNotNull).count() === 0L)
+    assert(feed.filter(col("_change_type") === "update_postimage" &&
+      col("flag") =!= "new").count() === 0L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() === 10L)
+    feed.unpersist()
+  }
 }
