@@ -259,6 +259,10 @@ object SparkEntry {
     ("x9_dedup_mix", graft.ext.Sampling.dedupAdjustedMix _,
       Some(graft.ext.Sampling.dedupAdjustedMixSql)),
     ("x3_ivf_sq", Similarity.ivfSqTopK _, Some(Similarity.ivfSqTopKSql)),
+    // round-7: product quantization with ADC scoring — the fourth
+    // compression family (codes, not scalars), sampled codebook,
+    // integer-deterministic and fully mirrored
+    ("x3_ann_pq", Similarity.pqAdcTopK _, Some(Similarity.pqAdcTopKSql)),
     // round-7: driver-gated recall@k of every ANN family vs exact
     ("x3_recall_report", Similarity.recallReport _, Some(Similarity.recallReportSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),

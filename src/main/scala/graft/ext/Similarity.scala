@@ -487,11 +487,151 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  val PqM = 4        // subspaces
+  val PqSubDim = 16  // dims per subspace (PqM · PqSubDim = 64)
+  val PqK = 16       // codebook size per subspace
+
+  /** Registered query `x3_ann_pq`: PRODUCT QUANTIZATION with
+    * asymmetric-distance (ADC) scoring — the fourth ANN compression
+    * family next to sign-LSH, grid-IVF and SQ8, and the one real
+    * vector stores lean on when even int8-per-dim is too many bytes:
+    * each vector is split into [[PqM]] subspaces and each subspace is
+    * replaced by the id of its nearest codebook anchor, so a 64-dim
+    * vector stores as PqM small codes; a query scores a candidate by
+    * summing per-subspace query-to-anchor dot products from a lookup
+    * table (ADC — the query side stays exact, the corpus side is
+    * quantized). Top `TopK·SqOverfetch` ADC candidates get the exact
+    * full-precision re-rank, as in the SQ8 family.
+    *
+    * The codebook is a deterministic SAMPLED codebook — subvectors of
+    * the first [[PqK]] corpus vectors (k-means would tighten cells but
+    * its trained centroids aren't oracle-expressible; a sampled
+    * codebook is the standard random-init baseline and keeps the whole
+    * pipeline — encode argmin with `an2 − 2·dot` integer arithmetic,
+    * aid tie-break, LUT sum, overfetch cut — bit-reproducible in the
+    * DuckDB mirror, so the driver gate verifies the approximation
+    * itself).
+    *
+    * Scale shape: the encode pass is the one corpus-sized cost
+    * (n·PqM·PqK integer dots, one map-side-combined argmin aggregate —
+    * an index BUILD, run once and persisted in production); the codes
+    * frame (n·PqM slim rows) is the compressed index — the ADC scan
+    * joins it against a broadcast Q·PqM·PqK LUT and aggregates, never
+    * touching the raw vectors; only TopK·SqOverfetch rows per query
+    * rejoin the full-precision embeddings. Storage per vector drops
+    * 64 floats → 4 bytes of codes — the bandwidth lever at its
+    * steepest setting. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+    val sub = e.select(col("vec_id"), col("embedding"))
+      .withColumn("s", explode(expr(s"sequence(0, ${PqM - 1})")))
+      .withColumn("sub", expr(s"slice(embedding, s * $PqSubDim + 1, $PqSubDim)"))
+    val anchors = sub.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("aid"), col("s"), col("sub").as("asub"))
+      .withColumn("an2", vec_qdot(col("asub"), col("asub")))
+    // encode: nearest anchor per (vector, subspace); ‖v_s‖² is
+    // constant across anchors so argmin(an2 − 2·dot) is the L2 argmin,
+    // all-integer, tie-broken by anchor id via the struct min
+    val enc = sub.join(broadcast(anchors), Seq("s"))
+      .withColumn("d2", col("an2") - lit(2L) * vec_qdot(col("sub"), col("asub")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("aid"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.aid").as("code"))
+    // ADC lookup table: Q·PqM·PqK exact query-to-anchor dots
+    val lut = sub.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("qsub"))
+      .join(broadcast(anchors), Seq("s"))
+      .withColumn("pdot", vec_qdot(col("qsub"), col("asub")))
+      // rename the join keys: `s` on both sides descends from the same
+      // explode attribute, and a raw enc("s") === lut("s") resolves to
+      // a trivially-true self-comparison (Spark warns and drops the
+      // subspace constraint — ADC would sum across subspaces)
+      .select(col("q_id"), col("s").as("ls"), col("aid"), col("pdot"))
+    val adc = enc.join(broadcast(lut),
+        col("s") === col("ls") && col("code") === col("aid"))
+      .groupBy(col("vec_id"), col("q_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+    val cands = adc
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= TopK * SqOverfetch)
+      .select(col("q_id"), col("vec_id"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands.join(e.select(col("vec_id"), col("embedding"), col("n2")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Full mirror of [[pqAdcTopK]] — sampled codebook, integer encode
+    * argmin with aid tie-break, LUT/ADC sum, overfetch cut, exact
+    * re-rank. */
+  val pqAdcTopKSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |sub AS (
+       |  SELECT vec_id, s, list_slice(iv, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS siv
+       |  FROM n CROSS JOIN (SELECT unnest([${(0 until PqM).mkString(", ")}]) AS s) ss),
+       |anchors AS (
+       |  SELECT vec_id AS aid, s, siv AS asiv,
+       |    list_sum(list_transform(siv, x -> x * x)) AS an2
+       |  FROM sub WHERE vec_id < $PqK),
+       |enc AS (
+       |  SELECT vec_id, s, aid AS code FROM (
+       |    SELECT c.vec_id, c.s, a.aid,
+       |      row_number() OVER (PARTITION BY c.vec_id, c.s ORDER BY
+       |        a.an2 - 2 * list_sum(list_transform(list_zip(c.siv, a.asiv), p -> p[1] * p[2])),
+       |        a.aid) AS rnk
+       |    FROM sub c JOIN anchors a ON a.s = c.s)
+       |  WHERE rnk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, q.s, a.aid,
+       |    list_sum(list_transform(list_zip(q.siv, a.asiv), p -> p[1] * p[2])) AS pdot
+       |  FROM sub q JOIN anchors a ON a.s = q.s
+       |  WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.q_id, e.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adot
+       |  FROM enc e JOIN lut l ON l.s = e.s AND l.aid = e.code
+       |  GROUP BY l.q_id, e.vec_id),
+       |cands AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS ark
+       |    FROM adc)
+       |  WHERE ark <= ${TopK * SqOverfetch}),
+       |sims AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qn.iv, cn.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS sim
+       |  FROM cands cand
+       |  JOIN n qn ON qn.vec_id = cand.q_id
+       |  JOIN n cn ON cn.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Registered ANN families for [[recallReport]] — name → query.
     * Order here is the report's row order (sorted by name at output). */
   private[graft] val RecallFamilies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "ann_ivf" -> (ivfGridTopK _),
     "ann_lsh" -> (annCosineTopK _),
+    "ann_pq" -> (pqAdcTopK _),
     "ivf_sq" -> (ivfSqTopK _),
     "sq_rerank" -> (sqRerank _))
 
@@ -507,6 +647,7 @@ object Similarity {
   private[graft] val RecallFloorsBp: Map[String, Long] = Map(
     "ann_lsh" -> 4000L,
     "ann_ivf" -> 4000L,
+    "ann_pq" -> 3000L,
     "ivf_sq" -> 4000L,
     "sq_rerank" -> 7500L)
 
@@ -563,9 +704,13 @@ object Similarity {
        |isq_r AS (
        |$ivfSqTopKSql
        |),
+       |pq_r AS (
+       |$pqAdcTopKSql
+       |),
        |u AS (
        |  SELECT 'ann_ivf' AS family, q_id, vec_id FROM ivf_r
        |  UNION ALL SELECT 'ann_lsh', q_id, vec_id FROM lsh_r
+       |  UNION ALL SELECT 'ann_pq', q_id, vec_id FROM pq_r
        |  UNION ALL SELECT 'ivf_sq', q_id, vec_id FROM isq_r
        |  UNION ALL SELECT 'sq_rerank', q_id, vec_id FROM sqr_r),
        |h AS (

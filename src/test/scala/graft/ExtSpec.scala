@@ -59,6 +59,20 @@ class ExtSpec extends SparkSpec {
     assert(exact.intersect(ann).size >= (exact.size * 2) / 5)
   }
 
+  test("X3 PQ-ADC: every query finds itself; recall@5 above the pinned floor") {
+    val exact = Similarity.cosineTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqAdcTopK(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a query's own codes reconstruct its own subvectors better than
+    // any other vector's, so ADC ranks self in the overfetch set and
+    // the exact re-rank puts it at rank 1
+    assert(pq.count { case (q, v) => q == v } === Similarity.NumQueries)
+    val floorBp = Similarity.RecallFloorsBp("ann_pq")
+    assert(exact.intersect(pq).size * 10000L >= exact.size * floorBp,
+      s"PQ recall ${exact.intersect(pq).size}/${exact.size} below ${floorBp}bp")
+  }
+
   test("X3 IVF grid: self found, probed-cell recall usable, mirrors oracle shape") {
     val exact = Similarity.cosineTopK(spark, sf)
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
