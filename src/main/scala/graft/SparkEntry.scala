@@ -123,6 +123,11 @@ object SparkEntry {
     // round-7: exactly-once streaming ingest into the Lake table format
     ("x6_stream_lake", graft.streaming.EventStream.streamedLakeIngest _,
       Some(graft.streaming.EventStream.streamedLakeIngestSql)),
+    // round-7: stream-stream interval join (watermarked both sides),
+    // landed pairs + relational zero-match completion — shares the
+    // batch range-join oracle
+    ("x6_stream_join", graft.streaming.EventStream.streamedIntervalJoin _,
+      Some(graft.analytics.RangeJoin.errorClickImpactSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),

@@ -247,6 +247,86 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** Registered query `x6_stream_join` (round 7) — a STREAM-STREAM
+    * interval join under the driver hash gate: errors and clicks are
+    * two filtered views of one file-source `readStream`, joined on the
+    * canonical attribution predicate (click within the 600 s window
+    * after the error) with watermarks on BOTH sides — the state-bounded
+    * production shape: click state older than (watermark − window) and
+    * error state older than the watermark are evictable; a bigger
+    * delay only holds state longer, never changes the inner-join
+    * answer. Matched pairs land through the replay-safe foreachBatch
+    * sink; the batch tail aggregates the landed pairs and completes
+    * zero-click errors relationally (stream-stream OUTER results only
+    * finalize when the watermark passes — on a bounded replay that
+    * tail-completion is the downstream query's job, same as a
+    * production mart materializing "errors with no impact").
+    *
+    * Event times are truncated to whole seconds BEFORE the join so the
+    * streamed predicate is bit-equivalent to the batch query's
+    * integer-second arithmetic ([[graft.analytics.RangeJoin
+    * .errorClickImpact]]) — the query shares that oracle, so a lost
+    * pair, duplicated pair, or boundary drift through the streaming
+    * join breaks the driver hash. */
+  def streamedIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new java.io.File(root,
+      "graft-stream-join-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val ev = graft.Tables.normalizeEventTime(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .withColumn("tsec", date_trunc("second", col("ts")))
+    // Structured Streaming rejects stream-stream joins WITHOUT an
+    // equality predicate (state matching is hash-partitioned by key).
+    // Same remedy as the batch engine's binnedRangeJoin: bucket both
+    // sides into window-width (600 s) time bins — an error's window
+    // spans at most 2 bins (replicate via explode), a click lives in
+    // exactly 1 (so no pair dedup needed) — and equi-join on the bin
+    // with the exact range predicate as residual. The bin key is also
+    // what makes this SCALE: join state and matching are partitioned
+    // by time bucket instead of one unpartitioned theta-state.
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("tsec").as("err_ts"),
+        unix_timestamp(col("tsec")).as("esec"))
+      .withColumn("bin",
+        explode(array_distinct(array(expr("esec div 600"), expr("(esec + 599) div 600")))))
+      .withWatermark("err_ts", "1 day")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tsec").as("click_ts"), col("value").as("click_value"),
+        expr("unix_timestamp(date_trunc('second', ts)) div 600").as("cbin"))
+      .withWatermark("click_ts", "1 day")
+    val joined = errors.join(clicks, expr(
+        "bin = cbin AND click_ts >= err_ts AND click_ts < err_ts + INTERVAL 600 SECONDS"))
+      .select(col("err_id"), col("click_value"))
+    val query = joined.writeStream
+      .foreachBatch(landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    val impact = spark.read.parquet(landDir).drop("batch_id")
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("click_value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"))
+      .join(impact, Seq("err_id"), "left")
+      .select(col("err_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("err_id"))
+  }
+
   /** Mirror of [[streamedLakeIngest]]'s snapshot aggregate over the
     * raw events — the streamed, transactionally-landed table must be
     * indistinguishable from the source. */

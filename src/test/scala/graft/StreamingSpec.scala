@@ -142,6 +142,14 @@ class StreamingSpec extends SparkSpec {
     assert(again.sameElements(batch))
   }
 
+  test("x6_stream_join: stream-stream binned interval join equals the batch range join") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.analytics.RangeJoin.errorClickImpact(spark, sf).collect()
+    val streamed = EventStream.streamedIntervalJoin(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"streamed join diverged from batch (${streamed.length} vs ${batch.length} rows)")
+  }
+
   test("streaming session windows equal the registered batch query bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
