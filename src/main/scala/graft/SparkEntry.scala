@@ -235,6 +235,10 @@ object SparkEntry {
     // history, copied rows provably excluded
     ("x8_lake_cdf", graft.lake.LakeQueries.lakeCdf _,
       Some(graft.lake.LakeQueries.lakeCdfSql)),
+    // round-7: incremental view maintenance off the change feed —
+    // Σ-delta rollup must equal the direct snapshot scan
+    ("x8_lake_ivm", graft.lake.LakeQueries.lakeIvm _,
+      Some(graft.lake.LakeQueries.lakeIvmSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),

@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -122,6 +122,79 @@ object LakeQueries {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
       |FROM feed
       |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin
+
+  /** Registered query `x8_lake_ivm` — INCREMENTAL VIEW MAINTENANCE
+    * over the [[Lake.changes]] feed: the same three-version history as
+    * `x8_lake_cdf`, but consumed the way a 100 TB deployment would —
+    * a revenue-by-priority aggregate materialized at version 1 is
+    * rolled forward to version 3 purely from the change feed
+    * (inserts and update POSTimages add, deletes and update PREimages
+    * subtract — the classic Σ-delta maintenance rule), never
+    * re-scanning the table. The output carries both the incrementally
+    * maintained figures and a `consistent` flag comparing them to a
+    * direct scan of the latest snapshot; the DuckDB mirror derives the
+    * final state relationally, so BOTH paths must land on the same
+    * numbers (and `consistent` must come out true) or the driver hash
+    * fails. At scale the direct-scan comparison column is the audit
+    * query you run occasionally; the feed rollup is the nightly path
+    * whose cost is the delta, not the table. */
+  def lakeIvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-ivm"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val priceUpdates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
+    Lake.delete(spark, dir,
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    def cents(c: Column): Column = (c.cast("decimal(18,2)") * 100).cast("long")
+    val base = Lake.read(spark, dir, 1L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_base"), sum(cents(col("o_totalprice"))).as("cents_base"))
+    val delta = Lake.changes(spark, dir, 1L)
+      .withColumn("sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * cents(col("o_totalprice"))).as("dcents"))
+    val incr = base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("cents_base"), lit(0L)) + coalesce(col("dcents"), lit(0L)))
+          .as("revenue_cents"))
+    val direct = Lake.read(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_direct"), sum(cents(col("o_totalprice"))).as("cents_direct"))
+    incr.join(direct, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"), col("n_orders"), col("revenue_cents"),
+        (col("n_orders") <=> col("n_direct") &&
+          col("revenue_cents") <=> col("cents_direct")).as("consistent"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the version-3 state derived relationally (post-upsert
+    * prices minus the `%11` deletes), aggregated once — the feed
+    * rollup and the direct scan must both match it, so `consistent`
+    * is a constant true. */
+  val lakeIvmSql: String =
+    """WITH v3 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  TRUE AS consistent
+      |FROM v3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
