@@ -239,6 +239,9 @@ object SparkEntry {
     // Σ-delta rollup must equal the direct snapshot scan
     ("x8_lake_ivm", graft.lake.LakeQueries.lakeIvm _,
       Some(graft.lake.LakeQueries.lakeIvmSql)),
+    // round-7: OPTIMIZE ZORDER BY + 2-D manifest-stat box read
+    ("x8_lake_zorder", graft.lake.LakeQueries.lakeZorder _,
+      Some(graft.lake.LakeQueries.lakeZorderSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),

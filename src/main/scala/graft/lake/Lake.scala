@@ -49,7 +49,15 @@ object Lake {
   final class CommitConflict(version: Long)
     extends RuntimeException(s"concurrent commit lost the race for version $version")
 
-  case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long)
+  /** `stats` carries OPTIONAL per-file [min,max] ranges for extra
+    * integer columns (beyond the always-present key range) — written
+    * by [[compactZOrder]] so that multi-dimensional box reads
+    * ([[readBox]]) can skip files on EITHER clustered dimension. A
+    * file without a stat for some column is conservatively readable
+    * (skipping degrades, correctness doesn't — an upsert's rewritten
+    * files simply lose the extra stats until the next re-cluster). */
+  case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** `txns` carries the highest applied transaction version per
     * writer-app id (the Delta `txnAppId`/`txnVersion` device): a
@@ -65,7 +73,11 @@ object Lake {
   private def render(m: Manifest): String =
     (s"version=${m.version}" +: s"key=${m.key}" +:
       (m.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
-        m.files.map(f => s"${f.name}|${f.rows}|${f.minKey}|${f.maxKey}")))
+        m.files.map { f =>
+          val extra = f.stats.toSeq.sortBy(_._1)
+            .map { case (c, (lo, hi)) => s"|$c:$lo:$hi" }.mkString
+          s"${f.name}|${f.rows}|${f.minKey}|${f.maxKey}$extra"
+        }))
       .mkString("", "\n", "\n")
 
   private def parse(version: Long, text: String): Manifest = {
@@ -77,8 +89,12 @@ object Lake {
       a -> v.toLong
     }.toMap
     val files = lines.filterNot(_.contains("=")).map { l =>
-      val Array(n, r, lo, hi) = l.split('|')
-      FileEntry(n, r.toLong, lo.toLong, hi.toLong)
+      val fields = l.split('|')
+      val stats = fields.drop(4).map { s =>
+        val Array(c, lo, hi) = s.split(':')
+        c -> (lo.toLong, hi.toLong)
+      }.toMap
+      FileEntry(fields(0), fields(1).toLong, fields(2).toLong, fields(3).toLong, stats)
     }
     Manifest(version, key, files, txns)
   }
@@ -130,22 +146,36 @@ object Lake {
     * scratch subdir; returns their manifest entries. Data files land
     * BEFORE any manifest references them — invisible until commit. */
   private def writeFiles(df: DataFrame, dir: String, key: String,
-      targetFiles: Int): Seq[FileEntry] = {
+      targetFiles: Int): Seq[FileEntry] =
+    writeFilesBy(df, dir, key, targetFiles, Seq(col(key)), Nil)
+
+  /** Generalized writer: cluster (range-partition + in-file sort) by
+    * arbitrary expressions and record per-file [min,max] stats for the
+    * key plus any extra integer columns — one stats pass over the
+    * fresh files, metadata-cheap. */
+  private def writeFilesBy(df: DataFrame, dir: String, key: String,
+      targetFiles: Int, cluster: Seq[org.apache.spark.sql.Column],
+      statCols: Seq[String]): Seq[FileEntry] = {
     val sub = s"data-${java.util.UUID.randomUUID}"
     val out = Paths.get(dir, sub).toString
-    df.repartitionByRange(math.max(targetFiles, 1), col(key))
-      .sortWithinPartitions(col(key))
+    df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
+      .sortWithinPartitions(cluster: _*)
       .write.mode("overwrite").parquet(out)
     val spark = df.sparkSession
-    // per-file stats in one metadata-cheap pass over the fresh files
+    val aggs = Seq(count(lit(1)).as("rows"),
+        min(col(key).cast("long")).as("lo"), max(col(key).cast("long")).as("hi")) ++
+      statCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
     spark.read.parquet(out)
       .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"), min(col(key)).as("lo"), max(col(key)).as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
         val full = r.getString(0).stripPrefix("file:")
         val rel = sub + "/" + Paths.get(full).getFileName.toString
-        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3))
+        val stats = statCols.map(c =>
+          c -> (r.getLong(r.fieldIndex(s"lo_$c")), r.getLong(r.fieldIndex(s"hi_$c")))).toMap
+        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), stats)
       }.toSeq
   }
 
@@ -276,6 +306,61 @@ object Lake {
     val files = writeFiles(read(spark, dir, base), dir, m.key, targetFiles)
     commit(dir, Manifest(base + 1L, m.key, files, m.txns))
     base + 1L
+  }
+
+  /** Z-ORDER compaction — Delta/Iceberg `OPTIMIZE ZORDER BY (x, y)` on
+    * the hand-built format: rewrite the current snapshot clustered by
+    * the Morton interleave of two integer columns
+    * ([[graft.analytics.ZOrder.zValue]], low 16 bits each), so each
+    * file covers a bounded SQUARE of the (x, y) key space instead of a
+    * stripe of one dimension; record the actual per-file [min,max] of
+    * BOTH columns in the manifest. [[readBox]] then skips files on
+    * either predicate — the two-dimensional data-skipping layout a
+    * time×tenant or user×date table needs at 100 TB, where a plain
+    * key sort serves one predicate and table-scans the other. */
+  def compactZOrder(spark: SparkSession, dir: String, xCol: String,
+      yCol: String, targetFiles: Int): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val z = graft.analytics.ZOrder.zValue(
+      col(xCol).cast("long").bitwiseAND(lit(0xFFFFL)),
+      col(yCol).cast("long").bitwiseAND(lit(0xFFFFL)))
+    val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
+      Seq(z), Seq(xCol, yCol))
+    commit(dir, Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** The file names a box read must open at `version` — manifest-stat
+    * pruning on both dimensions (exposed for plan-level assertions). */
+  private[graft] def boxFiles(dir: String, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, version: Long = 0L): Seq[FileEntry] = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    manifest(dir, v).files.filter { f =>
+      f.stats.get(xCol).forall { case (lo, hi) => hi >= xLo && lo <= xHi } &&
+      f.stats.get(yCol).forall { case (lo, hi) => hi >= yLo && lo <= yHi }
+    }
+  }
+
+  /** Two-dimensional box read: only files whose recorded (x, y) stat
+    * rectangles intersect the requested box are opened; a residual
+    * predicate keeps exactness (and parquet row-group stats prune
+    * further inside each surviving file, since the z-sort makes both
+    * columns locally clustered). Files lacking the stats (written
+    * before the z-compaction, or by a later upsert) are read and
+    * filtered — skipping degrades, the answer never does. */
+  def readBox(spark: SparkSession, dir: String, xCol: String, xLo: Long, xHi: Long,
+      yCol: String, yLo: Long, yHi: Long, version: Long = 0L): DataFrame = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val hit = boxFiles(dir, xCol, xLo, xHi, yCol, yLo, yHi, v)
+    val pred = col(xCol) >= xLo && col(xCol) <= xHi &&
+      col(yCol) >= yLo && col(yCol) <= yHi
+    if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
+      .filter(pred)
   }
 
   /** Vacuum: physically delete data files referenced ONLY by versions

@@ -196,6 +196,46 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_zorder` — `OPTIMIZE ZORDER BY` on the
+    * [[Lake]] format under the driver gate: load orders (order date
+    * folded to an integer day offset), re-cluster with
+    * [[Lake.compactZOrder]] on (customer, day), then answer a
+    * two-dimensional box query through [[Lake.readBox]], whose
+    * manifest-stat pruning opens only the files whose recorded
+    * (x, y) rectangles intersect the box (LakeSpec asserts the
+    * file-count drop; the driver hash asserts the answer). This is the
+    * user×date slice every activity table serves, laid out so BOTH
+    * predicates skip. */
+  def lakeZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-zorder"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_days",
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+      .drop("o_orderdate")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    Lake.compactZOrder(spark, dir, "o_custkey", "o_days", targetFiles = 16)
+    Lake.readBox(spark, dir, "o_custkey", 200L, 600L, "o_days", 400L, 900L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the same box aggregate straight off raw orders — pruning
+    * must be answer-invisible. */
+  val lakeZorderSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM orders
+      |WHERE o_custkey BETWEEN 200 AND 600
+      |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |    BETWEEN 400 AND 900
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

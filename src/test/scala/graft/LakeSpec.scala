@@ -199,6 +199,33 @@ class LakeSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("compactZOrder: box reads skip files on BOTH dimensions; answer exact") {
+    val dir = freshDir("zorder")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_days",
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+      .drop("o_orderdate")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    Lake.compactZOrder(spark, dir, "o_custkey", "o_days", targetFiles = 16)
+    val m = Lake.manifest(dir, Lake.latestVersion(dir))
+    assert(m.files.forall(f => f.stats.contains("o_custkey") && f.stats.contains("o_days")),
+      "z-compacted files must carry both dimension stats")
+    val total = m.files.size
+    val hit = Lake.boxFiles(dir, "o_custkey", 20L, 80L, "o_days", 400L, 900L)
+    assert(hit.size < total,
+      s"2-D stat pruning must skip files (opened ${hit.size} of $total)")
+    // answer equals the full-scan filter, bit-for-bit
+    val box = Lake.readBox(spark, dir, "o_custkey", 20L, 80L, "o_days", 400L, 900L)
+      .orderBy(col("o_orderkey")).collect()
+    val full = Lake.read(spark, dir)
+      .filter(col("o_custkey").between(20L, 80L) && col("o_days").between(400L, 900L))
+      .orderBy(col("o_orderkey")).collect()
+    assert(full.nonEmpty && box.sameElements(full))
+    // a pre-z-order version lacks the stats: readable, never skipped
+    assert(Lake.boxFiles(dir, "o_custkey", 20L, 80L, "o_days", 400L, 900L, 1L).size ===
+      Lake.manifest(dir, 1L).files.size)
+  }
+
   test("changes: insert/update-pair/delete classified exactly; copied rows excluded") {
     val dir = freshDir("cdf")
     val orders = Tables.orders(spark, sf)
