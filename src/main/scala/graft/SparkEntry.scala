@@ -242,6 +242,12 @@ object SparkEntry {
     // round-7: OPTIMIZE ZORDER BY + 2-D manifest-stat box read
     ("x8_lake_zorder", graft.lake.LakeQueries.lakeZorder _,
       Some(graft.lake.LakeQueries.lakeZorderSql)),
+    // round-7: RESTORE TO VERSION — rollback as a commit, history kept
+    ("x8_lake_restore", graft.lake.LakeQueries.lakeRestore _,
+      Some(graft.lake.LakeQueries.lakeRestoreSql)),
+    // round-7: value-based RANGE window frames (trailing 90-day sums)
+    ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
+      Some(graft.analytics.FunctionSweeps.rangeFramesSql)),
     ("x7_hll_merge", StarQueries.hllMerge _, Some(StarQueries.hllMergeSql)),
     ("x3_centroids", Similarity.labelCentroids _, Some(Similarity.labelCentroidsSql)),
     ("x9_dataset_card", TextStats.datasetCard _, Some(TextStats.datasetCardSql)),
@@ -280,6 +286,16 @@ object SparkEntry {
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
     ("x0_data_quality", graft.ext.DataQuality.dataQuality _,
       Some(graft.ext.DataQuality.dataQualitySql)),
+    // round-7: privacy release gate — QID group sizes vs k, integer
+    // suppression accounting per stratum
+    ("x0_k_anon", graft.ext.DataQuality.kAnonymity _,
+      Some(graft.ext.DataQuality.kAnonymitySql)),
+    // round-7: stream-static broadcast enrichment under the hash gate
+    ("x6_stream_enrich", graft.streaming.EventStream.streamedEnrich _,
+      Some(graft.streaming.EventStream.streamedEnrichSql)),
+    // round-7: parquet -> ORC -> aggregate, oracle reads the parquet
+    ("x7_orc_roundtrip", graft.sources.Formats.orcRoundtrip _,
+      Some(graft.sources.Formats.orcRoundtripSql)),
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -392,6 +392,45 @@ object FunctionSweeps {
       |WHERE l_orderkey < 2000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Registered query `x7_range_frames` — VALUE-based (RANGE) window
+    * frames, the window mode [[windowFuncs]]'s ROWS sweep doesn't
+    * cover: per customer, each order sees the revenue and order count
+    * of the trailing 90-day window ending at its own order day
+    * (`RANGE BETWEEN 90 PRECEDING AND CURRENT ROW` over an integer day
+    * offset). RANGE frames are peer-inclusive — same-day orders share
+    * one frame regardless of their order within the partition — so the
+    * result is deterministic under shuffle reordering by construction,
+    * and the revenue is integer cents. One shuffle on the partition
+    * key; frames are evaluated by Spark's sliding WindowExec in a
+    * single pass over each sorted partition. */
+  def rangeFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-90, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("d").as("order_day"),
+        sum(col("cents")).over(w).as("trail90_cents"),
+        count(lit(1)).over(w).as("trail90_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val rangeFramesSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey < 200)
+      |SELECT o_custkey, o_orderkey, d AS order_day,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS trail90_cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS trail90_orders
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+      |  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Fixed-grid histogram: 20 equi-width buckets of `o_totalprice`
     * over the observed [min, max]. The bucket id is computed in
     * integer CENTS (`((c - mn) * 20) div (mx - mn + 1)`) — the

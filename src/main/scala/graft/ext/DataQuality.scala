@@ -87,4 +87,50 @@ object DataQuality {
       |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM rows_out
       |ORDER BY check_name""".stripMargin
+
+  /** Registered query `x0_k_anon` — K-ANONYMITY audit, the release
+    * gate a dataset faces before leaving the pipeline: rows whose
+    * quasi-identifier combination (order status × priority × order
+    * day) is shared by fewer than k=5 rows are re-identifiable and
+    * must be suppressed or generalized. Reported per (status,
+    * priority) stratum: group counts, violating-group counts, rows
+    * that suppression would remove, and the suppression rate in
+    * integer basis points. Two aggregation passes over one scan
+    * (QID-group sizes, then the stratum rollup — both map-side
+    * combinable, shuffle keyed by the QID then the stratum); no
+    * windows, no driver state. At 100 TB this is exactly the shape a
+    * privacy sweep runs, and k tightens per release policy. */
+  val KAnonThreshold = 5L
+
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    g.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < KAnonThreshold, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("n") < KAnonThreshold, col("n")).otherwise(0L)).as("n_suppressed"),
+        sum(col("n")).as("n_rows"))
+      .withColumn("suppressed_bp", expr("n_suppressed * 10000L div n_rows"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH g AS (
+       |  SELECT o_orderstatus, o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+       |    count(*) AS n
+       |  FROM orders GROUP BY 1, 2, 3)
+       |SELECT o_orderstatus, o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(coalesce(sum(CASE WHEN n < $KAnonThreshold THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_violating,
+       |  CAST(coalesce(sum(CASE WHEN n < $KAnonThreshold THEN n ELSE 0 END), 0) AS BIGINT)
+       |    AS n_suppressed,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(CASE WHEN n < $KAnonThreshold THEN n ELSE 0 END), 0) AS BIGINT)
+       |    * 10000 // CAST(sum(n) AS BIGINT) AS suppressed_bp
+       |FROM g
+       |GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 }

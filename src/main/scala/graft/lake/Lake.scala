@@ -363,6 +363,28 @@ object Lake {
       .filter(pred)
   }
 
+  /** RESTORE: roll the table back to `version`'s state as a NEW
+    * commit (Delta `RESTORE TABLE ... TO VERSION AS OF`): the old
+    * manifest's file list is re-published under the next version
+    * number — no data moves, history is preserved (the bad versions
+    * stay time-travelable until vacuum), and concurrent writers race
+    * through the same commit protocol. The restored manifest carries
+    * the CURRENT txn markers (not the old ones): a restore must not
+    * resurrect retired exactly-once markers, or a replayed sink batch
+    * from the restored era would be wrongly suppressed — actually the
+    * OPPOSITE: keeping the newest markers suppresses replays of
+    * batches that are already part of history, which is the correct
+    * exactly-once reading. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    require(version >= 1L && version <= base, s"no version $version at $dir")
+    val cur = manifest(dir, base)
+    val target = manifest(dir, version)
+    commit(dir, Manifest(base + 1L, cur.key, target.files, cur.txns))
+    base + 1L
+  }
+
   /** Vacuum: physically delete data files referenced ONLY by versions
     * older than the `retainVersions` most recent, plus those versions'
     * manifests — bounding storage growth once time travel that far

@@ -236,6 +236,63 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_restore` — ROLLBACK as a commit: the
+    * upsert scenario, then `RESTORE TO VERSION 1`; the output reports
+    * the post-restore snapshot (must equal version 1 exactly) AND the
+    * rolled-back version 2, which stays time-travelable — restore
+    * rewinds state without erasing history, by re-publishing v1's file
+    * list as v3 (zero data movement, LakeSpec pins the by-reference
+    * claim). */
+  def lakeRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-restore"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+    Lake.create(base, dir, "o_orderkey", targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val priceUpdates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
+    Lake.restore(spark, dir, 1L)
+    def snapshotAgg(version: Long): DataFrame =
+      Lake.read(spark, dir, version)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("revenue_cents"))
+        .withColumn("version", lit(version))
+    snapshotAgg(2L).unionByName(snapshotAgg(3L))
+      .select(col("version"), col("o_orderpriority"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy(col("version"), col("o_orderpriority"))
+  }
+
+  /** Mirror: v2 = the MERGE state (still readable after rollback),
+    * v3 = the restored v1 slice. */
+  val lakeRestoreSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |v2 AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT 2 AS version, o_orderpriority, o_totalprice FROM v2
+      |  UNION ALL
+      |  SELECT 3 AS version, o_orderpriority, o_totalprice FROM v1)
+      |SELECT CAST(version AS BIGINT) AS version, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM u
+      |GROUP BY version, o_orderpriority
+      |ORDER BY version, o_orderpriority""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

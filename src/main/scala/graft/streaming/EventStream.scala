@@ -327,6 +327,64 @@ object EventStream {
       .orderBy(col("err_id"))
   }
 
+  /** Registered query `x6_stream_enrich` (round 7) — STREAM-STATIC
+    * dimension enrichment: purchases stream through `readStream` and
+    * join a BATCH nation dimension (broadcast: the static side ships
+    * once per executor, never into join state — the standard shape for
+    * enriching an unbounded stream with a bounded dimension; contrast
+    * the stream-stream join, whose BOTH sides hold state). Landed
+    * through the replay-safe sink, read back, aggregated per nation,
+    * and hash-gated against the equivalent batch join — loss,
+    * duplication, or a stale dimension row all break the match. At
+    * scale the static side refreshes per micro-batch (Spark re-plans
+    * the batch side each trigger), which is exactly how slowly-changing
+    * dimensions ride along. */
+  def streamedEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new java.io.File(root,
+      "graft-stream-enrich-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val nation = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val purchases = graft.Tables.normalizeEventTime(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nk", col("user_id") % 25)
+    val joined = purchases
+      .join(broadcast(nation), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("value"))
+    val query = joined.writeStream
+      .foreachBatch(landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    spark.read.parquet(landDir).drop("batch_id")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Mirror: the same enrichment as one batch join. */
+  val streamedEnrichSql: String =
+    """SELECT n_name, count(*) AS n_purchases,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |WHERE e.event_type = 'purchase'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Mirror of [[streamedLakeIngest]]'s snapshot aggregate over the
     * raw events — the streamed, transactionally-landed table must be
     * indistinguishable from the source. */

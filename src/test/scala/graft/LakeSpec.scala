@@ -226,6 +226,26 @@ class LakeSpec extends SparkSpec {
       Lake.manifest(dir, 1L).files.size)
   }
 
+  test("restore: rolls back by re-publishing old files; history intact, no data copied") {
+    val dir = freshDir("restore")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val v1 = Lake.read(spark, dir, 1L).collect().map(_.toSeq).toSet
+    Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 3 === 0))
+    assert(Lake.restore(spark, dir, 1L) === 3L)
+    // restored state IS v1, and the manifest references v1's files
+    assert(Lake.read(spark, dir).collect().map(_.toSeq).toSet === v1)
+    assert(Lake.manifest(dir, 3L).files === Lake.manifest(dir, 1L).files)
+    // the rolled-back version stays time-travelable
+    assert(Lake.read(spark, dir, 2L).count() === orders.count())
+    // and the restore step's change feed is exactly the upsert undone
+    val feed = Lake.changes(spark, dir, 2L, 3L)
+    assert(feed.filter(col("_change_type") === "delete").count() ===
+      orders.filter(col("o_orderkey") % 3 === 0).count())
+    assert(feed.filter(col("_change_type") === "insert").count() === 0L)
+  }
+
   test("changes: insert/update-pair/delete classified exactly; copied rows excluded") {
     val dir = freshDir("cdf")
     val orders = Tables.orders(spark, sf)
