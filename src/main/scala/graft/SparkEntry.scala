@@ -107,6 +107,10 @@ object SparkEntry {
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),
+    // round-7: REAL distributed BPE training (8 merges over the vocab)
+    // + tokenizer application with per-source compression accounting
+    ("x4_bpe_merges", graft.ext.Bpe.bpeMerges _, Some(graft.ext.Bpe.bpeMergesSql)),
+    ("x4_bpe_tokens", graft.ext.Bpe.bpeTokens _, Some(graft.ext.Bpe.bpeTokensSql)),
     // round-7: the registered rfm IS the distributed-rank scale path
     // (ntile-exact — same oracle); the naive global-ntile formulation
     // (EventWindows.rfmSegments) is demoted to a spec-only baseline,
