@@ -249,6 +249,9 @@ object SparkEntry {
     // round-7: RESTORE TO VERSION — rollback as a commit, history kept
     ("x8_lake_restore", graft.lake.LakeQueries.lakeRestore _,
       Some(graft.lake.LakeQueries.lakeRestoreSql)),
+    // round-7: write-audit-publish — dirty batches never publish
+    ("x8_lake_wap", graft.lake.LakeQueries.lakeWap _,
+      Some(graft.lake.LakeQueries.lakeWapSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

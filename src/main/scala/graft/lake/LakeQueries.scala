@@ -236,6 +236,77 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_wap` — WRITE-AUDIT-PUBLISH, the
+    * lakehouse governance pattern (Iceberg WAP / Delta staging
+    * branches): every batch lands first in a STAGING Lake table, the
+    * declarative audit runs against exactly the artifact that would
+    * publish, and only a clean audit promotes it into the production
+    * table — a dirty batch never becomes a committed version anywhere
+    * near production. The scenario runs two attempts against the
+    * non-`%3` base: a poisoned batch (the `%3` inserts with every
+    * `%97` key's price negated) that must be REJECTED, then the clean
+    * batch that must publish as version 2. The output reports, per
+    * attempt: batch size, violation count, the publish decision, the
+    * production version after the attempt, and the production row
+    * count — all mirrored relationally, so a gate that lets the bad
+    * batch through (or blocks the good one) fails the driver hash. */
+  def lakeWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val prod = scratchDir(sfDir) + "-wap"
+    val stage = scratchDir(sfDir) + "-wap-stage"
+    rm(new java.io.File(prod)); rm(new java.io.File(stage))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), prod, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val poisoned = inserts.withColumn("o_totalprice",
+      when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    import spark.implicits._
+    val attempts = Seq(1L -> poisoned, 2L -> inserts).map { case (attempt, batch) =>
+      rm(new java.io.File(stage))
+      // WRITE: the batch lands as a staging Lake table (full protocol,
+      // so the audited bytes are the publishable bytes)
+      Lake.create(batch, stage, "o_orderkey", targetFiles = 2)
+      val staged = Lake.read(spark, stage)
+      // AUDIT: declarative gate over the staged artifact
+      val Row2 = staged.agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad")).head()
+      val (nRows, nViol) = (Row2.getLong(0), Row2.getLong(1))
+      // PUBLISH: promote only a clean audit
+      val published = nViol == 0L
+      if (published) { Lake.upsert(spark, prod, staged); () }
+      val version = Lake.latestVersion(prod)
+      val tableRows = Lake.read(spark, prod).count()
+      (attempt, nRows, nViol, published, version, tableRows)
+    }
+    attempts.toDF("attempt", "n_batch_rows", "n_violations", "published",
+        "version_after", "table_rows")
+      .orderBy(col("attempt"))
+  }
+
+  /** Mirror: attempt 1 is rejected (violations = the `%97` slice of
+    * the batch, table stays v1), attempt 2 publishes (v2 = all
+    * orders). */
+  val lakeWapSql: String =
+    """WITH base AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 <> 0),
+      |batch AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0),
+      |bad AS (
+      |  SELECT count(*) AS n FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 97 = 0),
+      |total AS (SELECT count(*) AS n FROM orders)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS attempt,
+      |    CAST(batch.n AS BIGINT) AS n_batch_rows,
+      |    CAST(bad.n AS BIGINT) AS n_violations,
+      |    FALSE AS published,
+      |    CAST(1 AS BIGINT) AS version_after,
+      |    CAST(base.n AS BIGINT) AS table_rows
+      |  FROM batch, bad, base
+      |  UNION ALL
+      |  SELECT 2, CAST(batch.n AS BIGINT), 0, TRUE, 2, CAST(total.n AS BIGINT)
+      |  FROM batch, total)
+      |ORDER BY attempt""".stripMargin
+
   /** Registered query `x8_lake_restore` — ROLLBACK as a commit: the
     * upsert scenario, then `RESTORE TO VERSION 1`; the output reports
     * the post-restore snapshot (must equal version 1 exactly) AND the
