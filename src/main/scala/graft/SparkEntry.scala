@@ -104,6 +104,8 @@ object SparkEntry {
     ("x5_resize_meta", Multimodal.resizeMeta _, Some(Multimodal.resizeMetaSql)),
     // real javax.imageio PNG encode->decode roundtrip under the hash gate
     ("x5_decode_meta", Multimodal.decodeMeta _, Some(Multimodal.decodeMetaSql)),
+    // round-7: perceptual-hash (dHash) image dedup over the real codec
+    ("x5_phash_dedup", Multimodal.phashDedup _, Some(Multimodal.phashDedupSql)),
     ("x7_lateral", graft.analytics.FunctionSweeps.lateralTopOrder _,
       Some(graft.analytics.FunctionSweeps.lateralTopOrderSql)),
     ("x4_quality_gate", TextStats.qualityGate _, Some(TextStats.qualityGateSql)),

@@ -342,6 +342,84 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  case class Hashed(media_id: Long, dhash: Long)
+
+  /** Fifth oracled X5 query (round 7): PERCEPTUAL-HASH image dedup —
+    * the image-side analog of the text near-dup family, and the
+    * standard first pass of an image-dedup pipeline (resize-normalize
+    * → difference hash → bucket by hash): every asset runs the REAL
+    * codec chain (encode → `ImageIO.read` → nearest-neighbor resample
+    * to [[ResizeW]]×[[ResizeH]]) and folds a 56-bit dHash (per row,
+    * bit k = 1 iff px[x] < px[x+1] — gradient signs survive uniform
+    * brightness/contrast shifts, which is why dHash is a PERCEPTUAL
+    * hash; 8×7 comparisons keep the fold clear of the BIGINT sign
+    * bit). Assets sharing a dHash are duplicate candidates; the
+    * canonical copy is the lowest media id. The DuckDB mirror re-
+    * derives every bit from [[resizeMetaSql]]'s arithmetic pixel
+    * model, so the driver gate verifies the hash itself.
+    *
+    * Scale shape: decode+hash is partition-local mapPartitions (no
+    * payload shuffle); the dedup tail shuffles slim (id, hash) rows
+    * keyed by hash — identical physics to `x1_exact_dedup`, with the
+    * hash domain bounded by the raster, not the corpus. */
+  def phashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val hashed = pngTable(spark, sfDir)
+      .mapPartitions { it =>
+        it.map { r =>
+          val px = ImageIoCodec.resizeNearest(r.png, ResizeW, ResizeH)
+          var hsh = 0L
+          var k = 0
+          while (k < 56) {
+            val left = (k / 7) * ResizeW + (k % 7)
+            if (px(left) < px(left + 1)) hsh |= 1L << (55 - k)
+            k += 1
+          }
+          Hashed(r.media_id, hsh)
+        }
+      }
+      .toDF()
+    val g = Window.partitionBy(col("dhash"))
+    hashed.select(col("media_id"), col("dhash"),
+        count(lit(1)).over(g).as("group_size"),
+        (min(col("media_id")).over(g) === col("media_id")).as("is_canonical"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Mirror: the 8×8 arithmetic raster of [[resizeMetaSql]], each of
+    * the 56 gradient bits re-derived and folded with the same bit
+    * positions, then the same hash-partitioned group stats. */
+  val phashDedupSql: String = {
+    val (rw, rh) = (ResizeW, ResizeH)
+    s"""WITH d AS (
+       |  SELECT doc_id AS media_id, text,
+       |    16 + (doc_id % 17) AS sw,
+       |    16 + (length(text) % 13) AS sh
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id,
+       |    [CASE WHEN ((i // $rw) * sh // $rh) * sw + ((i % $rw) * sw // $rw)
+       |            < least(length(text), sw * sh)
+       |          THEN ascii(substr(text,
+       |            ((i // $rw) * sh // $rh) * sw + ((i % $rw) * sw // $rw) + 1, 1))
+       |          ELSE 0 END
+       |     FOR i IN range(0, ${rw * rh})] AS p
+       |  FROM d),
+       |hashes AS (
+       |  SELECT media_id,
+       |    CAST(list_sum(
+       |      [CASE WHEN p[(k // 7) * $rw + (k % 7) + 1] < p[(k // 7) * $rw + (k % 7) + 2]
+       |            THEN CAST(1 AS BIGINT) << (55 - k) ELSE CAST(0 AS BIGINT) END
+       |       FOR k IN range(0, 56)]) AS BIGINT) AS dhash
+       |  FROM px)
+       |SELECT media_id, dhash,
+       |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size,
+       |  media_id = min(media_id) OVER (PARTITION BY dhash) AS is_canonical
+       |FROM hashes
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Arithmetic model of the real pixel pipeline: the source raster
     * packs text bytes row-major into w=16+id mod 17, h=16+len mod 13
     * (zero-padded, truncated past w·h — [[pngTable]]'s layout, decode
