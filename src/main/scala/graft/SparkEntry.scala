@@ -209,6 +209,13 @@ object SparkEntry {
     ("x2_shingle_stats", Dedup.shingleStats _, Some(Dedup.shingleStatsSql)),
     ("x9_curriculum", graft.ext.Sampling.curriculum _, Some(graft.ext.Sampling.curriculumSql)),
     ("x9_pack_shards", graft.ext.Sampling.packShards _, Some(graft.ext.Sampling.packShardsSql)),
+    // round-7: the shard plan materialized as a partitioned layout,
+    // read back off the landed files — same oracle as the plan
+    ("x9_shard_export", graft.ext.Sampling.shardExport _,
+      Some(graft.ext.Sampling.packShardsSql)),
+    // round-7: streaming exact dedup at the door, driver-oracled
+    ("x6_stream_dedup", graft.streaming.DocStream.streamedDedup _,
+      Some(graft.streaming.DocStream.streamedDedupSql)),
     // round-5: padding-waste planner (choose L before running the packer)
     ("x9_padding_waste", graft.ext.Sampling.paddingWaste _, Some(graft.ext.Sampling.paddingWasteSql)),
     ("q18_large_orders", StarQueries.largeOrders _, Some(StarQueries.largeOrdersSql)),

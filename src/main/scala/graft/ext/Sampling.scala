@@ -234,6 +234,43 @@ object Sampling {
       .orderBy(col("source"), col("shard"))
   }
 
+  /** Registered query `x9_shard_export` — [[packShards]] taken from
+    * plan to ARTIFACT: the shard assignment is materialized as an
+    * actual partitioned layout (`.../source=S/shard=N/` — the
+    * WebDataset-style training handoff directory), read BACK off the
+    * landed files, and re-aggregated; the query shares [[packShards]]'
+    * oracle, so a row lost, duplicated, or mis-partitioned by the
+    * writer breaks the driver hash. Scale shape: the write is one
+    * shuffle on (source, shard) via `partitionBy` (dynamic overwrite,
+    * same sink contract as the streaming landing); the read-back scan
+    * recovers partition columns from the directory layout — which is
+    * the point: the artifact itself carries the assignment. */
+  def shardExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 4000L
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(root,
+      "graft-shards-" + java.lang.Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), expr("n_chars div 4 + 1").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("shard", expr(s"(cum - toks) div $budget"))
+      .select(col("doc_id"), col("source"), col("shard"), col("toks"))
+      .write.partitionBy("source", "shard").mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(col("source"), col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("sum_toks"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard"))
+  }
+
   val packShardsSql: String =
     """WITH t AS (
       |  SELECT doc_id, source, n_chars // 4 + 1 AS toks FROM documents),

@@ -143,4 +143,55 @@ object DocStream {
         math.max(newest / 1000L, state.getCurrentWatermarkMs() + 1), timeoutPad)
     hits.iterator
   }
+
+  /** Registered query `x6_stream_dedup` (round 7) — the X1 exact-dedup
+    * operator at the STREAM door, driver-oracled: documents arrive via
+    * a file-source `readStream`, `dropDuplicates` on the content hash
+    * keeps each key's first arrival (state is hash-partitioned by the
+    * dedup key; the production unbounded form swaps in
+    * `dropDuplicatesWithinWatermark`, spec-pinned in StreamingSpec),
+    * survivors land through the replay-safe sink, and the read-back
+    * joins batch-side copy counts. The oracle is the batch per-hash
+    * aggregate — a lost key, a duplicate admitted, or a replay landing
+    * twice all break the hash match. */
+  def streamedDedup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val src = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(src).schema
+    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+    val base = new java.io.File(root,
+      "graft-stream-dedup-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val survivors = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(md5(col("text")).as("text_md5"))
+      .dropDuplicates("text_md5")
+    val query = survivors.writeStream
+      .foreachBatch(EventStream.landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    val copies = graft.Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+    spark.read.parquet(landDir).drop("batch_id")
+      .join(copies, Seq("text_md5"))
+      .orderBy(col("text_md5"))
+  }
+
+  /** Mirror: the batch per-hash copy counts — the streamed survivor
+    * set must be exactly the distinct hash set. */
+  val streamedDedupSql: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_md5""".stripMargin
 }
