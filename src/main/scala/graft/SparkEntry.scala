@@ -198,6 +198,11 @@ object SparkEntry {
     // round-5: single-pass mergeable embedding moments (drift monitor)
     ("x3_covariance", Similarity.covarianceReport _, Some(Similarity.covarianceReportSql)),
     ("x3_sq_error", Similarity.sqErrorReport _, Some(Similarity.sqErrorReportSql)),
+    // round-7: exact per-dim quantiles (shape-drift audit next to the
+    // moments report)
+    ("x3_dim_quantiles", Similarity.dimQuantiles _, Some(Similarity.dimQuantilesSql)),
+    // round-7: duplicate-graph cluster-size histogram (memoized CC)
+    ("x2_cc_stats", Dedup.ccStats _, Some(Dedup.ccStatsSql)),
     // round-3 additions
     ("x7_zorder", graft.analytics.ZOrder.zorderTiles _,
       Some(graft.analytics.ZOrder.zorderTilesSql)),
@@ -300,6 +305,10 @@ object SparkEntry {
     // round-7: driver-gated recall@k of every ANN family vs exact
     ("x3_recall_report", Similarity.recallReport _, Some(Similarity.recallReportSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
+    // round-7: sketch-quality calibration — hamming vs true edit
+    // distance over the candidate set (the threshold-tuning table)
+    ("x2_sketch_calibration", Dedup.sketchCalibration _,
+      Some(Dedup.sketchCalibrationSql)),
     ("x0_data_quality", graft.ext.DataQuality.dataQuality _,
       Some(graft.ext.DataQuality.dataQualitySql)),
     // round-7: privacy release gate — QID group sizes vs k, integer
@@ -326,8 +335,8 @@ object SparkEntry {
     * always carries both accountings. */
   val memoizedQueries: Set[String] = Set(
     "x2_minhash_lsh", "x2_retention", "x9_dedup_mix", // minhash pair set
-    "x2_dup_clusters", "x2_canonical", // CC cluster map (over minhash pairs)
-    "x2_simhash", "x2_edit_verify", // simhash candidate set
+    "x2_dup_clusters", "x2_canonical", "x2_cc_stats", // CC cluster map (over minhash pairs)
+    "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment") // rare-shingle pair frame
 
   def oracleSql: Map[String, String] =

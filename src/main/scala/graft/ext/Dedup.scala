@@ -982,6 +982,55 @@ object Dedup {
        |  <= greatest(length(ta.text), length(tb.text))
        |ORDER BY i, j""".stripMargin
 
+  /** Registered query `x2_sketch_calibration` — the sketch-quality
+    * dashboard for the simhash family (the minhash analog of
+    * `x3_recall_report`): per hamming distance of the banding-bounded
+    * candidate set, how far apart are the texts REALLY (levenshtein
+    * permille of the longer text)? A production dedup pipeline keeps
+    * this table next to its thresholds — it is how the hamming cut
+    * and the edit-verify bar get tuned from data instead of folklore.
+    * Rides the memoized pair set; the per-pair work is the same two
+    * doc-keyed text joins as [[editVerify]] and the tail is a
+    * ≤4-group aggregate. All integer; mirrored end to end (md5
+    * simhash, pigeonhole banding, levenshtein) so the driver verifies
+    * the calibration numbers themselves. */
+  def sketchCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    simhashPairs(spark, sfDir)
+      .join(t.select(col("doc_id").as("i"), col("text").as("ta")), Seq("i"))
+      .join(t.select(col("doc_id").as("j"), col("text").as("tb")), Seq("j"))
+      .select(col("hamming"),
+        // `div`, not `/`: Column./ is DOUBLE division
+        expr("""(cast(levenshtein(ta, tb) as bigint) * 1000)
+                div greatest(length(ta), length(tb))""").as("ed_permille"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(ed_permille) div count(1)").as("mean_ed_permille"),
+        min(col("ed_permille")).as("min_ed_permille"),
+        max(col("ed_permille")).as("max_ed_permille"))
+      .orderBy(col("hamming"))
+  }
+
+  val sketchCalibrationSql: String =
+    s"""WITH p AS (
+       |$simhashSql
+       |),
+       |t AS (SELECT doc_id, text FROM documents),
+       |e AS (
+       |  SELECT p.hamming,
+       |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 1000
+       |      // greatest(length(ta.text), length(tb.text)) AS ed_permille
+       |  FROM p
+       |  JOIN t ta ON ta.doc_id = p.i
+       |  JOIN t tb ON tb.doc_id = p.j)
+       |SELECT hamming, count(*) AS n_pairs,
+       |  CAST(sum(ed_permille) // count(*) AS BIGINT) AS mean_ed_permille,
+       |  CAST(min(ed_permille) AS BIGINT) AS min_ed_permille,
+       |  CAST(max(ed_permille) AS BIGINT) AS max_ed_permille
+       |FROM e
+       |GROUP BY hamming
+       |ORDER BY hamming""".stripMargin
+
   // ---- X2: duplicate clustering (connected components) ------------------
 
   /** Min-label connected components over an undirected (i, j) edge
@@ -1198,6 +1247,39 @@ object Dedup {
       |  doc_id = cluster AS is_rep
       |FROM labels
       |ORDER BY doc_id""".stripMargin
+
+  /** Registered query `x2_cc_stats` — the duplicate-graph shape
+    * report: how many clusters of each size does the near-dup graph
+    * contain, and how many documents do they hold? The first question
+    * a dedup review asks (a few huge clusters vs many pairs changes
+    * the retention policy). Rides the memoized cluster map; the tail
+    * is two map-combinable aggregates over slim (doc, cluster) rows. */
+  def ccStats(spark: SparkSession, sfDir: String): DataFrame =
+    clusterMap(spark, sfDir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  /** Mirror: [[dupClustersSql]]'s transitive-closure `labels` CTE,
+    * re-tailed with the size histogram (same tail-surgery discipline
+    * as [[canonicalByQualitySql]]). NOTE: `labels` assigns every doc a
+    * cluster (singletons label themselves), matching [[clusterMap]]'s
+    * all-docs frame. */
+  val ccStatsSql: String = {
+    val tail = "SELECT doc_id, cluster,\n" +
+      "  count(*) OVER (PARTITION BY cluster) AS cluster_size,\n" +
+      "  doc_id = cluster AS is_rep\nFROM labels\nORDER BY doc_id"
+    require(dupClustersSql.endsWith(tail),
+      "dupClustersSql tail changed; update ccStatsSql")
+    dupClustersSql.dropRight(tail.length) +
+      """SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+        |GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin
+  }
 
   /** Oracle for [[canonicalByQuality]]: [[dupClustersSql]]'s
     * transitive-closure `labels` CTE, re-tailed with the quality join

@@ -626,6 +626,64 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  val QuantileDims = 8
+
+  /** Registered query `x3_dim_quantiles` — EXACT per-dimension
+    * embedding quantiles over the leading [[QuantileDims]] dims: the
+    * distribution-drift audit that pairs with [[covarianceReport]]
+    * (moments catch mean/scale drift; quantiles catch shape drift —
+    * heavy tails, clipping, dead dims). Quantile semantics are the
+    * deterministic DISCRETE pick `value at row ⌊q·(n−1)⌋+1` of the
+    * (value, vec_id)-ordered dim partition — row_number over a
+    * dim-partitioned window, no interpolation, so both engines agree
+    * bit-for-bit on integers. Scale note: this is the exact audit
+    * form (one sort per dim partition — 8 partition-sized sorts);
+    * the streaming/continuous form swaps in `approx_percentile`
+    * sketches, trading exactness for mergeability, and keeps this
+    * query as its occasional ground-truth check. */
+  def dimQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${QuantileDims - 1}), d ->
+           |  named_struct('dim', d,
+           |    'x', cast(round(cast(embedding[d] as double) * 10000000) as bigint)))"""
+          .stripMargin)).as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"), col("p.x").as("x"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"), col("vec_id"))
+    vals
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("dim"))))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rk") === expr("(n - 1) div 4 + 1"), col("x"))).as("q25"),
+        max(when(col("rk") === expr("(n - 1) * 2 div 4 + 1"), col("x"))).as("q50"),
+        max(when(col("rk") === expr("(n - 1) * 3 div 4 + 1"), col("x"))).as("q75"),
+        min(col("x")).as("v_min"), max(col("x")).as("v_max"))
+      .orderBy(col("dim"))
+  }
+
+  val dimQuantilesSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, d AS dim, iv[d + 1] AS x
+       |  FROM q0 CROSS JOIN (SELECT unnest(range(0, $QuantileDims)) AS d)),
+       |r AS (
+       |  SELECT dim, x, vec_id,
+       |    row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rk,
+       |    count(*) OVER (PARTITION BY dim) AS n
+       |  FROM v)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(max(n) AS BIGINT) AS n,
+       |  CAST(max(CASE WHEN rk = (n - 1) // 4 + 1 THEN x END) AS BIGINT) AS q25,
+       |  CAST(max(CASE WHEN rk = (n - 1) * 2 // 4 + 1 THEN x END) AS BIGINT) AS q50,
+       |  CAST(max(CASE WHEN rk = (n - 1) * 3 // 4 + 1 THEN x END) AS BIGINT) AS q75,
+       |  CAST(min(x) AS BIGINT) AS v_min, CAST(max(x) AS BIGINT) AS v_max
+       |FROM r
+       |GROUP BY dim
+       |ORDER BY dim""".stripMargin
+
   /** Registered ANN families for [[recallReport]] — name → query.
     * Order here is the report's row order (sorted by name at output). */
   private[graft] val RecallFamilies: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
