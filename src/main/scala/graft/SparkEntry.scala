@@ -266,6 +266,9 @@ object SparkEntry {
     // round-7: write-audit-publish — dirty batches never publish
     ("x8_lake_wap", graft.lake.LakeQueries.lakeWap _,
       Some(graft.lake.LakeQueries.lakeWapSql)),
+    // round-7: count(*) served from manifest stats, scan-verified
+    ("x8_lake_meta_count", graft.lake.LakeQueries.lakeMetaCount _,
+      Some(graft.lake.LakeQueries.lakeMetaCountSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),
@@ -302,6 +305,9 @@ object SparkEntry {
     // compression family (codes, not scalars), sampled codebook,
     // integer-deterministic and fully mirrored
     ("x3_ann_pq", Similarity.pqAdcTopK _, Some(Similarity.pqAdcTopKSql)),
+    // round-7: ANN against the PERSISTED bucketed cell table — the
+    // sketch-table lifecycle for vectors; same oracle as x3_ann_ivf
+    ("x3_ivf_table", Similarity.ivfTableTopK _, Some(Similarity.ivfGridTopKSql)),
     // round-7: driver-gated recall@k of every ANN family vs exact
     ("x3_recall_report", Similarity.recallReport _, Some(Similarity.recallReportSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),

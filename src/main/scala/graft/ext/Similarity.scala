@@ -319,6 +319,58 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  val IvfTableBuckets = 8
+
+  /** Persist the IVF index — (cell, vec_id, embedding, n2) as a
+    * managed table BUCKETED on the cell id — and return its name: the
+    * vector-side sketch-table lifecycle ([[graft.ext.Dedup
+    * .bandIndexTable]]'s discipline applied to ANN). In production the
+    * index is built once per corpus snapshot and every query batch
+    * joins the LAYOUT. */
+  private[graft] def ivfCellTable(spark: SparkSession, sfDir: String): String = {
+    val table = "graft_ivf_idx_" +
+      java.lang.Integer.toHexString(sfDir.hashCode).toLowerCase
+    val corpus = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", gridCellCol)
+      .select(col("cell"), col("vec_id"), col("embedding"), col("n2"))
+    graft.sink.Sinks.replaceBucketed(corpus, table, IvfTableBuckets, Seq("cell"))
+    table
+  }
+
+  /** Registered query `x3_ivf_table` — ANN against the PERSISTED
+    * index: queries compute their multiprobe cells fresh (the online
+    * side, NumQueries rows) and join the bucketed cell table — the
+    * corpus side's cells, norms, and vectors come off LAYOUT, not
+    * recompute, and the bucketed scan needs no exchange on its side
+    * of the join. Same pipeline, same answer, same oracle as
+    * [[ivfGridTopK]] — production physics instead of per-query index
+    * builds. (The build itself runs inside the query here, as with
+    * `x2_sketch_table`, so Bench prices the full lifecycle.) */
+  def ivfTableTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = spark.table(ivfCellTable(spark, sfDir))
+    val queries = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < NumQueries)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", gridCellCol)
+      .withColumn("dims", expr(s"""array_sort(transform(sequence(0, ${GridDims - 1}), d ->
+        |named_struct('a', abs(cast(round(cast(embedding[d] as double) * 10000000) as bigint)), 'd', d)))""".stripMargin))
+      .withColumn("probe", explode(expr(
+        s"concat(array(cell), transform(slice(dims, 1, ${IvfProbes - 1}), s -> cell ^ shiftleft(1, s.d)))")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2"), col("probe"))
+    val cands = idx.join(broadcast(queries), col("cell") === col("probe"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val SqOverfetch = 4
 
   /** SQ8 compressed-scan + exact re-rank — the third classic ANN

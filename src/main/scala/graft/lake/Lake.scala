@@ -363,6 +363,17 @@ object Lake {
       .filter(pred)
   }
 
+  /** Metadata-only row count: Σ of the manifest's per-file row
+    * counts — `SELECT count(*)` answered without opening a single
+    * data file (what Delta serves from its log stats). Exact by
+    * construction: every commit records the counts the writer's own
+    * stats pass measured. */
+  def metaCount(dir: String, version: Long = 0L): Long = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    manifest(dir, v).files.map(_.rows).sum
+  }
+
   /** RESTORE: roll the table back to `version`'s state as a NEW
     * commit (Delta `RESTORE TABLE ... TO VERSION AS OF`): the old
     * manifest's file list is re-published under the next version

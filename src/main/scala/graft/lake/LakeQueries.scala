@@ -236,6 +236,45 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_meta_count` — metadata-served
+    * aggregates: after a create + upsert + delete history, the
+    * manifest's per-file row counts answer `count(*)` for EVERY
+    * version without opening a data file ([[Lake.metaCount]]); the
+    * query emits the metadata count next to an actual scan count per
+    * version and a consistency flag. At 100 TB this is the difference
+    * between a catalog lookup and a table scan for the most common
+    * query in any warehouse. */
+  def lakeMetaCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-meta"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 3 === 0))
+    Lake.delete(spark, dir,
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    import spark.implicits._
+    (1L to 3L).map { v =>
+      val meta = Lake.metaCount(dir, v)
+      val scan = Lake.read(spark, dir, v).count()
+      (v, meta, scan, meta == scan)
+    }.toDF("version", "n_meta", "n_scan", "consistent")
+      .orderBy(col("version"))
+  }
+
+  /** Mirror: the three version states counted relationally; the
+    * metadata and scan paths must agree. */
+  val lakeMetaCountSql: String =
+    """WITH c AS (
+      |  SELECT 1 AS version, count(*) AS n FROM orders WHERE o_orderkey % 3 <> 0
+      |  UNION ALL SELECT 2, count(*) FROM orders
+      |  UNION ALL SELECT 3, count(*) FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |  CAST(n AS BIGINT) AS n_meta, CAST(n AS BIGINT) AS n_scan,
+      |  TRUE AS consistent
+      |FROM c
+      |ORDER BY version""".stripMargin
+
   /** Registered query `x8_lake_wap` — WRITE-AUDIT-PUBLISH, the
     * lakehouse governance pattern (Iceberg WAP / Delta staging
     * branches): every batch lands first in a STAGING Lake table, the

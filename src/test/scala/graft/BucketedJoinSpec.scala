@@ -104,4 +104,22 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(viaTable === viaRecompute,
       s"sketch-table result diverged: ${viaTable.length} vs ${viaRecompute.length} rows")
   }
+
+  test("x3 ivf table: persisted cell table carries its bucket spec; answer equals recompute") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sf = "/root/testdata/sf0.001"
+    val table = graft.ext.Similarity.ivfCellTable(spark, sf)
+    val scanDesc = spark.table(table).queryExecution.sparkPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scanDesc.relation.bucketSpec.nonEmpty,
+      "ivf cell table must carry its bucket spec")
+    // same answer as the inline-index form (shared oracle)
+    val viaTable = graft.ext.Similarity.ivfTableTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val viaInline = graft.ext.Similarity.ivfGridTopK(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaTable === viaInline,
+      s"ivf-table result diverged: ${viaTable.length} vs ${viaInline.length} rows")
+  }
 }
