@@ -269,6 +269,10 @@ object SparkEntry {
     // round-7: count(*) served from manifest stats, scan-verified
     ("x8_lake_meta_count", graft.lake.LakeQueries.lakeMetaCount _,
       Some(graft.lake.LakeQueries.lakeMetaCountSql)),
+    // round-7: per-file Bloom index — point lookups on a column the
+    // time-clustered layout scatters
+    ("x8_lake_bloom", graft.lake.LakeQueries.lakeBloom _,
+      Some(graft.lake.LakeQueries.lakeBloomSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

@@ -56,8 +56,18 @@ object Lake {
     * file without a stat for some column is conservatively readable
     * (skipping degrades, correctness doesn't — an upsert's rewritten
     * files simply lose the extra stats until the next re-cluster). */
+  /** `blooms` carries OPTIONAL per-file Bloom bitsets (hex-encoded,
+    * [[BloomBits]] bits, [[BloomHashes]] xxhash64 probes) for integer
+    * columns the LAYOUT doesn't cluster — point lookups on such a
+    * column prune by membership instead of range ([[readPoint]]), the
+    * Delta bloom-filter-index capability. Missing bloom ⇒ the file is
+    * conservatively read. */
   case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
-      stats: Map[String, (Long, Long)] = Map.empty)
+      stats: Map[String, (Long, Long)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
+
+  val BloomBits = 1 << 15 // 32768 bits = 4 KiB hex per (file, column)
+  val BloomHashes = 4
 
   /** `txns` carries the highest applied transaction version per
     * writer-app id (the Delta `txnAppId`/`txnVersion` device): a
@@ -77,7 +87,10 @@ object Lake {
           val extra = f.stats.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s"|$c:$lo:$hi" }.mkString
           s"${f.name}|${f.rows}|${f.minKey}|${f.maxKey}$extra"
-        }))
+        } ++
+        m.files.flatMap(f => f.blooms.toSeq.sortBy(_._1).map { case (c, hx) =>
+          s"bloom=${f.name}|$c|$hx"
+        })))
       .mkString("", "\n", "\n")
 
   private def parse(version: Long, text: String): Manifest = {
@@ -88,13 +101,18 @@ object Lake {
       val Array(a, v) = s.stripPrefix("txn=").split('|')
       a -> v.toLong
     }.toMap
+    val blooms = lines.collect { case s if s.startsWith("bloom=") =>
+      val Array(n, c, hx) = s.stripPrefix("bloom=").split('|')
+      (n, c, hx)
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
     val files = lines.filterNot(_.contains("=")).map { l =>
       val fields = l.split('|')
       val stats = fields.drop(4).map { s =>
         val Array(c, lo, hi) = s.split(':')
         c -> (lo.toLong, hi.toLong)
       }.toMap
-      FileEntry(fields(0), fields(1).toLong, fields(2).toLong, fields(3).toLong, stats)
+      FileEntry(fields(0), fields(1).toLong, fields(2).toLong, fields(3).toLong,
+        stats, blooms.getOrElse(fields(0), Map.empty))
     }
     Manifest(version, key, files, txns)
   }
@@ -361,6 +379,94 @@ object Lake {
     else spark.read.option("mergeSchema", "true")
       .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
       .filter(pred)
+  }
+
+  /** The k probe bit positions of `value` — computed THROUGH Spark's
+    * own xxhash64 so build and probe can never drift (a 1-row job;
+    * bounded, and only run per point lookup). */
+  private def bloomPositions(spark: SparkSession, value: Long): Seq[Int] = {
+    val exprs = (0 until BloomHashes).map(i =>
+      pmod(xxhash64(lit(i), lit(value)), lit(BloomBits.toLong)).as(s"p$i"))
+    val r = spark.range(1).select(exprs: _*).head()
+    (0 until BloomHashes).map(i => r.getLong(i).toInt)
+  }
+
+  private def hexBits(bs: java.util.BitSet): String =
+    bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
+
+  private def bitsHex(hx: String): java.util.BitSet =
+    java.util.BitSet.valueOf(hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+
+  /** Per-file Bloom bitsets over `bloomCol` for freshly written files:
+    * one distributed pass — each value explodes to its k positions,
+    * positions dedupe per file (bounded by [[BloomBits]]), and the
+    * driver folds each file's ≤ BloomBits positions into a bitset. */
+  private def fileBlooms(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], bloomCol: String): Map[String, String] = {
+    val paths = entries.map(f => Paths.get(dir, f.name).toString)
+    val byName = entries.map(f => Paths.get(dir, f.name).getFileName.toString -> f.name).toMap
+    val pos = (0 until BloomHashes).map(i =>
+      pmod(xxhash64(lit(i), col(bloomCol)), lit(BloomBits.toLong)))
+    spark.read.parquet(paths: _*)
+      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
+      .distinct()
+      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
+      .collect()
+      .map { r =>
+        val bs = new java.util.BitSet(BloomBits)
+        r.getSeq[Long](1).foreach(p => bs.set(p.toInt))
+        val leaf = Paths.get(r.getString(0).stripPrefix("file:")).getFileName.toString
+        byName(leaf) -> hexBits(bs)
+      }.toMap
+  }
+
+  /** Compaction clustered by an INGEST-ORDER column with a Bloom
+    * index on a lookup column the layout does NOT cluster — the
+    * Delta bloom-filter-index scenario: a time-clustered table that
+    * still answers point lookups by id without scanning every file
+    * (range stats on the id are useless when the id is scattered
+    * across time; membership bits are not). */
+  def compactWithBloom(spark: SparkSession, dir: String, clusterCol: String,
+      bloomCol: String, targetFiles: Int): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
+      Seq(col(clusterCol)), Seq(clusterCol))
+    val blooms = fileBlooms(spark, dir, files, bloomCol)
+    val withBlooms = files.map(f =>
+      f.copy(blooms = Map(bloomCol -> blooms(f.name))))
+    commit(dir, Manifest(base + 1L, m.key, withBlooms, m.txns))
+    base + 1L
+  }
+
+  /** The files a point lookup must open (bloom-pruned; exposed for
+    * plan-level assertions). */
+  private[graft] def pointFiles(spark: SparkSession, dir: String, colName: String,
+      value: Long, version: Long = 0L): Seq[FileEntry] = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    val probes = bloomPositions(spark, value)
+    manifest(dir, v).files.filter { f =>
+      f.blooms.get(colName).forall { hx =>
+        val bs = bitsHex(hx)
+        probes.forall(bs.get)
+      }
+    }
+  }
+
+  /** Point lookup via the Bloom index: only files whose bitset
+    * might contain `value` are opened (false positives filtered by
+    * the residual predicate; false negatives impossible — every
+    * written value set its bits). Files without a bloom are read. */
+  def readPoint(spark: SparkSession, dir: String, colName: String,
+      value: Long, version: Long = 0L): DataFrame = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val hit = pointFiles(spark, dir, colName, value, v)
+    if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
+      .filter(col(colName) === value)
   }
 
   /** Metadata-only row count: Σ of the manifest's per-file row

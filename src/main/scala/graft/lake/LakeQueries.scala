@@ -275,6 +275,41 @@ object LakeQueries {
       |FROM c
       |ORDER BY version""".stripMargin
 
+  private[graft] val BloomProbeKeys = Seq(7L, 77L, 177L, 377L, 777L)
+
+  /** Registered query `x8_lake_bloom` — the Bloom-filter INDEX
+    * scenario: orders re-clustered by order DAY (the ingest-time
+    * layout every event table ends up with) while point lookups come
+    * by order KEY, which that layout scatters — key range stats prune
+    * nothing, the per-file membership bits do. Five point lookups run
+    * through [[Lake.readPoint]]; LakeSpec asserts each opens a
+    * fraction of the files; the driver hash asserts the rows. */
+  def lakeBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(sfDir) + "-bloom"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_days",
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+      .drop("o_orderdate")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    Lake.compactWithBloom(spark, dir, "o_days", "o_orderkey", targetFiles = 8)
+    BloomProbeKeys.map(k => Lake.readPoint(spark, dir, "o_orderkey", k))
+      .reduce(_ unionByName _)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Mirror: the same keys off raw orders — pruning must be
+    * answer-invisible. */
+  val lakeBloomSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+       |FROM orders
+       |WHERE o_orderkey IN (${BloomProbeKeys.mkString(", ")})
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Registered query `x8_lake_wap` — WRITE-AUDIT-PUBLISH, the
     * lakehouse governance pattern (Iceberg WAP / Delta staging
     * branches): every batch lands first in a STAGING Lake table, the

@@ -226,6 +226,33 @@ class LakeSpec extends SparkSpec {
       Lake.manifest(dir, 1L).files.size)
   }
 
+  test("bloom index: point lookups open a fraction of a scattered layout; answer exact") {
+    val dir = freshDir("bloom")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_days",
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+      .drop("o_orderdate")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    Lake.compactWithBloom(spark, dir, "o_days", "o_orderkey", targetFiles = 8)
+    val total = Lake.manifest(dir, Lake.latestVersion(dir)).files.size
+    assert(total >= 4)
+    // a present key: pruned to (far) fewer files than the table, and
+    // the row comes back exactly
+    val hit = Lake.pointFiles(spark, dir, "o_orderkey", 777L)
+    assert(hit.size < total, s"bloom must prune (opened ${hit.size}/$total)")
+    val row = Lake.readPoint(spark, dir, "o_orderkey", 777L).collect()
+    assert(row.length === 1 && row.head.getAs[Long]("o_orderkey") === 777L)
+    // an absent value: at most false-positive files open, zero rows
+    val none = Lake.readPoint(spark, dir, "o_orderkey", 99999999L)
+    assert(none.count() === 0L)
+    // key-range stats CANNOT serve this lookup on the day-clustered
+    // layout: (almost) every file's [minKey, maxKey] spans the probe
+    val rangeHit = Lake.manifest(dir, Lake.latestVersion(dir)).files
+      .count(f => f.minKey <= 777L && f.maxKey >= 777L)
+    assert(rangeHit > hit.size,
+      s"scenario broken: range stats pruned better ($rangeHit) than bloom (${hit.size})")
+  }
+
   test("restore: rolls back by re-publishing old files; history intact, no data copied") {
     val dir = freshDir("restore")
     val orders = Tables.orders(spark, sf)
