@@ -300,6 +300,10 @@ object SparkEntry {
     ("x3_mmr", graft.ext.Mmr.mmrSelect _, Some(graft.ext.Mmr.mmrSelectSql)),
     ("x2_containment", Dedup.containmentDedup _, Some(Dedup.containmentDedupSql)),
     ("x6_attribution", EventWindows.attribution _, Some(EventWindows.attributionSql)),
+    // round-7: A/B experiment readout — cohort conversion + lift bp
+    ("x6_ab_lift", EventWindows.abLift _, Some(EventWindows.abLiftSql)),
+    // round-7: order-independent corpus content fingerprint (ROLLUP)
+    ("x9_dataset_hash", TextStats.datasetHash _, Some(TextStats.datasetHashSql)),
     ("x9_weighted_sample", graft.ext.Sampling.weightedSample _,
       Some(graft.ext.Sampling.weightedSampleSql)),
     ("x9_dedup_mix", graft.ext.Sampling.dedupAdjustedMix _,

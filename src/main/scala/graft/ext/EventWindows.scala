@@ -799,4 +799,62 @@ object EventWindows {
        |WHERE event_type = 'purchase'
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  /** Registered query `x6_ab_lift` — the experiment-readout shape
+    * every event pipeline ultimately serves: users assigned to a
+    * deterministic A/B cohort (user-id parity — in production, the
+    * salted assignment hash), per-cohort exposure (distinct users),
+    * conversion volume (purchases) and revenue, pivoted into one row
+    * with per-user conversion rates and the B-vs-A lift in integer
+    * basis points. One scan, one cohort-keyed aggregate, a 2-row
+    * pivot — scan-bound at any scale. (Significance testing needs
+    * floats by nature; the deterministic integer readout here is the
+    * input a stats layer consumes.) */
+  def abLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.Tables.events(spark, sfDir)
+      .withColumn("cohort", (col("user_id") % 2).cast("long"))
+    val per = e.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("revenue_cents"))
+      .withColumn("conv_bp", expr("n_purch * 10000L div n_users"))
+    per.agg(
+        max(when(col("cohort") === 0, col("n_users"))).as("users_a"),
+        max(when(col("cohort") === 1, col("n_users"))).as("users_b"),
+        max(when(col("cohort") === 0, col("n_purch"))).as("purch_a"),
+        max(when(col("cohort") === 1, col("n_purch"))).as("purch_b"),
+        max(when(col("cohort") === 0, col("revenue_cents"))).as("revenue_a_cents"),
+        max(when(col("cohort") === 1, col("revenue_cents"))).as("revenue_b_cents"),
+        max(when(col("cohort") === 0, col("conv_bp"))).as("conv_a_bp"),
+        max(when(col("cohort") === 1, col("conv_bp"))).as("conv_b_bp"))
+      .withColumn("lift_bp",
+        expr("(conv_b_bp - conv_a_bp) * 10000L div conv_a_bp"))
+  }
+
+  val abLiftSql: String =
+    """WITH per AS (
+      |  SELECT user_id % 2 AS cohort,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT)
+      |      AS n_purch,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM events GROUP BY 1),
+      |pp AS (SELECT *, n_purch * 10000 // n_users AS conv_bp FROM per)
+      |SELECT
+      |  CAST(max(CASE WHEN cohort = 0 THEN n_users END) AS BIGINT) AS users_a,
+      |  CAST(max(CASE WHEN cohort = 1 THEN n_users END) AS BIGINT) AS users_b,
+      |  CAST(max(CASE WHEN cohort = 0 THEN n_purch END) AS BIGINT) AS purch_a,
+      |  CAST(max(CASE WHEN cohort = 1 THEN n_purch END) AS BIGINT) AS purch_b,
+      |  CAST(max(CASE WHEN cohort = 0 THEN revenue_cents END) AS BIGINT) AS revenue_a_cents,
+      |  CAST(max(CASE WHEN cohort = 1 THEN revenue_cents END) AS BIGINT) AS revenue_b_cents,
+      |  CAST(max(CASE WHEN cohort = 0 THEN conv_bp END) AS BIGINT) AS conv_a_bp,
+      |  CAST(max(CASE WHEN cohort = 1 THEN conv_bp END) AS BIGINT) AS conv_b_bp,
+      |  CAST((max(CASE WHEN cohort = 1 THEN conv_bp END)
+      |      - max(CASE WHEN cohort = 0 THEN conv_bp END)) * 10000
+      |    // max(CASE WHEN cohort = 0 THEN conv_bp END) AS BIGINT) AS lift_bp
+      |FROM pp""".stripMargin
 }

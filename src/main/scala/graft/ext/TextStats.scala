@@ -693,6 +693,50 @@ object TextStats {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Registered query `x9_dataset_hash` — an ORDER-INDEPENDENT
+    * content fingerprint per source plus the corpus total (ROLLUP):
+    * every row folds to a 60-bit md5 integer over all its fields
+    * (chr(1)-joined -- a separator the ASCII corpus cannot contain)
+    * and rows combine by XOR, which commutes — the same table always
+    * hashes the same regardless of partitioning, file order, or
+    * shuffle, and ANY changed/added/dropped row flips the print. This
+    * is the reproducibility stamp a dataset card carries ("you trained
+    * on exactly this data"), computable in one map-side-combinable
+    * pass at any scale. */
+  def datasetHash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.documents(spark, sfDir)
+      .withColumn("row_h", expr(
+        """cast(conv(substring(md5(concat_ws(chr(1),
+          |  cast(doc_id as string), text, lang, source,
+          |  cast(n_chars as string))), 1, 15), 16, 10) as bigint)""".stripMargin))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(row_h)").as("content_hash"))
+      .select(coalesce(col("source"), lit("__ALL__")).as("source"),
+        col("n_rows"), col("n_chars"), col("content_hash"))
+      .orderBy(col("source"))
+
+  /** Mirror: the same chr(1)-joined md5 fold (the repo's established
+    * hex-fold idiom), same XOR combine, same ROLLUP total. */
+  val datasetHashSql: String =
+    """WITH h AS (
+      |  SELECT source, n_chars,
+      |    list_reduce(
+      |      [strpos('0123456789abcdef', x) - 1
+      |       FOR x IN string_split(substr(md5(concat_ws(chr(1),
+      |         CAST(doc_id AS VARCHAR), text, lang, source,
+      |         CAST(n_chars AS VARCHAR))), 1, 15), '')],
+      |      (a, b) -> a * 16 + b) AS row_h
+      |  FROM documents)
+      |SELECT coalesce(source, '__ALL__') AS source,
+      |  count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(bit_xor(row_h) AS BIGINT) AS content_hash
+      |FROM h
+      |GROUP BY ROLLUP (source)
+      |ORDER BY source""".stripMargin
+
   // ---- corpus diversity card (distinct-n-gram ratios) -------------------
 
   /** Per-source lexical diversity: type-token ratio and bigram
