@@ -604,16 +604,22 @@ object Lake {
         val b = hashed(beforeRaw, "b_")
         val a = hashed(afterRaw, "a_")
         val j = b.join(a, col("b__k") === col("a__k"), "full_outer")
-        def payload(pfx: String) = dataCols.map(c => col(s"$pfx$c").as(c))
-        val inserts = j.filter(col("b__k").isNull)
-          .select(payload("a_") :+ lit("insert").as("_change_type"): _*)
-        val deletes = j.filter(col("a__k").isNull)
-          .select(payload("b_") :+ lit("delete").as("_change_type"): _*)
-        val updated = j.filter(col("b__k").isNotNull && col("a__k").isNotNull &&
-          col("b__h") =!= col("a__h"))
-        val pre = updated.select(payload("b_") :+ lit("update_preimage").as("_change_type"): _*)
-        val post = updated.select(payload("a_") :+ lit("update_postimage").as("_change_type"): _*)
-        Some(inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+        // classify in ONE pass over the join: a union of four filtered
+        // selects would re-plan (and re-execute) the diff join once per
+        // branch — explode(array-of-images) keeps it a single subtree
+        def payload(pfx: String) =
+          struct(dataCols.map(c => col(s"$pfx$c").as(c)): _*)
+        val aPay = payload("a_")
+        val bPay = payload("b_")
+        def img(p: org.apache.spark.sql.Column, t: String) =
+          struct(p.as("p"), lit(t).as("t"))
+        Some(j.select(explode(
+            when(col("b__k").isNull, array(img(aPay, "insert")))
+              .when(col("a__k").isNull, array(img(bPay, "delete")))
+              .when(col("b__h") =!= col("a__h"),
+                array(img(bPay, "update_preimage"), img(aPay, "update_postimage")))
+              .otherwise(lit(null))).as("e")) // copied row: explode(null) emits nothing
+          .select(col("e.p.*"), col("e.t").as("_change_type"))
           .withColumn("_commit_version", lit(v)))
       }
     }
