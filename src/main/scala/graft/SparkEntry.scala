@@ -302,6 +302,8 @@ object SparkEntry {
     ("x6_attribution", EventWindows.attribution _, Some(EventWindows.attributionSql)),
     // round-7: A/B experiment readout — cohort conversion + lift bp
     ("x6_ab_lift", EventWindows.abLift _, Some(EventWindows.abLiftSql)),
+    // round-7: DAU/WAU engagement + stickiness bp
+    ("x6_dau_wau", EventWindows.dauWau _, Some(EventWindows.dauWauSql)),
     // round-7: order-independent corpus content fingerprint (ROLLUP)
     ("x9_dataset_hash", TextStats.datasetHash _, Some(TextStats.datasetHashSql)),
     ("x9_weighted_sample", graft.ext.Sampling.weightedSample _,

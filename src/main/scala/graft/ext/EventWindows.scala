@@ -800,6 +800,44 @@ object EventWindows {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** Registered query `x6_dau_wau` — the engagement dashboard pair:
+    * daily active users, trailing-7-day weekly active users, and the
+    * DAU/WAU stickiness ratio in integer basis points. The deduped
+    * (day, user) frame is built once; WAU joins the tiny day domain
+    * (broadcast at any scale) against it with a bounded 7-day fan-out
+    * — never a corpus self-join — and re-deduplicates users across
+    * the window. Day keys leave as ISO strings (the oracle type
+    * rule). */
+  def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = graft.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = du.select(col("day").as("d")).distinct()
+    val wau = broadcast(days).join(du,
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .withColumn("stickiness_bp", expr("dau * 10000L div wau"))
+      .orderBy(col("day"))
+  }
+
+  val dauWauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM du),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      |wau AS (
+      |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM days JOIN du ON du.day BETWEEN d - 6 AND d
+      |  GROUP BY d)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+      |  CAST(dau AS BIGINT) AS dau, wau,
+      |  CAST(dau AS BIGINT) * 10000 // wau AS stickiness_bp
+      |FROM dau JOIN wau ON wau.d = dau.day
+      |ORDER BY day""".stripMargin
+
   /** Registered query `x6_ab_lift` — the experiment-readout shape
     * every event pipeline ultimately serves: users assigned to a
     * deterministic A/B cohort (user-id parity — in production, the
