@@ -803,18 +803,24 @@ object EventWindows {
   /** Registered query `x6_dau_wau` — the engagement dashboard pair:
     * daily active users, trailing-7-day weekly active users, and the
     * DAU/WAU stickiness ratio in integer basis points. The deduped
-    * (day, user) frame is built once; WAU joins the tiny day domain
-    * (broadcast at any scale) against it with a bounded 7-day fan-out
-    * — never a corpus self-join — and re-deduplicates users across
-    * the window. Day keys leave as ISO strings (the oracle type
-    * rule). */
+    * (day, user) frame is built once; WAU materializes the bounded
+    * 7-day fan-out EXPLICITLY — each active (day, user) row explodes
+    * to the 7 window-end days it contributes to — so membership is a
+    * plain hash-aggregate equi-key, never a theta join. (The round-7
+    * `days BETWEEN d-6 AND d` formulation planned as a
+    * BroadcastNestedLoopJoin that tested every row against EVERY
+    * distinct day — O(rows·days); this is O(rows·7) with one shuffle,
+    * and PlanGuardSpec pins the absence of the nested loop.) Window
+    * ends with no activity on the end day itself are trimmed by the
+    * equi-join with the DAU frame, exactly as the old day-domain join
+    * did. Day keys leave as ISO strings (the oracle type rule). */
   def dauWau(spark: SparkSession, sfDir: String): DataFrame = {
     val du = graft.Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val days = du.select(col("day").as("d")).distinct()
-    val wau = broadcast(days).join(du,
-        col("day").between(date_sub(col("d"), 6), col("d")))
+    val wau = du
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("d"),
+        col("user_id"))
       .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, col("day") === col("d"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),

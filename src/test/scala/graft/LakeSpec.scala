@@ -72,12 +72,103 @@ class LakeSpec extends SparkSpec {
     // two writers both read v1 and race to publish v2: first wins,
     // second gets CommitConflict and leaves the winner's manifest intact
     val winner = Lake.Manifest(2L, "o_orderkey", m1.files)
-    Lake.commit(dir, winner)
+    Lake.commit(dir, Some(m1), winner)
     intercept[Lake.CommitConflict] {
-      Lake.commit(dir, Lake.Manifest(2L, "o_orderkey", Nil))
+      Lake.commit(dir, Some(m1), Lake.Manifest(2L, "o_orderkey", Nil))
     }
     assert(Lake.manifest(dir, 2L).files === m1.files)
     assert(Lake.latestVersion(dir) === 2L)
+  }
+
+  test("upsertWithRetry: two racing writers BOTH land (loser re-merges against winner)") {
+    val dir = freshDir("retry")
+    val orders = Tables.orders(spark, sf).limit(200)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    // two writers with DISJOINT single-row updates start behind one
+    // barrier: whoever loses the v2 race must re-read, re-merge
+    // against the winner's state, and land as v3 — not throw, not
+    // clobber. (Each attempt re-derives its merge from the manifest
+    // it re-reads, so the loop is the full Delta retry contract.)
+    val updA = orders.limit(1).withColumn("o_orderpriority", lit("9-WRITER-A"))
+      .collect()
+    val updB = orders.orderBy(col("o_orderkey").desc).limit(1)
+      .withColumn("o_orderpriority", lit("9-WRITER-B")).collect()
+    val schema = orders.schema
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(updA, updB).map { rows =>
+      val t = new Thread(() => {
+        try {
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), schema)
+          gate.await()
+          Lake.upsertWithRetry(spark, dir, df)
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing writer failed: ${Option(errs.peek())}")
+    assert(Lake.latestVersion(dir) === 3L,
+      "both writers must commit (one directly, one after a conflict retry)")
+    val cur = Lake.read(spark, dir)
+    assert(cur.filter(col("o_orderpriority") === "9-WRITER-A").count() === 1L)
+    assert(cur.filter(col("o_orderpriority") === "9-WRITER-B").count() === 1L)
+    assert(cur.count() === orders.count())
+  }
+
+  test("delta log: commit metadata is O(files touched), not O(table)") {
+    val dir = freshDir("deltalog")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 16)
+    val v1Bytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "_manifests", "v00000001.json"))
+    // a single-key upsert touches ONE of the 16 files; its log record
+    // must carry only that rewrite (1 rm + the rewritten adds), not
+    // the untouched 15 — the VERDICT-r7 O(table)-per-commit fix
+    val oneKey = orders.orderBy(col("o_orderkey")).limit(1)
+      .withColumn("o_orderpriority", lit("9-DELTA"))
+    assert(Lake.upsert(spark, dir, oneKey, targetFiles = 1) === 2L)
+    val v2Path = java.nio.file.Paths.get(dir, "_manifests", "v00000002.json")
+    val v2Bytes = java.nio.file.Files.size(v2Path)
+    assert(v2Bytes * 4 < v1Bytes,
+      s"delta commit ($v2Bytes B) must be far smaller than the full v1 log ($v1Bytes B)")
+    val v2Text = new String(java.nio.file.Files.readAllBytes(v2Path), "UTF-8")
+    val nTouched = v2Text.linesIterator.count(l =>
+      l.startsWith("add=") || l.startsWith("rm="))
+    assert(nTouched <= 3, s"1-file rewrite must log <=3 file lines, got $nTouched:\n$v2Text")
+    // and the resolved snapshot is still the full table
+    assert(Lake.manifest(dir, 2L).files.size === 16)
+    assert(Lake.read(spark, dir).count() === orders.count())
+  }
+
+  test("delta log: checkpoint lands every CheckpointInterval commits; resolution crosses it") {
+    val dir = freshDir("ckpt")
+    val orders = Tables.orders(spark, sf).limit(300)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    // drive past one checkpoint boundary with tiny upserts
+    (2L to Lake.CheckpointInterval + 2L).foreach { v =>
+      val upd = orders.limit(1)
+        .withColumn("o_orderpriority", lit(s"9-V$v"))
+      assert(Lake.upsert(spark, dir, upd, targetFiles = 1) === v)
+    }
+    val md = java.nio.file.Paths.get(dir, "_manifests")
+    assert(java.nio.file.Files.exists(
+      md.resolve(f"v${Lake.CheckpointInterval}%08d.ckpt")),
+      s"checkpoint must exist at version ${Lake.CheckpointInterval}")
+    assert(new String(java.nio.file.Files.readAllBytes(
+        md.resolve("_last_checkpoint")), "UTF-8").trim
+      === Lake.CheckpointInterval.toString)
+    // snapshots at, below, and above the checkpoint all resolve; the
+    // one above must fold checkpoint + deltas (same row count, newest
+    // priority marker present exactly once)
+    val latest = Lake.CheckpointInterval + 2L
+    assert(Lake.latestVersion(dir) === latest)
+    (Seq(1L, Lake.CheckpointInterval - 1L, Lake.CheckpointInterval.toLong, latest))
+      .foreach { v => assert(Lake.read(spark, dir, v).count() === orders.count()) }
+    assert(Lake.read(spark, dir)
+      .filter(col("o_orderpriority") === s"9-V$latest").count() === 1L)
   }
 
   test("delete by key: rows gone, version advances, old snapshot still has them") {

@@ -95,22 +95,48 @@ class PlanGuardSpec extends SparkSpec {
       s"scaled rfm diverged from exact ntile output (${scaled.length} vs ${exact.length} rows)")
   }
 
-  test("registered surface: NO unpartitioned Window in any query plan (global-sort guard)") {
+  test("registered surface: NO unpartitioned Window, NO theta nested-loop join, in any plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    // every remaining bounded-frame rank goes through graft.Ranks
-    // (constant partition key), so an empty partitionSpec anywhere in
-    // the surface is a genuine corpus-sized global sort — the r6 WARN
-    // noise is gone and this asserts it stays gone
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
-          case w: LogicalWindow if w.partitionSpec.isEmpty => w
-        }
-        if (bad.nonEmpty) Seq(name) else Nil
-      } finally spark.catalog.clearCache()
-    }
-    assert(offenders.isEmpty,
-      s"unpartitioned Window (single-partition global sort) in: $offenders")
+    import org.apache.spark.sql.catalyst.plans.Cross
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // Two 100 TB-killers swept over every registered query in ONE pass
+    // (query construction itself is priced — lake/streaming queries do
+    // real work when built, so we never sweep twice):
+    //  1. an empty-partitionSpec Window is a corpus-sized global sort —
+    //     every bounded-frame rank goes through graft.Ranks instead;
+    //  2. a BroadcastNestedLoopJoin that is NOT an explicit Cross is a
+    //     theta join evaluating its predicate rows×rows (the round-7
+    //     `x6_dau_wau` BETWEEN-join trap). Deliberate `crossJoin`s of
+    //     broadcast constant/bounded frames (the exact-kNN and 1-row
+    //     stat-attach baselines, documented in PLANS.md) plan as
+    //     joinType=Cross and stay allowed; everything else must
+    //     candidate via an equi-join.
+    val (sortOffenders, bnljOffenders) =
+      SparkEntry.queries.toSeq.sortBy(_._1).foldLeft(
+        (Vector.empty[String], Vector.empty[String])) { case ((so, bo), (name, fn)) =>
+        try {
+          val qe = fn(spark, sf).queryExecution
+          val badSort = qe.optimizedPlan.collect {
+            case w: LogicalWindow if w.partitionSpec.isEmpty => w
+          }
+          val badBnlj = qe.sparkPlan.collect {
+            case j: BroadcastNestedLoopJoinExec if j.joinType != Cross => j
+          }
+          (if (badSort.nonEmpty) so :+ name else so,
+           if (badBnlj.nonEmpty) bo :+ name else bo)
+        } finally spark.catalog.clearCache()
+      }
+    assert(sortOffenders.isEmpty,
+      s"unpartitioned Window (single-partition global sort) in: $sortOffenders")
+    assert(bnljOffenders.isEmpty,
+      s"theta BroadcastNestedLoopJoin (non-Cross) in: $bnljOffenders")
+  }
+
+  test("x6 dau/wau: the 7-day window is an explode equi-join, never a nested loop") {
+    val p = finalPlan("x6_dau_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"WAU membership must be explode(sequence)+hash aggregate, not a theta join:\n$p")
+    assert(p.contains("Generate explode"), s"expected the bounded 7-day explode:\n$p")
   }
 
   test("x6 attribution: both carry-forward columns collapse into ONE Window node") {
