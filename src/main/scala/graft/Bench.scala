@@ -106,11 +106,11 @@ object Bench {
     // production marginal cost, `cold_queries` = first-consumer cost),
     // with `memoized` naming exactly which keys the split applies to.
     val coldResults = SparkEntry.memoizedQueries.toSeq.sorted.map { name =>
-      graft.ext.Dedup.invalidateMemos()
+      SparkEntry.invalidateMemos()
       val (dt, ok) = once(name, SparkEntry.queries(name))
       (name, dt, ok)
     }
-    graft.ext.Dedup.invalidateMemos()
+    SparkEntry.invalidateMemos()
     // failed queries are surfaced (negative time + errors list), never
     // silently counted as a fast success
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped scratch directories for queries that materialize
+  * intermediate layouts (streaming landings/checkpoints, lake-table
+  * fixtures, shard exports).
+  *
+  * The path is keyed by BOTH the sfDir hash and the Spark
+  * application id (ADVICE r7): two concurrent sessions benching the
+  * same sfDir previously shared a scratch root keyed only by
+  * `sfDir.hashCode` and would `rm` each other's checkpoint/landing
+  * dirs mid-query. The applicationId component gives each session its
+  * own namespace — the same per-writer UUID discipline
+  * [[graft.lake.Lake]] applies to data subdirs. Roots live on the
+  * session tmpfs when available (same policy as [[LocalDirs]]), so
+  * they vanish with the host's tmpfs rather than accreting on disk.
+  */
+object Scratch {
+
+  def root: String =
+    LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** `<root>/graft-<kind>-<appId>-<sfHash>` — stable within a session
+    * (memoizable), disjoint across sessions and across SFs. */
+  def dir(spark: SparkSession, kind: String, sfDir: String): java.io.File =
+    new java.io.File(root,
+      s"graft-$kind-${spark.sparkContext.applicationId}-" +
+        java.lang.Integer.toHexString(sfDir.hashCode))
+
+  /** Recursive delete (no symlink traversal concerns on the private
+    * scratch namespace). */
+  def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Cheap content fingerprint of an asset directory/file (name,
+    * length, mtime of every file) — the memo-key component that makes
+    * session-scoped fixtures self-invalidate when the data under an
+    * already-memoized path is rewritten. Same device as the x2
+    * pair-set memos ([[graft.ext.Dedup]]). */
+  def fingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(path)
+    if (!root.exists()) "absent"
+    else walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",")
+  }
+}

@@ -342,18 +342,30 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) => n -> f }.toMap
 
-  /** Registered queries whose steady-state timing is a checkpoint scan
-    * over a once-per-session pair-set/cluster memo
-    * ([[graft.ext.Dedup]]): the minhash pair-set consumers, the
-    * simhash pair consumers, the rare-shingle pair consumers, and the
-    * connected-components consumers. Bench re-times each of these COLD
-    * (memos invalidated via `Dedup.invalidateMemos`) so BENCH_FULL.json
-    * always carries both accountings. */
+  /** Registered queries whose steady-state timing reads a
+    * once-per-session shared fixture: the pair-set/cluster memos
+    * ([[graft.ext.Dedup]]) and the lake three-version history
+    * ([[graft.lake.LakeQueries.sharedHistory]]). Bench re-times each
+    * of these COLD (fixtures invalidated via [[invalidateMemos]]) so
+    * BENCH_FULL.json always carries both accountings. */
   val memoizedQueries: Set[String] = Set(
     "x2_minhash_lsh", "x2_retention", "x9_dedup_mix", // minhash pair set
     "x2_dup_clusters", "x2_canonical", "x2_cc_stats", // CC cluster map (over minhash pairs)
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
-    "x2_ngram_jaccard", "x2_containment") // rare-shingle pair frame
+    "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
+    "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", // lake history fixture
+    "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
+    "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
+    "x6_stream_enrich", "x6_stream_dedup") // multi-file source layout
+
+  /** Tear down every session-scoped fixture the memoized queries read
+    * — the single switch Bench's cold-accounting pass flips. */
+  def invalidateMemos(): Unit = {
+    graft.ext.Dedup.invalidateMemos()
+    graft.lake.LakeQueries.invalidateHistory()
+    graft.ext.Bpe.invalidateLearned()
+    graft.streaming.StreamSource.invalidate()
+  }
 
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap

@@ -80,14 +80,54 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** Train-once memo (round 8, ADVICE r7): `x4_bpe_merges` and
+    * `x4_bpe_tokens` both consume the SAME training run — a tokenizer
+    * is trained once and then applied, so retraining per query both
+    * mispriced the consumers and (worse) leaked one persisted vocab
+    * per invocation (`bpeTokens` had no unpersist hook for the frame
+    * it was still reading). The memo owns the final vocab as an
+    * eagerly-materialized `localCheckpoint` (the per-iteration persist
+    * chain is released inside the build), keyed by the documents
+    * fingerprint like the x2 pair memos; [[invalidateLearned]] frees
+    * the checkpoint blocks — Bench's cold pass uses it to publish
+    * training-inclusive timings next to the steady-state ones. */
+  private val learnMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), (Seq[Merge], DataFrame)]()
+
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  private[graft] def learned(spark: SparkSession,
+      sfDir: String): (Seq[Merge], DataFrame) = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/documents.parquet")
+    import scala.jdk.CollectionConverters._
+    learnMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(learnMemo.remove(k)).foreach(v => releaseCheckpoint(v._2)))
+    learnMemo.computeIfAbsent((spark, sfDir, fp), { _ =>
+      val (merges, vocab) = learn(spark, sfDir)
+      val kept = vocab.localCheckpoint(true)
+      vocab.unpersist()
+      (merges, kept)
+    })
+  }
+
+  private[graft] def invalidateLearned(): Unit = {
+    import scala.jdk.CollectionConverters._
+    learnMemo.values.asScala.foreach(v => releaseCheckpoint(v._2))
+    learnMemo.clear()
+  }
+
   /** Registered query `x4_bpe_merges`: the learned merge table —
     * (rank, sym_a, sym_b, pair_count). The driver gate re-derives the
     * SAME 8 merges in DuckDB via 8 unrolled CTE generations, so the
     * whole training trajectory (counts, tie-breaks, merge application)
     * is hash-verified, not just the final shapes. */
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    val (merges, vocab) = learn(spark, sfDir)
-    vocab.unpersist()
+    val (merges, _) = learned(spark, sfDir)
     import spark.implicits._
     merges.map(m => (m.rank.toLong, m.a, m.b, m.cnt))
       .toDF("rank", "sym_a", "sym_b", "pair_count")
@@ -102,7 +142,7 @@ object Bpe {
     * join; this is the "how many tokens is my corpus" question every
     * training-budget plan starts with. */
   def bpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, vocab) = learn(spark, sfDir)
+    val (_, vocab) = learned(spark, sfDir)
     val toks = vocab.select(col("w"),
       (size(expr("filter(split(repr, '\\\\|\\\\|'), x -> x != '')"))).cast("long").as("toks"))
     val srcWords = Tables.documents(spark, sfDir)

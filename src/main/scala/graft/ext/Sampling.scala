@@ -247,14 +247,8 @@ object Sampling {
     * the point: the artifact itself carries the assignment. */
   def shardExport(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 4000L
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val dir = new java.io.File(root,
-      "graft-shards-" + java.lang.Integer.toHexString(sfDir.hashCode)).getAbsolutePath
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(dir))
+    val dir = graft.Scratch.dir(spark, "shards", sfDir).getAbsolutePath
+    graft.Scratch.rm(new java.io.File(dir))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)

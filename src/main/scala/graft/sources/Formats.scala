@@ -9,11 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  private def scratch(sfDir: String, tag: String): String = {
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    new java.io.File(root,
-      s"graft-fmt-$tag-" + java.lang.Integer.toHexString(sfDir.hashCode)).getAbsolutePath
-  }
+  private def scratch(spark: SparkSession, sfDir: String, tag: String): String =
+    graft.Scratch.dir(spark, s"fmt-$tag", sfDir).getAbsolutePath
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -31,7 +28,7 @@ object Formats {
     * the aggregate downstream is the usual one-shuffle rollup, and ORC
     * predicate pushdown serves it the same way parquet's does. */
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = scratch(sfDir, "orc")
+    val dir = scratch(spark, sfDir, "orc")
     rm(new java.io.File(dir))
     graft.Tables.orders(spark, sfDir).write.mode("overwrite").orc(dir)
     spark.read.orc(dir)

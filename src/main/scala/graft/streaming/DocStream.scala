@@ -156,20 +156,18 @@ object DocStream {
     * twice all break the hash match. */
   def streamedDedup(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): DataFrame = {
-    val src = s"$sfDir/documents.parquet"
+    // multi-batch: the dedup key state built by earlier micro-batches
+    // suppresses re-arrivals in later ones — cross-batch state carry
+    // under the driver gate (the output is order-insensitive, so any
+    // arrival order yields the same survivor hash set)
+    val src = StreamSource.chronological(spark, sfDir, "documents", "doc_id")
     val schema = spark.read.parquet(src).schema
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new java.io.File(root,
-      "graft-stream-dedup-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(base)
+    val base = graft.Scratch.dir(spark, "stream-dedup", sfDir)
+    graft.Scratch.rm(base)
     val landDir = new java.io.File(base, "landed").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
     val survivors = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .option("maxFilesPerTrigger", "1").parquet(src)
       .select(md5(col("text")).as("text_md5"))
       .dropDuplicates("text_md5")
     val query = survivors.writeStream

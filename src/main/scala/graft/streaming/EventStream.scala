@@ -166,28 +166,23 @@ object EventStream {
     * path instead of scratch, and the same downstream batch query over
     * the landed table. */
   def streamedTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = s"$sfDir/events.parquet"
+    // the chronological multi-file layout makes this a REAL multi-batch
+    // replay: maxFilesPerTrigger=1 over StreamSource.NumFiles files =
+    // one micro-batch per file under AvailableNow (StreamingSpec
+    // asserts >1 landed batch partitions)
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
     // the file stream source needs an explicit schema; take the
     // batch-inferred one so every ts encoding the lake writer chose
     // (int64-nanos / NTZ / UTC micros) flows through unchanged and is
     // normalized once, after landing
     val schema = spark.read.parquet(src).schema
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new java.io.File(root,
-      "graft-stream-land-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(base)
+    val base = graft.Scratch.dir(spark, "stream-land", sfDir)
+    graft.Scratch.rm(base)
     val landDir = new java.io.File(base, "landed").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
-    // the file stream source requires a DIRECTORY path ("Option
-    // 'basePath' must be a directory"); point it at the sf dir and
-    // glob-filter to the events asset
     val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
     val query = stream.writeStream
       .foreachBatch(landBatch(landDir) _)
       .option("checkpointLocation", checkpoint)
@@ -215,20 +210,19 @@ object EventStream {
     * duplication, or double-application anywhere in the loop breaks
     * the driver hash match. */
   def streamedLakeIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new java.io.File(root,
-      "graft-stream-lake-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(base)
+    // multi-batch source: each of the NumFiles micro-batches lands as
+    // its own transactional Lake version with its own (appId, batchId)
+    // marker — the exactly-once protocol exercised ACROSS commits
+    // under the driver gate, not just in LakeSpec
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-lake", sfDir)
+    graft.Scratch.rm(base)
     val tableDir = new java.io.File(base, "table").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
     val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
     val query = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.lake.Lake.streamUpsert(batch.sparkSession, tableDir, batch.toDF(),
@@ -269,20 +263,19 @@ object EventStream {
     * pair, duplicated pair, or boundary drift through the streaming
     * join breaks the driver hash. */
   def streamedIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new java.io.File(root,
-      "graft-stream-join-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(base)
+    // multi-batch replay over the chronological layout: join state
+    // (click bins) carries ACROSS micro-batches and the 1-day
+    // watermark genuinely advances batch to batch — the time-ordered
+    // split guarantees no row arrives behind it (see StreamSource)
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-join", sfDir)
+    graft.Scratch.rm(base)
     val landDir = new java.io.File(base, "landed").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
     val ev = graft.Tables.normalizeEventTime(
         spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+          .option("maxFilesPerTrigger", "1").parquet(src))
       .withColumn("tsec", date_trunc("second", col("ts")))
     // Structured Streaming rejects stream-stream joins WITHOUT an
     // equality predicate (state matching is hash-partitioned by key).
@@ -340,22 +333,21 @@ object EventStream {
     * the batch side each trigger), which is exactly how slowly-changing
     * dimensions ride along. */
   def streamedEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val root = graft.LocalDirs.tmpfs.getOrElse(System.getProperty("java.io.tmpdir"))
-    val base = new java.io.File(root,
-      "graft-stream-enrich-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(base)
+    // multi-batch: the broadcast static dimension re-ships per
+    // micro-batch (Spark re-plans the batch side each trigger) — the
+    // slowly-changing-dimension refresh contract, now actually
+    // exercised four times per run
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-enrich", sfDir)
+    graft.Scratch.rm(base)
     val landDir = new java.io.File(base, "landed").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
     val nation = graft.Tables.nation(spark, sfDir)
       .select(col("n_nationkey"), col("n_name"))
     val purchases = graft.Tables.normalizeEventTime(
         spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+          .option("maxFilesPerTrigger", "1").parquet(src))
       .filter(col("event_type") === "purchase")
       .withColumn("nk", col("user_id") % 25)
     val joined = purchases

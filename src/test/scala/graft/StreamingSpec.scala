@@ -136,10 +136,35 @@ class StreamingSpec extends SparkSpec {
     val streamed = EventStream.streamedTumbling(spark, sf).collect()
     assert(batch.nonEmpty && streamed.sameElements(batch),
       s"streamed landing diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    // the chronological multi-file source + maxFilesPerTrigger=1 must
+    // yield a REAL multi-batch run (VERDICT r7 #2): the landing layout
+    // carries one batch_id=N partition per micro-batch
+    val landed = new java.io.File(
+      graft.Scratch.dir(spark, "stream-land", sf), "landed")
+    val batchDirs = Option(landed.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(batchDirs.size > 1,
+      s"expected >1 micro-batch partitions under the driver gate, got $batchDirs")
     // and a SECOND invocation (stale scratch from the first) is
     // idempotent — the wipe-together contract
     val again = EventStream.streamedTumbling(spark, sf).collect()
     assert(again.sameElements(batch))
+  }
+
+  test("x6_stream_lake: multi-batch ingest commits one exactly-once version per micro-batch") {
+    val sf = "/root/testdata/sf0.001"
+    EventStream.streamedLakeIngest(spark, sf).collect()
+    val tableDir = new java.io.File(
+      graft.Scratch.dir(spark, "stream-lake", sf), "table").getAbsolutePath
+    val latest = graft.lake.Lake.latestVersion(tableDir)
+    assert(latest > 1L,
+      s"chronological multi-file source must commit >1 lake versions, got $latest")
+    // every committed version carries the sink's replay marker chain:
+    // the newest (appId -> batchId) marker equals version - 1 (batch
+    // ids are 0-based), pinning exactly-once ACROSS micro-batches
+    val m = graft.lake.Lake.manifest(tableDir, latest)
+    assert(m.txns.get("events-ingest").contains(latest - 1L),
+      s"txn marker chain broken: version $latest, txns ${m.txns}")
   }
 
   test("x6_stream_join: stream-stream binned interval join equals the batch range join") {
