@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
   * driver-side by design — it is bounded by FILE COUNT, the same
   * contract as Delta's log replay — while every data-plane operation
   * (the anti-join merge, range pruning, file writes) is a distributed
-  * Spark plan. Keys are a single BIGINT column (the common PK shape;
-  * composite keys would carry a struct range the same way).
+  * Spark plan. Keys are one or more integer columns, comma-separated
+  * in `key` ("tenant_id,row_id" — the common multi-tenant PK shape):
+  * the layout range-clusters by the full key tuple, the manifest's
+  * minKey/maxKey carry the LEADING column's range and each trailing
+  * key column rides the per-file `stats` map, so file skipping prunes
+  * on the per-column bounding box (conservative, never wrong) and the
+  * merge anti-join matches on the full tuple.
   *
   * **The log is DELTA-ENCODED with periodic checkpoints** (round 8;
   * the Delta-log design): each commit's `v<N>.json` records only the
@@ -94,6 +99,10 @@ object Lake {
       txns: Map[String, Long] = Map.empty)
 
   private def manifestDir(dir: String) = Paths.get(dir, "_manifests")
+
+  /** The key column list ("a,b" → Seq(a, b)); head is the manifest's
+    * minKey/maxKey column, the tail rides per-file stats. */
+  private def keyCols(key: String): Seq[String] = key.split(',').toSeq.map(_.trim)
 
   /** Every CheckpointInterval-th commit also materializes a full
     * snapshot — the amortized-O(table) / per-commit-O(delta) trade
@@ -304,7 +313,7 @@ object Lake {
     * BEFORE any manifest references them — invisible until commit. */
   private def writeFiles(df: DataFrame, dir: String, key: String,
       targetFiles: Int): Seq[FileEntry] =
-    writeFilesBy(df, dir, key, targetFiles, Seq(col(key)), Nil)
+    writeFilesBy(df, dir, key, targetFiles, keyCols(key).map(col), Nil)
 
   /** Generalized writer: cluster (range-partition + in-file sort) by
     * arbitrary expressions and record per-file [min,max] stats for the
@@ -312,15 +321,19 @@ object Lake {
     * fresh files, metadata-cheap. */
   private def writeFilesBy(df: DataFrame, dir: String, key: String,
       targetFiles: Int, cluster: Seq[org.apache.spark.sql.Column],
-      statCols: Seq[String]): Seq[FileEntry] = {
+      extraStatCols: Seq[String]): Seq[FileEntry] = {
     val sub = s"data-${java.util.UUID.randomUUID}"
     val out = Paths.get(dir, sub).toString
     df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
       .sortWithinPartitions(cluster: _*)
       .write.mode("overwrite").parquet(out)
     val spark = df.sparkSession
+    val kc = keyCols(key)
+    // trailing key columns always get per-file stats — that is what a
+    // composite key prunes on
+    val statCols = (kc.tail ++ extraStatCols).distinct
     val aggs = Seq(count(lit(1)).as("rows"),
-        min(col(key).cast("long")).as("lo"), max(col(key).cast("long")).as("hi")) ++
+        min(col(kc.head).cast("long")).as("lo"), max(col(kc.head).cast("long")).as("hi")) ++
       statCols.flatMap(c => Seq(
         min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
     spark.read.parquet(out)
@@ -396,26 +409,43 @@ object Lake {
   /** The shared copy-on-write merge: full new file list = untouched
     * files by reference + rewrites of intersecting files with
     * `updates` folded in. */
+  /** The file names whose per-column key bounding box intersects any
+    * of `keyTuples`' distinct tuples — the leading column prunes on
+    * minKey/maxKey, each trailing key column on its `stats` range (a
+    * file missing a trailing stat is conservatively touched). A
+    * broadcast of the bounded file list against the distinct tuples. */
+  private def touchedFileNames(spark: SparkSession, m: Manifest,
+      keyTuples: DataFrame): Set[String] = {
+    val kc = keyCols(m.key)
+    val ranges = spark.createDataFrame(m.files).select(
+      col("name"), col("minKey"), col("maxKey"), col("stats"))
+    val uk = (c: String) => col("_uk_" + c)
+    val tuples = keyTuples.select(
+      kc.map(c => col(c).as("_uk_" + c)): _*).distinct()
+    val headCond = uk(kc.head) >= col("minKey") && uk(kc.head) <= col("maxKey")
+    val cond = kc.tail.foldLeft(headCond) { (acc, c) =>
+      val st = element_at(col("stats"), c)
+      acc && (st.isNull || (uk(c) >= st.getField("_1") && uk(c) <= st.getField("_2")))
+    }
+    ranges.join(tuples, cond, "left_semi")
+      .select(col("name")).collect().map(_.getString(0)).toSet
+  }
+
   private def mergedFileList(spark: SparkSession, dir: String, m: Manifest,
       updates: DataFrame, targetFiles: Int): Seq[FileEntry] = {
     val key = m.key
-    // file pruning: a broadcast of the (bounded) file-range list
-    // against the distinct update keys — the only rows that can
-    // collide live in intersecting files
-    val ranges = spark.createDataFrame(m.files).select(
-      col("name"), col("rows"), col("minKey"), col("maxKey"))
-    val touchedNames = ranges.join(
-        updates.select(col(key).as("_uk")).distinct(),
-        col("_uk") >= col("minKey") && col("_uk") <= col("maxKey"), "left_semi")
-      .select(col("name")).collect().map(_.getString(0)).toSet
+    val kc = keyCols(key)
+    // file pruning: only rows that can collide live in files whose
+    // key bounding box the update tuples intersect
+    val touchedNames = touchedFileNames(spark, m, updates)
     val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
     val newFiles =
       if (touched.isEmpty) writeFiles(updates, dir, key, targetFiles)
       else {
         val old = spark.read.option("mergeSchema", "true").parquet(
           touched.map(f => Paths.get(dir, f.name).toString): _*)
-        val survivors = old.join(updates.select(col(key)).distinct(),
-          Seq(key), "left_anti")
+        val survivors = old.join(
+          updates.select(kc.map(col): _*).distinct(), kc, "left_anti")
         // allowMissingColumns: additive schema evolution — an upsert
         // carrying NEW columns null-fills them on surviving old rows
         // (and vice versa), so the rewritten files hold the merged
@@ -736,7 +766,7 @@ object Lake {
     val to = if (toVersion == 0L) latest else toVersion
     require(fromVersion >= 1L && to <= latest && fromVersion <= to,
       s"bad change range [$fromVersion, $to] at $dir (latest $latest)")
-    val key = manifest(dir, to).key
+    val kc = keyCols(manifest(dir, to).key)
     // target column set: union across the whole range (additive
     // evolution only ever grows it, so the latest snapshot suffices;
     // taking the union keeps the feed total even if that invariant
@@ -764,7 +794,7 @@ object Lake {
         val afterRaw = if (added.isEmpty) None else Some(read(added))
         val cols = (beforeRaw.toSeq ++ afterRaw.toSeq)
           .flatMap(_.columns).distinct.sorted
-        val dataCols = key +: cols.filterNot(_ == key)
+        val dataCols = kc ++ cols.filterNot(kc.contains)
         val empty = align(
           (beforeRaw orElse afterRaw).get.filter(lit(false)), dataCols)
         // row-identity hash over ALL aligned columns: copy-forward
@@ -772,7 +802,8 @@ object Lake {
         // equal and drop out of the feed
         def hashed(df: Option[DataFrame], pfx: String): DataFrame = {
           val a = align(df.getOrElse(empty), dataCols)
-          a.select(col(key).as(s"${pfx}_k") +:
+          // composite keys join as one struct column (struct equality)
+          a.select(struct(kc.map(col): _*).as(s"${pfx}_k") +:
             xxhash64(to_json(struct(dataCols.map(col): _*))).as(s"${pfx}_h") +:
             dataCols.map(c => col(c).as(s"$pfx$c")): _*)
         }
@@ -809,26 +840,25 @@ object Lake {
     }
   }
 
-  /** Delete by key set (copy-on-write, same file skipping). */
+  /** Delete by key set (copy-on-write, same file skipping). `keys`'
+    * columns map POSITIONALLY onto the table's key columns. */
   def delete(spark: SparkSession, dir: String, keys: DataFrame): Long = {
     val base = latestVersion(dir)
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val key = m.key
-    val keyCol = keys.columns.head
-    val ranges = spark.createDataFrame(m.files)
-    val touchedNames = ranges.join(
-        keys.select(col(keyCol).as("_uk")).distinct(),
-        col("_uk") >= col("minKey") && col("_uk") <= col("maxKey"), "left_semi")
-      .select(col("name")).collect().map(_.getString(0)).toSet
+    val kc = keyCols(key)
+    require(keys.columns.length == kc.length,
+      s"delete keys must have ${kc.length} column(s) for key '$key'")
+    val keyDf = keys.toDF(kc: _*)
+    val touchedNames = touchedFileNames(spark, m, keyDf)
     val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
     val newFiles =
       if (touched.isEmpty) Nil
       else {
         val old = spark.read.parquet(
           touched.map(f => Paths.get(dir, f.name).toString): _*)
-        val survivors = old.join(
-          keys.select(col(keyCol).as(key)).distinct(), Seq(key), "left_anti")
+        val survivors = old.join(keyDf.distinct(), kc, "left_anti")
         writeFiles(survivors, dir, key, math.max(touched.size, 1))
       }
     commit(dir, Some(m), Manifest(base + 1L, key, untouched ++ newFiles, m.txns))

@@ -118,6 +118,45 @@ class LakeSpec extends SparkSpec {
     assert(cur.count() === orders.count())
   }
 
+  test("composite key (tenant,id): upsert/delete match on the full tuple; pruning boxes both columns") {
+    val dir = freshDir("composite")
+    val orders = Tables.orders(spark, sf)
+    // (o_custkey, o_orderkey) — the tenant,row multi-tenant PK shape;
+    // o_orderkey alone is ALSO unique here, so a bug that matches on
+    // one column only would still produce the right row counts — the
+    // content asserts below are what catch it
+    Lake.create(orders, dir, "o_custkey,o_orderkey", targetFiles = 8)
+    val m1 = Lake.manifest(dir, 1L)
+    assert(m1.files.size === 8)
+    // every file carries the trailing key column's stats
+    assert(m1.files.forall(_.stats.contains("o_orderkey")))
+    // upsert three rows of ONE tenant: full-tuple replacement
+    val tenant = orders.select(col("o_custkey")).orderBy(col("o_custkey")).head().getLong(0)
+    val upd = orders.filter(col("o_custkey") === tenant).limit(3)
+      .withColumn("o_orderpriority", lit("9-TENANT"))
+    assert(Lake.upsert(spark, dir, upd) === 2L)
+    val cur = Lake.read(spark, dir)
+    assert(cur.count() === orders.count(), "full-tuple match must replace, not append")
+    assert(cur.filter(col("o_orderpriority") === "9-TENANT").count() === 3L)
+    // the tenant's rows live in ONE leading-column range slice: the
+    // upsert must carry most of the 8 files forward by reference
+    val m2 = Lake.manifest(dir, 2L)
+    val carried = m2.files.map(_.name).toSet intersect m1.files.map(_.name).toSet
+    assert(carried.size >= 6,
+      s"composite pruning must keep non-intersecting files by reference: ${carried.size}/8")
+    // delete by (tenant, id) pairs — positional column mapping
+    val victims = upd.select(col("o_custkey"), col("o_orderkey"))
+    assert(Lake.delete(spark, dir, victims) === 3L)
+    val afterDelete = Lake.read(spark, dir)
+    assert(afterDelete.count() === orders.count() - 3L)
+    assert(afterDelete.filter(col("o_orderpriority") === "9-TENANT").count() === 0L)
+    // time travel intact, and CDF classifies the tuple-keyed history
+    assert(Lake.read(spark, dir, 1L).count() === orders.count())
+    val feed = Lake.changes(spark, dir, 1L)
+    assert(feed.filter(col("_change_type") === "update_postimage").count() === 3L)
+    assert(feed.filter(col("_change_type") === "delete").count() === 3L)
+  }
+
   test("delta log: commit metadata is O(files touched), not O(table)") {
     val dir = freshDir("deltalog")
     val orders = Tables.orders(spark, sf)
