@@ -585,23 +585,28 @@ object Lake {
     val pos = (0 until BloomHashes).map(i =>
       pmod(xxhash64(lit(i), col(bloomCol)), lit(BloomBits.toLong)))
     // the bitset FOLD runs distributed (round 8, VERDICT r7 #7): each
-    // value explodes to its k bit positions, positions fold to per-file
-    // BYTES (bit_or over p%8 within byte p/8 — BitSet.valueOf's
-    // little-endian-in-byte layout), and the bytes render to the hex
-    // encoding on the executors; the driver collects ONE ≤8 KiB hex
-    // string per file, never the ≤32k-element position sets (which at
-    // 10⁵ files would be a multi-GB collect). Trailing zero bytes are
-    // stripped to match BitSet.toByteArray's truncated encoding.
+    // value explodes to its k bit positions, positions fold to 64-bit
+    // WORDS per file (bit_or over p%64 within word p/64), and the
+    // words render to BitSet.valueOf's little-endian-byte hex on the
+    // executors; the driver collects ONE ≤8 KiB hex string per file,
+    // never the ≤32k-element position sets (which at 10⁵ files would
+    // be a multi-GB collect). Word (not byte) granularity matters:
+    // Spark's element_at on a map is a linear scan, so the dense
+    // render costs words × map-size = 512 × 512 per file here, where
+    // a byte-granular map paid 4096 × 4096 (measured 2x on the whole
+    // x8_lake_bloom query). Trailing zero bytes are stripped to match
+    // BitSet.toByteArray's truncated encoding.
     spark.read.parquet(paths: _*)
       .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
-      .groupBy(col("f"), expr("p div 8").as("bi"))
-      .agg(bit_or(expr("shiftleft(1L, cast(p % 8 as int))")).as("bv"))
+      .groupBy(col("f"), expr("p div 64").as("wi"))
+      .agg(bit_or(expr("shiftleft(1L, cast(p % 64 as int))")).as("wv"))
       .groupBy(col("f"))
-      .agg(map_from_entries(collect_list(struct(col("bi"), col("bv")))).as("mp"))
+      .agg(map_from_entries(collect_list(struct(col("wi"), col("wv")))).as("mp"))
       .select(col("f"), regexp_replace(
         concat_ws("", expr(
-          s"transform(sequence(0L, ${BloomBits / 8 - 1}L), " +
-            "i -> lpad(lower(hex(coalesce(element_at(mp, i), 0L))), 2, '0'))")),
+          s"transform(sequence(0L, ${BloomBits / 64 - 1}L), i -> " +
+            "concat_ws('', transform(sequence(0, 7), k -> " +
+            "lpad(lower(hex(shiftright(coalesce(element_at(mp, i), 0L), k * 8) & 255)), 2, '0'))))")),
         "(00)+$", "").as("hx"))
       .collect()
       .map { r =>
