@@ -273,6 +273,10 @@ object SparkEntry {
     // time-clustered layout scatters
     ("x8_lake_bloom", graft.lake.LakeQueries.lakeBloom _,
       Some(graft.lake.LakeQueries.lakeBloomSql)),
+    // round-8: MERGE INTO — insert+update+delete as ONE atomic commit,
+    // latest_version pinned to 2 so split commits fail the hash
+    ("x8_lake_merge", graft.lake.LakeQueries.lakeMerge _,
+      Some(graft.lake.LakeQueries.lakeMergeSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),
@@ -320,6 +324,9 @@ object SparkEntry {
     ("x3_ivf_table", Similarity.ivfTableTopK _, Some(Similarity.ivfGridTopKSql)),
     // round-7: driver-gated recall@k of every ANN family vs exact
     ("x3_recall_report", Similarity.recallReport _, Some(Similarity.recallReportSql)),
+    // round-8: filtered vector search — label predicate joined WITH
+    // the IVF cell key, not post-filtered
+    ("x3_ann_filtered", Similarity.filteredIvfTopK _, Some(Similarity.filteredIvfTopKSql)),
     ("x2_edit_verify", Dedup.editVerify _, Some(Dedup.editVerifySql)),
     // round-7: sketch-quality calibration — hamming vs true edit
     // distance over the candidate set (the threshold-tuning table)

@@ -319,6 +319,78 @@ object Similarity {
        |FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Registered query `x3_ann_filtered` — FILTERED vector search, the
+    * metadata-predicate ANN shape every vector store serves ("nearest
+    * within this tenant / language / category"): each query retrieves
+    * its top-[[TopK]] among corpus vectors sharing the query's LABEL.
+    * Same deterministic grid quantizer and least-confident-bit
+    * multiprobe as `x3_ann_ivf`; the label predicate joins WITH the
+    * cell key — candidates are (cell ∧ label) members, so the filter
+    * rides the same broadcast equi-join instead of post-filtering a
+    * label-blind top-k (the classic filtered-ANN failure: k results
+    * retrieved, all the wrong label, zero returned). Self-matches
+    * keep the `x3_ann_ivf` convention (rank 1 ≈ the query itself).
+    * Fully mirrored in DuckDB — integer quantization end to end. */
+  def filteredIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("n2", vec_qdot(col("embedding"), col("embedding")))
+      .withColumn("cell", gridCellCol)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cell"),
+        col("label"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .withColumn("dims", expr(s"""array_sort(transform(sequence(0, ${GridDims - 1}), d ->
+        |named_struct('a', abs(cast(round(cast(embedding[d] as double) * 10000000) as bigint)), 'd', d)))""".stripMargin))
+      .withColumn("probe", explode(expr(
+        s"concat(array(cell), transform(slice(dims, 1, ${IvfProbes - 1}), s -> cell ^ shiftleft(1, s.d)))")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("n2").as("q_n2"), col("probe"), col("label").as("q_label"))
+    val cands = e.join(broadcast(queries),
+        col("cell") === col("probe") && col("label") === col("q_label"))
+      .withColumn("dot", vec_qdot(col("q_embedding"), col("embedding")))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("label").cast("long").as("label"),
+        col("rk").cast("long").as("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Full mirror of [[filteredIvfTopK]]: the `x3_ann_ivf` mirror with
+    * the label carried and the label-equality predicate in the
+    * candidate join. */
+  val filteredIvfTopKSql: String =
+    s"""WITH q0 AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, iv, list_sum(list_transform(iv, x -> x * x)) AS n2 FROM q0),
+       |cells AS (
+       |  SELECT vec_id, label, iv, n2,
+       |    ${gridCellSql("iv")} AS cell
+       |  FROM n),
+       |qp AS (
+       |  SELECT vec_id AS q_id, label AS q_label, n2 AS qn2, iv AS qiv,
+       |    unnest(list_concat([cell],
+       |      [xor(cell, 1 << s.d) FOR s IN
+       |        list_sort([{'a': abs(iv[d + 1]), 'd': d} FOR d IN range(0, $GridDims)])[1:${IvfProbes - 1}]]))
+       |      AS cell
+       |  FROM cells WHERE vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT qp.q_id, qp.q_label AS label, c.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(qp.qiv, c.iv), p -> p[1] * p[2])) AS DOUBLE) /
+       |      (sqrt(CAST(qp.qn2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+       |  FROM cells c JOIN qp ON c.cell = qp.cell AND c.label = qp.q_label),
+       |ranked AS (
+       |  SELECT q_id, label, vec_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM sims)
+       |SELECT q_id, CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rk, vec_id, sim
+       |FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
   val IvfTableBuckets = 8
 
   /** Persist the IVF index — (cell, vec_id, embedding, n2) as a

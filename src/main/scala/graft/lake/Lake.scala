@@ -307,6 +307,83 @@ object Lake {
       targetFiles: Int = 2, maxAttempts: Int = 5): Long =
     withRetry(maxAttempts)(upsert(spark, dir, updates, targetFiles))
 
+  /** MERGE: one ATOMIC commit applying an upsert batch and a delete
+    * key set together — the full Delta `MERGE INTO` shape (`WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE`)
+    * on the hand-built format. A reader at version N+1 sees both
+    * effects or (at N) neither; two separate commits would expose the
+    * intermediate state. Deletes win over updates when a key appears
+    * in both (documented precedence; Delta raises instead — callers
+    * wanting that strictness can pre-join). File skipping covers the
+    * UNION of both key sets, survivors anti-join against it once, and
+    * the update rows (minus deleted keys) union back in. `deleteKeys`'
+    * columns map positionally onto the table's key columns. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+      deleteKeys: DataFrame, targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key)
+    require(deleteKeys.columns.length == kc.length,
+      s"delete keys must have ${kc.length} column(s) for key '${m.key}'")
+    val delKeys = deleteKeys.toDF(kc: _*).distinct()
+    val allKeys = updates.select(kc.map(col): _*).distinct()
+      .unionByName(delKeys).distinct()
+    val touchedNames = touchedFileNames(spark, m, allKeys)
+    val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
+    val liveUpdates = updates.join(delKeys, kc, "left_anti")
+    val newFiles = {
+      val folded =
+        if (touched.isEmpty) liveUpdates
+        else {
+          val old = spark.read.option("mergeSchema", "true").parquet(
+            touched.map(f => Paths.get(dir, f.name).toString): _*)
+          old.join(allKeys, kc, "left_anti")
+            .unionByName(liveUpdates, allowMissingColumns = true)
+        }
+      writeFiles(folded, dir, m.key, targetFiles)
+    }
+    commit(dir, Some(m), Manifest(base + 1L, m.key, untouched ++ newFiles, m.txns))
+    base + 1L
+  }
+
+  /** Storage-level GC for UNREFERENCED data files: the staged writes
+    * of [[withRetry]] losers and crashed writers land in data subdirs
+    * but are never named by any committed manifest — invisible to
+    * readers, invisible to [[vacuum]] (which only deletes files
+    * expired MANIFESTS name). This walks the data subdirs, subtracts
+    * every file referenced by any still-resolvable version, and
+    * deletes the rest (Delta VACUUM's other half). `minAgeMillis`
+    * guards the race with an IN-FLIGHT writer whose files are staged
+    * but whose commit hasn't published yet — production calls pass
+    * hours, tests pass 0. Returns the deleted relative names. */
+  def vacuumOrphans(dir: String, minAgeMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val latest = latestVersion(dir)
+    require(latest > 0L, s"no lake table at $dir")
+    var earliest = latest
+    while (earliest > 1L && Files.exists(deltaPath(dir, earliest - 1L)))
+      earliest -= 1L
+    val referenced = (earliest to latest)
+      .flatMap(v => manifest(dir, v).files.map(_.name)).toSet
+    val root = new java.io.File(dir)
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val orphans = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("data-"))
+      .flatMap { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.lastModified < cutoff)
+          .map(f => d.getName + "/" + f.getName)
+      }
+      .filterNot(referenced)
+      .toSeq.sorted
+    orphans.foreach { n => Files.deleteIfExists(Paths.get(dir, n)); () }
+    // prune data subdirs emptied by the sweep
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("data-"))
+      .foreach { d => if (Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () } }
+    orphans
+  }
+
   /** Write `df`'s rows as new immutable data files range-clustered by
     * `key` (so future upserts can skip files), registering them in a
     * scratch subdir; returns their manifest entries. Data files land
@@ -771,25 +848,24 @@ object Lake {
     val to = if (toVersion == 0L) latest else toVersion
     require(fromVersion >= 1L && to <= latest && fromVersion <= to,
       s"bad change range [$fromVersion, $to] at $dir (latest $latest)")
-    val kc = keyCols(manifest(dir, to).key)
-    // target column set: union across the whole range (additive
-    // evolution only ever grows it, so the latest snapshot suffices;
-    // taking the union keeps the feed total even if that invariant
-    // is ever relaxed)
-    val snapshots = (fromVersion to to).map(v => manifest(dir, v))
+    // the delta log IS the diff (round 8): each step's removed/added
+    // file sets come straight off that version's log record — the feed
+    // never resolves a full manifest, so its metadata cost is O(files
+    // touched) per version, matching the commits it reads. (The old
+    // form diffed consecutive resolved snapshots — same sets, O(table)
+    // metadata per step.)
+    val toEntry = readLog(deltaPath(dir, to), to)
+    val kc = keyCols(toEntry.key)
     def align(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(cols.map(c =>
         (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
-    val steps = snapshots.sliding(2).collect { case Seq(prev, cur) =>
-      val prevNames = prev.files.map(_.name).toSet
-      val curNames = cur.files.map(_.name).toSet
-      val removed = prev.files.filterNot(f => curNames(f.name))
-      val added = cur.files.filterNot(f => prevNames(f.name))
-      (cur.version, removed, added)
-    }.toSeq
-    val read = (files: Seq[FileEntry]) =>
+    val steps = ((fromVersion + 1L) to to).map { v =>
+      val e = if (v == to) toEntry else readLog(deltaPath(dir, v), v)
+      (v, e.rm, e.add.map(_.name))
+    }
+    val read = (names: Seq[String]) =>
       spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => Paths.get(dir, f.name).toString): _*)
+        .parquet(names.map(n => Paths.get(dir, n).toString): _*)
     // one frame per version step; steps are independent file sets so
     // the union is a plain append of per-step plans
     val stepFrames = steps.flatMap { case (v, removed, added) =>
@@ -837,8 +913,9 @@ object Lake {
     stepFrames match {
       case Nil =>
         // whole range was no-op commits (or fromVersion == to):
-        // schema-correct empty feed off the latest snapshot
-        read(manifest(dir, to).files).filter(lit(false))
+        // schema-correct empty feed off the latest snapshot (the one
+        // place a full resolution is needed, and only on this path)
+        read(manifest(dir, to).files.map(_.name)).filter(lit(false))
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(0L))
       case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))

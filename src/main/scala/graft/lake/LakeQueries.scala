@@ -458,6 +458,70 @@ object LakeQueries {
       |GROUP BY version, o_orderpriority
       |ORDER BY version, o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_merge` — the full `MERGE INTO` shape as
+    * ONE ATOMIC commit ([[Lake.merge]]): against the non-`%3` base,
+    * a single version-2 commit applies the `%3` inserts, the `%7`
+    * price-doubling updates AND the `%11` deletes together (deletes
+    * win where the key sets overlap — the `%33` inserts never appear).
+    * The output reports both snapshots plus the table's latest version
+    * as a column: the mirror pins it to 2, so applying the three
+    * clauses as separate commits (exposing intermediate states and a
+    * longer history) fails the hash gate — atomicity is part of the
+    * oracled contract, not just a spec claim. */
+  def lakeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-merge"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val priceUpdates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+    Lake.merge(spark, dir, inserts.unionByName(priceUpdates),
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    val latest = Lake.latestVersion(dir)
+    def snapshotAgg(version: Long): DataFrame =
+      Lake.read(spark, dir, version)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("revenue_cents"))
+        .withColumn("version", lit(version))
+    snapshotAgg(1L).unionByName(snapshotAgg(2L))
+      .select(col("version"), col("o_orderpriority"),
+        col("n_orders"), col("revenue_cents"))
+      .withColumn("latest_version", lit(latest))
+      .orderBy(col("version"), col("o_orderpriority"))
+  }
+
+  /** Mirror: v1 = the base slice; v2 = inserts + doubled updates minus
+    * the `%11` deletes (deletes winning over the `%33` overlap), and
+    * the history is exactly two versions long. */
+  val lakeMergeSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderpriority, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |v2 AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0),
+      |u AS (
+      |  SELECT 1 AS version, o_orderpriority, o_totalprice FROM v1
+      |  UNION ALL
+      |  SELECT 2 AS version, o_orderpriority, o_totalprice FROM v2)
+      |SELECT CAST(version AS BIGINT) AS version, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(2 AS BIGINT) AS latest_version
+      |FROM u
+      |GROUP BY version, o_orderpriority
+      |ORDER BY version, o_orderpriority""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

@@ -157,6 +157,51 @@ class LakeSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "delete").count() === 3L)
   }
 
+  test("merge: insert+update+delete land as ONE atomic commit; deletes win overlaps") {
+    val dir = freshDir("merge")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+    val updates = orders
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("9-MERGED"))
+    assert(Lake.merge(spark, dir, inserts.unionByName(updates),
+      orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey"))) === 2L)
+    // ONE commit: history is exactly two versions
+    assert(Lake.latestVersion(dir) === 2L)
+    val cur = Lake.read(spark, dir)
+    assert(cur.count() === orders.filter(col("o_orderkey") % 11 =!= 0).count())
+    // deletes beat the overlapping %33 inserts
+    assert(cur.filter(col("o_orderkey") % 11 === 0).count() === 0L)
+    // surviving %7 updates applied
+    assert(cur.filter(col("o_orderpriority") === "9-MERGED").count() ===
+      orders.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0 &&
+        col("o_orderkey") % 11 =!= 0).count())
+    // snapshot isolation: v1 untouched
+    assert(Lake.read(spark, dir, 1L).count() ===
+      orders.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
+  test("vacuumOrphans: unreferenced staged files go; referenced data is untouched") {
+    val dir = freshDir("orphans")
+    val orders = Tables.orders(spark, sf).limit(100)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    val before = Lake.read(spark, dir).collect().map(_.toSeq).toSet
+    // plant an orphan the way a crashed/losing writer would: a staged
+    // data subdir no manifest ever references
+    val orphanDir = new java.io.File(dir, "data-orphan-test")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-00000-fake.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val deleted = Lake.vacuumOrphans(dir, minAgeMillis = 0L)
+    assert(deleted.contains("data-orphan-test/part-00000-fake.parquet"),
+      s"orphan must be swept: $deleted")
+    assert(!orphan.exists() && !orphanDir.exists(), "orphan file and emptied dir removed")
+    assert(Lake.read(spark, dir).collect().map(_.toSeq).toSet === before,
+      "referenced data must be untouched")
+  }
+
   test("delta log: commit metadata is O(files touched), not O(table)") {
     val dir = freshDir("deltalog")
     val orders = Tables.orders(spark, sf)
