@@ -136,6 +136,10 @@ object SparkEntry {
       Some(graft.analytics.RangeJoin.errorClickImpactSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
+    // round-8: streaming session windows — watermark-finalized sessions
+    // landed append-mode + relational tail completion; same oracle
+    ("x6_stream_session", graft.streaming.EventStream.streamedSessions _,
+      Some(EventWindows.sessionizeSql)),
     ("x6_user_pivot", EventWindows.userTypePivot _, Some(EventWindows.userTypePivotSql)),
     ("x6_json_props", EventWindows.jsonProps _, Some(EventWindows.jsonPropsSql)),
     ("x6_gap_fill", EventWindows.gapFill _, Some(EventWindows.gapFillSql)),
@@ -363,7 +367,7 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", // lake history fixture
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
-    "x6_stream_enrich", "x6_stream_dedup") // multi-file source layout
+    "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session") // multi-file source
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

@@ -367,6 +367,69 @@ object EventStream {
       .orderBy(col("n_name"))
   }
 
+  /** Registered query `x6_stream_session` (round 8) — STREAMING
+    * SESSION WINDOWS under the driver hash gate, finalization
+    * included: the chronological multi-file source drives a
+    * watermarked `session_window` aggregate in APPEND mode, so
+    * sessions land through the replay-safe sink exactly when the
+    * advancing watermark FINALIZES them (Spark's no-data batch flushes
+    * the last eviction after the final file) — the production
+    * semantics where a session is emitted once, when it can no longer
+    * grow. On a bounded replay the final watermark (max event time −
+    * delay) leaves the most recent sessions unfinalized in state;
+    * the batch tail completes exactly those relationally — sessions
+    * whose window end reaches past a CONSERVATIVE watermark lower
+    * bound (1 s margin for the watermark's ms arithmetic) — and the
+    * (user, session_start) dedup collapses the overlap both sides may
+    * emit. The union must reproduce the batch sessionization
+    * bit-for-bit (same oracle as `x6_session_window`): a session
+    * emitted early (watermark bug), twice (dedup/replay bug), or with
+    * a partial aggregate (finalization bug) all break the hash. */
+  def streamedSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-session", sfDir)
+    graft.Scratch.rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    val ev = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src))
+    val sessions = ev
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+    val query = sessions.writeStream
+      .outputMode("append")
+      .foreachBatch(landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    val raw = graft.Tables.events(spark, sfDir)
+    // conservative lower bound of the final watermark, in epoch seconds
+    val wmLo = raw.agg((unix_timestamp(max(col("ts"))) - 601L).as("wm"))
+      .head().getLong(0)
+    val tail = raw
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .filter(unix_timestamp(col("w.end")) >= wmLo)
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+    spark.read.parquet(landDir).drop("batch_id")
+      .unionByName(tail)
+      .dropDuplicates("user_id", "session_start")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Mirror: the same enrichment as one batch join. */
   val streamedEnrichSql: String =
     """SELECT n_name, count(*) AS n_purchases,

@@ -167,6 +167,21 @@ class StreamingSpec extends SparkSpec {
       s"txn marker chain broken: version $latest, txns ${m.txns}")
   }
 
+  test("x6_stream_session: watermark-finalized landing + tail completion equals batch sessionize") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
+    val streamed = EventStream.streamedSessions(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"streamed sessions diverged from batch (${streamed.length} vs ${batch.length} rows)")
+    // the STREAMING path must have finalized the bulk of the sessions —
+    // a broken watermark that finalizes nothing would leave the batch
+    // tail to produce the whole (still hash-correct) answer
+    val landed = spark.read.parquet(new java.io.File(
+      graft.Scratch.dir(spark, "stream-session", sf), "landed").getAbsolutePath)
+    assert(landed.count() > batch.length / 2,
+      s"watermark finalization landed only ${landed.count()} of ${batch.length} sessions")
+  }
+
   test("x6_stream_join: stream-stream binned interval join equals the batch range join") {
     val sf = "/root/testdata/sf0.001"
     val batch = graft.analytics.RangeJoin.errorClickImpact(spark, sf).collect()
