@@ -134,6 +134,10 @@ object SparkEntry {
     // batch range-join oracle
     ("x6_stream_join", graft.streaming.EventStream.streamedIntervalJoin _,
       Some(graft.analytics.RangeJoin.errorClickImpactSql)),
+    // round-8: LEFT OUTER stream-stream join — the STREAM emits the
+    // zero-match rows at watermark expiry; same oracle
+    ("x6_stream_join_outer", graft.streaming.EventStream.streamedIntervalJoinOuter _,
+      Some(graft.analytics.RangeJoin.errorClickImpactSql)),
     ("x6_sliding_window", EventWindows.sliding _, Some(EventWindows.slidingSql)),
     ("x6_session_window", EventWindows.sessionize _, Some(EventWindows.sessionizeSql)),
     // round-8: streaming session windows — watermark-finalized sessions
@@ -367,7 +371,8 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", // lake history fixture
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
-    "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session") // multi-file source
+    "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
+    "x6_stream_join_outer") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

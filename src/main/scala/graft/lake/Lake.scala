@@ -455,6 +455,32 @@ object Lake {
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
+  /** The version in effect at wall-clock `tsMillis` — Delta's
+    * `TIMESTAMP AS OF`: the newest still-resolvable version whose
+    * commit published (delta-file mtime, the moment `link(2)` made it
+    * visible) at or before the timestamp. Commit times are strictly
+    * ordered by the consecutive-version protocol, so a reverse walk
+    * from latest stops at the first qualifying version. Wall-clock
+    * resolution is storage-mtime granularity (ms locally) — the same
+    * contract as Delta, and why the driver oracle gates version-based
+    * travel while this stays spec-pinned. */
+  def versionAt(dir: String, tsMillis: Long): Long = {
+    val latest = latestVersion(dir)
+    require(latest > 0L, s"no lake table at $dir")
+    var v = latest
+    while (v >= 1L && Files.exists(deltaPath(dir, v))) {
+      if (Files.getLastModifiedTime(deltaPath(dir, v)).toMillis <= tsMillis)
+        return v
+      v -= 1L
+    }
+    sys.error(s"no version committed at or before $tsMillis at $dir " +
+      "(before table creation, or that history is vacuumed)")
+  }
+
+  /** Snapshot read as of a wall-clock timestamp ([[versionAt]]). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, versionAt(dir, tsMillis))
+
   /** Snapshot read restricted to key ∈ [lo, hi] with MANIFEST-STAT
     * file skipping: only files whose [minKey, maxKey] intersects the
     * requested range are opened at all — the read-side payoff of the

@@ -320,6 +320,75 @@ object EventStream {
       .orderBy(col("err_id"))
   }
 
+  /** Registered query `x6_stream_join_outer` (round 8) — the
+    * stream-stream LEFT OUTER interval join, the subtlest streaming
+    * semantic: a zero-match error's null row can only be emitted when
+    * BOTH watermarks guarantee no matching click can still arrive, so
+    * the STREAM (not a batch tail) produces the "errors with no
+    * impact" rows — and only at expiry, never early. Over the
+    * chronological multi-batch replay the 1-day watermark expires most
+    * of the 30-day corpus mid-run, so the landed output genuinely
+    * contains stream-finalized null rows (spec-pinned majority). The
+    * bounded replay's final watermark window leaves its zero-match
+    * errors unexpired; the batch tail completes exactly those (errors
+    * absent from the landing — an error with matches always lands via
+    * immediate inner emission, so absence ⟺ zero matches withheld).
+    * Shares `x6_range_join`'s oracle: a null row emitted EARLY (before
+    * its window closed a real match would have filled) or never both
+    * break the hash. Aggregation counts non-null click values, so the
+    * null row contributes n_clicks = 0 exactly like the relational
+    * zero-fill. */
+  def streamedIntervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-join-outer", sfDir)
+    graft.Scratch.rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val ev = graft.Tables.normalizeEventTime(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+      .withColumn("tsec", date_trunc("second", col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("tsec").as("err_ts"),
+        unix_timestamp(col("tsec")).as("esec"))
+      .withColumn("bin",
+        explode(array_distinct(array(expr("esec div 600"), expr("(esec + 599) div 600")))))
+      .withWatermark("err_ts", "1 day")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tsec").as("click_ts"), col("value").as("click_value"),
+        expr("unix_timestamp(date_trunc('second', ts)) div 600").as("cbin"))
+      .withWatermark("click_ts", "1 day")
+    // LEFT OUTER: the null-match row emits only when the click-side
+    // watermark passes the end of the error's match window. The bin
+    // replication means a zero-match error emits one null row PER BIN
+    // (≤2) — count(click_value) ignores both, and the final distinct
+    // on err_id for null rows is the read-back aggregate itself.
+    val joined = errors.join(clicks, expr(
+        "bin = cbin AND click_ts >= err_ts AND click_ts < err_ts + INTERVAL 600 SECONDS"),
+      "left_outer")
+      .select(col("err_id"), col("click_value"))
+    val query = joined.writeStream
+      .foreachBatch(landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    val impact = spark.read.parquet(landDir).drop("batch_id")
+      .groupBy(col("err_id"))
+      .agg(count(col("click_value")).as("n_clicks"),
+        sum(col("click_value").cast("decimal(18,2)")).cast("double").as("click_value"))
+    graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"))
+      .join(impact, Seq("err_id"), "left")
+      .select(col("err_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("err_id"))
+  }
+
   /** Registered query `x6_stream_enrich` (round 7) — STREAM-STATIC
     * dimension enrichment: purchases stream through `readStream` and
     * join a BATCH nation dimension (broadcast: the static side ships

@@ -183,6 +183,26 @@ class LakeSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 3 =!= 0).count())
   }
 
+  test("readAsOf: TIMESTAMP AS OF resolves the version whose commit had published") {
+    val dir = freshDir("asof")
+    val orders = Tables.orders(spark, sf).limit(100)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    Thread.sleep(30)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(30)
+    Lake.upsert(spark, dir,
+      orders.limit(5).withColumn("o_orderpriority", lit("9-ASOF")))
+    Thread.sleep(30)
+    val afterV2 = System.currentTimeMillis()
+    assert(Lake.versionAt(dir, betweenV1V2) === 1L)
+    assert(Lake.versionAt(dir, afterV2) === 2L)
+    assert(Lake.readAsOf(spark, dir, betweenV1V2)
+      .filter(col("o_orderpriority") === "9-ASOF").count() === 0L)
+    assert(Lake.readAsOf(spark, dir, afterV2)
+      .filter(col("o_orderpriority") === "9-ASOF").count() === 5L)
+    intercept[Exception] { Lake.versionAt(dir, 1000L) } // before creation
+  }
+
   test("vacuumOrphans: unreferenced staged files go; referenced data is untouched") {
     val dir = freshDir("orphans")
     val orders = Tables.orders(spark, sf).limit(100)

@@ -190,6 +190,25 @@ class StreamingSpec extends SparkSpec {
       s"streamed join diverged from batch (${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("x6_stream_join_outer: the STREAM emits zero-match rows at expiry; tail completes the rest") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.analytics.RangeJoin.errorClickImpact(spark, sf).collect()
+    val streamed = EventStream.streamedIntervalJoinOuter(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"outer streamed join diverged (${streamed.length} vs ${batch.length} rows)")
+    // the landed output must contain stream-finalized NULL rows for
+    // the majority of zero-match errors — otherwise the whole outer
+    // semantic was produced by the relational tail and the streaming
+    // path proved nothing
+    val landed = spark.read.parquet(new java.io.File(
+      graft.Scratch.dir(spark, "stream-join-outer", sf), "landed").getAbsolutePath)
+    val streamNulls = landed.filter(col("click_value").isNull)
+      .select(col("err_id")).distinct().count()
+    val zeroMatch = batch.count(_.getLong(1) == 0L)
+    assert(zeroMatch > 0 && streamNulls > zeroMatch / 2,
+      s"stream finalized only $streamNulls of $zeroMatch zero-match errors")
+  }
+
   test("streaming session windows equal the registered batch query bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
