@@ -312,6 +312,10 @@ object SparkEntry {
     ("x3_mmr", graft.ext.Mmr.mmrSelect _, Some(graft.ext.Mmr.mmrSelectSql)),
     ("x2_containment", Dedup.containmentDedup _, Some(Dedup.containmentDedupSql)),
     ("x6_attribution", EventWindows.attribution _, Some(EventWindows.attributionSql)),
+    // round-8: transformWithState (RocksDB keyed state) attribution
+    // under the driver gate; same oracle as the batch window form
+    ("x6_stream_attribution", graft.streaming.EventStream.streamedAttribution _,
+      Some(EventWindows.attributionSql)),
     // round-7: A/B experiment readout — cohort conversion + lift bp
     ("x6_ab_lift", EventWindows.abLift _, Some(EventWindows.abLiftSql)),
     // round-7: DAU/WAU engagement + stickiness bp
@@ -372,7 +376,7 @@ object SparkEntry {
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
-    "x6_stream_join_outer") // multi-file source layout
+    "x6_stream_join_outer", "x6_stream_attribution") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

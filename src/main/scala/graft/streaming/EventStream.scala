@@ -606,6 +606,58 @@ object EventStream {
     }
   }
 
+  /** Registered query `x6_stream_attribution` (round 8) — the Spark 4
+    * `transformWithState` API under the driver hash gate: events
+    * stream through the chronological multi-batch source into
+    * [[AttributionProcessor]] (one RocksDB ValueState row per user
+    * holding the last non-purchase touch), purchases land attributed
+    * through the replay-safe sink, and the read-back aggregates per
+    * channel against the BATCH window-function oracle
+    * (`x6_attribution`'s SQL). Cross-batch correctness is the point:
+    * a user's touch state must survive micro-batch boundaries (the
+    * chronological split guarantees the per-user event order the
+    * batch window sorts by — equal timestamps never split across
+    * range partitions, and the handler orders within a batch). The
+    * state-store provider flips to RocksDB for the run
+    * (transformWithState requires it) and restores after. */
+  def streamedAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-attr", sfDir)
+    graft.Scratch.rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val ev = graft.Tables.normalizeEventTime(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event]
+      val query = attributionStream(ev).toDF().writeStream
+        .outputMode("append")
+        .foreachBatch(landBatch(landDir) _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None => spark.conf.unset(confKey)
+    }
+    spark.read.parquet(landDir).drop("batch_id")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("channel"))
+  }
+
   def attributionStream(events: Dataset[Event]): Dataset[AttributionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -190,6 +190,21 @@ class StreamingSpec extends SparkSpec {
       s"streamed join diverged from batch (${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("x6_stream_attribution: transformWithState touch state survives micro-batch boundaries") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("x6_attribution")(spark, sf).collect()
+    val streamed = EventStream.streamedAttribution(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"streamed attribution diverged (${streamed.length} vs ${batch.length} rows)")
+    // multi-batch actually happened: the landing carries several
+    // batch_id partitions, so touches credited purchases ACROSS them
+    val landed = new java.io.File(
+      graft.Scratch.dir(spark, "stream-attr", sf), "landed")
+    val batchDirs = Option(landed.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirs > 1, s"expected >1 micro-batches, got $batchDirs")
+  }
+
   test("x6_stream_join_outer: the STREAM emits zero-match rows at expiry; tail completes the rest") {
     val sf = "/root/testdata/sf0.001"
     val batch = graft.analytics.RangeJoin.errorClickImpact(spark, sf).collect()
