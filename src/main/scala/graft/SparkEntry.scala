@@ -167,6 +167,9 @@ object SparkEntry {
       Some(graft.ext.Sampling.mixWeightsSql)),
     ("x9_dsir_select", graft.ext.Sampling.dsirSelect _,
       Some(graft.ext.Sampling.dsirSelectSql)),
+    // round-8: temperature-smoothed (alpha=1/2) source mixing schedule
+    ("x9_mixture", graft.ext.Sampling.mixtureWeights _,
+      Some(graft.ext.Sampling.mixtureWeightsSql)),
     // round-5: cluster-balanced prototype selection (data-pruning coreset)
     ("x9_coreset", graft.ext.Sampling.coresetSample _,
       Some(graft.ext.Sampling.coresetSampleSql)),

@@ -710,6 +710,50 @@ object Sampling {
       .orderBy(col("priority"), col("doc_id"))
       .limit(WeightedSampleK)
 
+  /** Registered query `x9_mixture` — the DATA-MIXING schedule every
+    * multi-source training run starts from: per-source sampling
+    * weights temperature-smoothed at α = 1/2 (the multilingual-
+    * sampling convention — UNDER-sample the head, OVER-sample the
+    * tail, here via integer sqrt so both engines derive identical
+    * weights: IEEE sqrt is correctly rounded and our counts are far
+    * below the 2^52 exactness bound, so floor(sqrt(n)) is
+    * deterministic). Output per source: corpus share and smoothed
+    * sampling share in integer basis points, the per-10k-documents
+    * epoch quota, and the boost factor the smoothing applies to the
+    * source (boost_bp > 10000 ⟺ tail source oversampled). One scan,
+    * one aggregate, one broadcast of the 1-row totals — scan-bound at
+    * any corpus size, like every mixture-planning query. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"))
+    val tot = counts.agg(sum(col("n_docs")).as("tot_docs"), sum(col("w")).as("tot_w"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 10000L div tot_docs").as("natural_bp"),
+        expr("w * 10000L div tot_w").as("weight_bp"),
+        expr("w * 10000L div tot_w").as("quota_per_10k"),
+        expr("(w * 10000L div tot_w) * 10000L div greatest(n_docs * 10000L div tot_docs, 1L)")
+          .as("boost_bp"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+      |             CAST(sum(w) AS BIGINT) AS tot_w FROM c)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  n_docs * 10000 // tot_docs AS natural_bp,
+      |  w * 10000 // tot_w AS weight_bp,
+      |  w * 10000 // tot_w AS quota_per_10k,
+      |  (w * 10000 // tot_w) * 10000
+      |    // greatest(n_docs * 10000 // tot_docs, 1) AS boost_bp
+      |FROM c, t
+      |ORDER BY source""".stripMargin
+
   val weightedSampleSql: String =
     s"""WITH keyed AS (
        |  SELECT doc_id, source, n_chars,
