@@ -297,6 +297,10 @@ object SparkEntry {
     ("x4_diversity_card", TextStats.diversityCard _, Some(TextStats.diversityCardSql)),
     ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
     ("x4_hll_distinct", TextStats.hllDistinct _, Some(TextStats.hllDistinctSql)),
+    // round-8: the same HLL sketch merged ACROSS micro-batches in
+    // update mode — mergeable-sketch property under the gate
+    ("x6_stream_hll", graft.streaming.DocStream.streamedHll _,
+      Some(TextStats.hllDistinctSql)),
     ("x2_delta_dedup", Dedup.minhashDeltaDedup _, Some(Dedup.minhashDeltaSql)),
     // round-7: persisted bucketed band table + incremental consumer —
     // same oracle as x2_delta_dedup (same pairs, production physics)
@@ -379,7 +383,8 @@ object SparkEntry {
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
-    "x6_stream_join_outer", "x6_stream_attribution") // multi-file source layout
+    "x6_stream_join_outer", "x6_stream_attribution",
+    "x6_stream_hll") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

@@ -185,6 +185,63 @@ object DocStream {
       .orderBy(col("text_md5"))
   }
 
+  /** Registered query `x6_stream_hll` (round 8) — the MERGEABLE-SKETCH
+    * property under the driver hash gate: per-source HyperLogLog
+    * distinct-shingle estimates accumulate across the chronological
+    * multi-batch document stream in UPDATE mode (the custom
+    * [[graft.functions.HllAgg]] buffer rides the state store; each
+    * micro-batch re-emits the sources whose registers changed), land
+    * batch-stamped, and the read-back keeps each source's LAST update.
+    * HLL merge is register-max — commutative and associative — so the
+    * stream-merged estimate must equal the batch estimate BIT-FOR-BIT
+    * (`x4_hll_distinct`'s oracle: same hash fold, same integer
+    * harmonic sum). The exact count rides the relational tail (exact
+    * streaming distinct is unsupported by design — unbounded state —
+    * which is the reason the sketch exists). A register lost at a
+    * batch boundary, a non-merged buffer, or double-counted state all
+    * move the estimate and break the hash. */
+  def streamedHll(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "documents", "doc_id")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-hll", sfDir)
+    graft.Scratch.rm(base)
+    val landDir = new java.io.File(base, "landed").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val est = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(col("source"),
+        graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
+      .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("hll_est"))
+    val query = est.writeStream
+      .outputMode("update")
+      .foreachBatch(EventStream.landBatch(landDir) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    // each source's newest update is its full-corpus estimate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("batch_id").desc)
+    val latest = spark.read.parquet(landDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("hll_est"))
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tk")).as("n_exact"))
+    exact.join(latest, Seq("source"))
+      .withColumn("err_bp",
+        expr("floor(abs(hll_est - cast(n_exact as double)) * 10000.0 / cast(n_exact as double))"))
+      .select(col("source"), col("n_exact"), col("hll_est"), col("err_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Mirror: the batch per-hash copy counts — the streamed survivor
     * set must be exactly the distinct hash set. */
   val streamedDedupSql: String =

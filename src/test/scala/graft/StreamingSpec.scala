@@ -190,6 +190,21 @@ class StreamingSpec extends SparkSpec {
       s"streamed join diverged from batch (${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("x6_stream_hll: sketch registers merge across micro-batches bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("x4_hll_distinct")(spark, sf).collect()
+    val streamed = graft.streaming.DocStream.streamedHll(spark, sf).collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch),
+      s"stream-merged HLL diverged (${streamed.length} vs ${batch.length} rows)")
+    // several update-mode batches actually landed: the merge property
+    // was exercised, not a single-batch recomputation
+    val landed = new java.io.File(
+      graft.Scratch.dir(spark, "stream-hll", sf), "landed")
+    val batchDirs = Option(landed.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("batch_id="))
+    assert(batchDirs > 1, s"expected >1 update-mode micro-batches, got $batchDirs")
+  }
+
   test("x6_stream_attribution: transformWithState touch state survives micro-batch boundaries") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("x6_attribution")(spark, sf).collect()
