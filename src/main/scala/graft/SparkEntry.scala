@@ -288,6 +288,10 @@ object SparkEntry {
     // latest_version pinned to 2 so split commits fail the hash
     ("x8_lake_merge", graft.lake.LakeQueries.lakeMerge _,
       Some(graft.lake.LakeQueries.lakeMergeSql)),
+    // round-8: the lake's SQL surface (graft-lake relation) — pushed
+    // BETWEEN drives manifest-stat file skipping under spark.sql
+    ("x8_lake_sql", graft.lake.LakeQueries.lakeSql _,
+      Some(graft.lake.LakeQueries.lakeSqlSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),
@@ -379,7 +383,7 @@ object SparkEntry {
     "x2_dup_clusters", "x2_canonical", "x2_cc_stats", // CC cluster map (over minhash pairs)
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
-    "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", // lake history fixture
+    "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",

@@ -522,6 +522,48 @@ object LakeQueries {
       |GROUP BY version, o_orderpriority
       |ORDER BY version, o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_sql` — the SQL SURFACE of the table
+    * format ([[graft.sources.LakeSource]]): the shared three-version
+    * history registered as a `graft-lake` temp view and queried with
+    * plain `spark.sql` — a key-range revenue rollup over the CURRENT
+    * snapshot. Catalyst pushes the `BETWEEN` down to the relation,
+    * whose manifest-stat pruning opens only the intersecting files
+    * (LakeSpec asserts the file-count drop through the same
+    * `prunedFiles` path); the oracle derives the post-upsert,
+    * post-delete state relationally, so version resolution, the SQL
+    * view, the pushdown plumbing, and the pruning must all agree with
+    * the declarative answer. */
+  def lakeSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sharedHistory(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("graft_lake_orders")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM graft_lake_orders
+        |WHERE o_orderkey BETWEEN 100 AND 1000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Mirror: the version-3 state (doubled `%7∧¬%3` prices, `%11`
+    * deleted) under the same key range. */
+  val lakeSqlSql: String =
+    """WITH v3 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM v3
+      |WHERE o_orderkey BETWEEN 100 AND 1000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

@@ -183,6 +183,36 @@ class LakeSpec extends SparkSpec {
       orders.filter(col("o_orderkey") % 3 =!= 0).count())
   }
 
+  test("graft-lake SQL surface: pushed key range prunes files; answers match raw") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val dir = freshDir("sqlsrc")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
+    val rel = new graft.sources.LakeRelation(spark.sqlContext, dir, 0L)
+    val all = rel.prunedFiles(Array.empty)
+    assert(all.size === 8)
+    val f0 = all.minBy(_.minKey)
+    val narrow = rel.prunedFiles(Array(
+      GreaterThanOrEqual("o_orderkey", f0.minKey),
+      LessThanOrEqual("o_orderkey", f0.maxKey)))
+    assert(narrow.size < all.size,
+      s"BETWEEN one file's range must prune, opened ${narrow.size}/${all.size}")
+    // and the SQL answer over the pruned relation equals the raw scan
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("lake_sql_spec")
+    val viaSql = spark.sql(
+      s"""SELECT count(*) FROM lake_sql_spec
+         |WHERE o_orderkey BETWEEN ${f0.minKey} AND ${f0.maxKey}""".stripMargin)
+      .head().getLong(0)
+    val raw = orders.filter(
+      col("o_orderkey").between(f0.minKey, f0.maxKey)).count()
+    assert(viaSql === raw && raw > 0)
+    // versionAsOf plumbs through the option
+    val v1 = spark.read.format("graft-lake").option("path", dir)
+      .option("versionAsOf", "1").load().count()
+    assert(v1 === orders.count())
+  }
+
   test("readAsOf: TIMESTAMP AS OF resolves the version whose commit had published") {
     val dir = freshDir("asof")
     val orders = Tables.orders(spark, sf).limit(100)
