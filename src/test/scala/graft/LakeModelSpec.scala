@@ -6,7 +6,7 @@ import graft.lake.Lake
 
 /** Model-based protocol test for the [[graft.lake.Lake]] format: a
   * SEEDED random sequence of table operations (upsert / delete /
-  * compact / restore) runs against both the real table and an
+  * merge / compact / restore) runs against both the real table and an
   * in-memory reference model (key → priority string); after every op
   * the snapshot must equal the model, and at the end every retained
   * historical version must still read back exactly as the model
@@ -39,8 +39,8 @@ class LakeModelSpec extends SparkSpec {
       Lake.read(spark, dir, version).collect()
         .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
 
-    for (step <- 1 to 12) {
-      rnd.nextInt(4) match {
+    for (step <- 1 to 14) {
+      rnd.nextInt(5) match {
         case 0 => // upsert: random batch of updates + inserts
           val batch = (1 to 30).map { _ =>
             val k = keyDomain(rnd.nextInt(keyDomain.length))
@@ -58,6 +58,14 @@ class LakeModelSpec extends SparkSpec {
           val target = 1L + rnd.nextInt(latest.toInt).toLong
           latest = Lake.restore(spark, dir, target)
           model = history(target)
+        case 4 => // merge: upserts + deletes in ONE commit, deletes win
+          val ups = (1 to 15).map { _ =>
+            val k = keyDomain(rnd.nextInt(keyDomain.length))
+            k -> s"m$step-$k"
+          }.toMap
+          val dels = (1 to 10).map(_ => keyDomain(rnd.nextInt(keyDomain.length))).toSet
+          latest = Lake.merge(spark, dir, frame(ups), dels.toSeq.toDF("k"))
+          model = (model ++ ups) -- dels
       }
       history(latest) = model
       assert(snapshot() === model, s"state diverged after step $step (v$latest)")
