@@ -35,6 +35,27 @@ object Scratch {
     f.delete(); ()
   }
 
+  /** One lazily-built memo slot: the expensive build runs inside the
+    * slot's own lock, NOT inside `ConcurrentHashMap.computeIfAbsent`
+    * — concurrent first calls whose keys collide on a map bin never
+    * serialize behind each other's build, and a re-entrant build
+    * (one fixture consuming another through the same map) cannot
+    * deadlock on the bin lock. Same discipline as the x2 pair-set
+    * memos ([[graft.ext.Dedup]]); shared here so every fixture family
+    * (lake history, BPE training, stream source layouts) uses one
+    * audited implementation. */
+  final class Slot[T <: AnyRef](build: () => T) {
+    @volatile private var cached: T = _
+    def get: T = {
+      val c = cached
+      if (c != null) c
+      else synchronized { if (cached == null) cached = build(); cached }
+    }
+    /** The value if already built — never triggers the build
+      * (invalidation must not run the pipeline it is discarding). */
+    def peek: Option[T] = Option(cached)
+  }
+
   /** Cheap content fingerprint of an asset directory/file (name,
     * length, mtime of every file) — the memo-key component that makes
     * session-scoped fixtures self-invalidate when the data under an

@@ -92,7 +92,7 @@ object Bpe {
     * the checkpoint blocks — Bench's cold pass uses it to publish
     * training-inclusive timings next to the steady-state ones. */
   private val learnMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), (Seq[Merge], DataFrame)]()
+    (SparkSession, String, String), graft.Scratch.Slot[(Seq[Merge], DataFrame)]]()
 
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
@@ -106,18 +106,20 @@ object Bpe {
     import scala.jdk.CollectionConverters._
     learnMemo.keySet.asScala
       .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
-      .foreach(k => Option(learnMemo.remove(k)).foreach(v => releaseCheckpoint(v._2)))
-    learnMemo.computeIfAbsent((spark, sfDir, fp), { _ =>
-      val (merges, vocab) = learn(spark, sfDir)
-      val kept = vocab.localCheckpoint(true)
-      vocab.unpersist()
-      (merges, kept)
-    })
+      .foreach(k => Option(learnMemo.remove(k))
+        .foreach(_.peek.foreach(v => releaseCheckpoint(v._2))))
+    learnMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val (merges, vocab) = learn(spark, sfDir)
+        val kept = vocab.localCheckpoint(true)
+        vocab.unpersist()
+        (merges, kept)
+      })).get
   }
 
   private[graft] def invalidateLearned(): Unit = {
     import scala.jdk.CollectionConverters._
-    learnMemo.values.asScala.foreach(v => releaseCheckpoint(v._2))
+    learnMemo.values.asScala.foreach(_.peek.foreach(v => releaseCheckpoint(v._2)))
     learnMemo.clear()
   }
 

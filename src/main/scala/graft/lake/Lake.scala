@@ -367,20 +367,27 @@ object Lake {
       .flatMap(v => manifest(dir, v).files.map(_.name)).toSet
     val root = new java.io.File(dir)
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    val orphans = Option(root.listFiles()).getOrElse(Array.empty)
+    val dataDirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("data-"))
-      .flatMap { d =>
+    val orphans = dataDirs.flatMap { d =>
+        val referencedHere = Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(f => referenced(d.getName + "/" + f.getName))
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.lastModified < cutoff)
+          // writer-side metadata (_SUCCESS, .part-*.crc) is deletable
+          // only when its WHOLE subdir is unreferenced — a live file's
+          // checksum companion must never be swept out from under it
+          .filter(f => if (f.getName.startsWith(".") || f.getName.startsWith("_"))
+            !referencedHere else true)
           .map(f => d.getName + "/" + f.getName)
       }
       .filterNot(referenced)
       .toSeq.sorted
     orphans.foreach { n => Files.deleteIfExists(Paths.get(dir, n)); () }
     // prune data subdirs emptied by the sweep
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("data-"))
-      .foreach { d => if (Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () } }
+    dataDirs.foreach { d =>
+      if (Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () }
+    }
     orphans
   }
 

@@ -46,37 +46,39 @@ object LakeQueries {
     * per query, so the full history-build cost is published alongside
     * (`cold_queries`). The fingerprint key makes rewritten testdata
     * self-invalidate; [[invalidateHistory]] gives explicit teardown. */
-  private val histMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+  private val histMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
 
   private[graft] def sharedHistory(spark: SparkSession, sfDir: String): String = {
     val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
     import scala.jdk.CollectionConverters._
     histMemo.keySet.asScala
       .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
-      .foreach(k => Option(histMemo.remove(k)).foreach(d => rm(new java.io.File(d))))
-    histMemo.computeIfAbsent((spark, sfDir, fp), { _ =>
-      val dir = scratchDir(spark, sfDir) + "-hist"
-      rm(new java.io.File(dir))
-      val orders = Tables.orders(spark, sfDir)
-      Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
-        targetFiles = 4)
-      val inserts = orders.filter(col("o_orderkey") % 3 === 0)
-      val priceUpdates = orders
-        .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice",
-          (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
-      Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
-      Lake.delete(spark, dir,
-        orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
-      dir
-    })
+      .foreach(k => Option(histMemo.remove(k))
+        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+    histMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-hist"
+        rm(new java.io.File(dir))
+        val orders = Tables.orders(spark, sfDir)
+        Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+          targetFiles = 4)
+        val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+        val priceUpdates = orders
+          .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice",
+            (col("o_totalprice").cast("decimal(18,2)") * 2).cast("double"))
+        Lake.upsert(spark, dir, inserts.unionByName(priceUpdates))
+        Lake.delete(spark, dir,
+          orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+        dir
+      })).get
   }
 
   /** Tear down every memoized history fixture (Bench's cold pass). */
   private[graft] def invalidateHistory(): Unit = {
     import scala.jdk.CollectionConverters._
-    histMemo.values.asScala.foreach(d => rm(new java.io.File(d)))
+    histMemo.values.asScala.foreach(_.peek.foreach(d => rm(new java.io.File(d))))
     histMemo.clear()
   }
 

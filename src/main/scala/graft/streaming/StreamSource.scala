@@ -34,7 +34,7 @@ object StreamSource {
   val NumFiles = 4
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String, String), String]()
+    (SparkSession, String, String, String), graft.Scratch.Slot[String]]()
 
   /** The asset landed as [[NumFiles]] time-ordered parquet files;
     * returns the directory to `readStream` from. `orderCol` is the
@@ -47,8 +47,8 @@ object StreamSource {
     memo.keySet.asScala
       .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 == asset && k._4 != fp)
       .foreach(k => Option(memo.remove(k))
-        .foreach(d => graft.Scratch.rm(new java.io.File(d))))
-    memo.computeIfAbsent((spark, sfDir, asset, fp), { _ =>
+        .foreach(_.peek.foreach(d => graft.Scratch.rm(new java.io.File(d)))))
+    memo.computeIfAbsent((spark, sfDir, asset, fp), _ => new graft.Scratch.Slot(() => {
       val dir = graft.Scratch.dir(spark, s"stream-src-$asset", sfDir)
       graft.Scratch.rm(dir)
       graft.Tables.read(spark, sfDir, asset)
@@ -64,12 +64,12 @@ object StreamSource {
         f.setLastModified(t0 + i * 2000L); ()
       }
       dir.getAbsolutePath
-    })
+    })).get
   }
 
   private[graft] def invalidate(): Unit = {
     import scala.jdk.CollectionConverters._
-    memo.values.asScala.foreach(d => graft.Scratch.rm(new java.io.File(d)))
+    memo.values.asScala.foreach(_.peek.foreach(d => graft.Scratch.rm(new java.io.File(d))))
     memo.clear()
   }
 }
