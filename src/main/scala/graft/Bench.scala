@@ -58,6 +58,11 @@ object Bench {
     // the artifact carry its own contention verdict.
     val (priorQ, priorSf) = priorArtifact()
     val nThreads = Runtime.getRuntime.availableProcessors()
+    // warm the probe's own code path first (ADVICE r8): the before
+    // probes run on a JIT-cold JVM while mid/after run hours hot, so
+    // an unwarmed first sample can breach the 1.30x disagreement
+    // threshold on a perfectly quiet host and false-flag the run
+    hostProbe(1); hostProbe(nThreads)
     val probeBefore1 = hostProbe(1)
     val probeBeforeN = hostProbe(nThreads)
     // Empirically best on the 32-core contract machine at sf0.1:

