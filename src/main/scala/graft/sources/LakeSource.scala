@@ -17,7 +17,7 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFile
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.Lake
@@ -111,25 +111,53 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     filters // every conjunct re-applied post-scan: pruning is never a correctness gate
   }
 
-  /** Reported for `.explain` visibility only: the key-range conjuncts
-    * the manifest pruning actually consumed, rendered through the
-    * public V2 expression API. */
+  /** Reported for `.explain` visibility only: the bounds the manifest
+    * pruning actually consumed, rendered through the public V2
+    * expression API. */
   override def pushedFilters: Array[Predicate] = {
-    val (lo, hi) = LakeScanBuilder.bounds(leadingKey, exprFilters)
-    def pred(op: String, v: Long) = new Predicate(op,
-      Array(Expressions.column(leadingKey), Expressions.literal(v)))
-    (lo.map(pred(">=", _)).toSeq ++ hi.map(pred("<=", _)).toSeq).toArray
+    val b = LakeScanBuilder.bounds(exprFilters)
+    def pred[T](c: String, op: String, v: T) = new Predicate(op,
+      Array(Expressions.column(c), Expressions.literal(v)))
+    (b.int.toSeq.flatMap { case (c, (lo, hi)) =>
+      lo.map(pred(c, ">=", _)).toSeq ++ hi.map(pred(c, "<=", _)).toSeq
+    } ++ b.str.toSeq.flatMap { case (c, (lo, hi)) =>
+      lo.map(pred(c, ">=", _)).toSeq ++ hi.map(pred(c, "<=", _)).toSeq
+    }).toArray
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   /** Files surviving manifest-stat pruning (exposed for LakeSpec's
-    * skipping assertion). */
+    * skipping assertion): the leading key prunes on the manifest
+    * range, any other column on its typed `stats`/`strStats` entry —
+    * dates and timestamps compare in the SAME integer encoding their
+    * Catalyst literals carry (epoch days / micros), strings compare
+    * lexicographically (ASCII-guarded). Files without the stat are
+    * conservatively read. */
   private[graft] def prunedFiles(filters: Seq[Expression]): Seq[Lake.FileEntry] = {
-    val (lo, hi) = LakeScanBuilder.bounds(leadingKey, filters)
-    snapshot.files.filter(f =>
-      lo.forall(f.maxKey >= _) && hi.forall(f.minKey <= _))
+    val b = LakeScanBuilder.bounds(filters)
+    snapshot.files.filter { f =>
+      b.int.forall { case (c, (lo, hi)) =>
+        val range =
+          if (c == leadingKey) Some((f.minKey, f.maxKey))
+          else f.stats.get(c)
+        range.forall { case (flo, fhi) =>
+          lo.forall(fhi >= _) && hi.forall(flo <= _) }
+      } &&
+      b.str.forall { case (c, (lo, hi)) =>
+        f.strStats.get(c) match {
+          case Some((flo, fhi))
+              if (lo.toSeq ++ hi.toSeq :+ flo :+ fhi).forall(
+                _.forall(_ < 0x80)) =>
+            // ASCII-only: Spark's string min/max order by UTF-8 bytes,
+            // the driver compares UTF-16 chars — identical on ASCII,
+            // divergent above it, and divergence would skip WRONGLY
+            lo.forall(fhi.compareTo(_) >= 0) && hi.forall(flo.compareTo(_) <= 0)
+          case _ => true
+        }
+      }
+    }
   }
 
   override def build(): Scan = {
@@ -149,63 +177,135 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
   }
 }
 
-private[sources] object LakeScanBuilder {
+private[graft] object LakeScanBuilder {
+
+  /** Per-column prune windows: `int` in the column's integer encoding
+    * (long / epoch days / epoch micros), `str` lexicographic. None =
+    * unconstrained on that side. */
+  case class ColBounds(int: Map[String, (Option[Long], Option[Long])],
+      str: Map[String, (Option[String], Option[String])])
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
 
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+
+  private def isTimestampish(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: Attribute => Some(a.name)
-    case c: Cast => c.child match { // analyzer may wrap the column, not just the literal
-      case a: Attribute => Some(a.name)
+    // unwrap ONLY unit-preserving casts: integral widening always is;
+    // TIMESTAMP↔TIMESTAMP_NTZ preserves the micros value exactly when
+    // the session TZ is UTC (the engine pins it — Graft.builder), and
+    // the runtime guard keeps a non-UTC session conservative rather
+    // than wrong. Any other cast changes the comparison's unit space
+    // (date→string, timestamp→date, …) and must not prune.
+    case c: Cast => (c.child, c.dataType) match {
+      case (a: Attribute, dt) if isIntegral(dt) && isIntegral(a.dataType) =>
+        Some(a.name)
+      case (a: Attribute, dt)
+          if isTimestampish(dt) && isTimestampish(a.dataType) &&
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone == "UTC" =>
+        Some(a.name)
       case _ => None
     }
     case _ => None
   }
 
+  /** A literal's value in the same integer encoding the manifest
+    * stats use: integrals as-is, DATE as epoch days (Catalyst stores
+    * Int days), TIMESTAMP as epoch micros (Catalyst stores Long). */
   private def longOf(l: Literal): Option[Long] = l.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
+    case ByteType | ShortType | IntegerType | LongType | DateType =>
+      Option(l.value).map(_.asInstanceOf[Number].longValue)
+    case _: org.apache.spark.sql.types.TimestampType =>
+      Option(l.value).map(_.asInstanceOf[Number].longValue)
+    case org.apache.spark.sql.types.TimestampNTZType =>
       Option(l.value).map(_.asInstanceOf[Number].longValue)
     case _ => None
   }
 
-  /** The [lo, hi] prune window the pushed conjuncts imply for `key`
-    * (None = unconstrained on that side). Column-vs-literal integer
-    * comparisons in either orientation tighten the window; anything
-    * else leaves it open (conservative, never wrong). */
-  def bounds(key: String, filters: Seq[Expression]): (Option[Long], Option[Long]) =
-    filters.flatMap(conjuncts).foldLeft((Option.empty[Long], Option.empty[Long])) {
-      case ((lo, hi), f) =>
-        def tightenLo(x: Long) = (Some(lo.fold(x)(math.max(_, x))), hi)
-        def tightenHi(x: Long) = (lo, Some(hi.fold(x)(math.min(_, x))))
-        def onKey(e: Expression) = attrName(e).contains(key)
-        f match {
-          case CEqualTo(a, l: Literal) if onKey(a) && longOf(l).isDefined =>
-            val x = longOf(l).get
-            (Some(lo.fold(x)(math.max(_, x))), Some(hi.fold(x)(math.min(_, x))))
-          case CEqualTo(l: Literal, a) if onKey(a) && longOf(l).isDefined =>
-            val x = longOf(l).get
-            (Some(lo.fold(x)(math.max(_, x))), Some(hi.fold(x)(math.min(_, x))))
-          case CGreaterThan(a, l: Literal) if onKey(a) && longOf(l).isDefined =>
-            tightenLo(longOf(l).get + 1)
-          case CGreaterThanOrEqual(a, l: Literal) if onKey(a) && longOf(l).isDefined =>
-            tightenLo(longOf(l).get)
-          case CLessThan(a, l: Literal) if onKey(a) && longOf(l).isDefined =>
-            tightenHi(longOf(l).get - 1)
-          case CLessThanOrEqual(a, l: Literal) if onKey(a) && longOf(l).isDefined =>
-            tightenHi(longOf(l).get)
-          // literal-on-the-left orientations flip the comparison
-          case CGreaterThan(l: Literal, a) if onKey(a) && longOf(l).isDefined =>
-            tightenHi(longOf(l).get - 1)
-          case CGreaterThanOrEqual(l: Literal, a) if onKey(a) && longOf(l).isDefined =>
-            tightenHi(longOf(l).get)
-          case CLessThan(l: Literal, a) if onKey(a) && longOf(l).isDefined =>
-            tightenLo(longOf(l).get + 1)
-          case CLessThanOrEqual(l: Literal, a) if onKey(a) && longOf(l).isDefined =>
-            tightenLo(longOf(l).get)
-          case _ => (lo, hi)
-        }
+  private def strOf(l: Literal): Option[String] = l.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      Option(l.value).map(_.toString)
+    case _ => None
+  }
+
+  /** One normalized comparison: (column, op with the COLUMN on the
+    * left, literal). Ops: "=", ">", ">=", "<", "<=". */
+  private def normalized(e: Expression): Option[(String, String, Literal)] = {
+    def flip(op: String) = op match {
+      case ">" => "<"
+      case ">=" => "<="
+      case "<" => ">"
+      case "<=" => ">="
+      case other => other
     }
+    e match {
+      case CEqualTo(a, l: Literal) => attrName(a).map((_, "=", l))
+      case CEqualTo(l: Literal, a) => attrName(a).map((_, "=", l))
+      case CGreaterThan(a, l: Literal) => attrName(a).map((_, ">", l))
+      case CGreaterThan(l: Literal, a) => attrName(a).map((_, flip(">"), l))
+      case CGreaterThanOrEqual(a, l: Literal) => attrName(a).map((_, ">=", l))
+      case CGreaterThanOrEqual(l: Literal, a) => attrName(a).map((_, flip(">="), l))
+      case CLessThan(a, l: Literal) => attrName(a).map((_, "<", l))
+      case CLessThan(l: Literal, a) => attrName(a).map((_, flip("<"), l))
+      case CLessThanOrEqual(a, l: Literal) => attrName(a).map((_, "<=", l))
+      case CLessThanOrEqual(l: Literal, a) => attrName(a).map((_, flip("<="), l))
+      case _ => None
+    }
+  }
+
+  /** The per-column prune windows the pushed conjuncts imply.
+    * Column-vs-literal comparisons in either orientation tighten the
+    * matching column's window; anything else leaves it open
+    * (conservative, never wrong). Strict string bounds relax to
+    * inclusive — lexicographic values have no +1 — which only ever
+    * reads extra. */
+  def bounds(filters: Seq[Expression]): ColBounds = {
+    var ints = Map.empty[String, (Option[Long], Option[Long])]
+    var strs = Map.empty[String, (Option[String], Option[String])]
+    def tightenInt(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      val (clo, chi) = ints.getOrElse(c, (None, None))
+      ints += c -> (
+        (clo.toSeq ++ lo.toSeq).maxOption,
+        (chi.toSeq ++ hi.toSeq).minOption)
+    }
+    def tightenStr(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (clo, chi) = strs.getOrElse(c, (None, None))
+      strs += c -> (
+        (clo.toSeq ++ lo.toSeq).maxOption,
+        (chi.toSeq ++ hi.toSeq).minOption)
+    }
+    filters.flatMap(conjuncts).flatMap(normalized).foreach { case (c, op, l) =>
+      longOf(l) match {
+        case Some(x) => op match {
+          case "=" => tightenInt(c, Some(x), Some(x))
+          case ">" => tightenInt(c, Some(x + 1), None)
+          case ">=" => tightenInt(c, Some(x), None)
+          case "<" => tightenInt(c, None, Some(x - 1))
+          case "<=" => tightenInt(c, None, Some(x))
+        }
+        case None => strOf(l).foreach { s =>
+          op match {
+            case "=" => tightenStr(c, Some(s), Some(s))
+            case ">" | ">=" => tightenStr(c, Some(s), None)
+            case "<" | "<=" => tightenStr(c, None, Some(s))
+          }
+        }
+      }
+    }
+    ColBounds(ints, strs)
+  }
 }

@@ -284,6 +284,53 @@ class LakeSpec extends SparkSpec {
     assert(r.getLong(1) === 0L, "o_evolved must null-fill on pre-evolution files")
   }
 
+  test("typed stats: date/string clustering skips files on timestamp and string ranges") {
+    val dir = freshDir("typed")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    // ---- date (timestamp) stats: epoch-micros encoding ----
+    Lake.compactClustered(spark, dir, Seq("o_orderdate"), targetFiles = 8)
+    val m = Lake.manifest(dir, 2L)
+    assert(m.files.size === 8)
+    assert(m.files.forall(_.stats.contains("o_orderdate")),
+      "every date-clustered file must carry an o_orderdate stat")
+    def micros(ts: String): Long =
+      spark.sql(s"SELECT unix_micros(TIMESTAMP'$ts')").head().getLong(0)
+    val lo = micros("1995-01-01 00:00:00")
+    val hi = micros("1995-12-31 23:59:59")
+    val hit = Lake.colRangeFiles(dir, "o_orderdate", lo, hi, 2L)
+    assert(hit.nonEmpty && hit.size < m.files.size,
+      s"a one-year window must skip files, opened ${hit.size}/${m.files.size}")
+    val viaRange = Lake.readColRange(spark, dir, "o_orderdate", lo, hi, 2L).count()
+    val raw = orders.filter(
+      unix_micros(col("o_orderdate").cast("timestamp")).between(lo, hi)).count()
+    assert(viaRange === raw && raw > 0)
+    // the SQL surface prunes on the same timestamp predicate
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+      import org.apache.spark.sql.types.TimestampType
+      val sb = new graft.sources.LakeScanBuilder(spark, dir, 2L,
+        Lake.snapshotSchema(spark, dir, 2L))
+      val pruned = sb.prunedFiles(Seq(
+        GreaterThanOrEqual(UnresolvedAttribute("o_orderdate"), Literal(lo, TimestampType)),
+        LessThanOrEqual(UnresolvedAttribute("o_orderdate"), Literal(hi, TimestampType))))
+      assert(pruned.map(_.name).toSet === hit.map(_.name).toSet)
+    }
+    // ---- string stats: lexicographic bounds, hex round-trip ----
+    Lake.compactClustered(spark, dir, Seq("o_orderpriority"), targetFiles = 5)
+    val m3 = Lake.manifest(dir, 3L)
+    assert(m3.files.forall(_.strStats.contains("o_orderpriority")))
+    val hitS = Lake.strRangeFiles(dir, "o_orderpriority", "1-URGENT", "1-URGENT", 3L)
+    assert(hitS.nonEmpty && hitS.size < m3.files.size,
+      s"a one-priority probe must skip files, opened ${hitS.size}/${m3.files.size}")
+    val viaS = Lake.readStrRange(spark, dir,
+      "o_orderpriority", "1-URGENT", "1-URGENT", 3L).count()
+    assert(viaS === orders.filter(col("o_orderpriority") === "1-URGENT").count())
+    // a window over everything opens everything (no false skips)
+    assert(Lake.strRangeFiles(dir, "o_orderpriority", "0", "Z", 3L).size === m3.files.size)
+  }
+
   test("readAsOf: TIMESTAMP AS OF resolves the version whose commit had published") {
     val dir = freshDir("asof")
     val orders = Tables.orders(spark, sf).limit(100)
