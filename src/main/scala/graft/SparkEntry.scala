@@ -129,6 +129,11 @@ object SparkEntry {
     // round-7: exactly-once streaming ingest into the Lake table format
     ("x6_stream_lake", graft.streaming.EventStream.streamedLakeIngest _,
       Some(graft.streaming.EventStream.streamedLakeIngestSql)),
+    // round-9: CRASH RECOVERY — kill mid-stream, drop the newest
+    // checkpoint commit marker, restart from the same checkpoint:
+    // state-store reload + exactly-once replay under the hash gate
+    ("x6_stream_recovery", graft.streaming.EventStream.streamedRecovery _,
+      Some(graft.streaming.EventStream.streamedRecoverySql)),
     // round-7: stream-stream interval join (watermarked both sides),
     // landed pairs + relational zero-match completion — shares the
     // batch range-join oracle
@@ -392,7 +397,7 @@ object SparkEntry {
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
     "x6_stream_join_outer", "x6_stream_attribution",
-    "x6_stream_hll") // multi-file source layout
+    "x6_stream_hll", "x6_stream_recovery") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

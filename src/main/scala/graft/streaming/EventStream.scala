@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -239,6 +239,142 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("value_cents"))
       .orderBy(col("event_type"))
+  }
+
+  /** Registered query `x6_stream_recovery` (round 9, VERDICT r8 #4) —
+    * CRASH RECOVERY under the driver hash gate: the production
+    * failover path that round 8's clean `AvailableNow` completions
+    * never exercised. A stateful hourly-window aggregation (update
+    * mode, 1-day watermark) streams into an exactly-once Lake sink;
+    * the query is KILLED after at least one committed micro-batch,
+    * then the newest entry in the checkpoint's `commits/` log is
+    * DELETED — exactly the on-disk state a crash leaves when the
+    * engine dies after writing offsets (and possibly the sink txn)
+    * but before recording the batch. The restart from the SAME
+    * checkpoint must (a) RELOAD the aggregation state store — a
+    * window spanning the kill boundary only reaches its full count if
+    * the pre-kill partial survives — and (b) RE-RUN the uncommitted
+    * batch, whose Lake (appId, txnVersion) marker makes the replay
+    * commit NOTHING. The registered output is the final per-hour
+    * table with `lake_versions` pinned to [[StreamSource.NumFiles]]:
+    * state loss breaks the window counts, a double-applied replay
+    * breaks the version count, and either breaks the hash.
+    *
+    * Kill nondeterminism is deliberately tolerated: whichever batch
+    * the stop lands on, exactly-once replay makes the final state
+    * identical (StreamingSpec drives the deterministic two-phase
+    * variant and asserts landed batch counts). */
+  def streamedRecovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-recover", sfDir)
+    graft.Scratch.rm(base)
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    def launch() = recoveryPipeline(spark, src, schema, tableDir)
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // phase 1: kill after at least one micro-batch has committed
+    val q1 = launch()
+    try {
+      while (q1.isActive &&
+          Option(q1.lastProgress).map(_.batchId).getOrElse(-1L) < 1L)
+        Thread.sleep(25)
+    } finally { q1.stop(); q1.awaitTermination() }
+    crashLastCommit(checkpoint)
+    // phase 2: restart from the SAME checkpoint — state store reload +
+    // exactly-once replay of the uncommitted batch
+    val q2 = launch()
+    try q2.awaitTermination()
+    finally if (q2.isActive) q2.stop()
+    graft.lake.Lake.read(spark, tableDir)
+      .withColumn("lake_versions",
+        lit(graft.lake.Lake.latestVersion(tableDir)))
+      .orderBy(col("window_start"))
+  }
+
+  /** The stateful hourly aggregation + exactly-once Lake sink shared
+    * by the registered recovery query and StreamingSpec's
+    * deterministic two-phase variant. */
+  private[graft] def recoveryPipeline(spark: SparkSession, src: String,
+      schema: org.apache.spark.sql.types.StructType,
+      tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    graft.Tables.normalizeEventTime(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec("value")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("n_events"), col("sum_value"))
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // the upsert takes several actions over the batch (bounds agg,
+        // skip join, write, stats pass); CACHE so the stateful plan
+        // executes — and commits its state stores — exactly once per
+        // micro-batch (Spark 4.1's commit validation rejects the
+        // multi-commit shape a re-executed stateful plan produces)
+        val b = batch.persist()
+        try {
+          // materialize EVERY partition before the sink's replay-marker
+          // check: a replayed batch must still advance the state store
+          // (that is what recovery rebuilds) even though the sink then
+          // commits nothing — skipping execution on the no-op path
+          // leaves state stale and fails 4.1's commit validation
+          val updated = b.count()
+          // the trailing NO-DATA micro-batch (watermark advancement)
+          // carries an empty update set — state executed above, but an
+          // empty lake commit would inflate the version history
+          if (updated > 0L)
+            graft.lake.Lake.streamUpsert(b.sparkSession, tableDir,
+              b.toDF(), "window_start", "events-recovery", batchId)
+          ()
+        } finally { b.unpersist(); () }
+      }
+  }
+
+  /** Mirror: per-hour counts straight off raw events, with
+    * `lake_versions` PINNED to the micro-batch count — a replayed
+    * batch that commits a duplicate version (exactly-once broken on
+    * the failover path) or a reset window count (state store not
+    * reloaded) fails the hash. */
+  val streamedRecoverySql: String =
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       |  count(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       |  CAST(${StreamSource.NumFiles} AS BIGINT) AS lake_versions
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Simulate the crash: drop the NEWEST `commits/<n>` marker (and
+    * any offsets entries past n — a real crash leaves the offsets log
+    * AT MOST one batch ahead of the commit log, and Spark's
+    * concurrent-use integrity check rejects a wider gap), leaving
+    * batch n's offsets and any sink transaction in place —
+    * Structured Streaming's recovery contract then re-runs batch n on
+    * restart. */
+  private[graft] def crashLastCommit(checkpoint: String): Unit = {
+    def entries(sub: String) = Option(
+        new java.io.File(checkpoint, sub).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    // the Hadoop local FS writes `.n.crc` checksum companions; a
+    // surviving companion makes the re-created log entry fail with
+    // FileAlreadyExists (surfaced as the concurrent-use error)
+    def drop(f: java.io.File): Unit = {
+      f.delete()
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+      ()
+    }
+    entries("commits").sortBy(_.getName.toLong).lastOption.foreach { c =>
+      val n = c.getName.toLong
+      drop(c)
+      entries("offsets").filter(_.getName.toLong > n).foreach(drop)
+    }
   }
 
   /** Registered query `x6_stream_join` (round 7) — a STREAM-STREAM

@@ -167,6 +167,79 @@ class StreamingSpec extends SparkSpec {
       s"txn marker chain broken: version $latest, txns ${m.txns}")
   }
 
+  test("x6_stream_recovery: kill + commit-drop + restart reloads state and replays exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val out = EventStream.streamedRecovery(spark, sf).collect()
+    val tableDir = new java.io.File(
+      graft.Scratch.dir(spark, "stream-recover", sf), "table").getAbsolutePath
+    // one lake version per micro-batch, NONE duplicated by the replay
+    val latest = graft.lake.Lake.latestVersion(tableDir)
+    assert(latest === graft.streaming.StreamSource.NumFiles.toLong,
+      s"expected exactly one version per micro-batch, got $latest")
+    // the final per-hour counts equal the batch aggregate — a lost
+    // state store would leave the kill-boundary window partial
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = out.map(r =>
+      r.getLong(r.fieldIndex("window_start")) ->
+        r.getLong(r.fieldIndex("n_events"))).toMap
+    assert(streamed === batch,
+      s"recovered stream diverged from batch on ${
+        (streamed.toSet diff batch.toSet).take(3)} ...")
+  }
+
+  test("crash recovery (deterministic): the dropped commit's batch re-runs and its sink txn no-ops") {
+    val sf = "/root/testdata/sf0.001"
+    // private two-file source: phase 1 deterministically lands batches
+    // 0..1, the crash drops commit 1, phase 2 (files 3..4 added)
+    // replays batch 1 and continues
+    val base = graft.Scratch.dir(spark, "stream-recover-spec", sf)
+    graft.Scratch.rm(base)
+    val srcAll = graft.streaming.StreamSource.chronological(spark, sf, "events", "ts")
+    val parts = Option(new java.io.File(srcAll).listFiles()).get
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === graft.streaming.StreamSource.NumFiles)
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    def addFiles(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(srcDir, f.getName).toPath)
+      ()
+    }
+    val schema = spark.read.parquet(srcAll).schema
+    def runToCompletion(): Unit = {
+      val q = EventStream.recoveryPipeline(spark, srcDir.getAbsolutePath,
+          schema, tableDir)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    addFiles(parts.take(2))
+    runToCompletion() // batches 0, 1
+    assert(graft.lake.Lake.latestVersion(tableDir) === 2L)
+    val markerBefore = graft.lake.Lake.manifest(tableDir, 2L).txns("events-recovery")
+    assert(markerBefore === 1L)
+    EventStream.crashLastCommit(checkpoint)
+    addFiles(parts.drop(2))
+    runToCompletion() // replays batch 1 (no-op sink txn), then 2, 3
+    val latest = graft.lake.Lake.latestVersion(tableDir)
+    assert(latest === 4L,
+      s"replayed batch must commit NOTHING; expected 4 versions, got $latest")
+    assert(graft.lake.Lake.manifest(tableDir, latest)
+      .txns("events-recovery") === 3L)
+    // all four micro-batches recorded in the restarted commit log
+    val commits = Option(new java.io.File(checkpoint, "commits").listFiles())
+      .get.filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
+    assert(commits.toSeq === Seq(0L, 1L, 2L, 3L),
+      s"commit log after kill/restart: ${commits.toSeq}")
+  }
+
   test("x6_stream_session: watermark-finalized landing + tail completion equals batch sessionize") {
     val sf = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("x6_session_window")(spark, sf).collect()
