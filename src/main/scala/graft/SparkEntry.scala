@@ -305,6 +305,11 @@ object SparkEntry {
     // barrier; both land, versions pinned, snapshot = relational merge
     ("x8_lake_concurrent", graft.lake.LakeQueries.lakeConcurrent _,
       Some(graft.lake.LakeQueries.lakeConcurrentSql)),
+    // round-9: the SQL WRITE surface — INSERT OVERWRITE (truncate
+    // path) then INSERT INTO (key-merge upsert) through the V2
+    // relation's V1Write fallback, final state + version count gated
+    ("x8_lake_insert", graft.lake.LakeQueries.lakeInsert _,
+      Some(graft.lake.LakeQueries.lakeInsertSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

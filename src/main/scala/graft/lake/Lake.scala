@@ -771,6 +771,26 @@ object Lake {
     base + 1L
   }
 
+  /** Snapshot REPLACE (SQL `INSERT OVERWRITE` via
+    * [[graft.sources.LakeSource]]): commit `df` as the table's new
+    * current state — same key, fresh range-clustered files. History
+    * and exactly-once txn markers carry forward, so time travel still
+    * resolves every replaced snapshot until [[vacuum]]. */
+  def overwrite(spark: SparkSession, dir: String, df: DataFrame,
+      targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = writeFiles(df, dir, m.key, targetFiles)
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** [[overwrite]] under the optimistic-concurrency loop. */
+  def overwriteWithRetry(spark: SparkSession, dir: String, df: DataFrame,
+      targetFiles: Int = 2, maxAttempts: Int = 5): Long =
+    withRetry(maxAttempts)(overwrite(spark, dir, df, targetFiles))
+
   /** Z-ORDER compaction — Delta/Iceberg `OPTIMIZE ZORDER BY (x, y)` on
     * the hand-built format: rewrite the current snapshot clustered by
     * the Morton interleave of two integer columns

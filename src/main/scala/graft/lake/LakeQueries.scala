@@ -694,4 +694,75 @@ object LakeQueries {
       |FROM u
       |GROUP BY version, o_orderpriority
       |ORDER BY version, o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_insert` — the SQL WRITE surface of the
+    * table format (round 9: DataSource V2 `SupportsWrite` via the
+    * `V1Write` fallback, [[graft.sources.LakeWriteBuilder]]). Three
+    * versions land entirely through `spark.sql`:
+    *
+    *  1. `Lake.create` seeds the `%4≠0` orders slice (v1);
+    *  2. `INSERT OVERWRITE` the relation replaces the snapshot with
+    *     the `%7≠2` slice — the `SupportsTruncate` path (v2);
+    *  3. `INSERT INTO` a `%10=0`, priority-stamped batch key-MERGES
+    *     into it (v3): rows whose key exists in v2 are REPLACED
+    *     (last-writer-wins upsert — the only append semantics that
+    *     preserve the format's key-uniqueness invariant) and rows v2
+    *     never had (keys with `%7=2 ∧ %10=0`) are inserted — both
+    *     halves hash-observable in the final rollup.
+    *
+    * The relation is re-loaded after each write because the V2 table
+    * pins its version at load (time-travel-stable reads); the final
+    * aggregate pins `lake_versions` to 3, so a write that silently
+    * no-opped or double-landed breaks the hash. */
+  def lakeInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-sqlwrite"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+    orders.createOrReplaceTempView("orders_raw_w")
+    Lake.create(orders.filter(col("o_orderkey") % 4 =!= 0), dir, "o_orderkey",
+      targetFiles = 4)
+    def view(): Unit =
+      spark.read.format("graft-lake").option("path", dir).load()
+        .createOrReplaceTempView("graft_lake_orders_w")
+    view()
+    spark.sql(
+      """INSERT OVERWRITE TABLE graft_lake_orders_w
+        |SELECT * FROM orders_raw_w WHERE o_orderkey % 7 <> 2""".stripMargin)
+    view()
+    val stamped = orders.columns.map(c =>
+      if (c == "o_orderpriority") "'9-SQL-UPSERT' AS o_orderpriority" else c)
+    spark.sql(
+      s"""INSERT INTO graft_lake_orders_w
+         |SELECT ${stamped.mkString(", ")} FROM orders_raw_w
+         |WHERE o_orderkey % 10 = 0""".stripMargin)
+    view()
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM graft_lake_orders_w
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("lake_versions", lit(Lake.latestVersion(dir)))
+  }
+
+  /** Mirror: final state = the overwrite slice with the insert batch
+    * key-merged over it — a row survives iff `%7≠2` (overwritten in)
+    * or `%10=0` (inserted), and carries the stamp iff `%10=0` (the
+    * insert batch wins its keys). */
+  val lakeInsertSql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN '9-SQL-UPSERT'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <> 2 OR o_orderkey % 10 = 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
   EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan,
   GreaterThanOrEqual => CGreaterThanOrEqual, LessThan => CLessThan,
   LessThanOrEqual => CLessThanOrEqual, Literal}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
+  V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -74,18 +76,56 @@ class LakeSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val dir = dirOf(options)
-    new LakeTable(dir, versionOf(options, dir), schema)
+    new LakeTable(dir, versionOf(options, dir), schema,
+      pinned = options.containsKey("versionAsOf"))
   }
 }
 
-private[sources] class LakeTable(dir: String, version: Long, schema0: StructType)
-    extends Table with SupportsRead {
+private[sources] class LakeTable(dir: String, version: Long,
+    schema0: StructType, pinned: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_lake($dir@v$version)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(SparkSession.active, dir, version, schema0)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!pinned,
+      s"cannot write to $name: versionAsOf pins a historical snapshot " +
+        "(writes only target the current version)")
+    new LakeWriteBuilder(dir)
+  }
+}
+
+/** Write path of the SQL surface, via the V1 fallback (`V1Write` →
+  * `InsertableRelation`): `INSERT INTO` the relation is a KEY-MERGE
+  * upsert ([[Lake.upsertWithRetry]] — last-writer-wins per key, the
+  * only append semantics that preserve the format's key-uniqueness
+  * invariant, which file skipping, CDF, and MERGE all rely on), and
+  * `INSERT OVERWRITE` replaces the snapshot as a new version
+  * ([[Lake.overwriteWithRetry]]). The fallback hands over an
+  * already-resolved DataFrame (Catalyst has by-position matched and
+  * cast it to the table schema), which is exactly the input the Lake
+  * commit protocol wants — its stats derivation, range clustering,
+  * delta-encoded log, and optimistic retry are the write path; a
+  * hand-rolled `BatchWrite` would re-implement all of that per-task
+  * for zero plan benefit (the write sits above a shuffle boundary, so
+  * there is no codegen fusion to preserve — unlike the read path,
+  * where the columnar delegation is the whole point). */
+private[sources] class LakeWriteBuilder(dir: String,
+    replaceSnapshot: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new LakeWriteBuilder(dir, replaceSnapshot = true)
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+      (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
+        if (replaceSnapshot || overwrite)
+          Lake.overwriteWithRetry(data.sparkSession, dir, data)
+        else Lake.upsertWithRetry(data.sparkSession, dir, data)
+  }
 }
 
 /** Pushdown state machine: Catalyst hands every scan-adjacent conjunct

@@ -677,4 +677,60 @@ class LakeSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "update_postimage").count() === 10L)
     feed.unpersist()
   }
+
+  test("SQL INSERT INTO is a key-merge upsert; INSERT OVERWRITE replaces the snapshot") {
+    val dir = freshDir("sqlwrite")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders.filter(col("o_orderkey") <= 100), dir, "o_orderkey")
+    orders.createOrReplaceTempView("spec_orders_src")
+    def reload(): Unit =
+      spark.read.format("graft-lake").option("path", dir).load()
+        .createOrReplaceTempView("spec_lake_w")
+    reload()
+    // INSERT INTO: keys ≤50 overlap v1 (replaced), 101..120 are new
+    val stamped = orders.columns.map(c =>
+      if (c == "o_orderpriority") "'9-SQL' AS o_orderpriority" else c).mkString(", ")
+    spark.sql(s"""INSERT INTO spec_lake_w SELECT $stamped FROM spec_orders_src
+                 |WHERE o_orderkey <= 50 OR o_orderkey BETWEEN 101 AND 120""".stripMargin)
+    assert(Lake.latestVersion(dir) === 2L)
+    reload()
+    val v2 = spark.table("spec_lake_w")
+    val n101to120 = orders.filter(col("o_orderkey").between(101, 120)).count()
+    assert(v2.count() ===
+      orders.filter(col("o_orderkey") <= 100).count() + n101to120)
+    // the overlap was REPLACED, not duplicated; disjoint rows untouched
+    assert(v2.filter(col("o_orderkey") <= 50 &&
+      col("o_orderpriority") =!= "9-SQL").count() === 0L)
+    assert(v2.filter(col("o_orderkey").between(51, 100) &&
+      col("o_orderpriority") === "9-SQL").count() === 0L)
+    assert(v2.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0L)
+    // INSERT OVERWRITE: snapshot replaced wholesale as v3; v2 still travels
+    spark.sql("""INSERT OVERWRITE TABLE spec_lake_w
+                |SELECT * FROM spec_orders_src WHERE o_orderkey BETWEEN 200 AND 230""".stripMargin)
+    assert(Lake.latestVersion(dir) === 3L)
+    reload()
+    assert(spark.table("spec_lake_w").select("o_orderkey").collect().map(_.getLong(0)).toSet
+      === orders.filter(col("o_orderkey").between(200, 230))
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet)
+    assert(Lake.read(spark, dir, 2L).count() === v2.count())
+  }
+
+  test("a versionAsOf-pinned relation REJECTS writes") {
+    val dir = freshDir("pinned")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders.limit(20), dir, "o_orderkey")
+    Lake.upsert(spark, dir, orders.limit(5)
+      .withColumn("o_orderpriority", lit("9-V2")))
+    spark.read.format("graft-lake").option("path", dir)
+      .option("versionAsOf", "1").load()
+      .createOrReplaceTempView("spec_lake_pinned")
+    orders.limit(1).createOrReplaceTempView("spec_one_row")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO spec_lake_pinned SELECT * FROM spec_one_row")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("versionAsOf")), s"got: $e")
+    assert(Lake.latestVersion(dir) === 2L) // nothing landed
+  }
 }
