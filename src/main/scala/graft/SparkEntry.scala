@@ -310,6 +310,10 @@ object SparkEntry {
     // relation's V1Write fallback, final state + version count gated
     ("x8_lake_insert", graft.lake.LakeQueries.lakeInsert _,
       Some(graft.lake.LakeQueries.lakeInsertSql)),
+    // round-9: the catalog plugin — pure-SQL DDL+DML lifecycle
+    // (CTAS, key-merge INSERT, VERSION AS OF) with no temp views
+    ("x8_lake_catalog", graft.lake.LakeQueries.lakeCatalog _,
+      Some(graft.lake.LakeQueries.lakeCatalogSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

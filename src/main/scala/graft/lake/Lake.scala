@@ -518,6 +518,32 @@ object Lake {
       }.toSeq
   }
 
+  /** Create an EMPTY table at version 1 (SQL `CREATE TABLE` via
+    * [[graft.sources.LakeCatalog]]; non-atomic CTAS lands its data as
+    * the version-2 append). The format derives the snapshot schema
+    * from its files, so the empty table anchors on ONE zero-row
+    * schema-bearing parquet file whose inverted key range [0, -1]
+    * intersects nothing — every pruned read skips it, every full read
+    * unions zero rows through it, and the first copy-on-write rewrite
+    * that touches nothing still carries it harmlessly (1 footer). */
+  def createEmpty(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, key: String): Long = {
+    require(latestVersion(dir) == 0L, s"lake table already exists at $dir")
+    val kc = keyCols(key)
+    kc.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k missing from schema ${schema.fieldNames.mkString(", ")}"))
+    val sub = s"data-${java.util.UUID.randomUUID}"
+    val out = Paths.get(dir, sub).toString
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val part = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .minBy(_.getName)
+    val entry = FileEntry(sub + "/" + part.getName, 0L, 0L, -1L)
+    commit(dir, None, Manifest(1L, key, Seq(entry)))
+    1L
+  }
+
   /** Create the table at version 1 (fails if it already exists). */
   def create(df: DataFrame, dir: String, key: String, targetFiles: Int = 4): Long = {
     require(latestVersion(dir) == 0L, s"lake table already exists at $dir")

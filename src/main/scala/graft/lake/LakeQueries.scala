@@ -765,4 +765,69 @@ object LakeQueries {
       |FROM final
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_catalog` — the CATALOG plugin
+    * ([[graft.sources.LakeCatalog]], round 9): lake tables addressed
+    * as `graft.<ns>.<table>` in plain SQL with no temp views anywhere
+    * in the lifecycle. The run is pure SQL DDL+DML: `DROP TABLE IF
+    * EXISTS` (idempotency), CTAS (`CREATE TABLE ... TBLPROPERTIES
+    * ('key'=...) AS SELECT` — empty keyed create at v1 + the data
+    * append at v2), `INSERT INTO` an overlapping stamped batch (v3
+    * key-merge: `%3=0` keys are new, `%3≠0 ∧ %5=0` keys are
+    * replaced), then a rollup SELECT over the CURRENT identifier —
+    * which must observe v3 because catalog resolution re-loads the
+    * table per query (the stale-view pinning the path-based relation
+    * has by design) — joined with a `VERSION AS OF 2` count through
+    * Spark's time-travel syntax, answered from the delta log.
+    * `lake_versions` pins the commit count. */
+  def lakeCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = new java.io.File(graft.Scratch.root,
+      s"graft-lakecat-${spark.sparkContext.applicationId}")
+    wh.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getAbsolutePath)
+    val ns = "sf" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val t = s"graft.$ns.orders_cat"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_src_cat")
+    spark.sql(
+      s"""CREATE TABLE $t TBLPROPERTIES ('key'='o_orderkey')
+         |AS SELECT * FROM orders_src_cat WHERE o_orderkey % 3 <> 0""".stripMargin)
+    val stamped = Tables.orders(spark, sfDir).columns.map(c =>
+      if (c == "o_orderpriority") "'9-CATALOG' AS o_orderpriority" else c)
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT ${stamped.mkString(", ")} FROM orders_src_cat
+         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         |    AS revenue_cents,
+         |  (SELECT count(*) FROM $t VERSION AS OF 2) AS n_at_v2
+         |FROM $t
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("lake_versions",
+        lit(Lake.latestVersion(s"${wh.getAbsolutePath}/$ns/orders_cat")))
+  }
+
+  /** Mirror: final state = all orders, stamped where the insert batch
+    * won (`%3=0 ∨ %5=0`); v2 = the CTAS slice (`%3≠0`). */
+  val lakeCatalogSql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+      |         THEN '9-CATALOG' ELSE o_orderpriority END AS o_orderpriority,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS n_at_v2,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange,
+  SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.Lake
+
+/** Catalog plugin for the [[Lake]] table format — the step past the
+  * path-based relation: register once
+  * (`spark.sql.catalog.<name>=graft.sources.LakeCatalog` plus
+  * `spark.sql.catalog.<name>.warehouse=<root>`) and every table under
+  * the warehouse is addressable as `<name>.<ns>.<table>` in plain SQL:
+  * `CREATE TABLE` / CTAS, `INSERT INTO` (key-merge upsert), `INSERT
+  * OVERWRITE` (snapshot replace), `SELECT`, `DROP`/`RENAME TABLE` —
+  * and the TIME TRAVEL syntax comes with the interface: Spark routes
+  * `VERSION AS OF n` to `loadTable(ident, version)` and `TIMESTAMP AS
+  * OF ts` to `loadTable(ident, epochMicros)`, both answered from the
+  * delta log ([[Lake.versionAt]]). Unlike a temp view over the
+  * path-based relation (which pins the version it loaded), catalog
+  * resolution re-loads the table per query, so a SELECT after an
+  * INSERT sees the new version with no re-registration.
+  *
+  * Layout: `<warehouse>/<namespace...>/<table>/` is a Lake table root
+  * (`_manifests` log + data subdirs). Namespaces are directories;
+  * [[SupportsNamespaces]] is implemented over them so `CREATE
+  * NAMESPACE` / `SHOW TABLES IN` work. `alterTable` is rejected:
+  * the format evolves schema additively through upsert writes
+  * (merge-on-read null-fill), not through metadata-only DDL.
+  *
+  * CREATE TABLE requires the clustering key as a table property or
+  * option (`key` / `option.key`): the manifest is keyed from birth, so
+  * every later write range-clusters and every read can skip files —
+  * there is deliberately no unkeyed state in the format's lifecycle. */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  /** Path-traversal guard: identifiers become directory names. */
+  private def safe(part: String): String = {
+    require(part.nonEmpty && part.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+      s"illegal identifier part: $part")
+    part
+  }
+
+  private def nsDir(namespace: Array[String]) =
+    Paths.get(warehouse, namespace.map(safe): _*)
+
+  private def tableDir(ident: Identifier): String =
+    nsDir(ident.namespace).resolve(safe(ident.name)).toString
+
+  private def isTable(dir: String): Boolean = Lake.latestVersion(dir) > 0L
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace).toFile
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    d.listFiles().filter(f => f.isDirectory && isTable(f.getAbsolutePath))
+      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val v = Lake.latestVersion(dir)
+    new LakeTable(dir, v, Lake.snapshotSchema(spark, dir, v))
+  }
+
+  /** `VERSION AS OF <v>` — a pinned (read-only) snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-lake versions are integers, got: $version")
+    }
+    new LakeTable(dir, v, Lake.snapshotSchema(SparkSession.active, dir, v),
+      pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (Spark hands epoch MICROS) — the newest
+    * version whose commit published at or before the instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = Lake.versionAt(dir, Math.floorDiv(timestampMicros, 1000L))
+    new LakeTable(dir, v, Lake.snapshotSchema(SparkSession.active, dir, v),
+      pinned = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-lake range-clusters by its key; PARTITIONED BY is not supported")
+    val props = properties.asScala
+    val key = props.get("key").orElse(props.get(TableCatalog.OPTION_PREFIX + "key"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $ident requires the clustering key, e.g. " +
+          "TBLPROPERTIES ('key'='o_orderkey')"))
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(Paths.get(dir))
+    Lake.createEmpty(SparkSession.active, dir, schema, key)
+    new LakeTable(dir, 1L, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake evolves schema through upsert writes (additive " +
+        "merge-on-read), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    graft.Scratch.rm(new java.io.File(dir))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(Paths.get(to).getParent)
+    Files.move(Paths.get(from), Paths.get(to))
+  }
+
+  // ---- namespaces = directories under the warehouse ----
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || nsDir(namespace).toFile.isDirectory
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse).toFile
+    if (!root.isDirectory) Array.empty
+    else root.listFiles().filter(f => f.isDirectory && !isTable(f.getAbsolutePath))
+      .map(f => Array(f.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    Files.createDirectories(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-lake namespaces are plain directories; nothing to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace).toFile
+    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && d.listFiles().nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    graft.Scratch.rm(d)
+    true
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Lake
+
+/** [[graft.sources.LakeCatalog]] — catalog-qualified SQL over the lake
+  * format: DDL (CREATE/CTAS/DROP/RENAME/SHOW), DML through the V2
+  * write path, per-query re-resolution (no stale temp-view pinning),
+  * and the time-travel syntax (`VERSION AS OF` / `TIMESTAMP AS OF`)
+  * answered from the delta log. */
+class LakeCatalogSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val warehouse: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lake-cat").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", d)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE TABLE + INSERT INTO + SELECT, re-resolved per query") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.main")
+    sql("""CREATE TABLE graftcat.main.orders_c
+          |  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+          |  TBLPROPERTIES ('key'='o_orderkey')""".stripMargin)
+    assert(Lake.latestVersion(s"$warehouse/main/orders_c") === 1L)
+    assert(sql("SELECT * FROM graftcat.main.orders_c").count() === 0L)
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .createOrReplaceTempView("cat_orders_src")
+    sql("""INSERT INTO graftcat.main.orders_c
+          |SELECT * FROM cat_orders_src WHERE o_orderkey <= 100""".stripMargin)
+    // the SAME identifier re-resolves to the new version — no reload step
+    val n1 = sql("SELECT count(*) AS n FROM graftcat.main.orders_c")
+      .collect()(0).getLong(0)
+    assert(n1 === Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= 100).count())
+    // upsert semantics through the catalog: overlapping keys replaced
+    sql("""INSERT INTO graftcat.main.orders_c
+          |SELECT o_orderkey, o_totalprice, 'CAT-V3' FROM cat_orders_src
+          |WHERE o_orderkey <= 50""".stripMargin)
+    val t = sql("SELECT * FROM graftcat.main.orders_c")
+    assert(t.count() === n1)
+    assert(t.filter(col("o_orderkey") <= 50 &&
+      col("o_orderpriority") =!= "CAT-V3").count() === 0L)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve from the delta log") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.tt")
+    sql("""CREATE TABLE graftcat.tt.t (k BIGINT, v STRING)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.tt.t VALUES (1, 'a'), (2, 'b')")
+    val midMillis = System.currentTimeMillis()
+    Thread.sleep(20)
+    sql("INSERT INTO graftcat.tt.t VALUES (2, 'B2'), (3, 'c')")
+    assert(sql("SELECT count(*) AS n FROM graftcat.tt.t").collect()(0).getLong(0) === 3L)
+    assert(sql("SELECT count(*) AS n FROM graftcat.tt.t VERSION AS OF 2")
+      .collect()(0).getLong(0) === 2L)
+    assert(sql("SELECT v FROM graftcat.tt.t VERSION AS OF 2 WHERE k = 2")
+      .collect()(0).getString(0) === "b")
+    val ts = new java.sql.Timestamp(midMillis).toString
+    assert(sql(s"SELECT count(*) AS n FROM graftcat.tt.t TIMESTAMP AS OF '$ts'")
+      .collect()(0).getLong(0) === 2L)
+  }
+
+  test("CTAS lands create + append; INSERT OVERWRITE replaces through the catalog") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ctas")
+    Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+      .createOrReplaceTempView("ctas_src")
+    sql("""CREATE TABLE graftcat.ctas.slice TBLPROPERTIES ('key'='o_orderkey')
+          |AS SELECT * FROM ctas_src WHERE o_orderkey BETWEEN 1 AND 200""".stripMargin)
+    val dir = s"$warehouse/ctas/slice"
+    assert(Lake.latestVersion(dir) === 2L) // empty create + CTAS append
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").between(1, 200)).count()
+    assert(sql("SELECT * FROM graftcat.ctas.slice").count() === expect)
+    sql("""INSERT OVERWRITE graftcat.ctas.slice
+          |SELECT * FROM ctas_src WHERE o_orderkey BETWEEN 300 AND 320""".stripMargin)
+    assert(sql("SELECT min(o_orderkey) AS lo FROM graftcat.ctas.slice")
+      .collect()(0).getLong(0) >= 300L)
+    assert(Lake.latestVersion(dir) === 3L)
+  }
+
+  test("SHOW TABLES, RENAME, DROP; CREATE without a key is rejected") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ddl")
+    sql("CREATE TABLE graftcat.ddl.a (k BIGINT) TBLPROPERTIES ('key'='k')")
+    assert(sql("SHOW TABLES IN graftcat.ddl").collect()
+      .map(_.getString(1)).contains("a"))
+    // the RENAME target is catalog-relative (Spark resolves it inside
+    // the source table's catalog)
+    sql("ALTER TABLE graftcat.ddl.a RENAME TO ddl.b")
+    assert(!sql("SHOW TABLES IN graftcat.ddl").collect()
+      .map(_.getString(1)).contains("a"))
+    sql("INSERT INTO graftcat.ddl.b VALUES (7)")
+    assert(sql("SELECT k FROM graftcat.ddl.b").collect()(0).getLong(0) === 7L)
+    sql("DROP TABLE graftcat.ddl.b")
+    assert(!new java.io.File(s"$warehouse/ddl/b").exists())
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graftcat.ddl.nokey (k BIGINT)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("clustering key")), s"got: $e")
+  }
+}
