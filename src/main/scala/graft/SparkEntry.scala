@@ -134,6 +134,11 @@ object SparkEntry {
     // state-store reload + exactly-once replay under the hash gate
     ("x6_stream_recovery", graft.streaming.EventStream.streamedRecovery _,
       Some(graft.streaming.EventStream.streamedRecoverySql)),
+    // round-9: the lake as a streaming SOURCE — the delta log streamed
+    // as change-data-feed micro-batches (one per version), Delta's
+    // readChangeFeed contract on the hand-built format
+    ("x6_stream_cdf", graft.lake.LakeQueries.streamCdf _,
+      Some(graft.lake.LakeQueries.streamCdfSql)),
     // round-7: stream-stream interval join (watermarked both sides),
     // landed pairs + relational zero-match completion — shares the
     // batch range-join oracle
@@ -408,7 +413,8 @@ object SparkEntry {
     "x2_dup_clusters", "x2_canonical", "x2_cc_stats", // CC cluster map (over minhash pairs)
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
-    "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql", // lake hist
+    "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
+    "x6_stream_cdf", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",

@@ -766,6 +766,76 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x6_stream_cdf` — the lake as a STREAMING
+    * SOURCE ([[graft.sources.LakeCdfSource]], round 9): the shared
+    * three-version history is consumed through a real `readStream`
+    * with `maxVersionsPerTrigger=1`, so each committed version arrives
+    * as its own micro-batch of change rows (v1's snapshot as the
+    * opening `insert` batch, v2's upsert as insert + update-image
+    * pairs, v3's delete as preimage rows) — Delta's `readChangeFeed`
+    * streaming contract on the hand-built format, landed through the
+    * replay-safe batch-id sink and aggregated by change type. The
+    * output pins `n_batches` to 3 (one per version — admission
+    * control actually paced the log) and per-type
+    * `n_versions`/row/revenue tallies, so a skipped version, a
+    * replayed batch, a misclassified image, or a copy-forward row
+    * leaking into the feed all break the driver hash. */
+  def streamCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sharedHistory(spark, sfDir)
+    val base = graft.Scratch.dir(spark, "stream-cdf", sfDir)
+    rm(base)
+    val land = new java.io.File(base, "landed").getAbsolutePath
+    val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", dir).option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch(graft.streaming.EventStream.landBatch(land) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val feed = spark.read.parquet(land)
+    val nBatches = feed.select("batch_id").distinct().count()
+    feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_cents"),
+        countDistinct(col("_commit_version")).as("n_versions"))
+      .withColumn("n_batches", lit(nBatches))
+      .orderBy(col("_change_type"))
+  }
+
+  /** Mirror: the three versions' change rows derived relationally —
+    * v1 snapshot as inserts, v2's inserts and doubled-price image
+    * pairs, v3's deletes carrying the v2 state's prices. */
+  val streamCdfSql: String =
+    """WITH typed AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |feed AS (
+      |  SELECT 'insert' AS ct, cents, 1 AS v FROM typed WHERE o_orderkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', cents, 2 FROM typed WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', cents, 2 FROM typed
+      |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', cents * 2, 2 FROM typed
+      |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT 'delete',
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN cents * 2 ELSE cents END, 3
+      |  FROM typed WHERE o_orderkey % 11 = 0)
+      |SELECT ct AS _change_type, count(*) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  count(DISTINCT v) AS n_versions,
+      |  CAST(3 AS BIGINT) AS n_batches
+      |FROM feed
+      |GROUP BY ct
+      |ORDER BY ct""".stripMargin
+
   /** Registered query `x8_lake_catalog` — the CATALOG plugin
     * ([[graft.sources.LakeCatalog]], round 9): lake tables addressed
     * as `graft.<ns>.<table>` in plain SQL with no temp views anywhere

@@ -17,6 +17,19 @@ object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-plan a batch frame as a STREAMING one (`isStreaming=true`) —
+    * the V1 `Source.getBatch` contract (StreamExecution asserts it),
+    * and `internalCreateDataFrame` is the `private[sql]` door every
+    * out-of-tree streaming source (Delta's DeltaSource included)
+    * walks through. The batch plan compiles to its RDD lazily; its
+    * own internals (vectorized scans, codegen) are untouched. */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
+
   /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; custom
     * operators need it for their grouping keys (±0.0 / NaN bit
     * patterns) because the optimizer rule of the same name only

@@ -614,4 +614,48 @@ class StreamingSpec extends SparkSpec {
       assert(batches === Set(0L, 1L))
     } finally q.stop()
   }
+
+  test("graft-lake-cdf source: one micro-batch per version, feed ≡ batch CDF, restart resumes") {
+    import graft.lake.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft-cdf-src").toString
+    val dir = s"$base/table"
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    Lake.create(orders.filter(col("o_orderkey") % 3 =!= 0), dir, "o_orderkey")
+    Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 3 === 0))
+    Lake.delete(spark, dir,
+      orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey"))
+    def run(land: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("maxVersionsPerTrigger", "1").load()
+        .writeStream.foreachBatch(EventStream.landBatch(land) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    val land = s"$base/land"
+    run(land, s"$base/ckpt")
+    val landed = spark.read.parquet(land)
+    // one micro-batch per version: 3 versions → 3 landed batch ids
+    assert(landed.select("batch_id").distinct().count() === 3L)
+    assert(landed.select("_commit_version").distinct().count() === 3L)
+    // stream feed ≡ v1-snapshot-as-inserts + the batch change feed
+    val expect = Lake.read(spark, dir, 1L)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(1L))
+      .unionByName(Lake.changes(spark, dir, 1L))
+    assert(landed.drop("batch_id").collect().map(_.toSeq).toSet
+      === expect.collect().map(_.toSeq).toSet)
+    // restart on the SAME checkpoint after a new commit: exactly the
+    // new version streams, nothing replays
+    Lake.upsert(spark, dir, orders.limit(7)
+      .withColumn("o_orderpriority", lit("9-CDF-V4")))
+    run(land, s"$base/ckpt")
+    val after = spark.read.parquet(land)
+    assert(after.select("batch_id").distinct().count() === 4L)
+    assert(after.filter(col("_commit_version") === 4L)
+      .filter(col("_change_type").isin("update_postimage", "insert"))
+      .count() === 7L)
+    assert(after.count() > landed.count())
+  }
 }
