@@ -847,9 +847,12 @@ object LakeQueries {
     * replaced), then a rollup SELECT over the CURRENT identifier —
     * which must observe v3 because catalog resolution re-loads the
     * table per query (the stale-view pinning the path-based relation
-    * has by design) — joined with a `VERSION AS OF 2` count through
-    * Spark's time-travel syntax, answered from the delta log.
-    * `lake_versions` pins the commit count. */
+    * has by design), then SQL `DELETE FROM` with a pushed range
+    * predicate (v4 — `SupportsDelete`: matching keys computed
+    * distributed, copy-on-write delete commits) — the rollup joined
+    * with a `VERSION AS OF 2` count through Spark's time-travel
+    * syntax, answered from the delta log. `lake_versions` pins the
+    * commit count. */
   def lakeCatalog(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = new java.io.File(graft.Scratch.root,
       s"graft-lakecat-${spark.sparkContext.applicationId}")
@@ -871,6 +874,7 @@ object LakeQueries {
       s"""INSERT INTO $t
          |SELECT ${stamped.mkString(", ")} FROM orders_src_cat
          |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0""".stripMargin)
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey <= 40")
     spark.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
@@ -883,20 +887,22 @@ object LakeQueries {
         lit(Lake.latestVersion(s"${wh.getAbsolutePath}/$ns/orders_cat")))
   }
 
-  /** Mirror: final state = all orders, stamped where the insert batch
-    * won (`%3=0 ∨ %5=0`); v2 = the CTAS slice (`%3≠0`). */
+  /** Mirror: final state = all orders past the deleted `≤40` range,
+    * stamped where the insert batch won (`%3=0 ∨ %5=0`); v2 = the
+    * CTAS slice (`%3≠0`). */
   val lakeCatalogSql: String =
     """WITH final AS (
       |  SELECT o_orderkey,
       |    CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
       |         THEN '9-CATALOG' ELSE o_orderpriority END AS o_orderpriority,
       |    o_totalprice
-      |  FROM orders)
+      |  FROM orders
+      |  WHERE o_orderkey > 40)
       |SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
       |    AS revenue_cents,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS n_at_v2,
-      |  CAST(3 AS BIGINT) AS lake_versions
+      |  CAST(4 AS BIGINT) AS lake_versions
       |FROM final
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin

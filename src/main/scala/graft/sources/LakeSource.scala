@@ -83,7 +83,8 @@ class LakeSource extends TableProvider with DataSourceRegister {
 
 private[sources] class LakeTable(dir: String, version: Long,
     schema0: StructType, pinned: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft_lake($dir@v$version)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -96,6 +97,59 @@ private[sources] class LakeTable(dir: String, version: Long,
       s"cannot write to $name: versionAsOf pins a historical snapshot " +
         "(writes only target the current version)")
     new LakeWriteBuilder(dir)
+  }
+
+  /** SQL `DELETE FROM ... WHERE ...`: any fully-pushable predicate is
+    * accepted — the matching keys are computed DISTRIBUTED (a filtered
+    * snapshot scan, Catalyst pushdown intact) and handed to the
+    * format's copy-on-write [[Lake.delete]], which rewrites only the
+    * files whose key range intersects the doomed keys. A predicate
+    * with a non-translatable conjunct is refused at `canDeleteWhere`,
+    * so Spark raises the standard unsupported-delete error instead of
+    * a silent partial delete. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !pinned && filters.forall(f => LakeTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(!pinned, s"cannot delete from $name: versionAsOf pins a snapshot")
+    val spark = SparkSession.active
+    val cond = filters.flatMap(LakeTable.filterColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val kc = Lake.manifest(dir, Lake.latestVersion(dir)).key.split(',').map(_.trim)
+    val keys = Lake.read(spark, dir).filter(cond)
+      .select(kc.head, kc.tail.toSeq: _*).distinct()
+    Lake.withRetry()(Lake.delete(spark, dir, keys))
+    ()
+  }
+}
+
+private[sources] object LakeTable {
+  import org.apache.spark.sql.{functions => F, Column}
+  import org.apache.spark.sql.sources._
+
+  /** V1 `Filter` → `Column`, total over the translatable subset
+    * (None = refuse the whole delete — never a partial predicate). */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case org.apache.spark.sql.sources.And(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case Not(c) => filterColumn(c).map(!_)
+    case _: AlwaysTrue => Some(F.lit(true))
+    case _: AlwaysFalse => Some(F.lit(false))
+    case _ => None
   }
 }
 

@@ -89,6 +89,34 @@ class LakeCatalogSpec extends SparkSpec {
     assert(Lake.latestVersion(dir) === 3L)
   }
 
+  test("SQL DELETE FROM: copy-on-write delete of the matching keys, version advances") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.del")
+    Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("del_src")
+    sql("""CREATE TABLE graftcat.del.t TBLPROPERTIES ('key'='o_orderkey')
+          |AS SELECT * FROM del_src WHERE o_orderkey <= 400""".stripMargin)
+    val before = sql("SELECT * FROM graftcat.del.t").count()
+    sql("""DELETE FROM graftcat.del.t
+          |WHERE o_orderkey <= 100 OR o_orderkey IN (201, 203)""".stripMargin)
+    val t = sql("SELECT * FROM graftcat.del.t")
+    assert(t.filter(col("o_orderkey") <= 100 ||
+      col("o_orderkey").isin(201, 203)).count() === 0L)
+    val doomed = Tables.orders(spark, sf).filter(col("o_orderkey") <= 400)
+      .filter(col("o_orderkey") <= 100 || col("o_orderkey").isin(201, 203)).count()
+    assert(t.count() === before - doomed)
+    // a predicate no source filter can carry is REFUSED whole, not
+    // silently partially applied
+    val e = intercept[Exception] {
+      sql("DELETE FROM graftcat.del.t WHERE o_orderkey % 2 = 0")
+    }
+    assert(Option(e.getMessage).exists(_.contains("Cannot delete")), s"got: $e")
+    assert(Lake.latestVersion(s"$warehouse/del/t") === 3L)
+    // the deleted rows still travel: the pre-delete snapshot has them
+    assert(sql("SELECT count(*) AS n FROM graftcat.del.t VERSION AS OF 2")
+      .collect()(0).getLong(0) === before)
+  }
+
   test("SHOW TABLES, RENAME, DROP; CREATE without a key is rejected") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ddl")
