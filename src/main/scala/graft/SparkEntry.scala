@@ -139,6 +139,10 @@ object SparkEntry {
     // readChangeFeed contract on the hand-built format
     ("x6_stream_cdf", graft.lake.LakeQueries.streamCdf _,
       Some(graft.lake.LakeQueries.streamCdfSql)),
+    // round-9: bronze→silver — the CDC stream applied into a second
+    // lake table via exactly-once atomic merges, end to end
+    ("x6_stream_medallion", graft.lake.LakeQueries.streamMedallion _,
+      Some(graft.lake.LakeQueries.streamMedallionSql)),
     // round-7: stream-stream interval join (watermarked both sides),
     // landed pairs + relational zero-match completion — shares the
     // batch range-join oracle
@@ -414,7 +418,7 @@ object SparkEntry {
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
-    "x6_stream_cdf", // lake hist
+    "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",

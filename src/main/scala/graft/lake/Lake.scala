@@ -372,6 +372,17 @@ object Lake {
     val base = latestVersion(dir)
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
+    val files = mergedWithDeletes(spark, dir, m, updates, deleteKeys, targetFiles)
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** The post-merge file list: survivors of the touched files
+    * anti-joined against the union key set, live updates folded back
+    * in, untouched files carried by reference. */
+  private def mergedWithDeletes(spark: SparkSession, dir: String, m: Manifest,
+      updates: DataFrame, deleteKeys: DataFrame,
+      targetFiles: Int): Seq[FileEntry] = {
     val kc = keyCols(m.key)
     require(deleteKeys.columns.length == kc.length,
       s"delete keys must have ${kc.length} column(s) for key '${m.key}'")
@@ -392,7 +403,34 @@ object Lake {
         }
       writeFiles(folded, dir, m.key, targetFiles)
     }
-    commit(dir, Some(m), Manifest(base + 1L, m.key, untouched ++ newFiles, m.txns))
+    untouched ++ newFiles
+  }
+
+  /** EXACTLY-ONCE CDC APPLY for streaming sinks — [[merge]] with the
+    * (appId, txnVersion) replay marker committed atomically with the
+    * manifest: the downstream half of a bronze→silver pipeline, where
+    * each micro-batch of a change feed lands as ONE atomic
+    * upsert+delete commit and a replayed batch observes its marker
+    * and no-ops (the [[streamUpsert]] contract extended to deletes).
+    * Creates the table on the first batch (its deletes, necessarily
+    * aimed at nothing, drop out through the live-update anti-join). */
+  def streamMerge(spark: SparkSession, dir: String, updates: DataFrame,
+      deleteKeys: DataFrame, key: String, appId: String, txnVersion: Long,
+      targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    if (base == 0L) {
+      val kc = keyCols(key)
+      val live = updates.join(deleteKeys.toDF(kc: _*).distinct(), kc, "left_anti")
+      val files = writeFiles(live, dir, key, targetFiles)
+      commit(dir, None, Manifest(1L, key, files, Map(appId -> txnVersion)))
+      return 1L
+    }
+    val m = manifest(dir, base)
+    require(m.key == key, s"table at $dir is keyed by ${m.key}, not $key")
+    if (m.txns.get(appId).exists(_ >= txnVersion)) return base // replay: no-op
+    val files = mergedWithDeletes(spark, dir, m, updates, deleteKeys, targetFiles)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, files, m.txns + (appId -> txnVersion)))
     base + 1L
   }
 

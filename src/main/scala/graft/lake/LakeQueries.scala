@@ -836,6 +836,76 @@ object LakeQueries {
       |GROUP BY ct
       |ORDER BY ct""".stripMargin
 
+  /** Registered query `x6_stream_medallion` — the BRONZE→SILVER
+    * pipeline (round 9): the two halves of the round's streaming-lake
+    * story composed end to end. The bronze table's delta log streams
+    * through [[graft.sources.LakeCdfSource]] one version per
+    * micro-batch; each batch's change rows are transformed (the
+    * "silver" projection: key, priority, integer cents) and applied
+    * to a SECOND lake table via [[Lake.streamMerge]] — postimages and
+    * inserts upsert, delete rows delete, one ATOMIC commit per batch
+    * carrying the (appId, batchId) replay marker. Silver's final
+    * state must therefore equal bronze's current snapshot under the
+    * projection, and `silver_versions` pins one commit per streamed
+    * version — a skipped batch, a replayed double-apply, a
+    * misrouted change image, or a non-atomic split all break the
+    * driver hash. This is Delta's `readChangeFeed → MERGE` medallion
+    * recipe reproduced on the hand-built format, under the gate. */
+  def streamMedallion(spark: SparkSession, sfDir: String): DataFrame = {
+    val bronze = sharedHistory(spark, sfDir)
+    val base = graft.Scratch.dir(spark, "stream-medallion", sfDir)
+    rm(base)
+    val silver = new java.io.File(base, "silver").getAbsolutePath
+    val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", bronze).option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val updates = b
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                .as("revenue_cents"))
+          val deletes = b.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey"))
+          Lake.streamMerge(b.sparkSession, silver, updates, deletes,
+            "o_orderkey", "medallion-silver", batchId)
+          ()
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    Lake.read(spark, silver)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("revenue_cents")).as("revenue_cents"))
+      .withColumn("silver_versions", lit(Lake.latestVersion(silver)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: silver ≡ bronze's v3 state under the projection —
+    * doubled `%7∧¬%3` prices, `%11` keys deleted — with one silver
+    * commit per streamed bronze version. */
+  val streamMedallionSql: String =
+    """WITH v3 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 * 100 AS BIGINT)
+      |         ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    END AS revenue_cents
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(revenue_cents) AS BIGINT) AS revenue_cents,
+      |  CAST(3 AS BIGINT) AS silver_versions
+      |FROM v3
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Registered query `x8_lake_catalog` — the CATALOG plugin
     * ([[graft.sources.LakeCatalog]], round 9): lake tables addressed
     * as `graft.<ns>.<table>` in plain SQL with no temp views anywhere

@@ -678,6 +678,36 @@ class LakeSpec extends SparkSpec {
     feed.unpersist()
   }
 
+  test("streamMerge: atomic upsert+delete per batch; replayed txnVersion commits NOTHING") {
+    val dir = freshDir("smerge")
+    val orders = Tables.orders(spark, sf)
+    // batch 0 creates the table (its deletes aim at nothing)
+    Lake.streamMerge(spark, dir,
+      orders.filter(col("o_orderkey") <= 100), orders.limit(0).select("o_orderkey"),
+      "o_orderkey", "cdc-app", 0L)
+    assert(Lake.latestVersion(dir) === 1L)
+    // batch 1: update keys <= 10, delete 50..60 — one commit
+    Lake.streamMerge(spark, dir,
+      orders.filter(col("o_orderkey") <= 10)
+        .withColumn("o_orderpriority", lit("9-SM")),
+      orders.filter(col("o_orderkey").between(50, 60)).select("o_orderkey"),
+      "o_orderkey", "cdc-app", 1L)
+    assert(Lake.latestVersion(dir) === 2L)
+    val s = Lake.read(spark, dir)
+    assert(s.filter(col("o_orderkey").between(50, 60)).count() === 0L)
+    assert(s.filter(col("o_orderkey") <= 10 &&
+      col("o_orderpriority") =!= "9-SM").count() === 0L)
+    val state = s.collect().map(_.toSeq).toSet
+    // replay batch 1 (post-failure re-run, same txnVersion): no-op
+    Lake.streamMerge(spark, dir,
+      orders.filter(col("o_orderkey") <= 10)
+        .withColumn("o_orderpriority", lit("9-SM")),
+      orders.filter(col("o_orderkey").between(50, 60)).select("o_orderkey"),
+      "o_orderkey", "cdc-app", 1L)
+    assert(Lake.latestVersion(dir) === 2L)
+    assert(Lake.read(spark, dir).collect().map(_.toSeq).toSet === state)
+  }
+
   test("SQL INSERT INTO is a key-merge upsert; INSERT OVERWRITE replaces the snapshot") {
     val dir = freshDir("sqlwrite")
     val orders = Tables.orders(spark, sf)
