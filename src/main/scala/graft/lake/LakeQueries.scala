@@ -919,10 +919,12 @@ object LakeQueries {
     * table per query (the stale-view pinning the path-based relation
     * has by design), then SQL `DELETE FROM` with a pushed range
     * predicate (v4 — `SupportsDelete`: matching keys computed
-    * distributed, copy-on-write delete commits) — the rollup joined
-    * with a `VERSION AS OF 2` count through Spark's time-travel
-    * syntax, answered from the delta log. `lake_versions` pins the
-    * commit count. */
+    * distributed, copy-on-write delete commits), then `CALL
+    * graft.optimize(...)` (v5 — the `ProcedureCatalog` maintenance
+    * surface; compaction must preserve the state bit-for-bit) — the
+    * rollup joined with a `VERSION AS OF 2` count through Spark's
+    * time-travel syntax, answered from the delta log. `lake_versions`
+    * pins the commit count. */
   def lakeCatalog(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = new java.io.File(graft.Scratch.root,
       s"graft-lakecat-${spark.sparkContext.applicationId}")
@@ -945,6 +947,9 @@ object LakeQueries {
          |SELECT ${stamped.mkString(", ")} FROM orders_src_cat
          |WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0""".stripMargin)
     spark.sql(s"DELETE FROM $t WHERE o_orderkey <= 40")
+    // maintenance via CALL (v5): OPTIMIZE must preserve the state
+    // bit-for-bit while the rollup below reads the compacted layout
+    spark.sql(s"CALL graft.optimize(tbl => '$ns.orders_cat', target_files => 2)")
     spark.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
@@ -972,7 +977,7 @@ object LakeQueries {
       |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
       |    AS revenue_cents,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS n_at_v2,
-      |  CAST(4 AS BIGINT) AS lake_versions
+      |  CAST(5 AS BIGINT) AS lake_versions
       |FROM final
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin

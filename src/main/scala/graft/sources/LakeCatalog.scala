@@ -42,7 +42,8 @@ import graft.lake.Lake
   * option (`key` / `option.key`): the manifest is keyed from birth, so
   * every later write range-clusters and every read can skip files —
   * there is deliberately no unkeyed state in the format's lifecycle. */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -68,6 +69,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
 
   private def tableDir(ident: Identifier): String =
     nsDir(ident.namespace).resolve(safe(ident.name)).toString
+
+  /** [[LakeProcedures]]' door to table paths (same guards). */
+  private[sources] def tableDirOf(namespace: Array[String], name: String): String =
+    tableDir(Identifier.of(namespace, name))
 
   private def isTable(dir: String): Boolean = Lake.latestVersion(dir) > 0L
 
@@ -146,6 +151,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(Paths.get(to).getParent)
     Files.move(Paths.get(from), Paths.get(to))
   }
+
+  // ---- stored procedures: the maintenance surface ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    ident.name.toLowerCase match {
+      case "optimize" => LakeProcedures.optimize(this)
+      case "zorder" => LakeProcedures.zorder(this)
+      case "vacuum" => LakeProcedures.vacuum(this)
+      case other => throw new UnsupportedOperationException(
+        s"no procedure $other in catalog $catalogName " +
+          "(available: optimize, zorder, vacuum)")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("optimize", "zorder", "vacuum").map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----
 

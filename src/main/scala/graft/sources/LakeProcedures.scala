@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  StructField, StructType}
+
+import graft.lake.Lake
+
+/** The lake format's MAINTENANCE OPERATIONS as SQL stored procedures
+  * (Spark 4's `ProcedureCatalog` SPIP — the `CALL` statement):
+  *
+  * {{{
+  *   CALL graft.optimize(tbl => 'ns.t', target_files => 2)
+  *   CALL graft.zorder(tbl => 'ns.t', x => 'a', y => 'b', target_files => 4)
+  *   CALL graft.vacuum(tbl => 'ns.t', retain_versions => 2)
+  * }}}
+  *
+  * — the Delta/Iceberg operational surface (`OPTIMIZE`, `VACUUM`,
+  * `CALL system.rewrite_data_files`) without leaving SQL. Each call
+  * returns a one-row result (the new version / files reclaimed) as a
+  * [[LocalScan]]: maintenance answers are metadata-sized, so shipping
+  * them driver-local is the right plan shape. */
+private[sources] object LakeProcedures {
+
+  private def in(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def result(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  /** `'ns.t'` (or `'t'` for the warehouse root) → table directory. */
+  private def dirOf(catalog: LakeCatalog, tbl: String): String = {
+    val parts = tbl.split('.')
+    catalog.tableDirOf(parts.dropRight(1), parts.last)
+  }
+
+  private abstract class LakeProc(procName: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // commits table state
+  }
+
+  def optimize(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("optimize",
+      Array(in("tbl", StringType), in("target_files", IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = Lake.compact(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString), input.getInt(1))
+        result(StructType(Seq(StructField("version", LongType))), v)
+      }
+    }
+
+  def zorder(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("zorder",
+      Array(in("tbl", StringType), in("x", StringType), in("y", StringType),
+        in("target_files", IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = Lake.compactZOrder(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+          input.getInt(3))
+        result(StructType(Seq(StructField("version", LongType))), v)
+      }
+    }
+
+  def vacuum(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("vacuum",
+      Array(in("tbl", StringType), in("retain_versions", IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val deleted = Lake.vacuum(
+          dirOf(catalog, input.getUTF8String(0).toString), input.getInt(1))
+        result(StructType(Seq(StructField("files_deleted", LongType))),
+          deleted.size.toLong)
+      }
+    }
+}

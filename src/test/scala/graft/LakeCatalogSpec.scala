@@ -117,6 +117,32 @@ class LakeCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === before)
   }
 
+  test("CALL procedures: optimize compacts, zorder re-clusters, vacuum reclaims") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.proc")
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .createOrReplaceTempView("proc_src")
+    sql("""CREATE TABLE graftcat.proc.t TBLPROPERTIES ('key'='o_orderkey')
+          |AS SELECT * FROM proc_src WHERE o_orderkey <= 500""".stripMargin)
+    val dir = s"$warehouse/proc/t"
+    val before = sql("SELECT * FROM graftcat.proc.t").collect().map(_.toSeq).toSet
+    val v = sql("CALL graftcat.optimize(tbl => 'proc.t', target_files => 1)")
+      .collect()(0).getLong(0)
+    assert(v === 3L)
+    assert(Lake.manifest(dir, v).files.size === 1)
+    assert(sql("SELECT * FROM graftcat.proc.t").collect().map(_.toSeq).toSet === before)
+    val vz = sql("CALL graftcat.zorder(tbl => 'proc.t', x => 'o_orderkey', " +
+      "y => 'o_custkey', target_files => 4)").collect()(0).getLong(0)
+    assert(vz === 4L)
+    assert(sql("SELECT * FROM graftcat.proc.t").collect().map(_.toSeq).toSet === before)
+    val reclaimed = sql("CALL graftcat.vacuum(tbl => 'proc.t', retain_versions => 1)")
+      .collect()(0).getLong(0)
+    assert(reclaimed > 0L)
+    assert(sql("SELECT * FROM graftcat.proc.t").collect().map(_.toSeq).toSet === before)
+    intercept[Exception] { sql("SELECT * FROM graftcat.proc.t VERSION AS OF 1") }
+  }
+
   test("SHOW TABLES, RENAME, DROP; CREATE without a key is rejected") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ddl")
