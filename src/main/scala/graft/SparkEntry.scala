@@ -134,6 +134,11 @@ object SparkEntry {
     // state-store reload + exactly-once replay under the hash gate
     ("x6_stream_recovery", graft.streaming.EventStream.streamedRecovery _,
       Some(graft.streaming.EventStream.streamedRecoverySql)),
+    // round-9: the lake as a DECLARATIVE streaming sink — a stateful
+    // update-mode aggregation lands via writeStream.format("graft-lake")
+    // (no foreachBatch), exactly-once keyed merges per micro-batch
+    ("x6_stream_sink", graft.streaming.EventStream.streamedSinkAggregate _,
+      Some(graft.streaming.EventStream.streamedSinkAggregateSql)),
     // round-9: the lake as a streaming SOURCE — the delta log streamed
     // as change-data-feed micro-batches (one per version), Delta's
     // readChangeFeed contract on the hand-built format
@@ -423,7 +428,8 @@ object SparkEntry {
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
     "x6_stream_join_outer", "x6_stream_attribution",
-    "x6_stream_hll", "x6_stream_recovery") // multi-file source layout
+    "x6_stream_hll", "x6_stream_recovery",
+    "x6_stream_sink") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

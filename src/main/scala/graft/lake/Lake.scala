@@ -497,6 +497,16 @@ object Lake {
   private def writeFilesBy(df: DataFrame, dir: String, key: String,
       targetFiles: Int, cluster: Seq[org.apache.spark.sql.Column],
       extraStatCols: Seq[String]): Seq[FileEntry] = {
+    // the manifest's PRIMARY range bounds (FileEntry.minKey/maxKey) are
+    // integer-encoded; fail fast with direction instead of an ANSI cast
+    // error mid-write when the leading key can't carry them
+    df.schema.find(_.name == keyCols(key).head).map(_.dataType).foreach { dt =>
+      require(dt != org.apache.spark.sql.types.StringType,
+        s"leading key column '${keyCols(key).head}' is STRING: the manifest's " +
+          "primary range bounds are integer-encoded — lead the key with an " +
+          "integer/date/timestamp column (string columns still cluster and " +
+          "prune through trailing typed stats, e.g. key='id,name')")
+    }
     val sub = s"data-${java.util.UUID.randomUUID}"
     val out = Paths.get(dir, sub).toString
     df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
@@ -854,6 +864,29 @@ object Lake {
   def overwriteWithRetry(spark: SparkSession, dir: String, df: DataFrame,
       targetFiles: Int = 2, maxAttempts: Int = 5): Long =
     withRetry(maxAttempts)(overwrite(spark, dir, df, targetFiles))
+
+  /** EXACTLY-ONCE snapshot replace for streaming sinks (Complete
+    * output mode through [[graft.sources.LakeSink]]): [[overwrite]]
+    * with the (appId, txnVersion) replay marker committed atomically
+    * with the manifest, so a replayed micro-batch neither lands a
+    * duplicate version nor rolls the snapshot back to its own (stale)
+    * emission. Creates the table on the first batch. */
+  def streamOverwrite(spark: SparkSession, dir: String, df: DataFrame,
+      key: String, appId: String, txnVersion: Long, targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    if (base == 0L) {
+      val files = writeFiles(df, dir, key, targetFiles)
+      commit(dir, None, Manifest(1L, key, files, Map(appId -> txnVersion)))
+      return 1L
+    }
+    val m = manifest(dir, base)
+    require(m.key == key, s"table at $dir is keyed by ${m.key}, not $key")
+    if (m.txns.get(appId).exists(_ >= txnVersion)) return base // replay: no-op
+    val files = writeFiles(df, dir, m.key, targetFiles)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, files, m.txns + (appId -> txnVersion)))
+    base + 1L
+  }
 
   /** Z-ORDER compaction — Delta/Iceberg `OPTIMIZE ZORDER BY (x, y)` on
     * the hand-built format: rewrite the current snapshot clustered by

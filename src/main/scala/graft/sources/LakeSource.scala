@@ -55,7 +55,8 @@ import graft.lake.Lake
   * under additive schema evolution a pruned file subset that predates
   * a column still resolves — missing columns null-fill (the ADVICE r8
   * mergeSchema-on-subset fix). */
-class LakeSource extends TableProvider with DataSourceRegister {
+class LakeSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-lake"
 
   private def dirOf(options: CaseInsensitiveStringMap): String =
@@ -67,9 +68,47 @@ class LakeSource extends TableProvider with DataSourceRegister {
     if (v == 0L) Lake.latestVersion(dir) else v
   }
 
+  /** Empty for a not-yet-created table: `writeStream` resolves the
+    * provider (and its table) BEFORE the sink's first micro-batch can
+    * create the table, so schema inference must not fail there. Reads
+    * of a missing table still fail descriptively — at `newScanBuilder`,
+    * which requires a committed version. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
-    Lake.snapshotSchema(SparkSession.active, dir, versionOf(options, dir))
+    val v = versionOf(options, dir)
+    if (v == 0L) new StructType()
+    else Lake.snapshotSchema(SparkSession.active, dir, v)
+  }
+
+  /** Streaming SINK half of the format (the Delta-sink shape:
+    * micro-batches land through the table format's exactly-once
+    * transactional writes, `addBatch` idempotent under replay).
+    * Update/Append modes key-merge each micro-batch
+    * ([[graft.lake.Lake.streamUpsert]]); Complete mode replaces the
+    * snapshot ([[graft.lake.Lake.streamOverwrite]]). Options: `path`
+    * (table dir), `key` (merge key column list — required until the
+    * table exists), `txnAppId` (replay-marker app id; defaults to a
+    * checkpoint-derived id so one checkpointed query is one writer
+    * identity), `targetFiles`. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-lake sink does not support partitionBy (files are key-range clustered)")
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake sink requires option 'path'"))
+    val key = parameters.get("key")
+      .orElse(if (Lake.latestVersion(dir) > 0L)
+        Some(Lake.manifest(dir, Lake.latestVersion(dir)).key) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake sink requires option 'key' when the table does not exist yet"))
+    val appId = parameters.getOrElse("txnAppId",
+      "sink-" + java.util.UUID.nameUUIDFromBytes(
+        parameters.getOrElse("checkpointLocation", dir)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    new LakeSink(dir, key, appId, outputMode,
+      parameters.get("targetFiles").map(_.toInt).getOrElse(2))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -90,8 +129,10 @@ private[sources] class LakeTable(dir: String, version: Long,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version > 0L, s"no graft-lake table at $dir (no committed version)")
     new LakeScanBuilder(SparkSession.active, dir, version, schema0)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!pinned,
       s"cannot write to $name: versionAsOf pins a historical snapshot " +

@@ -669,6 +669,56 @@ object EventStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Registered query `x6_stream_sink` (round 9) — the lake as a
+    * DECLARATIVE streaming sink: a STATEFUL update-mode per-user spend
+    * aggregation written with `writeStream.format("graft-lake")`
+    * ([[graft.sources.LakeSink]]), no foreachBatch closure anywhere.
+    * Each of the [[StreamSource.NumFiles]] chronological micro-batches
+    * re-emits the users it touched; the sink key-merges those updated
+    * rows into the table under the exactly-once (appId, batchId)
+    * marker, so the final snapshot is the CONVERGED per-user aggregate
+    * — cross-batch aggregation state, update-mode emission, and the
+    * sink's upsert semantics all gated by one batch oracle.
+    * `lake_versions` pins one transactional commit per micro-batch
+    * (a replayed or double-applied batch breaks the pin; lost state
+    * breaks the counts). Cents are summed as per-row BIGINTs so
+    * incremental state addition is exact and order-free. */
+  def streamedSinkAggregate(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = graft.Scratch.dir(spark, "stream-sink", sfDir)
+    graft.Scratch.rm(base)
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+    val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("value_cents"))
+    val query = agg.writeStream.format("graft-lake")
+      .option("path", tableDir).option("key", "user_id")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+    graft.lake.Lake.read(spark, tableDir)
+      .withColumn("lake_versions",
+        lit(graft.lake.Lake.latestVersion(tableDir)))
+      .orderBy(col("user_id"))
+  }
+
+  val streamedSinkAggregateSql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+       |    AS value_cents,
+       |  CAST(${StreamSource.NumFiles} AS BIGINT) AS lake_versions
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
 
   case class SpendState(n: Long, total: Double)

@@ -658,4 +658,109 @@ class StreamingSpec extends SparkSpec {
       .count() === 7L)
     assert(after.count() > landed.count())
   }
+
+  test("graft-lake streaming SINK: declarative exactly-once keyed ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lake.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val dir = s"$base/table"
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.format("graft-lake")
+      .option("path", dir).option("key", "event_id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "view", 2.0))
+      q.processAllAvailable()
+      assert(Lake.latestVersion(dir) === 1L)
+      assert(Lake.read(spark, dir).count() === 2L)
+      // batch 2 UPDATES key 2 and inserts key 3: upsert, not append-dup
+      mem.addData(Event(2, ts(3), 10, "view", 9.0), Event(3, ts(4), 11, "click", 3.0))
+      q.processAllAvailable()
+      assert(Lake.latestVersion(dir) === 2L)
+      val rows = Lake.read(spark, dir).orderBy("event_id").collect()
+      assert(rows.length === 3)
+      assert(rows(1).getAs[Double]("value") === 9.0)
+    } finally q.stop()
+    // exactly-once under replay: re-running an already-marked batch id
+    // through the same writer identity commits NOTHING (the sink's
+    // appId is checkpoint-derived, so a restarted query IS the writer)
+    val before = Lake.latestVersion(dir)
+    val replayed = Lake.streamUpsert(spark, dir,
+      Seq(Event(9, ts(9), 9, "x", 9.0)).toDF(), "event_id",
+      "sink-" + java.util.UUID.nameUUIDFromBytes(
+        s"$base/ckpt".getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString,
+      txnVersion = 1L)
+    assert(replayed === before) // marker observed → no-op
+    assert(Lake.read(spark, dir).count() === 3L)
+  }
+
+  test("graft-lake streaming SINK: stateful update-mode aggregation converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lake.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-agg").toString
+    val dir = s"$base/table"
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("graft-lake")
+      .option("path", dir).option("key", "user_id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 touches user 1 only: state must CARRY (n=3 total), and
+      // the untouched user-2 row must survive the keyed upsert
+      mem.addData(Event(3, ts(3), 1, "click", 4.0), Event(4, ts(4), 1, "click", 8.0))
+      q.processAllAvailable()
+      val rows = Lake.read(spark, dir).orderBy("user_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        === Seq((1L, 3L, 13.0), (2L, 1L, 2.0)))
+      assert(Lake.latestVersion(dir) === 2L) // one commit per micro-batch
+    } finally q.stop()
+  }
+
+  test("graft-lake sink: string LEADING key fails fast with direction") {
+    import spark.implicits._
+    import graft.lake.Lake
+    val dir = java.nio.file.Files.createTempDirectory("graft-strkey").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      Lake.create(Seq(Event(1, ts(1), 1, "click", 1.0)).toDF(), dir, "event_type")
+    }
+    assert(e.getMessage.contains("integer-encoded"))
+    assert(e.getMessage.contains("trailing typed stats"))
+  }
+
+  test("graft-lake streaming SINK: complete mode replaces the snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.lake.Lake
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-cpl").toString
+    val dir = s"$base/table"
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft-lake")
+      .option("path", dir).option("key", "user_id")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Event(1, ts(1), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(2), 8, "view", 1.0))
+      q.processAllAvailable()
+      // each trigger replaced the snapshot with the FULL aggregate
+      assert(Lake.latestVersion(dir) === 2L)
+      val now = Lake.read(spark, dir).orderBy("user_id").collect()
+      assert(now.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        === Seq((7L, 1L), (8L, 1L)))
+      // time travel still serves the pre-replace snapshot
+      assert(Lake.read(spark, dir, 1L).count() === 1L)
+    } finally q.stop()
+  }
 }
