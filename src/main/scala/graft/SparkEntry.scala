@@ -328,6 +328,11 @@ object SparkEntry {
     // (CTAS, key-merge INSERT, VERSION AS OF) with no temp views
     ("x8_lake_catalog", graft.lake.LakeQueries.lakeCatalog _,
       Some(graft.lake.LakeQueries.lakeCatalogSql)),
+    // round-9: ALTER TABLE ADD COLUMNS — declared-schema evolution as
+    // a metadata-only delta-log commit; old rows null-fill, time
+    // travel below the alter keeps the old shape
+    ("x8_lake_alter", graft.lake.LakeQueries.lakeAlter _,
+      Some(graft.lake.LakeQueries.lakeAlterSql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

@@ -106,8 +106,19 @@ object Lake {
     * recorded commits NOTHING — exactly-once sink semantics over
     * at-least-once micro-batch replay. Forwarded unchanged by every
     * other commit so markers survive compaction and maintenance. */
+  /** `schemaJson` is the DECLARED snapshot schema (Spark StructType
+    * JSON), set by metadata commits ([[addColumns]] — SQL `ALTER TABLE
+    * ADD COLUMNS`) and carried forward through the log like `txns`:
+    * a delta only records it when it CHANGES, resolution folds the
+    * latest declaration down the chain. `None` (every table until its
+    * first ALTER) means the schema is DERIVED from the files
+    * (mergeSchema union — the pre-round-9 behavior, unchanged). With a
+    * declaration present, reads use it verbatim: files predating an
+    * added column null-fill, and the column exists even before any
+    * file carries it. */
   case class Manifest(version: Long, key: String, files: Seq[FileEntry],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None)
 
   private def manifestDir(dir: String) = Paths.get(dir, "_manifests")
 
@@ -126,11 +137,15 @@ object Lake {
     * checkpoint is rendered as a LogEntry with `add` = the whole file
     * list — one renderer/parser serves both. */
   private case class LogEntry(version: Long, key: String,
-      add: Seq[FileEntry], rm: Seq[String], txns: Map[String, Long])
+      add: Seq[FileEntry], rm: Seq[String], txns: Map[String, Long],
+      schema: Option[String] = None)
 
   private def render(e: LogEntry): String =
     (s"version=${e.version}" +: s"key=${e.key}" +:
-      (e.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
+      // schema JSON hex-encodes like string stats: log lines stay
+      // separator-safe whatever the field names contain
+      (e.schema.map(s => s"schema=${strHex(s)}").toSeq ++
+        e.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
         e.rm.map(n => s"rm=$n") ++
         e.add.map { f =>
           val extra = f.stats.toSeq.sortBy(_._1)
@@ -170,6 +185,9 @@ object Lake {
       val Array(n, c, lo, hi) = s.stripPrefix("sstat=").split('|')
       (n, c, (hexToStr(lo), hexToStr(hi)))
     }.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val schema = lines.collectFirst {
+      case s if s.startsWith("schema=") => hexToStr(s.stripPrefix("schema="))
+    }
     val rm = lines.collect { case s if s.startsWith("rm=") => s.stripPrefix("rm=") }
     val add = lines.collect { case s if s.startsWith("add=") =>
       val fields = s.stripPrefix("add=").split('|')
@@ -181,7 +199,7 @@ object Lake {
         stats, blooms.getOrElse(fields(0), Map.empty),
         sstats.getOrElse(fields(0), Map.empty))
     }
-    LogEntry(version, key, add, rm, txns)
+    LogEntry(version, key, add, rm, txns, schema)
   }
 
   private def deltaPath(dir: String, v: Long) =
@@ -256,7 +274,10 @@ object Lake {
       (acc, d) => (acc -- d.rm) ++ d.add.map(f => f.name -> f)
     }
     val last = deltas.lastOption.getOrElse(b)
-    Manifest(version, last.key, files.values.toSeq, last.txns)
+    // declared schema carries FORWARD: the latest declaration at or
+    // below `version` wins (a delta only records a change)
+    val schema = deltas.foldLeft(b.schema)((acc, d) => d.schema.orElse(acc))
+    Manifest(version, last.key, files.values.toSeq, last.txns, schema)
   }
 
   /** Atomically publish a file under the link(2) protocol; returns
@@ -282,7 +303,7 @@ object Lake {
     * costs the next reader a longer delta chain. */
   private def writeCheckpoint(dir: String, m: Manifest): Unit = {
     publishIfAbsent(ckptPath(dir, m.version),
-      render(LogEntry(m.version, m.key, m.files, Nil, m.txns)))
+      render(LogEntry(m.version, m.key, m.files, Nil, m.txns, m.schemaJson)))
     if (lastCheckpointHint(dir) < m.version) {
       val tmp = lastCkptPath(dir).resolveSibling(s".tmp-${java.util.UUID.randomUUID}")
       Files.write(tmp, m.version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -320,10 +341,18 @@ object Lake {
       s"commit would mutate carried-forward file entr${if (mutated.size == 1) "y" else "ies"} " +
         s"${mutated.map(_.name).take(3).mkString(", ")} in place; " +
         "metadata changes must rewrite under new file names")
+    // a None schemaJson means "no declaration change": ops that rebuild
+    // the manifest in memory inherit the parent's declared schema
+    // through log resolution, so the delta carries a schema line ONLY
+    // for an actual (re)declaration and checkpoints always carry the
+    // effective one
+    val parentSchema = parent.flatMap(_.schemaJson)
+    val schemaDelta = m.schemaJson.filterNot(parentSchema.contains)
     if (!publishIfAbsent(deltaPath(dir, m.version),
-        render(LogEntry(m.version, m.key, add, rm, m.txns))))
+        render(LogEntry(m.version, m.key, add, rm, m.txns, schemaDelta))))
       throw new CommitConflict(m.version)
-    if (m.version % CheckpointInterval == 0L) writeCheckpoint(dir, m)
+    if (m.version % CheckpointInterval == 0L)
+      writeCheckpoint(dir, m.copy(schemaJson = m.schemaJson.orElse(parentSchema)))
   }
 
   /** Bounded optimistic-concurrency retry: run `op` (a whole
@@ -610,8 +639,18 @@ object Lake {
     require(v > 0L, s"no committed version at $dir")
     val m = manifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f.name).toString)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    m.schemaJson match {
+      // a DECLARED schema (ALTER TABLE ADD COLUMNS) reads verbatim:
+      // files predating a column null-fill, and the column resolves
+      // even before any file carries it
+      case Some(j) => spark.read.schema(schemaFromJson(j)).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
+
+  private def schemaFromJson(j: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** The merged schema of snapshot `version` — what every PRUNED read
     * must declare (ADVICE r8): a file subset read with per-subset
@@ -630,7 +669,13 @@ object Lake {
       version: Long = 0L): org.apache.spark.sql.types.StructType = {
     val v = if (version == 0L) latestVersion(dir) else version
     require(v > 0L, s"no committed version at $dir")
-    schemaMemo.computeIfAbsent((dir, v), _ => read(spark, dir, v).schema)
+    // a declared schema is authoritative and parse-cheap (no footer
+    // reads) — the memo only earns its keep on the derived path
+    manifest(dir, v).schemaJson match {
+      case Some(j) => schemaFromJson(j)
+      case None =>
+        schemaMemo.computeIfAbsent((dir, v), _ => read(spark, dir, v).schema)
+    }
   }
 
   /** Read a PRUNED file subset with the snapshot's declared schema:
@@ -864,6 +909,34 @@ object Lake {
   def overwriteWithRetry(spark: SparkSession, dir: String, df: DataFrame,
       targetFiles: Int = 2, maxAttempts: Int = 5): Long =
     withRetry(maxAttempts)(overwrite(spark, dir, df, targetFiles))
+
+  /** SQL `ALTER TABLE … ADD COLUMNS` (via
+    * [[graft.sources.LakeCatalog]]) — a METADATA-ONLY commit, Delta's
+    * `metaData` action: no data file is touched; the new version
+    * re-declares the snapshot schema with the appended fields and the
+    * declaration rides the delta log (carried forward by resolution,
+    * O(schema) bytes once). Reads at or after this version null-fill
+    * the new columns for every pre-existing row; time travel BELOW it
+    * still serves the old shape. Added columns must be nullable —
+    * there is no data to backfill. */
+  def addColumns(spark: SparkSession, dir: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "ALTER TABLE ADD COLUMNS requires at least one column")
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val cur = snapshotSchema(spark, dir, base)
+    cols.foreach { f =>
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"column ${f.name} already exists (schema: ${cur.fieldNames.mkString(", ")})")
+      require(f.nullable,
+        s"added column ${f.name} must be nullable: existing rows null-fill")
+    }
+    val next = org.apache.spark.sql.types.StructType(cur.fields ++ cols)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
+    base + 1L
+  }
 
   /** EXACTLY-ONCE snapshot replace for streaming sinks (Complete
     * output mode through [[graft.sources.LakeSink]]): [[overwrite]]

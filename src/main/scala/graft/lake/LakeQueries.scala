@@ -981,4 +981,79 @@ object LakeQueries {
       |FROM final
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_alter` (round 9) — ADDITIVE SCHEMA
+    * EVOLUTION as declared metadata, end to end in catalog SQL:
+    * CTAS a 3-column slice (v1+v2), `ALTER TABLE … ADD COLUMNS
+    * (margin_cents BIGINT, tier STRING)` (v3 — a METADATA-ONLY
+    * commit: the declaration rides the delta log, no data file is
+    * touched), then `INSERT INTO` a batch that POPULATES the new
+    * columns (v4 key-merge). The rollup reads the evolved table:
+    * pre-alter rows null-fill `tier`/`margin_cents` through the
+    * declared schema (grouped under 'legacy' via COALESCE, counted by
+    * `count(margin_cents)`), post-alter rows carry values —
+    * `cols_at_v2` pins time travel BELOW the alter to the old 3-column
+    * shape, `lake_versions` pins the commit count (an ALTER that
+    * wrote data files, leaked its declaration downward, or failed to
+    * carry through the v4 merge breaks the hash). */
+  def lakeAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    // SAME warehouse as lakeCatalog: Spark caches the catalog instance
+    // per session by name, so every query addressing catalog `graft`
+    // must agree on its warehouse (a second conf value would silently
+    // lose to whichever query instantiated the catalog first)
+    val wh = new java.io.File(graft.Scratch.root,
+      s"graft-lakecat-${spark.sparkContext.applicationId}")
+    wh.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getAbsolutePath)
+    val ns = "sf" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val t = s"graft.$ns.orders_evo"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_src_evo")
+    spark.sql(
+      s"""CREATE TABLE $t TBLPROPERTIES ('key'='o_orderkey')
+         |AS SELECT o_orderkey, o_totalprice, o_orderpriority
+         |FROM orders_src_evo WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (margin_cents BIGINT, tier STRING)")
+    spark.sql(
+      s"""INSERT INTO $t
+         |SELECT o_orderkey, o_totalprice, o_orderpriority,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+         |  CASE WHEN o_orderkey % 4 = 0 THEN 'gold' ELSE 'silver' END
+         |FROM orders_src_evo WHERE o_orderkey % 2 = 0""".stripMargin)
+    val dir = s"${wh.getAbsolutePath}/$ns/orders_evo"
+    spark.sql(
+      s"""SELECT COALESCE(tier, 'legacy') AS tier, count(*) AS n_orders,
+         |  count(margin_cents) AS n_with_margin,
+         |  CAST(sum(COALESCE(margin_cents, 0)) AS BIGINT) AS margin_cents
+         |FROM $t
+         |GROUP BY COALESCE(tier, 'legacy')
+         |ORDER BY tier""".stripMargin)
+      .withColumn("cols_at_v2",
+        lit(Lake.snapshotSchema(spark, dir, 2L).fields.length.toLong))
+      .withColumn("lake_versions", lit(Lake.latestVersion(dir)))
+  }
+
+  /** Mirror: odd keys are pre-alter rows (NULL margin/tier → 'legacy'),
+    * even keys carry the populated columns; v2 = 3 columns, 4 commits. */
+  val lakeAlterSql: String =
+    """WITH final AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    END AS margin_cents,
+      |    CASE WHEN o_orderkey % 2 = 0
+      |         THEN (CASE WHEN o_orderkey % 4 = 0 THEN 'gold' ELSE 'silver' END)
+      |    END AS tier
+      |  FROM orders)
+      |SELECT COALESCE(tier, 'legacy') AS tier, count(*) AS n_orders,
+      |  count(margin_cents) AS n_with_margin,
+      |  CAST(sum(COALESCE(margin_cents, 0)) AS BIGINT) AS margin_cents,
+      |  CAST(3 AS BIGINT) AS cols_at_v2,
+      |  CAST(4 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY COALESCE(tier, 'legacy')
+      |ORDER BY tier""".stripMargin
 }

@@ -131,10 +131,33 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeTable(dir, 1L, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake evolves schema through upsert writes (additive " +
-        "merge-on-read), not ALTER TABLE")
+  /** `ALTER TABLE … ADD COLUMNS (…)`: the one table change the format
+    * supports first-class — a metadata-only schema-declaration commit
+    * ([[Lake.addColumns]]); existing rows null-fill, time travel below
+    * the ALTER keeps the old shape. Every other change class (drops,
+    * renames, type changes, property updates) is rejected
+    * descriptively: they would require rewriting or re-mapping data
+    * the copy-on-write format keys its history on. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft-lake ALTER TABLE adds top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        require(a.isNullable,
+          s"added column ${a.fieldNames.head} must be nullable " +
+            "(existing rows null-fill)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake ALTER TABLE supports ADD COLUMNS only, got " +
+          other.getClass.getSimpleName)
+    }
+    Lake.addColumns(SparkSession.active, dir, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -165,4 +165,63 @@ class LakeCatalogSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("clustering key")), s"got: $e")
   }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only commit, null-fill, old shape below") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo")
+    sql("""CREATE TABLE graftcat.evo.t (k BIGINT, v STRING)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.evo.t VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$warehouse/evo/t"
+    val before = Lake.latestVersion(dir)
+    def parquetCount: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val dataFiles = parquetCount
+    sql("ALTER TABLE graftcat.evo.t ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(Lake.latestVersion(dir) === before + 1L) // one commit
+    // METADATA-ONLY: the ALTER writes no data file, just a log line
+    assert(parquetCount === dataFiles)
+    // existing rows null-fill through the declared schema
+    val rows = sql("SELECT k, v, score, tag FROM graftcat.evo.t ORDER BY k").collect()
+    assert(rows.length === 2 && rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // new column writable + aggregable immediately
+    sql("INSERT INTO graftcat.evo.t VALUES (3, 'c', 9.5, 'hot')")
+    val agg = sql("""SELECT count(*) AS n, count(score) AS n_score
+                    |FROM graftcat.evo.t""".stripMargin).collect()(0)
+    assert(agg.getLong(0) === 3L && agg.getLong(1) === 1L)
+    // time travel BELOW the alter serves the old 2-column shape
+    assert(sql(s"SELECT * FROM graftcat.evo.t VERSION AS OF $before")
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    // refusals: non-additive changes and duplicate adds
+    val eDrop = intercept[Exception] { sql("ALTER TABLE graftcat.evo.t DROP COLUMN v") }
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs2(x.getCause))
+    assert(msgs2(eDrop).exists(_.contains("ADD COLUMNS only")), s"got: $eDrop")
+    val eDup = intercept[Exception] { sql("ALTER TABLE graftcat.evo.t ADD COLUMNS (v STRING)") }
+    assert(msgs2(eDup).exists(_.contains("already exists")), s"got: $eDup")
+  }
+
+  test("declared schema survives checkpoints and upserts after the ALTER") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo2")
+    sql("""CREATE TABLE graftcat.evo2.t (k BIGINT, v STRING)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.evo2.t VALUES (1, 'a')")
+    sql("ALTER TABLE graftcat.evo2.t ADD COLUMNS (score DOUBLE)")
+    val dir = s"$warehouse/evo2/t"
+    // drive the version count across a checkpoint boundary (interval 8)
+    // with upserts that do NOT carry the new column
+    (1 to 8).foreach { i =>
+      sql(s"INSERT INTO graftcat.evo2.t (k, v) SELECT ${i + 1}, 'x'")
+    }
+    assert(Lake.latestVersion(dir) >= Lake.CheckpointInterval)
+    // resolution from the checkpoint must still carry the declaration
+    assert(Lake.snapshotSchema(spark, dir).fieldNames.toSeq
+      === Seq("k", "v", "score"))
+    val rows = sql("SELECT k, score FROM graftcat.evo2.t ORDER BY k").collect()
+    assert(rows.length === 9 && rows.forall(_.isNullAt(1)))
+  }
 }
