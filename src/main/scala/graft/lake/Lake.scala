@@ -910,6 +910,42 @@ object Lake {
       targetFiles: Int = 2, maxAttempts: Int = 5): Long =
     withRetry(maxAttempts)(overwrite(spark, dir, df, targetFiles))
 
+  /** One commit's audit row, derived ENTIRELY from its delta-log entry
+    * — no extra bookkeeping is written anywhere ([[history]]). `kind`
+    * classifies the delta's shape: `create` (version 1), `append`
+    * (adds only), `rewrite` (removes present — upsert/delete/compact/
+    * restore), `schema` (metadata-only declaration change), `empty`
+    * (marker-only commit). */
+  case class CommitInfo(version: Long, timestampMillis: Long, kind: String,
+      addedFiles: Int, removedFiles: Int, addedRows: Long)
+
+  /** Delta's `DESCRIBE HISTORY` on the hand-built log: one row per
+    * still-resolvable commit, oldest first, read straight off the
+    * delta entries (O(log) driver-side metadata — never a data file).
+    * Commits whose delta was vacuumed away are omitted, exactly the
+    * versions time travel can no longer serve. Timestamps are the
+    * commit's publish instant (delta-file mtime — the moment
+    * `link(2)` made it visible, the same clock TIMESTAMP AS OF uses). */
+  def history(dir: String): Seq[CommitInfo] = {
+    val latest = latestVersion(dir)
+    require(latest > 0L, s"no lake table at $dir")
+    (1L to latest).flatMap { v =>
+      val p = deltaPath(dir, v)
+      if (!Files.exists(p)) None
+      else {
+        val e = readLog(p, v)
+        val kind =
+          if (v == 1L) "create"
+          else if (e.schema.isDefined && e.add.isEmpty && e.rm.isEmpty) "schema"
+          else if (e.rm.nonEmpty) "rewrite"
+          else if (e.add.nonEmpty) "append"
+          else "empty"
+        Some(CommitInfo(v, Files.getLastModifiedTime(p).toMillis, kind,
+          e.add.size, e.rm.size, e.add.map(_.rows).sum))
+      }
+    }
+  }
+
   /** SQL `ALTER TABLE … ADD COLUMNS` (via
     * [[graft.sources.LakeCatalog]]) — a METADATA-ONLY commit, Delta's
     * `metaData` action: no data file is touched; the new version

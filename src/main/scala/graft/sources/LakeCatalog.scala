@@ -34,9 +34,9 @@ import graft.lake.Lake
   * Layout: `<warehouse>/<namespace...>/<table>/` is a Lake table root
   * (`_manifests` log + data subdirs). Namespaces are directories;
   * [[SupportsNamespaces]] is implemented over them so `CREATE
-  * NAMESPACE` / `SHOW TABLES IN` work. `alterTable` is rejected:
-  * the format evolves schema additively through upsert writes
-  * (merge-on-read null-fill), not through metadata-only DDL.
+  * NAMESPACE` / `SHOW TABLES IN` work. `alterTable` supports ADD
+  * COLUMNS (a metadata-only declared-schema commit, [[Lake.addColumns]]);
+  * non-additive changes are rejected descriptively.
   *
   * CREATE TABLE requires the clustering key as a table property or
   * option (`key` / `option.key`): the manifest is keyed from birth, so
@@ -183,13 +183,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "optimize" => LakeProcedures.optimize(this)
       case "zorder" => LakeProcedures.zorder(this)
       case "vacuum" => LakeProcedures.vacuum(this)
+      case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
-          "(available: optimize, zorder, vacuum)")
+          "(available: optimize, zorder, vacuum, history)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "zorder", "vacuum").map(Identifier.of(namespace, _))
+    Array("optimize", "zorder", "vacuum", "history").map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----
 

@@ -84,4 +84,32 @@ private[sources] object LakeProcedures {
           deleted.size.toLong)
       }
     }
+
+  /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
+    * one row per still-resolvable commit, derived entirely from the
+    * delta log ([[Lake.history]]); audit answers are metadata-sized,
+    * so the LocalScan driver-local shape is right here too. */
+  def history(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("history", Array(in("tbl", StringType))) {
+      override def isDeterministic: Boolean = false // mtime timestamps
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val commits = Lake.history(
+          dirOf(catalog, input.getUTF8String(0).toString))
+        val schema = StructType(Seq(
+          StructField("version", LongType),
+          StructField("ts_millis", LongType),
+          StructField("kind", StringType),
+          StructField("added_files", IntegerType),
+          StructField("removed_files", IntegerType),
+          StructField("added_rows", LongType)))
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = commits.map { c =>
+            new GenericInternalRow(Array[Any](c.version, c.timestampMillis,
+              org.apache.spark.unsafe.types.UTF8String.fromString(c.kind),
+              c.addedFiles, c.removedFiles, c.addedRows))
+          }.toArray
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    }
 }

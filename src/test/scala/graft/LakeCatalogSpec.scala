@@ -204,6 +204,28 @@ class LakeCatalogSpec extends SparkSpec {
     assert(msgs2(eDup).exists(_.contains("already exists")), s"got: $eDup")
   }
 
+  test("CALL history: one audit row per commit, derived from the delta log") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.hist")
+    sql("""CREATE TABLE graftcat.hist.t (k BIGINT, v STRING)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.hist.t VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE graftcat.hist.t ADD COLUMNS (score DOUBLE)")
+    sql("INSERT INTO graftcat.hist.t VALUES (1, 'a2', 5.0)") // rewrite (key 1)
+    val h = sql("CALL graftcat.history(tbl => 'hist.t')").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // v2 is "append": the empty create's zero-row anchor file has an
+    // inverted key range, so the first insert removes nothing
+    assert(h.map(_.getString(2)).toSeq
+      === Seq("create", "append", "schema", "rewrite"))
+    val alter = h(2)
+    assert(alter.getInt(3) === 0 && alter.getInt(4) === 0) // metadata-only
+    assert(h(3).getInt(4) > 0) // the upsert removed (rewrote) a file
+    // timestamps are monotonic non-decreasing publish instants
+    val ts = h.map(_.getLong(1)).toSeq
+    assert(ts === ts.sorted)
+  }
+
   test("declared schema survives checkpoints and upserts after the ALTER") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo2")
