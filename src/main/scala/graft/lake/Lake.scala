@@ -890,6 +890,30 @@ object Lake {
     base + 1L
   }
 
+  /** BIN-PACKING compaction (Delta `OPTIMIZE`'s real semantics, `CALL
+    * graft.compact_small`): rewrite ONLY the files under `rowThreshold`
+    * rows into `targetFiles` range-clustered files, leaving
+    * well-packed files untouched — the maintenance shape a
+    * streaming-ingest table needs ([[graft.sources.LakeSink]] lands
+    * per-micro-batch files; compacting a 100 TB table wholesale is not
+    * an operation, compacting its small-file tail is). No-op (returns
+    * the current version, commits nothing) when fewer than two files
+    * qualify — there is nothing to pack. Cost: O(small-file bytes),
+    * never O(table). */
+  def compactSmall(spark: SparkSession, dir: String, rowThreshold: Long,
+      targetFiles: Int = 1): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val (small, packed) = m.files.partition(_.rows < rowThreshold)
+    if (small.size < 2) return base
+    val fresh = writeFiles(readSubset(spark, dir, base, small), dir, m.key,
+      targetFiles)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, packed ++ fresh, m.txns))
+    base + 1L
+  }
+
   /** Snapshot REPLACE (SQL `INSERT OVERWRITE` via
     * [[graft.sources.LakeSource]]): commit `df` as the table's new
     * current state — same key, fresh range-clustered files. History

@@ -183,14 +183,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "optimize" => LakeProcedures.optimize(this)
       case "zorder" => LakeProcedures.zorder(this)
       case "vacuum" => LakeProcedures.vacuum(this)
+      case "compact_small" => LakeProcedures.compactSmall(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
-          "(available: optimize, zorder, vacuum, history)")
+          "(available: optimize, compact_small, zorder, vacuum, history)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "zorder", "vacuum", "history").map(Identifier.of(namespace, _))
+    Array("optimize", "compact_small", "zorder", "vacuum", "history")
+      .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----
 

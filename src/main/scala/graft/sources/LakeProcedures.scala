@@ -85,6 +85,28 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.compact_small(tbl => 'ns.t', row_threshold => 1000,
+    * target_files => 1)` — bin-packing OPTIMIZE
+    * ([[Lake.compactSmall]]): rewrites only the sub-threshold files a
+    * streaming sink accretes, O(small-file bytes) never O(table).
+    * Returns the (possibly unchanged) version plus how many files
+    * were packed. */
+  def compactSmall(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("compact_small",
+      Array(in("tbl", StringType), in("row_threshold", LongType),
+        in("target_files", IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(catalog, input.getUTF8String(0).toString)
+        val before = Lake.manifest(dir, Lake.latestVersion(dir)).files
+          .count(_.rows < input.getLong(1))
+        val v = Lake.compactSmall(SparkSession.active, dir,
+          input.getLong(1), input.getInt(2))
+        result(StructType(Seq(StructField("version", LongType),
+          StructField("files_packed", LongType))),
+          v, (if (before >= 2) before else 0).toLong)
+      }
+    }
+
   /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
     * one row per still-resolvable commit, derived entirely from the
     * delta log ([[Lake.history]]); audit answers are metadata-sized,

@@ -204,6 +204,42 @@ class LakeCatalogSpec extends SparkSpec {
     assert(msgs2(eDup).exists(_.contains("already exists")), s"got: $eDup")
   }
 
+  test("CALL compact_small: bin-packs only the sub-threshold files, idempotent") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.pack")
+    sql("""CREATE TABLE graftcat.pack.t (k BIGINT, v STRING)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    // streaming-style accretion: tiny commits → small-file tail
+    (1 to 4).foreach(i => sql(s"INSERT INTO graftcat.pack.t VALUES ($i, 'v$i')"))
+    // one well-packed big batch that must NOT be rewritten
+    Tables.orders(spark, sf).limit(400)
+      .select(col("o_orderkey") + 1000, lit("big"))
+      .createOrReplaceTempView("pack_big")
+    sql("INSERT INTO graftcat.pack.t SELECT * FROM pack_big")
+    val dir = s"$warehouse/pack/t"
+    val m0 = Lake.manifest(dir, Lake.latestVersion(dir))
+    val bigFiles = m0.files.filter(_.rows >= 100).map(_.name).toSet
+    assert(m0.files.count(_.rows < 100) >= 2)
+    val r = sql("CALL graftcat.compact_small(tbl => 'pack.t', " +
+      "row_threshold => 100, target_files => 1)").collect()(0)
+    assert(r.getLong(1) >= 2L) // files_packed
+    val m1 = Lake.manifest(dir, Lake.latestVersion(dir))
+    // big files untouched (same entries), small tail packed to 1
+    assert(bigFiles.subsetOf(m1.files.map(_.name).toSet))
+    assert(m1.files.size < m0.files.size)
+    assert(m1.files.count(f => f.rows > 0 && f.rows < 100) === 1)
+    // state bit-identical across the pack
+    assert(sql("SELECT * FROM graftcat.pack.t").count() === 404L)
+    assert(sql("SELECT sum(k) FROM graftcat.pack.t").collect()(0).getLong(0)
+      === (1 to 4).sum + Tables.orders(spark, sf).limit(400)
+        .agg(sum(col("o_orderkey") + 1000)).collect()(0).getLong(0))
+    // idempotent: one packed file left under threshold → no-op commit
+    val vAfter = Lake.latestVersion(dir)
+    sql("CALL graftcat.compact_small(tbl => 'pack.t', " +
+      "row_threshold => 100, target_files => 1)")
+    assert(Lake.latestVersion(dir) === vAfter)
+  }
+
   test("CALL history: one audit row per commit, derived from the delta log") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.hist")
