@@ -333,6 +333,11 @@ object SparkEntry {
     // travel below the alter keeps the old shape
     ("x8_lake_alter", graft.lake.LakeQueries.lakeAlter _,
       Some(graft.lake.LakeQueries.lakeAlterSql)),
+    // round-9: STRING-keyed lake table — the key's order-preserving
+    // 8-byte encoding drives the integer skip machinery; strStats
+    // carry exact lexicographic bounds for SQL pruning
+    ("x8_lake_strkey", graft.lake.LakeQueries.lakeStringKey _,
+      Some(graft.lake.LakeQueries.lakeStringKeySql)),
     // round-7: value-based RANGE window frames (trailing 90-day sums)
     ("x7_range_frames", graft.analytics.FunctionSweeps.rangeFrames _,
       Some(graft.analytics.FunctionSweeps.rangeFramesSql)),

@@ -523,19 +523,37 @@ object Lake {
     * arbitrary expressions and record per-file [min,max] stats for the
     * key plus any extra integer columns — one stats pass over the
     * fresh files, metadata-cheap. */
+  /** ORDER-PRESERVING 64-bit encoding of a string's first 8 UTF-8
+    * bytes (big-endian, zero-padded, unsigned→signed shift): byte-wise
+    * lexicographic order on strings maps to signed-long order on
+    * codes, so STRING leading keys ride the manifest's integer
+    * `minKey`/`maxKey` machinery — the binned skip join, the batch-box
+    * prune — unchanged. The encoding is a PREFIX: distinct strings may
+    * share a code, which widens file ranges (conservative, never
+    * wrong); exact matching always happens on the real key values in
+    * the merge anti-joins. Spark's own string min/max aggregate in
+    * UTF8String byte order, so per-file bounds computed there agree
+    * with this encoding for every input, ASCII or not. */
+  private[graft] def encString(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v ^ Long.MinValue
+  }
+
+  /** [[encString]] as a Catalyst expression chain (codegen-friendly,
+    * no UDF): first 8 UTF-8 bytes zero-padded → hex → unsigned decimal
+    * → signed shift. `rpad(binary, 8, X'00')` both pads short keys and
+    * truncates long ones, exactly the driver-side loop. */
+  private[graft] def encExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(hex(rpad(c.cast("binary"), 8, Array[Byte](0))), 16, 10)
+      .cast("decimal(20,0)") - lit(new java.math.BigDecimal("9223372036854775808")))
+      .cast("long")
+
   private def writeFilesBy(df: DataFrame, dir: String, key: String,
       targetFiles: Int, cluster: Seq[org.apache.spark.sql.Column],
       extraStatCols: Seq[String]): Seq[FileEntry] = {
-    // the manifest's PRIMARY range bounds (FileEntry.minKey/maxKey) are
-    // integer-encoded; fail fast with direction instead of an ANSI cast
-    // error mid-write when the leading key can't carry them
-    df.schema.find(_.name == keyCols(key).head).map(_.dataType).foreach { dt =>
-      require(dt != org.apache.spark.sql.types.StringType,
-        s"leading key column '${keyCols(key).head}' is STRING: the manifest's " +
-          "primary range bounds are integer-encoded — lead the key with an " +
-          "integer/date/timestamp column (string columns still cluster and " +
-          "prune through trailing typed stats, e.g. key='id,name')")
-    }
     val sub = s"data-${java.util.UUID.randomUUID}"
     val out = Paths.get(dir, sub).toString
     df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
@@ -552,7 +570,13 @@ object Lake {
     // record lexicographic bounds in `strStats`, everything numeric
     // keeps the long cast.
     import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
-    val statCols = (kc.tail ++ extraStatCols).distinct
+    // a STRING leading key records its per-file bounds twice: the
+    // lexicographic pair in strStats (SQL pruning compares there) and
+    // the order-preserving 8-byte code in minKey/maxKey (the skip
+    // join's integer machinery)
+    val headStr = dtypes.get(kc.head).contains(StringType)
+    val statCols =
+      ((if (headStr) kc else kc.tail) ++ extraStatCols).distinct
     val (strCols, intCols) =
       statCols.partition(c => dtypes.get(c).contains(StringType))
     def intEnc(c: String) = dtypes(c) match {
@@ -562,8 +586,11 @@ object Lake {
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case _ => col(c).cast("long")
     }
-    val aggs = Seq(count(lit(1)).as("rows"),
-        min(col(kc.head).cast("long")).as("lo"), max(col(kc.head).cast("long")).as("hi")) ++
+    val headLoHi =
+      if (headStr) Seq(min(col(kc.head)).as("lo"), max(col(kc.head)).as("hi"))
+      else Seq(min(col(kc.head).cast("long")).as("lo"),
+        max(col(kc.head).cast("long")).as("hi"))
+    val aggs = Seq(count(lit(1)).as("rows")) ++ headLoHi ++
       intCols.flatMap(c => Seq(
         min(intEnc(c)).as(s"lo_$c"), max(intEnc(c)).as(s"hi_$c"))) ++
       strCols.flatMap(c => Seq(
@@ -590,8 +617,13 @@ object Lake {
           if (r.isNullAt(lo) || r.isNullAt(hi)) None
           else Some(c -> (r.getString(lo), r.getString(hi)))
         }.toMap
-        FileEntry(rel, r.getLong(1), r.getLong(2), r.getLong(3), stats,
-          Map.empty, sstats)
+        val (mk, xk) =
+          if (headStr) {
+            // all-null head key in a file → conservative full range
+            if (r.isNullAt(2) || r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
+            else (encString(r.getString(2)), encString(r.getString(3)))
+          } else (r.getLong(2), r.getLong(3))
+        FileEntry(rel, r.getLong(1), mk, xk, stats, Map.empty, sstats)
       }.toSeq
   }
 
@@ -767,8 +799,18 @@ object Lake {
   private def touchedFileNames(spark: SparkSession, m: Manifest,
       keyTuples: DataFrame): Set[String] = {
     val kc = keyCols(m.key)
+    // STRING key columns ride their order-preserving 8-byte code
+    // ([[encString]]/[[encExpr]]): the head compares against the
+    // manifest's encoded minKey/maxKey; string TRAILING columns have
+    // no integer `stats` entry, so their box test passes conservatively
+    // and exactness falls to the merge anti-join on real values
+    val dts = keyTuples.schema.map(f => f.name -> f.dataType).toMap
+    def keyEnc(c: String) = dts.get(c) match {
+      case Some(org.apache.spark.sql.types.StringType) => encExpr(col(c))
+      case _ => col(c).cast("long")
+    }
     val tuples = keyTuples.select(
-        kc.map(c => col(c).cast("long").as("_uk_" + c)): _*).distinct()
+        kc.map(c => keyEnc(c).as("_uk_" + c)): _*).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val aggs = kc.flatMap(c => Seq(
@@ -799,7 +841,11 @@ object Lake {
   private[graft] def touchedFilesJoin(spark: SparkSession,
       candidates: Seq[FileEntry], tuples: DataFrame,
       kc: Seq[String]): DataFrame = {
-    val w = math.max(1L, candidates.map(f => f.maxKey - f.minKey + 1L).max)
+    // saturating span: an encoded-string file with the conservative
+    // full range (or any range near 2^63) must not overflow into a
+    // tiny w that would explode sequence() below
+    val w = candidates.map(f => BigInt(f.maxKey) - BigInt(f.minKey) + 1)
+      .max.min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
     val ranges = spark.createDataFrame(candidates)
       .select(col("name"), col("minKey"), col("maxKey"), col("stats"))
       // span ≤ w ⇒ a file's range covers at most two w-width bins

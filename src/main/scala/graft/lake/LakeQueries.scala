@@ -1056,4 +1056,57 @@ object LakeQueries {
       |FROM final
       |GROUP BY COALESCE(tier, 'legacy')
       |ORDER BY tier""".stripMargin
+
+  /** Registered query `x8_lake_strkey` (round 9) — a STRING-keyed lake
+    * table, the LLM-pipeline shape (corpora key on string document
+    * ids, not integers): documents keyed by `doc-<zero-padded id>`
+    * through the full create → stamped upsert → delete lifecycle. The
+    * manifest's integer `minKey`/`maxKey` carry the key's
+    * ORDER-PRESERVING first-8-byte encoding ([[Lake.encString]]) so
+    * the copy-on-write skip join and batch-box prune run unchanged,
+    * while `strStats` keeps the exact lexicographic bounds for SQL
+    * pruning; exact key matching always happens on the real string
+    * values in the merge anti-joins. The rollup's stamped/deleted
+    * tallies break if the string-key merge touches the wrong rows;
+    * `lake_versions` pins the commit count. */
+  def lakeStringKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-strkey"
+    rm(new java.io.File(dir))
+    val docs = Tables.read(spark, sfDir, "documents")
+      .select(concat(lit("doc-"), lpad(col("doc_id").cast("string"), 10, "0"))
+          .as("doc_key"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    Lake.create(docs.filter(col("doc_id") % 3 =!= 0), dir, "doc_key",
+      targetFiles = 4)
+    val updates = docs
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .withColumn("source",
+        when(col("doc_id") % 5 === 0, lit("9-STR")).otherwise(col("source")))
+    Lake.upsert(spark, dir, updates)
+    Lake.delete(spark, dir,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_key")))
+    Lake.read(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === "9-STR", 1L).otherwise(0L)).as("n_stamped"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("lake_versions", lit(Lake.latestVersion(dir)))
+      .orderBy(col("lang"))
+  }
+
+  /** Mirror: stamp every `%5` doc, drop every `%7` doc, aggregate. */
+  val lakeStringKeySql: String =
+    """WITH final AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN '9-STR' ELSE source END AS source,
+      |    n_chars
+      |  FROM documents WHERE doc_id % 7 <> 0)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN source = '9-STR' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stamped,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }

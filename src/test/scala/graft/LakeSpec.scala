@@ -763,4 +763,73 @@ class LakeSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("versionAsOf")), s"got: $e")
     assert(Lake.latestVersion(dir) === 2L) // nothing landed
   }
+
+  test("encString: order-preserving, and the SQL expression path agrees bit-for-bit") {
+    import spark.implicits._
+    // order preservation on byte-lexicographic order, incl. prefixes,
+    // non-ASCII (UTF-8 bytes), empties, and >8-byte truncation ties
+    val samples = Seq("", "a", "ab", "abc", "abcdefgh", "abcdefghi",
+      "abcdefghz", "doc-0001", "doc-0002", "doc-9999", "zzz",
+      "café", "é", "中文", "DOC-0001", "0", "~")
+    // pairwise check against unsigned-byte lexicographic compare
+    def lexLt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (a <- samples; b <- samples if lexLt(a, b))
+      assert(Lake.encString(a) <= Lake.encString(b),
+        s"enc order violated: '$a' vs '$b'")
+    // the distributed expression must equal the driver-side loop
+    val viaExpr = samples.toDF("s")
+      .select(col("s"), Lake.encExpr(col("s")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(s =>
+      assert(viaExpr(s) === Lake.encString(s), s"expr/driver mismatch on '$s'"))
+  }
+
+  test("STRING leading key: lifecycle, skip join, and SQL file skipping") {
+    val dir = freshDir("strkey")
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(concat(lit("doc-"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("doc_key"),
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    assert(Lake.create(docs.filter(col("doc_id") % 3 =!= 0), dir, "doc_key",
+      targetFiles = 4) === 1L)
+    // manifest carries encoded bounds AND lexicographic strStats for the head
+    val m1 = Lake.manifest(dir, 1L)
+    assert(m1.files.forall(f => f.minKey <= f.maxKey))
+    assert(m1.files.forall(_.strStats.contains("doc_key")))
+    // upsert: inserts + stamped updates — only intersecting files rewrite
+    val updates = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      .withColumn("source",
+        when(col("doc_id") % 5 === 0, lit("9-STR")).otherwise(col("source")))
+    assert(Lake.upsert(spark, dir, updates) === 2L)
+    val now = Lake.read(spark, dir)
+    assert(now.count() === docs.count())
+    assert(now.filter(col("source") === "9-STR").count()
+      === docs.filter(col("doc_id") % 5 === 0).count())
+    // delete by string key
+    Lake.delete(spark, dir, docs.filter(col("doc_id") % 7 === 0).select("doc_key"))
+    assert(Lake.read(spark, dir).count()
+      === docs.filter(col("doc_id") % 7 =!= 0).count())
+    // SQL file skipping on a string range predicate via strStats
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("spec_strkey")
+    val sb = new graft.sources.LakeScanBuilder(spark, dir,
+      Lake.latestVersion(dir), Lake.snapshotSchema(spark, dir))
+    val all = sb.prunedFiles(Nil).size
+    val lo = {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, Literal}
+      GreaterThanOrEqual(UnresolvedAttribute("doc_key"), Literal("doc-00000900"))
+    }
+    assert(sb.prunedFiles(Seq(lo)).size < all)
+  }
 }

@@ -725,15 +725,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("graft-lake sink: string LEADING key fails fast with direction") {
+  test("graft-lake sink: STRING-keyed stateful aggregation through the sink") {
     import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     import graft.lake.Lake
-    val dir = java.nio.file.Files.createTempDirectory("graft-strkey").toString + "/t"
-    val e = intercept[IllegalArgumentException] {
-      Lake.create(Seq(Event(1, ts(1), 1, "click", 1.0)).toDF(), dir, "event_type")
-    }
-    assert(e.getMessage.contains("integer-encoded"))
-    assert(e.getMessage.contains("trailing typed stats"))
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-str").toString
+    val dir = s"$base/table"
+    val mem = MemoryStream[Event]
+    val agg = mem.toDF().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft-lake")
+      .option("path", dir).option("key", "event_type")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 2, "click", 3.0))
+      q.processAllAvailable()
+      val rows = Lake.read(spark, dir).orderBy("event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        === Seq(("click", 2L), ("view", 1L)))
+      // string-keyed manifest bounds are the order-preserving encoding
+      val m = Lake.manifest(dir, Lake.latestVersion(dir))
+      assert(m.files.filter(_.rows > 0).forall(f =>
+        f.minKey >= Lake.encString("click") && f.maxKey <= Lake.encString("view")))
+    } finally q.stop()
   }
 
   test("graft-lake streaming SINK: complete mode replaces the snapshot") {
