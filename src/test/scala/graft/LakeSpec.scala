@@ -819,6 +819,15 @@ class LakeSpec extends SparkSpec {
     Lake.delete(spark, dir, docs.filter(col("doc_id") % 7 === 0).select("doc_key"))
     assert(Lake.read(spark, dir).count()
       === docs.filter(col("doc_id") % 7 =!= 0).count())
+    // the change feed joins on REAL key values, so it is string-clean:
+    // v2 inserts = the %3 keys, v3 deletes = every %7 key
+    val feed = Lake.changes(spark, dir, 1L)
+    assert(feed.filter(col("_commit_version") === 2L &&
+        col("_change_type") === "insert").count()
+      === docs.filter(col("doc_id") % 3 === 0).count())
+    assert(feed.filter(col("_commit_version") === 3L &&
+        col("_change_type") === "delete").count()
+      === docs.filter(col("doc_id") % 7 === 0).count())
     // SQL file skipping on a string range predicate via strStats
     spark.read.format("graft-lake").option("path", dir).load()
       .createOrReplaceTempView("spec_strkey")
