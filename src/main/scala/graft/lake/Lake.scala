@@ -499,13 +499,19 @@ object Lake {
       }
       .filterNot(referenced)
       .toSeq.sorted
+    // snapshot dir mtimes BEFORE the file sweep: unlinking an orphan
+    // updates its parent dir's mtime, so the post-sweep clock would
+    // make every just-emptied dir look freshly written and survive
+    // until the NEXT vacuum — the pre-sweep mtime is the writer's last
+    // real activity, the thing the age guard actually protects
+    val dirMtime = dataDirs.map(d => d -> d.lastModified).toMap
     orphans.foreach { n => Files.deleteIfExists(Paths.get(dir, n)); () }
     // prune data subdirs emptied by the sweep — under the same age
     // guard as files (ADVICE r8): an in-flight writer's freshly
     // created staging dir, not yet holding its first part file, must
     // not be deleted out from under the write
     dataDirs.foreach { d =>
-      if (d.lastModified < cutoff &&
+      if (dirMtime(d) < cutoff &&
           Option(d.listFiles()).exists(_.isEmpty)) { d.delete(); () }
     }
     orphans

@@ -362,7 +362,12 @@ class LakeSpec extends SparkSpec {
     orphanDir.mkdirs()
     val orphan = new java.io.File(orphanDir, "part-00000-fake.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
-    val deleted = Lake.vacuumOrphans(dir, minAgeMillis = 0L)
+    // backdate the planted orphan past the age cutoff: the strict `<`
+    // mtime guard (correctly) protects anything created in the cutoff
+    // millisecond itself, which this test could otherwise race
+    orphan.setLastModified(System.currentTimeMillis() - 60000L)
+    orphanDir.setLastModified(System.currentTimeMillis() - 60000L)
+    val deleted = Lake.vacuumOrphans(dir, minAgeMillis = 1000L)
     assert(deleted.contains("data-orphan-test/part-00000-fake.parquet"),
       s"orphan must be swept: $deleted")
     assert(!orphan.exists() && !orphanDir.exists(), "orphan file and emptied dir removed")
