@@ -333,6 +333,20 @@ object SparkEntry {
     // travel below the alter keeps the old shape
     ("x8_lake_alter", graft.lake.LakeQueries.lakeAlter _,
       Some(graft.lake.LakeQueries.lakeAlterSql)),
+    // round-9: merge-on-read deletion vectors — scattered deletes as
+    // O(deleted) sidecar masks, CDF/read mask application, rewrite_dvs
+    // materialization; physical file stability pinned
+    ("x8_lake_dv", graft.lake.LakeQueries.lakeDv _,
+      Some(graft.lake.LakeQueries.lakeDvSql)),
+    // round-9: SQL MERGE INTO — all four clause families in one
+    // statement, first-match precedence, one atomic commit
+    ("x8_lake_sqlmerge", graft.lake.LakeQueries.lakeSqlMerge _,
+      Some(graft.lake.LakeQueries.lakeSqlMergeSql)),
+    // round-9: SQL UPDATE — the planner-strategy DML command executing
+    // through copy-on-write updateWhere; simultaneous-assignment swap
+    // and no-match no-op both hash-gated
+    ("x8_lake_update", graft.lake.LakeQueries.lakeUpdate _,
+      Some(graft.lake.LakeQueries.lakeUpdateSql)),
     // round-9: STRING-keyed lake table — the key's order-preserving
     // 8-byte encoding drives the integer skip machinery; strStats
     // carry exact lexicographic bounds for SQL pruning

@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Shingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
     // whole-operator extension: per-key bounded-heap top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // SQL UPDATE on graft-lake tables (copy-on-write through the
+    // format's commit protocol; see sources/LakeDml.scala)
+    ext.injectPlannerStrategy(_ => graft.sources.LakeDmlStrategy)
     // optimizer extension: constant-window range theta-join → binned equi-join
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }

@@ -92,10 +92,21 @@ object Lake {
     * Catalyst literals of those types carry, so SQL-surface pruning
     * compares unit-for-unit). A file missing a stat is conservatively
     * read, as ever. */
+  /** `dv` carries an OPTIONAL deletion-vector pointer (round 9 —
+    * MERGE-ON-READ deletes, the Delta/Iceberg deletion-vector
+    * capability): the relative path of a sidecar parquet directory
+    * whose `(f: file basename, pos: row index)` rows mark this file's
+    * deleted positions. A MoR delete ([[deleteWhereMor]]) lands as
+    * O(deleted rows) of sidecar — never a file rewrite — and every
+    * read path anti-joins the mask back out ([[applyDv]]); [[rewriteDvs]]
+    * materializes the masks into plain files when the read-side tax
+    * should be repaid. `None` = no deleted positions (every file until
+    * its first MoR delete). */
   case class FileEntry(name: String, rows: Long, minKey: Long, maxKey: Long,
       stats: Map[String, (Long, Long)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      dv: Option[String] = None)
 
   val BloomBits = 1 << 15 // 32768 bits = 4 KiB hex per (file, column)
   val BloomHashes = 4
@@ -135,10 +146,14 @@ object Lake {
   /** One commit's log record: the files added and removed relative to
     * the parent version, plus the (small, full) txn-marker map. A
     * checkpoint is rendered as a LogEntry with `add` = the whole file
-    * list — one renderer/parser serves both. */
+    * list — one renderer/parser serves both. Each `rm` carries the
+    * removed entry's deletion-vector pointer AT REMOVAL TIME (None
+    * for plain files), so the change feed can reconstruct a step's
+    * before-state log-direct — without resolving the parent manifest
+    * — even across MoR commits. */
   private case class LogEntry(version: Long, key: String,
-      add: Seq[FileEntry], rm: Seq[String], txns: Map[String, Long],
-      schema: Option[String] = None)
+      add: Seq[FileEntry], rm: Seq[(String, Option[String])],
+      txns: Map[String, Long], schema: Option[String] = None)
 
   private def render(e: LogEntry): String =
     (s"version=${e.version}" +: s"key=${e.key}" +:
@@ -146,12 +161,13 @@ object Lake {
       // separator-safe whatever the field names contain
       (e.schema.map(s => s"schema=${strHex(s)}").toSeq ++
         e.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
-        e.rm.map(n => s"rm=$n") ++
+        e.rm.map { case (n, dv) => s"rm=$n${dv.map("|" + _).getOrElse("")}" } ++
         e.add.map { f =>
           val extra = f.stats.toSeq.sortBy(_._1)
             .map { case (c, (lo, hi)) => s"|$c:$lo:$hi" }.mkString
           s"add=${f.name}|${f.rows}|${f.minKey}|${f.maxKey}$extra"
         } ++
+        e.add.flatMap(f => f.dv.map(d => s"dv=${f.name}|$d")) ++
         e.add.flatMap(f => f.blooms.toSeq.sortBy(_._1).map { case (c, hx) =>
           s"bloom=${f.name}|$c|$hx"
         }) ++
@@ -188,7 +204,16 @@ object Lake {
     val schema = lines.collectFirst {
       case s if s.startsWith("schema=") => hexToStr(s.stripPrefix("schema="))
     }
-    val rm = lines.collect { case s if s.startsWith("rm=") => s.stripPrefix("rm=") }
+    val dvs = lines.collect { case s if s.startsWith("dv=") =>
+      val Array(n, d) = s.stripPrefix("dv=").split('|')
+      n -> d
+    }.toMap
+    val rm = lines.collect { case s if s.startsWith("rm=") =>
+      s.stripPrefix("rm=").split('|') match {
+        case Array(n) => (n, None: Option[String])
+        case Array(n, d) => (n, Some(d): Option[String])
+      }
+    }
     val add = lines.collect { case s if s.startsWith("add=") =>
       val fields = s.stripPrefix("add=").split('|')
       val stats = fields.drop(4).map { st =>
@@ -197,7 +222,7 @@ object Lake {
       }.toMap
       FileEntry(fields(0), fields(1).toLong, fields(2).toLong, fields(3).toLong,
         stats, blooms.getOrElse(fields(0), Map.empty),
-        sstats.getOrElse(fields(0), Map.empty))
+        sstats.getOrElse(fields(0), Map.empty), dvs.get(fields(0)))
     }
     LogEntry(version, key, add, rm, txns, schema)
   }
@@ -271,7 +296,7 @@ object Lake {
       .map(v => readLog(deltaPath(dir, v), v))
     val files = deltas.foldLeft(
         scala.collection.immutable.ListMap(b.add.map(f => f.name -> f): _*)) {
-      (acc, d) => (acc -- d.rm) ++ d.add.map(f => f.name -> f)
+      (acc, d) => (acc -- d.rm.map(_._1)) ++ d.add.map(f => f.name -> f)
     }
     val last = deltas.lastOption.getOrElse(b)
     // declared schema carries FORWARD: the latest declaration at or
@@ -330,17 +355,27 @@ object Lake {
     val parentByName = parent.map(_.files.map(f => f.name -> f).toMap)
       .getOrElse(Map.empty[String, FileEntry])
     val newNames = m.files.map(_.name).toSet
-    val add = m.files.filterNot(f => parentByName.contains(f.name))
-    val rm = parent.toSeq.flatMap(_.files.map(_.name)).filterNot(newNames)
-    // the delta encoding diffs by NAME, so a same-named entry whose
-    // metadata changed in place would be silently dropped from the log
-    // (ADVICE r8): enforce the name-implies-entry invariant every
-    // public op already upholds (rewrites land under fresh UUID dirs)
+    // a same-named entry whose metadata changed in place would be
+    // silently dropped by a pure name diff (ADVICE r8). The ONE
+    // legitimate in-place mutation is a deletion-vector change
+    // ([[deleteWhereMor]] — MoR deletes attach a dv to an otherwise
+    // carried-forward file); it is encoded as rm(name, old dv) +
+    // re-add(entry with new dv), which the resolution fold replays as
+    // remove-then-override and the change feed reads log-direct. Any
+    // OTHER in-place mutation (stats/blooms) is still a protocol bug:
+    // rewrites must land under fresh UUID dirs.
     val mutated = m.files.filter(f => parentByName.get(f.name).exists(_ != f))
-    require(mutated.isEmpty,
-      s"commit would mutate carried-forward file entr${if (mutated.size == 1) "y" else "ies"} " +
-        s"${mutated.map(_.name).take(3).mkString(", ")} in place; " +
-        "metadata changes must rewrite under new file names")
+    val badMutations = mutated.filter(f =>
+      parentByName(f.name).copy(dv = f.dv) != f)
+    require(badMutations.isEmpty,
+      s"commit would mutate carried-forward file entr${if (badMutations.size == 1) "y" else "ies"} " +
+        s"${badMutations.map(_.name).take(3).mkString(", ")} in place; " +
+        "only the deletion vector may change in place — other metadata " +
+        "changes must rewrite under new file names")
+    val add = m.files.filterNot(f => parentByName.contains(f.name)) ++ mutated
+    val rm = (parent.toSeq.flatMap(_.files.map(_.name)).filterNot(newNames) ++
+        mutated.map(_.name))
+      .map(n => n -> parentByName(n).dv)
     // a None schemaJson means "no declaration change": ops that rebuild
     // the manifest in memory inherit the parent's declared schema
     // through log resolution, so the delta carries a schema line ONLY
@@ -425,8 +460,7 @@ object Lake {
       val folded =
         if (touched.isEmpty) liveUpdates
         else {
-          val old = spark.read.option("mergeSchema", "true").parquet(
-            touched.map(f => Paths.get(dir, f.name).toString): _*)
+          val old = readTouched(spark, dir, touched)
           old.join(allKeys, kc, "left_anti")
             .unionByName(liveUpdates, allowMissingColumns = true)
         }
@@ -481,10 +515,17 @@ object Lake {
       earliest -= 1L
     val referenced = (earliest to latest)
       .flatMap(v => manifest(dir, v).files.map(_.name)).toSet
+    // a REFERENCED dv sidecar dir is skipped wholesale (its parts are
+    // not individually named by manifests); unreferenced dv dirs from
+    // crashed MoR writers sweep under the same age guard as data dirs
+    val referencedDvDirs = (earliest to latest)
+      .flatMap(v => manifest(dir, v).files.flatMap(_.dv)).toSet
     val root = new java.io.File(dir)
     val cutoff = System.currentTimeMillis() - minAgeMillis
     val dataDirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("data-"))
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith("data-") ||
+          (d.getName.startsWith("dv-") && !referencedDvDirs(d.getName))))
     val orphans = dataDirs.flatMap { d =>
         val referencedHere = Option(d.listFiles()).getOrElse(Array.empty)
           .exists(f => referenced(d.getName + "/" + f.getName))
@@ -667,23 +708,48 @@ object Lake {
     1L
   }
 
+  /** Anti-join `dvDirs`' deletion masks out of `df0` — the
+    * merge-on-read half of [[deleteWhereMor]]. The mask keys on
+    * `(file basename, row index)` via parquet's `_metadata` columns
+    * (basenames carry write-UUIDs, globally unique), so the join is a
+    * broadcast HASH anti-join — one plan whatever the number of
+    * masked files — and a mask row can only ever suppress rows of its
+    * own file. No-op (the raw plan, no metadata columns, no join)
+    * when no entry carries a vector — plain tables pay nothing. */
+  private def applyDv(spark: SparkSession, dir: String, df0: DataFrame,
+      dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty) df0
+    else {
+      val mask = spark.read.parquet(
+        dvDirs.distinct.map(d => Paths.get(dir, d).toString): _*)
+      df0.withColumn("__gf", col("_metadata.file_name"))
+        .withColumn("__gp", col("_metadata.row_index"))
+        .join(broadcast(mask.select(col("f").as("__mf"), col("pos").as("__mp"))),
+          col("__gf") === col("__mf") && col("__gp") === col("__mp"),
+          "left_anti")
+        .drop("__gf", "__gp")
+    }
+
   /** Snapshot read at `version` (default: latest). `mergeSchema` makes
     * SCHEMA EVOLUTION work: after an upsert added columns, a
     * snapshot's untouched old files lack them — the merged read fills
     * them with NULLs (additive evolution, the Delta default; renames
-    * and type changes stay rejected by parquet's merge rules). */
+    * and type changes stay rejected by parquet's merge rules).
+    * Deletion vectors apply ([[applyDv]]): a MoR-deleted row is
+    * invisible at every version whose entry carries its mask. */
   def read(spark: SparkSession, dir: String, version: Long = 0L): DataFrame = {
     val v = if (version == 0L) latestVersion(dir) else version
     require(v > 0L, s"no committed version at $dir")
     val m = manifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f.name).toString)
-    m.schemaJson match {
+    val raw = m.schemaJson match {
       // a DECLARED schema (ALTER TABLE ADD COLUMNS) reads verbatim:
       // files predating a column null-fill, and the column resolves
       // even before any file carries it
       case Some(j) => spark.read.schema(schemaFromJson(j)).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+    applyDv(spark, dir, raw, m.files.flatMap(_.dv))
   }
 
   private def schemaFromJson(j: String): org.apache.spark.sql.types.StructType =
@@ -718,11 +784,26 @@ object Lake {
 
   /** Read a PRUNED file subset with the snapshot's declared schema:
     * columns a surviving file predates null-fill instead of vanishing
-    * from (or failing) the inferred-schema read. */
+    * from (or failing) the inferred-schema read. Deletion vectors of
+    * the subset apply — every copy-on-write rewrite path reads
+    * through here or [[readTouched]], so a rewrite can never
+    * resurrect MoR-deleted rows. */
   private def readSubset(spark: SparkSession, dir: String, version: Long,
       files: Seq[FileEntry]): DataFrame =
-    spark.read.schema(snapshotSchema(spark, dir, version))
-      .parquet(files.map(f => Paths.get(dir, f.name).toString): _*)
+    applyDv(spark, dir,
+      spark.read.schema(snapshotSchema(spark, dir, version))
+        .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
+      files.flatMap(_.dv))
+
+  /** The mergeSchema form of [[readSubset]] for the merge paths
+    * (additive evolution: an upsert carrying new columns reads its
+    * touched files with the union schema), deletion vectors applied. */
+  private def readTouched(spark: SparkSession, dir: String,
+      files: Seq[FileEntry]): DataFrame =
+    applyDv(spark, dir,
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
+      files.flatMap(_.dv))
 
   /** The version in effect at wall-clock `tsMillis` — Delta's
     * `TIMESTAMP AS OF`: the newest still-resolvable version whose
@@ -881,8 +962,7 @@ object Lake {
     val newFiles =
       if (touched.isEmpty) writeFiles(updates, dir, key, targetFiles)
       else {
-        val old = spark.read.option("mergeSchema", "true").parquet(
-          touched.map(f => Paths.get(dir, f.name).toString): _*)
+        val old = readTouched(spark, dir, touched)
         val survivors = old.join(
           updates.select(kc.map(col): _*).distinct(), kc, "left_anti")
         // allowMissingColumns: additive schema evolution — an upsert
@@ -1013,6 +1093,11 @@ object Lake {
         val kind =
           if (v == 1L) "create"
           else if (e.schema.isDefined && e.add.isEmpty && e.rm.isEmpty) "schema"
+          // a MoR delete re-adds exactly the entries it removed, every
+          // re-add carrying a mask: metadata-only from the data files'
+          // point of view, row-level from the reader's
+          else if (e.add.nonEmpty && e.add.forall(_.dv.isDefined) &&
+            e.add.map(_.name).toSet == e.rm.map(_._1).toSet) "mor_delete"
           else if (e.rm.nonEmpty) "rewrite"
           else if (e.add.nonEmpty) "append"
           else "empty"
@@ -1380,15 +1465,27 @@ object Lake {
     // advance the pointer so latestVersion's forward probe starts at a
     // version whose delta survives this vacuum
     writeCheckpoint(dir, manifest(dir, keepFrom))
-    val keep = (keepFrom to latest).flatMap(v => manifest(dir, v).files.map(_.name)).toSet
+    // deletion-vector sidecar DIRS participate like data files: a dv
+    // referenced only by expired versions (superseded by a later mask
+    // or materialized away) reclaims with them
+    def named(v: Long): Seq[String] =
+      manifest(dir, v).files.flatMap(f => f.name +: f.dv.toSeq)
+    val keep = (keepFrom to latest).flatMap(named).toSet
     val expired = (1L until keepFrom)
-    val candidates = expired.flatMap(v => manifest(dir, v).files.map(_.name)).distinct
+    val candidates = expired.flatMap(named).distinct
     expired.foreach { v =>
       Files.deleteIfExists(deltaPath(dir, v))
       Files.deleteIfExists(ckptPath(dir, v)); ()
     }
     val doomed = candidates.filterNot(keep)
-    doomed.foreach { n => Files.deleteIfExists(Paths.get(dir, n)); () }
+    doomed.foreach { n =>
+      val p = Paths.get(dir, n)
+      if (Files.isDirectory(p)) { // a dv sidecar dir: remove its parts
+        new java.io.File(p.toString).listFiles().foreach(_.delete())
+        Files.deleteIfExists(p)
+      } else Files.deleteIfExists(p)
+      ()
+    }
     doomed
   }
 
@@ -1450,11 +1547,18 @@ object Lake {
         (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
     val steps = ((fromVersion + 1L) to to).map { v =>
       val e = if (v == to) toEntry else readDelta(dir, v)
-      (v, e.rm, e.add.map(_.name))
+      (v, e.rm, e.add.map(f => f.name -> f.dv))
     }
-    val read = (names: Seq[String]) =>
-      spark.read.option("mergeSchema", "true")
-        .parquet(names.map(n => Paths.get(dir, n).toString): _*)
+    // both sides read with their deletion vectors applied — the rm
+    // lines carry each removed entry's dv AT REMOVAL TIME, so a MoR
+    // delete commit (rm(name, old dv) + re-add(name, new dv)) diffs
+    // log-direct into exactly its newly-masked rows as `delete`s, and
+    // a dv materialization ([[rewriteDvs]]) diffs to an EMPTY feed
+    val read = (files: Seq[(String, Option[String])]) =>
+      applyDv(spark, dir,
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => Paths.get(dir, f._1).toString): _*),
+        files.flatMap(_._2))
     // one frame per version step; steps are independent file sets so
     // the union is a plain append of per-step plans
     val stepFrames = steps.flatMap { case (v, removed, added) =>
@@ -1504,11 +1608,181 @@ object Lake {
         // whole range was no-op commits (or fromVersion == to):
         // schema-correct empty feed off the latest snapshot (the one
         // place a full resolution is needed, and only on this path)
-        read(manifest(dir, to).files.map(_.name)).filter(lit(false))
+        read(manifest(dir, to).files.map(f => f.name -> f.dv)).filter(lit(false))
           .withColumn("_change_type", lit(""))
           .withColumn("_commit_version", lit(0L))
       case fs => fs.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+  }
+
+  /** Copy-on-write `UPDATE ... SET ... WHERE ...` (the SQL surface
+    * routes here through [[graft.sources.LakeDmlStrategy]]; also a
+    * public programmatic API). Three-stage cost shape, never O(table):
+    *
+    *  1. **Manifest-stat candidate prune** — the WHERE conjuncts
+    *     tighten per-column windows exactly like a read
+    *     ([[graft.sources.LakeScanBuilder.pruneEntries]]); files whose
+    *     bounding box cannot match are carried forward BY REFERENCE
+    *     without being opened.
+    *  2. **Exact touched-file scan** — one pruned, predicate-pushed
+    *     scan of the candidates marks the files holding ≥ 1 matching
+    *     row (`input_file_name` distinct — Delta's UpdateCommand
+    *     touched-file pass); candidates with stats overlap but no
+    *     actual match also carry forward untouched.
+    *  3. **Rewrite of touched files only** — every assignment
+    *     evaluates against the ORIGINAL row in ONE projection
+    *     (`SET a = b, b = a` swaps, per SQL semantics), cast back to
+    *     the column's declared type; non-matching rows in touched
+    *     files copy through unchanged.
+    *
+    * Key columns must not be assigned (an update that moves a row's
+    * key is a delete + insert — the invariant file skipping and the
+    * merge anti-joins rely on). Returns the new version (= the
+    * current one when nothing matches: a no-match UPDATE commits
+    * nothing, like Delta). */
+  def updateWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      targetFiles: Int = 0): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key)
+    val schema = snapshotSchema(spark, dir, base)
+    sets.foreach { case (c, _) =>
+      require(!kc.contains(c),
+        s"UPDATE must not assign key column '$c' (delete + reinsert moves a key)")
+      require(schema.fieldNames.contains(c),
+        s"unknown column '$c' in UPDATE SET (schema: ${schema.fieldNames.mkString(", ")})")
+    }
+    val condExpr = org.apache.spark.sql.graft.Bridge.expression(cond)
+    val candidates = graft.sources.LakeScanBuilder.pruneEntries(
+      m.files, kc.head, Seq(condExpr))
+    if (candidates.isEmpty) return base
+    val byPath = candidates.map(f =>
+      Paths.get(dir, f.name).toAbsolutePath.normalize.toString -> f.name).toMap
+    val touchedNames = readSubset(spark, dir, base, candidates)
+      .filter(cond).select(input_file_name().as("f")).distinct().collect()
+      .flatMap(r => byPath.get(Paths.get(r.getString(0).stripPrefix("file:"))
+        .toAbsolutePath.normalize.toString))
+      .toSet
+    if (touchedNames.isEmpty) return base
+    val (touched, untouched) = m.files.partition(f => touchedNames(f.name))
+    val byName = sets.toMap
+    val updated = readSubset(spark, dir, base, touched).select(
+      schema.fields.toSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val newFiles = writeFiles(updated, dir, m.key,
+      if (targetFiles > 0) targetFiles else math.max(touched.size, 1))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, untouched ++ newFiles, m.txns))
+    base + 1L
+  }
+
+  private def baseName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** MERGE-ON-READ delete (`DELETE` as a deletion-vector commit — the
+    * Delta/Iceberg DV capability): rows matching `cond` are marked in
+    * a sidecar parquet of `(file basename, row index)` positions and
+    * the touched entries re-commit with the new mask attached —
+    * **no data file is rewritten**. The 100 TB shape this exists for:
+    * a copy-on-write delete of 10⁶ scattered rows rewrites every
+    * touched gigabyte file; the MoR commit writes O(deleted rows) of
+    * sidecar and repays the cost at read time as one broadcast hash
+    * anti-join ([[applyDv]]) until [[rewriteDvs]] materializes.
+    *
+    * Cost shape mirrors [[updateWhere]]: manifest-stat candidate
+    * prune, then ONE pruned scan computes the marks (existing masks
+    * applied first, so re-deleting an already-masked row cannot
+    * double-mark). Each touched entry's new sidecar carries the FULL
+    * mask (old ∪ new positions — `dv` always points at a
+    * self-contained mask; superseded sidecars stay for time travel
+    * until [[vacuum]]). A no-match delete commits nothing. */
+  def deleteWhereMor(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key)
+    val condExpr = org.apache.spark.sql.graft.Bridge.expression(cond)
+    val candidates = graft.sources.LakeScanBuilder.pruneEntries(
+      m.files, kc.head, Seq(condExpr))
+    if (candidates.isEmpty) return base
+    val withMeta = spark.read.schema(snapshotSchema(spark, dir, base))
+      .parquet(candidates.map(f => Paths.get(dir, f.name).toString): _*)
+      .withColumn("__f", col("_metadata.file_name"))
+      .withColumn("__p", col("_metadata.row_index"))
+    val existing = candidates.flatMap(_.dv).distinct
+    val live =
+      if (existing.isEmpty) withMeta
+      else withMeta.join(
+        broadcast(spark.read.parquet(existing.map(d =>
+            Paths.get(dir, d).toString): _*)
+          .select(col("f").as("__mf"), col("pos").as("__mp"))),
+        col("__f") === col("__mf") && col("__p") === col("__mp"), "left_anti")
+    val marks = live.filter(cond)
+      .select(col("__f").as("f"), col("__p").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touchedBase = marks.select("f").distinct().collect()
+        .map(_.getString(0)).toSet
+      if (touchedBase.isEmpty) return base
+      val byBase = m.files.map(f => baseName(f.name) -> f).toMap
+      val touchedEntries = touchedBase.toSeq.map(byBase)
+      val oldDvs = touchedEntries.flatMap(_.dv).distinct
+      val full =
+        if (oldDvs.isEmpty) marks
+        else marks.unionByName(
+          spark.read.parquet(oldDvs.map(d => Paths.get(dir, d).toString): _*)
+            .filter(col("f").isin(touchedBase.toSeq: _*)))
+      val sub = s"dv-${java.util.UUID.randomUUID}"
+      // sidecars are tiny beside data files (two longs per deleted
+      // row); one part file keeps the mask read a single footer
+      full.coalesce(1).write.parquet(Paths.get(dir, sub).toString)
+      val newFiles = m.files.map(f =>
+        if (touchedBase(baseName(f.name))) f.copy(dv = Some(sub)) else f)
+      commit(dir, Some(m), Manifest(base + 1L, m.key, newFiles, m.txns))
+      base + 1L
+    } finally { marks.unpersist(false); () }
+  }
+
+  /** Materialize deletion vectors: rewrite every masked file minus its
+    * masked rows as plain files, one commit ([[deleteWhereMor]]'s
+    * repayment half — `CALL graft.rewrite_dvs`). Unmasked files carry
+    * forward by reference; the change feed across this commit is
+    * EMPTY (no live row changes). No-op without masks. */
+  def rewriteDvs(spark: SparkSession, dir: String, targetFiles: Int = 0): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val (dvd, plain) = m.files.partition(_.dv.isDefined)
+    if (dvd.isEmpty) return base
+    val live = readSubset(spark, dir, base, dvd)
+    val fresh = writeFiles(live, dir, m.key,
+      if (targetFiles > 0) targetFiles else dvd.size)
+    commit(dir, Some(m), Manifest(base + 1L, m.key, plain ++ fresh, m.txns))
+    base + 1L
+  }
+
+  /** Live (mask-excluded) row count of the current snapshot's masked
+    * files vs their physical rows — the DV bookkeeping surfaced for
+    * audits: (masked files, physical rows in them, masked-out rows). */
+  def dvStats(spark: SparkSession, dir: String, version: Long = 0L): (Int, Long, Long) = {
+    val v = if (version == 0L) latestVersion(dir) else version
+    require(v > 0L, s"no committed version at $dir")
+    val m = manifest(dir, v)
+    val dvd = m.files.filter(_.dv.isDefined)
+    if (dvd.isEmpty) return (0, 0L, 0L)
+    val masked = spark.read.parquet(
+        dvd.flatMap(_.dv).distinct.map(d => Paths.get(dir, d).toString): _*)
+      .filter(col("f").isin(dvd.map(f => baseName(f.name)): _*))
+      .count()
+    (dvd.size, dvd.map(_.rows).sum, masked)
   }
 
   /** Delete by key set (copy-on-write, same file skipping). `keys`'
@@ -1527,8 +1801,7 @@ object Lake {
     val newFiles =
       if (touched.isEmpty) Nil
       else {
-        val old = spark.read.parquet(
-          touched.map(f => Paths.get(dir, f.name).toString): _*)
+        val old = readTouched(spark, dir, touched)
         val survivors = old.join(keyDf.distinct(), kc, "left_anti")
         writeFiles(survivors, dir, key, math.max(touched.size, 1))
       }

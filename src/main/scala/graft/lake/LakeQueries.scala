@@ -1094,6 +1094,235 @@ object LakeQueries {
       .orderBy(col("lang"))
   }
 
+  /** Registered query `x8_lake_dv` (round 9) — MERGE-ON-READ deletes
+    * via DELETION VECTORS ([[Lake.deleteWhereMor]]), the capability
+    * that makes row-scattered deletes affordable at 100 TB (a
+    * copy-on-write delete of scattered rows rewrites every touched
+    * file; the MoR commit writes O(deleted rows) of sidecar mask and
+    * repays at read time as one broadcast hash anti-join). The run:
+    *
+    *  1. create over orders (v1, 6 range-clustered files);
+    *  2. MoR delete of the `%11` keys (v2) and then the `%13` keys
+    *     (v3 — the second mask must UNION into already-masked files,
+    *     and already-masked `%143` rows must not re-mark);
+    *  3. `phys_stable` pins that NO data file changed across v1→v3
+    *     (identical entry names — the whole point of MoR);
+    *  4. `cdf_deletes` pins the change feed across both MoR commits:
+    *     the log-direct diff applies each side's mask, so exactly the
+    *     newly-masked rows surface as `delete`s;
+    *  5. `masked_rows` pins [[Lake.dvStats]]' bookkeeping at v3;
+    *  6. [[Lake.rewriteDvs]] materializes (v4), after which the SQL
+    *     surface (which refuses MoR snapshots) serves the final
+    *     rollup — equal to the mask-applied programmatic read. */
+  def lakeDv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-dv"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 6)
+    val m1 = Lake.manifest(dir, 1L)
+    Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 11 === 0)
+    Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 13 === 0)
+    val m3 = Lake.manifest(dir, 3L)
+    val physStable =
+      if (m3.files.map(_.name).toSet == m1.files.map(_.name).toSet) 1L else 0L
+    val cdfDeletes = Lake.changes(spark, dir, 1L, 3L)
+      .filter(col("_change_type") === "delete").count()
+    val maskedRows = Lake.dvStats(spark, dir, 3L)._3
+    Lake.rewriteDvs(spark, dir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_cents"))
+      .withColumn("cdf_deletes", lit(cdfDeletes))
+      .withColumn("masked_rows", lit(maskedRows))
+      .withColumn("phys_stable", lit(physStable))
+      .withColumn("lake_versions", lit(Lake.latestVersion(dir)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: final state = orders minus `%11` and `%13` keys; the
+    * feed's deletes = `%11` rows plus the not-already-masked `%13`
+    * rows; masks at v3 cover the same set; 4 commits; files stable. */
+  val lakeDvSql: String =
+    """WITH final AS (
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |  WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0),
+      |dels AS (
+      |  SELECT count(*) AS n FROM orders
+      |  WHERE o_orderkey % 11 = 0 OR o_orderkey % 13 = 0)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  (SELECT CAST(n AS BIGINT) FROM dels) AS cdf_deletes,
+      |  (SELECT CAST(n AS BIGINT) FROM dels) AS masked_rows,
+      |  CAST(1 AS BIGINT) AS phys_stable,
+      |  CAST(4 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_sqlmerge` (round 9) — SQL `MERGE INTO`
+    * with ALL FOUR clause families in one statement, intercepted by
+    * [[graft.sources.LakeDmlStrategy]] and landed as ONE atomic
+    * [[Lake.merge]] commit ([[graft.sources.LakeMergeExec]]):
+    *
+    *  - `WHEN MATCHED AND %11 THEN DELETE` — clause precedence: an
+    *    `%77` key is deleted, never price-doubled;
+    *  - `WHEN MATCHED AND %7 THEN UPDATE` — the decimal device keeps
+    *    the doubling bit-exact;
+    *  - `WHEN NOT MATCHED AND %2 THEN INSERT *` — a CONDITIONAL
+    *    star-insert (only even new keys enter);
+    *  - `WHEN NOT MATCHED BY SOURCE AND %9 THEN UPDATE` — rows the
+    *    source no longer carries get staleness-stamped.
+    *
+    * `lake_versions` pins 3 (create + CTAS append + ONE merge commit
+    * — four clause families splitting into separate commits, or a
+    * no-op clause landing extra versions, breaks the hash). */
+  def lakeSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = new java.io.File(graft.Scratch.root,
+      s"graft-lakecat-${spark.sparkContext.applicationId}")
+    wh.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getAbsolutePath)
+    val ns = "sf" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val t = s"graft.$ns.orders_mrg"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("orders_src_mrg")
+    spark.sql(
+      s"""CREATE TABLE $t TBLPROPERTIES ('key'='o_orderkey')
+         |AS SELECT * FROM orders_src_mrg WHERE o_orderkey % 3 <> 0""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO $t t
+         |USING (SELECT * FROM orders_src_mrg WHERE o_orderkey % 5 <> 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_orderkey % 11 = 0 THEN DELETE
+         |WHEN MATCHED AND s.o_orderkey % 7 = 0 THEN UPDATE SET
+         |  o_totalprice = CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+         |WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 9 = 0 THEN UPDATE SET
+         |  o_orderpriority = '9-STALE'""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         |    AS revenue_cents
+         |FROM $t
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("lake_versions",
+        lit(Lake.latestVersion(s"${wh.getAbsolutePath}/$ns/orders_mrg")))
+  }
+
+  /** Mirror: matched = `%3≠0 ∧ %5≠0` (delete `%11`, double `%7`,
+    * precedence to delete); target-only = `%3≠0 ∧ %5=0` (stamp `%9`);
+    * source-only = `%3=0 ∧ %5≠0` (insert iff `%2=0`); 3 commits. */
+  val lakeSqlMergeSql: String =
+    """WITH final AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+      |              AND o_orderkey % 9 = 0
+      |         THEN '9-STALE' ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+      |              AND o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE (o_orderkey % 3 <> 0
+      |         AND NOT (o_orderkey % 5 <> 0 AND o_orderkey % 11 = 0))
+      |     OR (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+      |         AND o_orderkey % 2 = 0))
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_update` (round 9) — SQL `UPDATE` on
+    * the format, completing the catalog's DML triad (INSERT / DELETE
+    * / UPDATE all in plain SQL). The command is intercepted by
+    * [[graft.sources.LakeDmlStrategy]] and executed through the
+    * copy-on-write [[Lake.updateWhere]] (manifest candidate prune →
+    * exact touched-file scan → rewrite of touched files only), under
+    * the optimistic retry loop. Three commands land:
+    *
+    *  1. price doubling over the `%7` keys (v3) — the lakeMerge
+    *     decimal device keeps Spark/DuckDB doubling bit-exact;
+    *  2. a SIMULTANEOUS two-column swap over the `%11` keys (v4):
+    *     `SET o_orderstatus = o_orderpriority, o_orderpriority =
+    *     o_orderstatus` must evaluate BOTH right-hand sides against
+    *     the original row (one projection, SQL semantics) — a
+    *     sequential-assignment implementation duplicates one value
+    *     and breaks the hash;
+    *  3. a no-match UPDATE (negative key range) that must commit
+    *     NOTHING — `lake_versions` pins 4, so a no-op that still
+    *     landed a version (or a matcher that rewrote unmatched rows)
+    *     breaks the hash. */
+  def lakeUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = new java.io.File(graft.Scratch.root,
+      s"graft-lakecat-${spark.sparkContext.applicationId}")
+    wh.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getAbsolutePath)
+    val ns = "sf" + java.lang.Integer.toHexString(sfDir.hashCode)
+    val t = s"graft.$ns.orders_upd"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_src_upd")
+    spark.sql(
+      s"""CREATE TABLE $t TBLPROPERTIES ('key'='o_orderkey')
+         |AS SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+         |FROM orders_src_upd""".stripMargin)
+    spark.sql(
+      s"""UPDATE $t
+         |SET o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+         |WHERE o_orderkey % 7 = 0""".stripMargin)
+    spark.sql(
+      s"""UPDATE $t
+         |SET o_orderstatus = o_orderpriority, o_orderpriority = o_orderstatus
+         |WHERE o_orderkey % 11 = 0""".stripMargin)
+    spark.sql(s"UPDATE $t SET o_orderpriority = 'NEVER' WHERE o_orderkey < 0")
+    spark.sql(
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         |    AS revenue_cents
+         |FROM $t
+         |GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+      .withColumn("lake_versions",
+        lit(Lake.latestVersion(s"${wh.getAbsolutePath}/$ns/orders_upd")))
+  }
+
+  /** Mirror: doubled `%7` prices, swapped `%11` status/priority (both
+    * from the ORIGINAL row), nothing else touched, exactly 4 commits
+    * (CTAS pair + two effective UPDATEs; the no-match UPDATE commits
+    * nothing). */
+  val lakeUpdateSql: String =
+    """WITH final AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_orderpriority
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_orderstatus
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(4 AS BIGINT) AS lake_versions
+      |FROM final
+      |GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   /** Mirror: stamp every `%5` doc, drop every `%7` doc, aggregate. */
   val lakeStringKeySql: String =
     """WITH final AS (

@@ -53,6 +53,12 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+    // SQL UPDATE rides a planner strategy (LakeDml); sessions built
+    // without GraftExtensions get it the moment the catalog loads
+    // (idempotent registration, same device as the TopK operator API)
+    try org.apache.spark.sql.GraftSqlShim.addStrategy(
+      org.apache.spark.sql.SparkSession.active, LakeDmlStrategy)
+    catch { case _: IllegalStateException => () } // no active session: extensions route covers it
   }
 
   override def name(): String = catalogName
@@ -184,6 +190,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "zorder" => LakeProcedures.zorder(this)
       case "vacuum" => LakeProcedures.vacuum(this)
       case "compact_small" => LakeProcedures.compactSmall(this)
+      case "delete_mor" => LakeProcedures.deleteMor(this)
+      case "rewrite_dvs" => LakeProcedures.rewriteDvs(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
@@ -191,7 +199,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "compact_small", "zorder", "vacuum", "history")
+    Array("optimize", "compact_small", "zorder", "vacuum", "history",
+        "delete_mor", "rewrite_dvs")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

@@ -107,6 +107,41 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.delete_mor(tbl => 'ns.t', predicate => 'k % 7 = 0')`
+    * — MERGE-ON-READ delete ([[Lake.deleteWhereMor]]): matching rows
+    * land as a deletion-vector sidecar commit, no data file rewrites;
+    * the predicate is any SQL boolean expression over the table's
+    * columns. Returns the new version plus the snapshot's mask
+    * bookkeeping (masked files / masked-out rows). */
+  def deleteMor(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("delete_mor",
+      Array(in("tbl", StringType), in("predicate", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val spark = SparkSession.active
+        val dir = dirOf(catalog, input.getUTF8String(0).toString)
+        val v = Lake.withRetry()(Lake.deleteWhereMor(spark, dir,
+          org.apache.spark.sql.functions.expr(input.getUTF8String(1).toString)))
+        val (files, _, masked) = Lake.dvStats(spark, dir)
+        result(StructType(Seq(StructField("version", LongType),
+          StructField("masked_files", LongType),
+          StructField("masked_rows", LongType))),
+          v, files.toLong, masked)
+      }
+    }
+
+  /** `CALL graft.rewrite_dvs(tbl => 'ns.t')` — materialize the
+    * deletion vectors ([[Lake.rewriteDvs]]): masked files rewrite
+    * minus their masked rows, unmasked files carry by reference; the
+    * SQL scan (which refuses MoR snapshots) works again after. */
+  def rewriteDvs(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("rewrite_dvs", Array(in("tbl", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = Lake.rewriteDvs(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString))
+        result(StructType(Seq(StructField("version", LongType))), v)
+      }
+    }
+
   /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
     * one row per still-resolvable commit, derived entirely from the
     * delta log ([[Lake.history]]); audit answers are metadata-sized,

@@ -124,6 +124,8 @@ private[sources] class LakeTable(dir: String, version: Long,
     schema0: StructType, pinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  private[sources] def tableDir: String = dir
+  private[sources] def isPinned: Boolean = pinned
   override def name(): String = s"graft_lake($dir@v$version)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -236,6 +238,15 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val snapshot = Lake.manifest(dir, version)
+  // the SQL scan delegates straight to Spark's columnar parquet batch
+  // scan, which has no seam for the merge-on-read anti-join — a MoR
+  // snapshot must materialize first (the same reader-version gate
+  // Delta applies to DV tables). Programmatic reads (Lake.read and
+  // every CoW path) apply masks transparently.
+  require(snapshot.files.forall(_.dv.isEmpty),
+    s"graft-lake SQL scan of $dir @ v$version: snapshot carries " +
+      "merge-on-read deletion vectors; CALL graft.rewrite_dvs (or " +
+      "Lake.rewriteDvs) to materialize them before SQL reads")
   private val leadingKey = snapshot.key.split(',').head.trim
 
   private var exprFilters: Seq[Expression] = Nil
@@ -264,15 +275,42 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     required = requiredSchema
 
   /** Files surviving manifest-stat pruning (exposed for LakeSpec's
-    * skipping assertion): the leading key prunes on the manifest
-    * range, any other column on its typed `stats`/`strStats` entry —
-    * dates and timestamps compare in the SAME integer encoding their
-    * Catalyst literals carry (epoch days / micros), strings compare
-    * lexicographically (ASCII-guarded). Files without the stat are
-    * conservatively read. */
-  private[graft] def prunedFiles(filters: Seq[Expression]): Seq[Lake.FileEntry] = {
-    val b = LakeScanBuilder.bounds(filters)
-    snapshot.files.filter { f =>
+    * skipping assertion) — see [[LakeScanBuilder.pruneEntries]]. */
+  private[graft] def prunedFiles(filters: Seq[Expression]): Seq[Lake.FileEntry] =
+    LakeScanBuilder.pruneEntries(snapshot.files, leadingKey, filters)
+
+  override def build(): Scan = {
+    val hit = prunedFiles(exprFilters)
+    val paths = hit.map(f =>
+      new Path(java.nio.file.Paths.get(dir, f.name).toString)).toList
+    val index = new InMemoryFileIndex(spark, paths, Map.empty, None,
+      FileStatusCache.getOrCreate(spark), None, None)
+    val delegate = ParquetScanBuilder(spark, index, tableSchema, tableSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    delegate.pruneColumns(required)
+    // forwarding through the delegate's own catalyst entry point sets
+    // its pushed data filters, so parquet row-group stats prune within
+    // each surviving file (the manifest already pruned across files)
+    delegate.pushFilters(exprFilters)
+    delegate.build()
+  }
+}
+
+private[graft] object LakeScanBuilder {
+
+  /** The file entries of `files` whose manifest stats may satisfy
+    * `filters`: the leading key prunes on the manifest [minKey,
+    * maxKey] range, any other column on its typed `stats`/`strStats`
+    * entry — dates and timestamps compare in the SAME integer
+    * encoding their Catalyst literals carry (epoch days / micros),
+    * strings compare lexicographically (ASCII-guarded). Files
+    * without the stat are conservatively kept. Shared by the SQL
+    * scan's file skipping and the DML commands' copy-on-write
+    * candidate selection ([[graft.lake.Lake.updateWhere]]). */
+  private[graft] def pruneEntries(files: Seq[Lake.FileEntry],
+      leadingKey: String, filters: Seq[Expression]): Seq[Lake.FileEntry] = {
+    val b = bounds(filters)
+    files.filter { f =>
       b.int.forall { case (c, (lo, hi)) =>
         val range =
           if (c == leadingKey) Some((f.minKey, f.maxKey))
@@ -294,25 +332,6 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
       }
     }
   }
-
-  override def build(): Scan = {
-    val hit = prunedFiles(exprFilters)
-    val paths = hit.map(f =>
-      new Path(java.nio.file.Paths.get(dir, f.name).toString)).toList
-    val index = new InMemoryFileIndex(spark, paths, Map.empty, None,
-      FileStatusCache.getOrCreate(spark), None, None)
-    val delegate = ParquetScanBuilder(spark, index, tableSchema, tableSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    delegate.pruneColumns(required)
-    // forwarding through the delegate's own catalyst entry point sets
-    // its pushed data filters, so parquet row-group stats prune within
-    // each surviving file (the manifest already pruned across files)
-    delegate.pushFilters(exprFilters)
-    delegate.build()
-  }
-}
-
-private[graft] object LakeScanBuilder {
 
   /** Per-column prune windows: `int` in the column's integer encoding
     * (long / epoch days / epoch micros), `str` lexicographic. None =

@@ -262,6 +262,118 @@ class LakeCatalogSpec extends SparkSpec {
     assert(ts === ts.sorted)
   }
 
+  test("SQL UPDATE: planner-strategy DML through copy-on-write updateWhere") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.upd")
+    sql("""CREATE TABLE graftcat.upd.t (k BIGINT, a STRING, b STRING, x DOUBLE)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("""INSERT INTO graftcat.upd.t VALUES
+          |  (1, 'a1', 'b1', 10.0), (2, 'a2', 'b2', 20.0), (3, 'a3', 'b3', 30.0)""".stripMargin)
+    val dir = s"$warehouse/upd/t"
+    val v0 = Lake.latestVersion(dir)
+    // plain conditional update, analyzer-cast value (INT literal → DOUBLE)
+    sql("UPDATE graftcat.upd.t SET x = x + 5 WHERE k >= 2")
+    assert(Lake.latestVersion(dir) === v0 + 1L)
+    assert(sql("SELECT sum(x) AS s FROM graftcat.upd.t")
+      .collect()(0).getDouble(0) === 10.0 + 25.0 + 35.0)
+    // simultaneous assignment: the swap reads both RHS from the
+    // ORIGINAL row in one projection
+    sql("UPDATE graftcat.upd.t SET a = b, b = a WHERE k = 1")
+    val r = sql("SELECT a, b FROM graftcat.upd.t WHERE k = 1").collect()(0)
+    assert(r.getString(0) === "b1" && r.getString(1) === "a1")
+    // unconditioned UPDATE touches every row
+    sql("UPDATE graftcat.upd.t SET b = 'all'")
+    assert(sql("SELECT count(*) AS n FROM graftcat.upd.t WHERE b = 'all'")
+      .collect()(0).getLong(0) === 3L)
+    // a no-match UPDATE commits NOTHING
+    val vNow = Lake.latestVersion(dir)
+    sql("UPDATE graftcat.upd.t SET b = 'never' WHERE k < 0")
+    assert(Lake.latestVersion(dir) === vNow)
+    // key assignment and subqueries are refused descriptively
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val eKey = intercept[Exception] { sql("UPDATE graftcat.upd.t SET k = k + 1") }
+    assert(msgs(eKey).exists(_.contains("key column")), s"got: $eKey")
+    val eSub = intercept[Exception] {
+      sql("""UPDATE graftcat.upd.t SET b = 'z'
+            |WHERE k = (SELECT max(k) FROM graftcat.upd.t)""".stripMargin)
+    }
+    assert(msgs(eSub).exists(_.contains("subqueries")), s"got: $eSub")
+    // time travel below the updates reads the original values
+    assert(sql(s"SELECT x FROM graftcat.upd.t VERSION AS OF $v0 WHERE k = 2")
+      .collect()(0).getDouble(0) === 20.0)
+  }
+
+  test("SQL MERGE INTO: four clause families, precedence, guards") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mrg")
+    sql("""CREATE TABLE graftcat.mrg.t (k BIGINT, v STRING, n DOUBLE)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.mrg.t VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
+    sql("""CREATE OR REPLACE TEMP VIEW mrg_src AS
+          |SELECT * FROM VALUES (1,'x',0.0),(2,'y',5.0),(5,'e',50.0),(6,'f',60.0)
+          |AS src(k, v, n)""".stripMargin)
+    val dir = s"$warehouse/mrg/t"
+    val v0 = Lake.latestVersion(dir)
+    sql("""MERGE INTO graftcat.mrg.t t
+          |USING mrg_src s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.k = 1 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + s.n
+          |WHEN NOT MATCHED AND s.k % 2 = 1 THEN INSERT (k, v, n) VALUES (s.k, s.v, s.n)
+          |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN DELETE""".stripMargin)
+    // ONE atomic commit
+    assert(Lake.latestVersion(dir) === v0 + 1L)
+    val rows = sql("SELECT k, v, n FROM graftcat.mrg.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // k=1 deleted (precedence over the unconditioned update), k=2
+    // updated with a cross-side expression, k=3 untouched (matched by
+    // no clause? no — unmatched by source, spared by the t.k=4 cond),
+    // k=4 NBS-deleted, k=5 odd → inserted, k=6 even → NOT inserted
+    assert(rows === Seq((2L, "y", 25.0), (3L, "c", 30.0), (5L, "e", 50.0)))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // a target row matched by two source rows must error
+    sql("""CREATE OR REPLACE TEMP VIEW mrg_dup AS
+          |SELECT * FROM VALUES (2,'p',1.0),(2,'q',2.0) AS src(k, v, n)""".stripMargin)
+    val eDup = intercept[Exception] {
+      sql("""MERGE INTO graftcat.mrg.t t USING mrg_dup s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(msgs(eDup).exists(_.contains("cardinality")), s"got: $eDup")
+    // key reassignment in an update clause is refused
+    val eKey = intercept[Exception] {
+      sql("""MERGE INTO graftcat.mrg.t t USING mrg_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
+    }
+    assert(msgs(eKey).exists(_.contains("key column")), s"got: $eKey")
+  }
+
+  test("CALL delete_mor + rewrite_dvs: sidecar delete, bookkeeping, materialize") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mor")
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("mor_src")
+    sql("""CREATE TABLE graftcat.mor.t TBLPROPERTIES ('key'='o_orderkey')
+          |AS SELECT * FROM mor_src WHERE o_orderkey <= 600""".stripMargin)
+    val total = sql("SELECT count(*) AS n FROM graftcat.mor.t").collect()(0).getLong(0)
+    val doomed = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") <= 600 && col("o_orderkey") % 9 === 0).count()
+    val r = sql("CALL graftcat.delete_mor(tbl => 'mor.t', " +
+      "predicate => 'o_orderkey % 9 = 0')").collect()(0)
+    assert(r.getLong(0) === 3L) // CTAS pair + the MoR commit
+    assert(r.getLong(2) === doomed) // masked_rows
+    // the SQL scan refuses the MoR snapshot until materialized
+    val e = intercept[Exception] { sql("SELECT * FROM graftcat.mor.t").count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rewrite_dvs")), s"got: $e")
+    val v = sql("CALL graftcat.rewrite_dvs(tbl => 'mor.t')").collect()(0).getLong(0)
+    assert(v === 4L)
+    assert(sql("SELECT count(*) AS n FROM graftcat.mor.t")
+      .collect()(0).getLong(0) === total - doomed)
+  }
+
   test("declared schema survives checkpoints and upserts after the ALTER") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.evo2")

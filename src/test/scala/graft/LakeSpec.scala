@@ -846,4 +846,150 @@ class LakeSpec extends SparkSpec {
     }
     assert(sb.prunedFiles(Seq(lo)).size < all)
   }
+
+  test("updateWhere: CoW rewrite of touched files only; assignments see the original row") {
+    val dir = freshDir("upd")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
+    val m1 = Lake.manifest(dir, 1L)
+    assert(m1.files.size >= 4)
+    // a narrow key-range condition: the manifest prune must carry the
+    // non-intersecting files forward BY REFERENCE (same entry names)
+    val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val v2 = Lake.updateWhere(spark, dir,
+      col("o_orderkey") === minKey,
+      Seq("o_orderpriority" -> lit("9-UPDATED")))
+    assert(v2 === 2L)
+    val m2 = Lake.manifest(dir, 2L)
+    val survived = m1.files.map(_.name).toSet.intersect(m2.files.map(_.name).toSet)
+    assert(survived.size >= m1.files.size - 2,
+      s"non-intersecting files must carry forward: ${m1.files.size} -> survived ${survived.size}")
+    val t2 = Lake.read(spark, dir)
+    assert(t2.filter(col("o_orderpriority") === "9-UPDATED").count() === 1L)
+    assert(t2.filter(col("o_orderkey") === minKey)
+      .head().getAs[String]("o_orderpriority") === "9-UPDATED")
+    assert(t2.count() === orders.count())
+    // simultaneous assignment semantics: a two-column swap must read
+    // BOTH right-hand sides from the original row
+    val probeKey = orders.filter(col("o_orderkey") > minKey)
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+    val before = t2.filter(col("o_orderkey") === probeKey)
+      .select("o_orderstatus", "o_orderpriority").head()
+    val v3 = Lake.updateWhere(spark, dir,
+      col("o_orderkey") === probeKey,
+      Seq("o_orderstatus" -> col("o_orderpriority"),
+        "o_orderpriority" -> col("o_orderstatus")))
+    assert(v3 === 3L)
+    val after = Lake.read(spark, dir).filter(col("o_orderkey") === probeKey)
+      .select("o_orderstatus", "o_orderpriority").head()
+    assert(after.getString(0) === before.getString(1))
+    assert(after.getString(1) === before.getString(0))
+    // no-match UPDATE commits NOTHING (both the stats-pruned and the
+    // scanned-but-unmatched shape)
+    assert(Lake.updateWhere(spark, dir, col("o_orderkey") < 0,
+      Seq("o_orderpriority" -> lit("NEVER"))) === 3L)
+    assert(Lake.updateWhere(spark, dir, col("o_orderstatus") === "NO-SUCH",
+      Seq("o_orderpriority" -> lit("NEVER"))) === 3L)
+    assert(Lake.latestVersion(dir) === 3L)
+    // key columns must not be assigned
+    val e = intercept[IllegalArgumentException] {
+      Lake.updateWhere(spark, dir, lit(true), Seq("o_orderkey" -> lit(0L)))
+    }
+    assert(e.getMessage.contains("key column"))
+    // time travel below the updates reads the original values
+    assert(Lake.read(spark, dir, 1L)
+      .filter(col("o_orderpriority") === "9-UPDATED").count() === 0L)
+  }
+
+  test("deletion vectors: MoR delete masks rows without touching data files") {
+    val dir = freshDir("dv")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    val m1 = Lake.manifest(dir, 1L)
+    val n = orders.count()
+    val nDel = orders.filter(col("o_orderkey") % 11 === 0).count()
+    assert(Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 11 === 0) === 2L)
+    val m2 = Lake.manifest(dir, 2L)
+    // identical data file names — the commit was sidecar-only
+    assert(m2.files.map(_.name).toSet === m1.files.map(_.name).toSet)
+    assert(m2.files.exists(_.dv.isDefined))
+    assert(Lake.read(spark, dir).count() === n - nDel)
+    assert(Lake.read(spark, dir)
+      .filter(col("o_orderkey") % 11 === 0).count() === 0L)
+    // time travel below the mask still reads the full state
+    assert(Lake.read(spark, dir, 1L).count() === n)
+    val (mf, phys, masked) = Lake.dvStats(spark, dir)
+    assert(masked === nDel && phys >= masked && mf >= 1)
+    // second MoR delete UNIONS masks; overlap must not re-mark
+    val nDel13 = orders.filter(col("o_orderkey") % 13 === 0 &&
+      col("o_orderkey") % 11 =!= 0).count()
+    assert(Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 13 === 0) === 3L)
+    assert(Lake.read(spark, dir).count() === n - nDel - nDel13)
+    assert(Lake.dvStats(spark, dir)._3 === nDel + nDel13)
+    // no-match MoR delete commits nothing
+    assert(Lake.deleteWhereMor(spark, dir, col("o_orderkey") < 0) === 3L)
+    // history classifies the sidecar commits
+    assert(Lake.history(dir).map(_.kind).count(_ == "mor_delete") === 2)
+  }
+
+  test("deletion vectors: CoW rewrites and CDF never resurrect masked rows") {
+    val dir = freshDir("dv2")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    val nDel = orders.filter(col("o_orderkey") % 7 === 0).count()
+    Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 7 === 0)
+    // the CDF of the MoR commit is exactly its masked rows as deletes
+    val feed = Lake.changes(spark, dir, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "delete").count() === nDel)
+    assert(feed.filter(col("_change_type") =!= "delete").count() === 0L)
+    // an upsert whose touched file carries a mask reads THROUGH it:
+    // the rewritten file must not resurrect the masked rows. (The
+    // upserted key itself must NOT be a masked one — re-inserting a
+    // MoR-deleted key is legitimate SCD1 insert semantics.)
+    val upKey = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .agg(min(col("o_orderkey"))).head().getLong(0)
+    Lake.upsert(spark, dir, orders.filter(col("o_orderkey") === upKey)
+      .withColumn("o_orderpriority", lit("9-UP")))
+    val t = Lake.read(spark, dir)
+    assert(t.filter(col("o_orderkey") % 7 === 0).count() === 0L)
+    assert(t.count() === orders.count() - nDel)
+    // materialize: empty feed, plain entries, SQL surface serves again
+    val vr = Lake.rewriteDvs(spark, dir)
+    assert(Lake.changes(spark, dir, vr - 1L, vr).count() === 0L)
+    assert(Lake.manifest(dir, vr).files.forall(_.dv.isEmpty))
+    val sqlN = spark.read.format("graft-lake").option("path", dir).load().count()
+    assert(sqlN === orders.count() - nDel)
+    // further rewrite is a no-op
+    assert(Lake.rewriteDvs(spark, dir) === vr)
+  }
+
+  test("deletion vectors: SQL scan refuses a MoR snapshot descriptively; vacuum reclaims masks") {
+    val dir = freshDir("dv3")
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 5 === 0)
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake").option("path", dir).load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rewrite_dvs")), s"got: $e")
+    // supersede the mask (second delete) then materialize and vacuum:
+    // both sidecar dirs are version-only references and must reclaim
+    Lake.deleteWhereMor(spark, dir, col("o_orderkey") % 3 === 0)
+    val dvDirs = Lake.manifest(dir, 3L).files.flatMap(_.dv).distinct ++
+      Lake.manifest(dir, 2L).files.flatMap(_.dv).distinct
+    assert(dvDirs.nonEmpty)
+    Lake.rewriteDvs(spark, dir)
+    Lake.vacuum(dir, retainVersions = 1)
+    dvDirs.foreach { d =>
+      assert(!new java.io.File(dir, d).exists(), s"sidecar $d must be vacuumed")
+    }
+    // the materialized state still reads exactly
+    assert(Lake.read(spark, dir).count() ===
+      orders.filter(col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 3 =!= 0).count())
+  }
 }
