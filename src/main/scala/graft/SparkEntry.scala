@@ -462,6 +462,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateHistory()
     graft.ext.Bpe.invalidateLearned()
     graft.streaming.StreamSource.invalidate()
+    graft.streaming.StreamMemo.invalidate()
   }
 
   def oracleSql: Map[String, String] =

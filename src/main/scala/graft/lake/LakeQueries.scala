@@ -782,18 +782,20 @@ object LakeQueries {
     * leaking into the feed all break the driver hash. */
   def streamCdf(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = sharedHistory(spark, sfDir)
-    val base = graft.Scratch.dir(spark, "stream-cdf", sfDir)
-    rm(base)
+    val base = graft.streaming.StreamMemo.landed(
+        spark, "stream-cdf", sfDir, dir) { base =>
+      val land = new java.io.File(base, "landed").getAbsolutePath
+      val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("path", dir).option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch(graft.streaming.EventStream.landBatch(land) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     val land = new java.io.File(base, "landed").getAbsolutePath
-    val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
-    val q = spark.readStream.format("graft-lake-cdf")
-      .option("path", dir).option("maxVersionsPerTrigger", "1").load()
-      .writeStream
-      .foreachBatch(graft.streaming.EventStream.landBatch(land) _)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
     val feed = spark.read.parquet(land)
     val nBatches = feed.select("batch_id").distinct().count()
     feed.groupBy(col("_change_type"))
@@ -853,33 +855,35 @@ object LakeQueries {
     * recipe reproduced on the hand-built format, under the gate. */
   def streamMedallion(spark: SparkSession, sfDir: String): DataFrame = {
     val bronze = sharedHistory(spark, sfDir)
-    val base = graft.Scratch.dir(spark, "stream-medallion", sfDir)
-    rm(base)
+    val base = graft.streaming.StreamMemo.landed(
+        spark, "stream-medallion", sfDir, bronze) { base =>
+      val silver = new java.io.File(base, "silver").getAbsolutePath
+      val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("path", bronze).option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val b = batch.persist()
+          try {
+            val updates = b
+              .filter(col("_change_type").isin("insert", "update_postimage"))
+              .select(col("o_orderkey"), col("o_orderpriority"),
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                  .as("revenue_cents"))
+            val deletes = b.filter(col("_change_type") === "delete")
+              .select(col("o_orderkey"))
+            Lake.streamMerge(b.sparkSession, silver, updates, deletes,
+              "o_orderkey", "medallion-silver", batchId)
+            ()
+          } finally { b.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
     val silver = new java.io.File(base, "silver").getAbsolutePath
-    val ckpt = new java.io.File(base, "checkpoint").getAbsolutePath
-    val q = spark.readStream.format("graft-lake-cdf")
-      .option("path", bronze).option("maxVersionsPerTrigger", "1").load()
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          batchId: Long) =>
-        val b = batch.persist()
-        try {
-          val updates = b
-            .filter(col("_change_type").isin("insert", "update_postimage"))
-            .select(col("o_orderkey"), col("o_orderpriority"),
-              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-                .as("revenue_cents"))
-          val deletes = b.filter(col("_change_type") === "delete")
-            .select(col("o_orderkey"))
-          Lake.streamMerge(b.sparkSession, silver, updates, deletes,
-            "o_orderkey", "medallion-silver", batchId)
-          ()
-        } finally { b.unpersist(); () }
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
     Lake.read(spark, silver)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),

@@ -162,21 +162,22 @@ object DocStream {
     // arrival order yields the same survivor hash set)
     val src = StreamSource.chronological(spark, sfDir, "documents", "doc_id")
     val schema = spark.read.parquet(src).schema
-    val base = graft.Scratch.dir(spark, "stream-dedup", sfDir)
-    graft.Scratch.rm(base)
+    val base = StreamMemo.landed(spark, "stream-dedup", sfDir, src) { base =>
+      val landDir = new java.io.File(base, "landed").getAbsolutePath
+      val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+      val survivors = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(md5(col("text")).as("text_md5"))
+        .dropDuplicates("text_md5")
+      val query = survivors.writeStream
+        .foreachBatch(EventStream.landBatch(landDir) _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    }
     val landDir = new java.io.File(base, "landed").getAbsolutePath
-    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
-    val survivors = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .select(md5(col("text")).as("text_md5"))
-      .dropDuplicates("text_md5")
-    val query = survivors.writeStream
-      .foreachBatch(EventStream.landBatch(landDir) _)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
-    finally if (query.isActive) query.stop()
     val copies = graft.Tables.documents(spark, sfDir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"))
@@ -204,25 +205,26 @@ object DocStream {
       sfDir: String): DataFrame = {
     val src = StreamSource.chronological(spark, sfDir, "documents", "doc_id")
     val schema = spark.read.parquet(src).schema
-    val base = graft.Scratch.dir(spark, "stream-hll", sfDir)
-    graft.Scratch.rm(base)
+    val base = StreamMemo.landed(spark, "stream-hll", sfDir, src) { base =>
+      val landDir = new java.io.File(base, "landed").getAbsolutePath
+      val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+      val est = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(col("source"),
+          graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
+        .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
+        .groupBy(col("source"))
+        .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("hll_est"))
+      val query = est.writeStream
+        .outputMode("update")
+        .foreachBatch(EventStream.landBatch(landDir) _)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    }
     val landDir = new java.io.File(base, "landed").getAbsolutePath
-    val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
-    val est = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .select(col("source"),
-        graft.functions.Shingles.shingles(col("text"), 8).as("tk"))
-      .withColumn("h", expr("cast(conv(substring(md5(tk), 1, 15), 16, 10) as bigint)"))
-      .groupBy(col("source"))
-      .agg(graft.functions.HllAgg.hll_estimate(col("h")).as("hll_est"))
-    val query = est.writeStream
-      .outputMode("update")
-      .foreachBatch(EventStream.landBatch(landDir) _)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
-    finally if (query.isActive) query.stop()
     // each source's newest update is its full-corpus estimate
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("batch_id").desc)
