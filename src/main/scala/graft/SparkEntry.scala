@@ -311,6 +311,14 @@ object SparkEntry {
     // BETWEEN drives manifest-stat file skipping under spark.sql
     ("x8_lake_sql", graft.lake.LakeQueries.lakeSql _,
       Some(graft.lake.LakeQueries.lakeSqlSql)),
+    // round-10: manifest-only aggregate pushdown — count/min/max
+    // planned as a LocalTableScan, plan shape pinned in the result
+    ("x8_lake_agg_push", graft.lake.LakeQueries.lakeAggPush _,
+      Some(graft.lake.LakeQueries.lakeAggPushSql)),
+    // round-10: DPP-style runtime file skipping — broadcast join keys
+    // feed LakeScan.filter at execution, injection pinned in the result
+    ("x8_lake_runtime_skip", graft.lake.LakeQueries.lakeRuntimeSkip _,
+      Some(graft.lake.LakeQueries.lakeRuntimeSkipSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -447,6 +455,7 @@ object SparkEntry {
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
+    "x8_lake_agg_push", "x8_lake_runtime_skip",
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological

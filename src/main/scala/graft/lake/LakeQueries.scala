@@ -670,6 +670,92 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_agg_push` (round 10) — MANIFEST-ONLY
+    * aggregate pushdown under the driver hash gate: an unfiltered
+    * `count(*)/min/max` over the shared history's CURRENT snapshot is
+    * answered from per-file manifest stats alone
+    * ([[graft.sources.LakeManifestAggScan]] via DSv2
+    * `SupportsPushDownAggregates`) — no data file opened, no task
+    * launched; at 100 TB the metadata lookup every dashboard's
+    * row-count tile wants. The `manifest_only` column PINS the plan
+    * shape inside the gated result (true iff no BatchScan node
+    * survives), and the values must equal DuckDB's full-scan answer
+    * over the relationally-derived final state — so a stats bug
+    * introduced anywhere in the write path (upsert clustering, CoW
+    * delete rewrite, stat derivation) breaks the hash, not just a
+    * spec. */
+  def lakeAggPush(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sharedHistory(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("graft_lake_orders_agg")
+    val q = spark.sql(
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM graft_lake_orders_agg""".stripMargin)
+    val manifestOnly = !q.queryExecution.executedPlan.toString.contains("BatchScan")
+    q.withColumn("manifest_only", lit(manifestOnly))
+  }
+
+  /** Mirror: the post-upsert, post-delete key set is every order key
+    * with `%11 <> 0` (the `%3` split reunifies at version 2). */
+  val lakeAggPushSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(1 AS BOOLEAN) AS manifest_only
+      |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
+
+  /** Registered query `x8_lake_runtime_skip` (round 10) — RUNTIME file
+    * skipping (the DSv2 analog of dynamic partition pruning) under the
+    * driver hash gate: the lake fact joins a selectively-filtered
+    * lineitem dimension on the fact's LEADING KEY, so Catalyst's
+    * dynamic-pruning rule wires the keys observed in the reused
+    * broadcast back into [[graft.sources.LakeScan.filter]] BEFORE
+    * input partitions plan — file skipping driven by values that exist
+    * in no static predicate. `dpp_planned` pins that the optimizer
+    * actually injected the pruning subquery (a silently-vanished DPP
+    * would otherwise stay green), and the aggregate must equal the
+    * declarative join over the derived final state, join multiplicity
+    * included. LakePushSpec separately pins that a narrow-band
+    * dimension drops the file count through the same path. */
+  def lakeRuntimeSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sharedHistory(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("graft_lake_orders_rt")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_rt")
+    val q = spark.sql(
+      """SELECT o.o_orderpriority, count(*) AS n_hits,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM graft_lake_orders_rt o
+        |JOIN (SELECT l_orderkey FROM lineitem_rt
+        |      WHERE l_quantity >= 49 AND l_returnflag = 'R') d
+        |  ON o.o_orderkey = d.l_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+    val dpp = q.queryExecution.optimizedPlan.toString.contains("dynamicpruning")
+    q.withColumn("dpp_planned", lit(dpp))
+  }
+
+  /** Mirror: same join over the derived final state; every surviving
+    * order row repeats once per qualifying lineitem. */
+  val lakeRuntimeSkipSql: String =
+    """WITH v3 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 <> 0)
+      |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_hits,
+      |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS revenue_cents,
+      |  CAST(1 AS BOOLEAN) AS dpp_planned
+      |FROM v3 o
+      |JOIN (SELECT l_orderkey FROM lineitem
+      |      WHERE l_quantity >= 49 AND l_returnflag = 'R') d
+      |  ON o.o_orderkey = d.l_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   /** Mirror: v1 = the initial slice, v2 = the relational MERGE result
     * (inserts as-is, price-doubled updates winning over their old
     * rows), both aggregated identically. */

@@ -10,9 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast,
   LessThanOrEqual => CLessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
   Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference,
+  Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan,
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
   V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
@@ -235,6 +240,7 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     version: Long, tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val snapshot = Lake.manifest(dir, version)
@@ -279,21 +285,257 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
   private[graft] def prunedFiles(filters: Seq[Expression]): Seq[Lake.FileEntry] =
     LakeScanBuilder.pruneEntries(snapshot.files, leadingKey, filters)
 
-  override def build(): Scan = {
-    val hit = prunedFiles(exprFilters)
-    val paths = hit.map(f =>
-      new Path(java.nio.file.Paths.get(dir, f.name).toString)).toList
-    val index = new InMemoryFileIndex(spark, paths, Map.empty, None,
-      FileStatusCache.getOrCreate(spark), None, None)
-    val delegate = ParquetScanBuilder(spark, index, tableSchema, tableSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    delegate.pruneColumns(required)
-    // forwarding through the delegate's own catalyst entry point sets
-    // its pushed data filters, so parquet row-group stats prune within
-    // each surviving file (the manifest already pruned across files)
-    delegate.pushFilters(exprFilters)
-    delegate.build()
+  // ---- MANIFEST-ONLY aggregate pushdown --------------------------------
+  //
+  // COUNT(*) / MIN / MAX over stat-covered columns of an UNFILTERED,
+  // ungrouped SELECT are answered from the manifest alone — zero data
+  // files opened, a driver-local result. At 100 TB this is the
+  // difference between a metadata lookup and a full-table scan for the
+  // `SELECT count(*) FROM fact` class of query every dashboard fires.
+  // Catalyst only attempts aggregate pushdown when NO filter remains
+  // between the Aggregate and the scan; this builder keeps every
+  // pushed conjunct as post-scan residue, so a WHERE clause always
+  // blocks the rewrite — pushdown never has to reason about predicate
+  // semantics. Per-file stats are exact min/max over non-null values
+  // and are OMITTED for all-null files (Lake.writeFilesBy), so the
+  // translation below refuses unless every live file carries the stat.
+  private var pushedAggResult: Option[(StructType, Array[Any])] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    manifestAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAggResult = manifestAgg(agg)
+    pushedAggResult.isDefined
   }
+
+  /** The aggregation answered from manifest stats, or None when any
+    * piece is not PROVABLY answerable (grouping, residual filters, a
+    * function other than COUNT(*)/MIN/MAX, a column some live file has
+    * no stat for, a non-ASCII string bound). Values are Catalyst
+    * internal (Long / Int / UTF8String), one per aggregate, in the
+    * aggregation's own order — the contract `LocalScan.rows` needs. */
+  private def manifestAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.types._
+    if (exprFilters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // zero-row files (the empty-table anchor) carry no stats and
+    // contribute nothing to COUNT/MIN/MAX — skip them outright
+    val live = snapshot.files.filter(_.rows > 0)
+    val headStr = tableSchema.find(_.name == leadingKey)
+      .exists(_.dataType == StringType)
+    def ascii(ss: Seq[String]): Boolean = ss.forall(_.forall(_ < 0x80))
+    // combined [lo, hi] across live files in the column's integer
+    // encoding (None = some live file lacks the stat → refuse)
+    def intBounds(c: String): Option[(Long, Long)] = {
+      val per =
+        if (c == leadingKey && !headStr) live.map(f => Some((f.minKey, f.maxKey)))
+        else live.map(_.stats.get(c))
+      if (per.exists(_.isEmpty)) None
+      else Some((per.map(_.get._1).min, per.map(_.get._2).max))
+    }
+    def strBounds(c: String): Option[(String, String)] = {
+      val per = live.map(_.strStats.get(c))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val (los, his) = (per.map(_.get._1), per.map(_.get._2))
+        // per-file bounds come from Spark's min/max (UTF8String byte
+        // order); combining across files here uses Java's UTF-16
+        // compareTo — identical on ASCII, divergent above it
+        if (ascii(los ++ his)) Some((los.min, his.max)) else None
+      }
+    }
+    // a stat long back to the column type's Catalyst-internal value
+    def internal(dt: DataType, v: Long): Option[Any] = dt match {
+      case ByteType => Some(v.toByte)
+      case ShortType => Some(v.toShort)
+      case IntegerType | DateType => Some(v.toInt)
+      case LongType | _: TimestampType | TimestampNTZType => Some(v)
+      case _ => None
+    }
+    def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+        takeMin: Boolean): Option[(DataType, Any)] = col match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames()(0)
+        tableSchema.find(_.name == c).flatMap { field =>
+          if (live.isEmpty) Some((field.dataType, null)) // MIN/MAX of no rows
+          else field.dataType match {
+            case StringType => strBounds(c).map { case (lo, hi) =>
+              (StringType, org.apache.spark.unsafe.types.UTF8String
+                .fromString(if (takeMin) lo else hi))
+            }
+            case dt => intBounds(c).flatMap { case (lo, hi) =>
+              internal(dt, if (takeMin) lo else hi).map((dt, _)) }
+          }
+        }
+      case _ => None
+    }
+    val translated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((LongType: DataType, live.map(_.rows).sum: Any))
+      case m: Min => minMax(m.column, takeMin = true)
+      case m: Max => minMax(m.column, takeMin = false)
+      case _ => None
+    }
+    if (translated.exists(_.isEmpty)) None
+    else {
+      val fields = translated.map(_.get).zipWithIndex.map { case ((dt, _), i) =>
+        StructField(s"agg_$i", dt)
+      }
+      Some((StructType(fields), translated.map(_.get._2).toArray))
+    }
+  }
+
+  override def build(): Scan = pushedAggResult match {
+    case Some((schema, values)) =>
+      new LakeManifestAggScan(dir, version, schema, values)
+    case None =>
+      new LakeScan(spark, dir, version, snapshot, prunedFiles(exprFilters),
+        tableSchema, required, exprFilters)
+  }
+}
+
+/** A pushed-down aggregate answered ENTIRELY from the manifest:
+  * Catalyst plans this as a `LocalTableScan` of one pre-computed row —
+  * no data file is opened, no task is launched. */
+private[graft] class LakeManifestAggScan(dir: String, version: Long,
+    schema: StructType, values: Array[Any]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  override def description(): String =
+    s"GraftLakeManifestAgg $dir@v$version ${schema.fieldNames.mkString("[", ",", "]")}"
+}
+
+/** The data scan: delegates to Spark's columnar parquet batch scan
+  * over the manifest-pruned file list, and additionally implements
+  * RUNTIME file skipping ([[SupportsRuntimeV2Filtering]]): when this
+  * table is the large side of a join whose other side is small and
+  * selectively filtered, Catalyst's dynamic-pruning rule feeds the
+  * join keys observed in the (reused) broadcast back into `filter`
+  * BEFORE input partitions are planned — the DSv2 analog of dynamic
+  * partition pruning, with the manifest's per-file ranges standing in
+  * for partition values. A dimension filter that lands on a narrow
+  * key band then skips every non-intersecting fact file at execution
+  * time, which no static pushdown can do (the keys only exist after
+  * the dimension side runs). Pruning is conservative: a file is
+  * dropped only when NO runtime key can fall in its stat range, and
+  * unrecognized predicates or missing stats keep the file. */
+private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
+    snapshot: Lake.Manifest, statHit: Seq[Lake.FileEntry],
+    tableSchema: StructType, required: StructType,
+    pushed: Seq[Expression])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private val leadingKey = snapshot.key.split(',').head.trim
+  private val headStr = tableSchema.find(_.name == leadingKey)
+    .exists(_.dataType == org.apache.spark.sql.types.StringType)
+
+  @volatile private var entries: Seq[Lake.FileEntry] = statHit
+  // (delegated scan, the entry list it was built over) — rebuilt when
+  // a runtime filter shrinks the list; planInputPartitions and
+  // createReaderFactory are each called more than once per exec
+  @volatile private var memo: (Seq[Lake.FileEntry], Scan) = null
+
+  private[graft] def currentFiles: Seq[Lake.FileEntry] = entries
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLake $dir@v$version files=${entries.size}/${snapshot.files.size}"
+
+  private def delegated: Scan = {
+    val e = entries
+    val m = memo
+    if (m != null && (m._1 eq e)) m._2
+    else {
+      val paths = e.map(f =>
+        new Path(java.nio.file.Paths.get(dir, f.name).toString)).toList
+      val index = new InMemoryFileIndex(spark, paths, Map.empty, None,
+        FileStatusCache.getOrCreate(spark), None, None)
+      val delegate = ParquetScanBuilder(spark, index, tableSchema, tableSchema,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      delegate.pruneColumns(required)
+      // forwarding through the delegate's own catalyst entry point sets
+      // its pushed data filters, so parquet row-group stats prune within
+      // each surviving file (the manifest already pruned across files)
+      delegate.pushFilters(pushed)
+      val built = delegate.build()
+      memo = (e, built)
+      built
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegated.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegated.toBatch.createReaderFactory()
+
+  /** Columns runtime keys can prune on: the leading key rides the
+    * manifest [minKey,maxKey] range; any other column prunes via its
+    * typed per-file stat where present (absent → file kept). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val statCols = snapshot.files
+      .flatMap(f => f.stats.keys ++ f.strStats.keys).distinct
+    (leadingKey +: statCols).distinct.map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val before = entries.size
+    entries = entries.filter(e => predicates.forall(mayMatch(e, _)))
+    LakeScan.lastRuntimeFilter.set((dir, before, entries.size))
+  }
+
+  /** Conservative may-match of one runtime predicate against one
+    * file's stats. Only IN is generated by the dynamic-pruning rule;
+    * anything else keeps the file. */
+  private def mayMatch(f: Lake.FileEntry, p: Predicate): Boolean = {
+    if (p.name() != "IN" || p.children().isEmpty) return true
+    val colName = p.children().head match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => return true
+    }
+    val values = p.children().drop(1).toSeq.collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value
+    }.filter(_ != null)
+    def longIn(lo: Long, hi: Long): Boolean = values.exists {
+      case n: Number => { val v = n.longValue; v >= lo && v <= hi }
+      case _ => true // a non-integer key literal: keep, never guess
+    }
+    def strIn(lo: String, hi: String): Boolean = values.exists {
+      case s if s != null =>
+        val str = s.toString
+        // ASCII-only, same guard as the static prune: UTF-16 compare
+        // agrees with the stats' UTF8String byte order only there
+        if ((str + lo + hi).forall(_ < 0x80))
+          str.compareTo(lo) >= 0 && str.compareTo(hi) <= 0
+        else true
+      case _ => true
+    }
+    if (colName == leadingKey) {
+      if (headStr)
+        // order-preserving 8-byte prefix codes: conservative for any
+        // string (shared prefixes widen, never narrow, the range)
+        values.exists {
+          case s if s != null =>
+            val c = Lake.encString(s.toString)
+            c >= f.minKey && c <= f.maxKey
+          case _ => true
+        }
+      else longIn(f.minKey, f.maxKey)
+    } else f.stats.get(colName) match {
+      case Some((lo, hi)) => longIn(lo, hi)
+      case None => f.strStats.get(colName) match {
+        case Some((lo, hi)) => strIn(lo, hi)
+        case None => true
+      }
+    }
+  }
+}
+
+private[graft] object LakeScan {
+  /** Last runtime-filter application: (table dir, files before, files
+    * after) — observability for specs and PLANS.md audits. */
+  val lastRuntimeFilter =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
 }
 
 private[graft] object LakeScanBuilder {

@@ -248,9 +248,8 @@ class LakeSpec extends SparkSpec {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     assert(scans.nonEmpty, s"expected a BatchScan node, got:\n$phys")
-    assert(scans.forall(_.scan.isInstanceOf[
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]),
-      "the graft-lake scan must delegate to the columnar parquet batch scan")
+    assert(scans.forall(_.scan.isInstanceOf[graft.sources.LakeScan]),
+      "the graft-lake read must plan through the runtime-filterable LakeScan")
     assert(scans.forall(_.supportsColumnar),
       "the delegated parquet scan must read columnar (vectorized)")
     assert(!phys.toString.contains("ExistingRDD"),
