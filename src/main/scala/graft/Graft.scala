@@ -34,7 +34,10 @@ object Graft {
         .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.parquet.aggregatePushdown", "true"))
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        // storage-partitioned joins over compactBucketed lake tables:
+        // honor a V2 scan's KeyGroupedPartitioning instead of shuffling
+        .config("spark.sql.sources.v2.bucketing.enabled", "true"))
 
   /** `getOrCreate` returns a PRE-EXISTING session unchanged (its
     * builder-time extensions never ran in that case), so the function

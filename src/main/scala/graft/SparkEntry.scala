@@ -319,6 +319,10 @@ object SparkEntry {
     // feed LakeScan.filter at execution, injection pinned in the result
     ("x8_lake_runtime_skip", graft.lake.LakeQueries.lakeRuntimeSkip _,
       Some(graft.lake.LakeQueries.lakeRuntimeSkipSql)),
+    // round-10: storage-partitioned join — two compactBucketed tables
+    // join with zero exchanges, the subtree shape pinned in the result
+    ("x8_lake_spj", graft.lake.LakeQueries.lakeSpj _,
+      Some(graft.lake.LakeQueries.lakeSpjSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,

@@ -600,11 +600,22 @@ object Lake {
 
   private def writeFilesBy(df: DataFrame, dir: String, key: String,
       targetFiles: Int, cluster: Seq[org.apache.spark.sql.Column],
-      extraStatCols: Seq[String]): Seq[FileEntry] = {
+      extraStatCols: Seq[String],
+      buckets: Option[Int] = None): Seq[FileEntry] = {
     val sub = s"data-${java.util.UUID.randomUUID}"
     val out = Paths.get(dir, sub).toString
-    df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
-      .sortWithinPartitions(cluster: _*)
+    val shaped = buckets match {
+      // HASH-BUCKETED layout ([[compactBucketed]]): partition index =
+      // pmod(murmur3(head, seed 42), n) — HashPartitioning's own
+      // partitionIdExpression, so every output file holds exactly one
+      // bucket's rows and the V2 bucket function
+      // ([[graft.sources.GraftBucketFunction]]) recomputes the same id
+      case Some(n) => df.repartition(n, col(keyCols(key).head))
+        .sortWithinPartitions(cluster: _*)
+      case None => df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
+        .sortWithinPartitions(cluster: _*)
+    }
+    shaped
       .write.mode("overwrite").parquet(out)
     val spark = df.sparkSession
     val kc = keyCols(key)
@@ -637,11 +648,17 @@ object Lake {
       if (headStr) Seq(min(col(kc.head)).as("lo"), max(col(kc.head)).as("hi"))
       else Seq(min(col(kc.head).cast("long")).as("lo"),
         max(col(kc.head).cast("long")).as("hi"))
+    // recomputed (not trusted from the writer): min==max per file both
+    // VERIFIES the one-bucket-per-file invariant and records the id
+    val bucketAggs = buckets.toSeq.flatMap { n =>
+      val b = pmod(hash(col(kc.head)), lit(n)).cast("long")
+      Seq(min(b).as("lo___bucket"), max(b).as("hi___bucket"))
+    }
     val aggs = Seq(count(lit(1)).as("rows")) ++ headLoHi ++
       intCols.flatMap(c => Seq(
         min(intEnc(c)).as(s"lo_$c"), max(intEnc(c)).as(s"hi_$c"))) ++
       strCols.flatMap(c => Seq(
-        min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c")))
+        min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c"))) ++ bucketAggs
     fresh
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -658,7 +675,13 @@ object Lake {
           val (lo, hi) = (r.fieldIndex(s"lo_$c"), r.fieldIndex(s"hi_$c"))
           if (r.isNullAt(lo) || r.isNullAt(hi)) None
           else Some(c -> (r.getLong(lo), r.getLong(hi)))
-        }.toMap
+        }.toMap ++ buckets.map { n =>
+          val (lo, hi) =
+            (r.getLong(r.fieldIndex("lo___bucket")), r.getLong(r.fieldIndex("hi___bucket")))
+          require(lo == hi, s"bucketed write invariant broken: file " +
+            s"${r.getString(0)} spans buckets $lo..$hi of $n")
+          s"__bucket_$n" -> (lo, hi)
+        }
         val sstats = strCols.flatMap { c =>
           val (lo, hi) = (r.fieldIndex(s"slo_$c"), r.fieldIndex(s"shi_$c"))
           if (r.isNullAt(lo) || r.isNullAt(hi)) None
@@ -1020,6 +1043,49 @@ object Lake {
     val files = writeFiles(read(spark, dir, base), dir, m.key, targetFiles)
     commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
     base + 1L
+  }
+
+  /** HASH-BUCKETED re-layout (the Iceberg `bucket(n, key)` partition
+    * transform as a maintenance op): rewrite the CURRENT snapshot so
+    * each file holds exactly the rows whose
+    * `pmod(murmur3(leadingKey, 42), n)` — HashPartitioning's own
+    * partition-id expression — equals one bucket, recording the id as
+    * a per-file `__bucket_<n>` stat. A snapshot in this layout reports
+    * `KeyGroupedPartitioning(bucket(n, key))` from its SQL scan
+    * ([[graft.sources.LakeScan]]), so two tables bucketed alike join
+    * with ZERO shuffle on either side — the storage-partitioned join,
+    * the device that turns the daily fact⋈fact join at 100 TB from
+    * two full-table shuffles into a file-aligned merge. Key-range
+    * stats still land alongside (bucketing does not cost range
+    * skipping), and any later non-bucketed write simply drops the
+    * layout property — readers fall back to shuffling, never to wrong
+    * answers. Rows are byte-identical; older versions keep the old
+    * files until [[vacuum]]. */
+  def compactBucketed(spark: SparkSession, dir: String, buckets: Int): Long = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = writeFilesBy(read(spark, dir, base), dir, m.key, buckets,
+      keyCols(m.key).map(col), Nil, buckets = Some(buckets))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    base + 1L
+  }
+
+  /** The snapshot's bucket count iff EVERY file carries a consistent
+    * single-bucket `__bucket_<n>` stat — the read-side gate for
+    * reporting [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]].
+    * Any file written outside the bucketed layout (a later upsert's
+    * fresh files) lacks the stat and drops the property — conservative
+    * fallback to shuffle planning. */
+  def bucketLayout(m: Manifest): Option[Int] = {
+    val perFile = m.files.map(_.stats.collect {
+      case (k, (lo, hi)) if k.startsWith("__bucket_") && lo == hi =>
+        k.stripPrefix("__bucket_").toInt
+    }.toSeq)
+    val ns = perFile.flatten.distinct
+    if (m.files.nonEmpty && perFile.forall(_.size == 1) && ns.size == 1) Some(ns.head)
+    else None
   }
 
   /** BIN-PACKING compaction (Delta `OPTIMIZE`'s real semantics, `CALL

@@ -1334,6 +1334,86 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_lake_spj` (round 10) — the STORAGE-
+    * PARTITIONED JOIN under the driver hash gate: orders and a
+    * per-order lineitem rollup land as catalog tables, both
+    * re-laid-out by [[Lake.compactBucketed]] into 16 hash buckets on
+    * their order keys, and joined through plain SQL. Each scan reports
+    * `KeyGroupedPartitioning(bucket(16, key))`
+    * ([[graft.sources.LakeScan]]), the transform resolves against
+    * [[graft.sources.GraftBucketFunction]] through the catalog, and
+    * `EnsureRequirements` drops BOTH shuffle exchanges — the plan a
+    * 100 TB nightly fact⋈fact join needs (file-aligned merge instead
+    * of shuffling either side). `spj_applied` PINS the exchange-free
+    * join subtree inside the hashed result: a silently-degraded plan
+    * (function resolution failure, layout property lost, conf drift)
+    * flips it false and breaks the hash even though the ROWS would
+    * still be right. The oracle computes the same join declaratively
+    * from raw orders and lineitem. */
+  def lakeSpj(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = new java.io.File(graft.Scratch.root,
+      s"graft-lakecat-${spark.sparkContext.applicationId}")
+    wh.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh.getAbsolutePath)
+    val ns = "sf" + java.lang.Integer.toHexString(sfDir.hashCode)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val (tO, tL) = (s"graft.$ns.orders_spj", s"graft.$ns.lagg_spj")
+    spark.sql(s"DROP TABLE IF EXISTS $tO")
+    spark.sql(s"DROP TABLE IF EXISTS $tL")
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("orders_src_spj")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_src_spj")
+    spark.sql(s"CREATE TABLE $tO TBLPROPERTIES ('key'='o_orderkey') " +
+      "AS SELECT * FROM orders_src_spj")
+    spark.sql(
+      s"""CREATE TABLE $tL TBLPROPERTIES ('key'='l_orderkey')
+         |AS SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS BIGINT) AS item_cents
+         |FROM lineitem_src_spj GROUP BY l_orderkey""".stripMargin)
+    Lake.compactBucketed(spark, s"${wh.getAbsolutePath}/$ns/orders_spj", 16)
+    Lake.compactBucketed(spark, s"${wh.getAbsolutePath}/$ns/lagg_spj", 16)
+    val q = spark.sql(
+      s"""SELECT /*+ MERGE(o) */ o.o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(l.n_items) AS BIGINT) AS sum_items,
+         |  CAST(sum(l.item_cents) AS BIGINT) AS sum_item_cents
+         |FROM $tO o JOIN $tL l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderpriority
+         |ORDER BY o.o_orderpriority""".stripMargin)
+    // the pin: a sort-merge join whose SUBTREE plans no shuffle — the
+    // exchange-free co-partitioned read is the feature under test
+    val phys = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // the pre-execution initial plan under AQE
+      case p => p
+    }
+    val spj = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.exists(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+    q.withColumn("spj_applied", lit(spj))
+  }
+
+  /** Mirror: the same inner join and rollup from raw tables (orders
+    * without lineitems drop on both sides). */
+  val lakeSpjSql: String =
+    """WITH lagg AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS item_cents
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(l.n_items) AS BIGINT) AS sum_items,
+      |  CAST(sum(l.item_cents) AS BIGINT) AS sum_item_cents,
+      |  CAST(1 AS BOOLEAN) AS spj_applied
+      |FROM orders o JOIN lagg l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin
+
   /** Registered query `x8_lake_update` (round 9) — SQL `UPDATE` on
     * the format, completing the catalog's DML triad (INSERT / DELETE
     * / UPDATE all in plain SQL). The command is intercepted by

@@ -43,7 +43,23 @@ import graft.lake.Lake
   * every later write range-clusters and every read can skip files —
   * there is deliberately no unkeyed state in the format's lifecycle. */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]:
+    * resolving a scan's `bucket(n, key)` partition transform
+    * ([[LakeScan]] reports it for [[graft.lake.Lake.compactBucketed]]
+    * layouts) loads `bucket` from the TABLE's catalog — exposing
+    * [[GraftBucketFunction]] here is what makes storage-partitioned
+    * joins plan (a path-based `format("graft-lake")` read has no
+    * function catalog, so SPJ is a catalog-table capability). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -190,16 +206,17 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "zorder" => LakeProcedures.zorder(this)
       case "vacuum" => LakeProcedures.vacuum(this)
       case "compact_small" => LakeProcedures.compactSmall(this)
+      case "bucket" => LakeProcedures.bucket(this)
       case "delete_mor" => LakeProcedures.deleteMor(this)
       case "rewrite_dvs" => LakeProcedures.rewriteDvs(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
-          "(available: optimize, compact_small, zorder, vacuum, history)")
+          "(available: optimize, compact_small, bucket, zorder, vacuum, history)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("optimize", "compact_small", "zorder", "vacuum", "history",
+    Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
         "delete_mor", "rewrite_dvs")
       .map(Identifier.of(namespace, _))
 

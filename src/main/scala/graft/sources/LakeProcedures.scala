@@ -107,6 +107,20 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.bucket(tbl => 'ns.t', buckets => 16)` — hash-bucketed
+    * re-layout ([[Lake.compactBucketed]]): after it, the table's scans
+    * report `KeyGroupedPartitioning(bucket(n, key))` and alike-bucketed
+    * tables join storage-partitioned (zero exchanges). */
+  def bucket(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("bucket",
+      Array(in("tbl", StringType), in("buckets", IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = Lake.compactBucketed(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString), input.getInt(1))
+        result(StructType(Seq(StructField("version", LongType))), v)
+      }
+    }
+
   /** `CALL graft.delete_mor(tbl => 'ns.t', predicate => 'k % 7 = 0')`
     * — MERGE-ON-READ delete ([[Lake.deleteWhereMor]]): matching rows
     * land as a deletion-vector sidecar commit, no data file rewrites;

@@ -423,11 +423,16 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     snapshot: Lake.Manifest, statHit: Seq[Lake.FileEntry],
     tableSchema: StructType, required: StructType,
     pushed: Seq[Expression])
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val leadingKey = snapshot.key.split(',').head.trim
   private val headStr = tableSchema.find(_.name == leadingKey)
     .exists(_.dataType == org.apache.spark.sql.types.StringType)
+  // the hash-bucket count when EVERY snapshot file sits in the
+  // compactBucketed layout (Lake.bucketLayout) — the gate for
+  // KeyGroupedPartitioning / storage-partitioned joins
+  private val bucketN: Option[Int] = Lake.bucketLayout(snapshot)
 
   @volatile private var entries: Seq[Lake.FileEntry] = statHit
   // (delegated scan, the entry list it was built over) — rebuilt when
@@ -464,8 +469,50 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    delegated.toBatch.planInputPartitions()
+  /** The layout the SQL planner sees: bucketed snapshots report
+    * `KeyGroupedPartitioning(bucket(n, leadingKey), n)` — with the
+    * transform resolved against [[GraftBucketFunction]] through the
+    * table's catalog, two alike-bucketed lake tables co-partition and
+    * `EnsureRequirements` plans their join WITHOUT exchanges (the
+    * storage-partitioned join). Everything else reports unknown. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketN match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, leadingKey)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = delegated.toBatch.planInputPartitions()
+    bucketN match {
+      case Some(n) =>
+        // regroup the delegated scan's (size-coalesced, possibly
+        // split) file partitions into ONE partition per bucket, each
+        // carrying its key for Spark's partition grouping; empty
+        // buckets still emit (a zero-file partition), so both join
+        // sides always present aligned key sets
+        import org.apache.spark.sql.execution.datasources.FilePartition
+        val bucketOf = entries.map { e =>
+          val base = e.name.substring(e.name.lastIndexOf('/') + 1)
+          base -> e.stats(s"__bucket_$n")._1.toInt
+        }.toMap
+        val files = parts.flatMap {
+          case fp: FilePartition => fp.files
+          case other => sys.error(s"parquet delegate emitted ${other.getClass}")
+        }
+        val byBucket = files.groupBy { pf =>
+          val p = pf.filePath.toString
+          bucketOf(p.substring(p.lastIndexOf('/') + 1))
+        }
+        (0 until n).map { b =>
+          new LakeBucketPartition(b, byBucket.getOrElse(b, Array.empty))
+        }.toArray
+      case None => parts
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     delegated.toBatch.createReaderFactory()
 
@@ -475,6 +522,9 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
   override def filterAttributes(): Array[NamedReference] = {
     val statCols = snapshot.files
       .flatMap(f => f.stats.keys ++ f.strStats.keys).distinct
+      // `__bucket_<n>` is layout bookkeeping (Lake.bucketLayout), not
+      // a table column — advertising it would fail ref resolution
+      .filterNot(_.startsWith("__bucket_"))
     (leadingKey +: statCols).distinct.map(Expressions.column).toArray
   }
 
@@ -536,6 +586,21 @@ private[graft] object LakeScan {
     * after) — observability for specs and PLANS.md audits. */
   val lastRuntimeFilter =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
+}
+
+/** One hash bucket of a bucketed lake snapshot as an input partition:
+  * a plain [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * (the delegated parquet reader factory consumes it unchanged) that
+  * also carries its bucket id as the partition key Spark's
+  * key-grouped planning matches across join sides. */
+private[graft] class LakeBucketPartition(bucket: Int,
+    bucketFiles: Array[org.apache.spark.sql.execution.datasources.PartitionedFile])
+    extends org.apache.spark.sql.execution.datasources.FilePartition(
+      bucket, bucketFiles)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
 }
 
 private[graft] object LakeScanBuilder {
