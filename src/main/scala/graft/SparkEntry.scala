@@ -323,6 +323,10 @@ object SparkEntry {
     // join with zero exchanges, the subtree shape pinned in the result
     ("x8_lake_spj", graft.lake.LakeQueries.lakeSpj _,
       Some(graft.lake.LakeQueries.lakeSpjSql)),
+    // round-10: file-granular LIMIT pushdown — an unfiltered preview
+    // opens the minimal file prefix, pruning pinned in the result
+    ("x8_lake_limit_push", graft.lake.LakeQueries.lakeLimitPush _,
+      Some(graft.lake.LakeQueries.lakeLimitPushSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -459,7 +463,7 @@ object SparkEntry {
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
-    "x8_lake_agg_push", "x8_lake_runtime_skip",
+    "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological

@@ -704,6 +704,37 @@ object LakeQueries {
       |  CAST(1 AS BOOLEAN) AS manifest_only
       |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin
 
+  /** Registered query `x8_lake_limit_push` (round 10) — file-granular
+    * LIMIT pushdown under the driver hash gate: an unfiltered
+    * `LIMIT 500` over the shared history opens only the minimal file
+    * prefix whose manifest row counts reach 500 — the interactive
+    * preview of a 100 TB table costs one file, not a scan. The count
+    * pins that the pruned prefix really holds the full 500 (an
+    * off-by-one in the cumulative-rows walk returns fewer and breaks
+    * the hash); `limit_pruned` pins that pruning actually engaged
+    * (files kept < files surviving stats). Spark keeps its own Limit
+    * above the scan (partial pushdown), so row-level semantics never
+    * depend on the pruning. */
+  def lakeLimitPush(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = sharedHistory(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("graft_lake_orders_lim")
+    graft.sources.LakeScan.lastLimitPrune.set(null)
+    val q = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT * FROM graft_lake_orders_lim LIMIT 500)""".stripMargin)
+    q.queryExecution.executedPlan // force planning so the prune records
+    val pruned = Option(graft.sources.LakeScan.lastLimitPrune.get())
+      .exists { case (d, total, kept) => d == dir && kept < total }
+    q.withColumn("limit_pruned", lit(pruned))
+  }
+
+  /** Mirror: the history holds far more than 500 rows at every sf, so
+    * the count is the limit itself and the prune must engage. */
+  val lakeLimitPushSql: String =
+    """SELECT CAST(500 AS BIGINT) AS n_rows,
+      |  CAST(1 AS BOOLEAN) AS limit_pruned""".stripMargin
+
   /** Registered query `x8_lake_runtime_skip` (round 10) — RUNTIME file
     * skipping (the DSv2 analog of dynamic partition pruning) under the
     * driver hash gate: the lake fact joins a selectively-filtered

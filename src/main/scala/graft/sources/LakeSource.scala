@@ -241,6 +241,7 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val snapshot = Lake.manifest(dir, version)
@@ -257,6 +258,18 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
 
   private var exprFilters: Seq[Expression] = Nil
   private var required: StructType = tableSchema
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown, file-granular: Catalyst only pushes a limit when
+    * no filter remains above the scan (and this builder keeps every
+    * conjunct post-scan, so any WHERE blocks it); an unfiltered
+    * `LIMIT n` then needs ANY n rows, and the manifest's per-file row
+    * counts pick the minimal file prefix holding at least n — the
+    * interactive preview of a 100 TB table opens one file. Partial by
+    * contract: Spark keeps its own Limit above the scan, so the
+    * pruning can never change row-level semantics. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     exprFilters = filters
@@ -388,7 +401,21 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     case Some((schema, values)) =>
       new LakeManifestAggScan(dir, version, schema, values)
     case None =>
-      new LakeScan(spark, dir, version, snapshot, prunedFiles(exprFilters),
+      val statHit = prunedFiles(exprFilters)
+      val hit = limit match {
+        case Some(n) =>
+          // minimal file prefix with >= n rows (all of them when the
+          // table is smaller than the limit)
+          val cum = statHit.scanLeft(0L)(_ + _.rows).tail
+          val keep = cum.indexWhere(_ >= n.toLong) match {
+            case -1 => statHit.size
+            case i => i + 1
+          }
+          LakeScan.lastLimitPrune.set((dir, statHit.size, keep))
+          statHit.take(keep)
+        case None => statHit
+      }
+      new LakeScan(spark, dir, version, snapshot, hit,
         tableSchema, required, exprFilters)
   }
 }
@@ -585,6 +612,11 @@ private[graft] object LakeScan {
   /** Last runtime-filter application: (table dir, files before, files
     * after) — observability for specs and PLANS.md audits. */
   val lastRuntimeFilter =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
+
+  /** Last limit-pushdown file prune: (table dir, files surviving stat
+    * pruning, files kept for the limit) — same observability device. */
+  val lastLimitPrune =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
 }
 

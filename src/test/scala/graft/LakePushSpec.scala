@@ -90,6 +90,41 @@ class LakePushSpec extends SparkSpec {
       "a stat-less column must not be answered from the manifest")
   }
 
+  test("unfiltered LIMIT opens only a file prefix holding enough rows") {
+    val dir = freshDir("limitpush")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
+    graft.sources.LakeScan.lastLimitPrune.set(null)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("limitpush_lake")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM limitpush_lake LIMIT 100)")
+      .head().getLong(0)
+    assert(n === 100L)
+    val prune = graft.sources.LakeScan.lastLimitPrune.get()
+    assert(prune != null, "limit pushdown never reached the scan builder")
+    val (prunedDir, total, kept) = prune
+    assert(prunedDir === dir && total === 8)
+    assert(kept === 1, s"100 rows must come from one ~${orders.count() / 8}-row file, kept $kept")
+    // a WHERE blocks the pushdown (every conjunct is post-scan residue)
+    graft.sources.LakeScan.lastLimitPrune.set(null)
+    val filtered = spark.sql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT * FROM limitpush_lake WHERE o_totalprice > 0 LIMIT 100)""".stripMargin)
+      .head().getLong(0)
+    assert(filtered === 100L)
+    assert(graft.sources.LakeScan.lastLimitPrune.get() == null,
+      "a filtered LIMIT must not prune files (the filter is post-scan)")
+    // a limit larger than the table keeps every file and all rows
+    graft.sources.LakeScan.lastLimitPrune.set(null)
+    val all = spark.sql(
+      s"SELECT count(*) AS n FROM (SELECT * FROM limitpush_lake LIMIT ${orders.count() * 2})")
+      .head().getLong(0)
+    assert(all === orders.count())
+    val (_, t2, k2) = graft.sources.LakeScan.lastLimitPrune.get()
+    assert(k2 === t2)
+  }
+
   test("broadcast-join runtime filter skips fact files outside the dim key band") {
     val dir = freshDir("dpp")
     val orders = Tables.orders(spark, sf)
