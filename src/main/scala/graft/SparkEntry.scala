@@ -327,6 +327,21 @@ object SparkEntry {
     // opens the minimal file prefix, pruning pinned in the result
     ("x8_lake_limit_push", graft.lake.LakeQueries.lakeLimitPush _,
       Some(graft.lake.LakeQueries.lakeLimitPushSql)),
+    // round-10: pruning-aware scan statistics — the filtered lake
+    // dimension auto-broadcasts with no hint (differential assert in
+    // LakePushSpec), both sides manifest-pruned
+    ("x8_lake_autobcast", graft.lake.LakeQueries.lakeAutoBroadcast _,
+      Some(graft.lake.LakeQueries.lakeAutoBroadcastSql)),
+    // round-10: transparent materialized-view rewrite — the source
+    // aggregate answers from the view (fresh), from view ⊕ change-feed
+    // compensation (stale), and from the incrementally refreshed view;
+    // the rewrite kind is pinned into each hashed result
+    ("x8_mv_rewrite", graft.lake.LakeQueries.mvRewrite _,
+      Some(graft.lake.LakeQueries.mvRewriteSql)),
+    ("x8_mv_stale", graft.lake.LakeQueries.mvStale _,
+      Some(graft.lake.LakeQueries.mvStaleSql)),
+    ("x8_mv_refresh", graft.lake.LakeQueries.mvRefresh _,
+      Some(graft.lake.LakeQueries.mvRefreshSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,

@@ -48,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.sources.LakeDmlStrategy)
     // optimizer extension: constant-window range theta-join → binned equi-join
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // optimizer extension: Σ-maintainable aggregates over registered
+    // lake tables answer from their materialized view (delta-log
+    // freshness; change-feed compensation when stale)
+    ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
   }
 }

@@ -1539,4 +1539,182 @@ object LakeQueries {
       |FROM final
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  /** Registered query `x8_lake_autobcast` — PRUNING-AWARE SCAN
+    * STATISTICS driving a hint-free broadcast (round 10): a lineitem
+    * FACT table and an orders DIMENSION table both live in the lake
+    * format, and the join carries NO broadcast hint. The dimension's
+    * key predicate prunes its file list in the scan builder, the
+    * pruned [[graft.sources.LakeScan]] reports manifest-derived
+    * statistics (`SupportsReportStatistics`: surviving rows + on-disk
+    * bytes), and `JoinSelection` auto-broadcasts the dimension under
+    * the default threshold — where the V2 fallback estimate ("assume
+    * huge") would shuffle both sides. The fact side prunes too:
+    * Catalyst infers `l_orderkey BETWEEN …` across the inner equi-join
+    * from the dimension predicate, so both manifests skip files.
+    * LakePushSpec pins the mechanism differentially (a threshold
+    * between the pruned and full byte estimates broadcasts one and
+    * refuses the other, pre-AQE); the driver hash pins the answer. */
+  def lakeAutoBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = scratchDir(spark, sfDir) + "-stat-fact"
+    val dimDir = scratchDir(spark, sfDir) + "-stat-dim"
+    rm(new java.io.File(factDir)); rm(new java.io.File(dimDir))
+    Lake.create(Tables.lineitem(spark, sfDir), factDir, "l_orderkey",
+      targetFiles = 8)
+    Lake.create(Tables.orders(spark, sfDir), dimDir, "o_orderkey",
+      targetFiles = 8)
+    spark.read.format("graft-lake").option("path", factDir).load()
+      .createOrReplaceTempView("autob_fact")
+    spark.read.format("graft-lake").option("path", dimDir).load()
+      .createOrReplaceTempView("autob_dim")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM autob_fact JOIN autob_dim ON l_orderkey = o_orderkey
+        |WHERE o_orderkey BETWEEN 100 AND 3000
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Mirror: the same join-aggregate over the raw tables. */
+  val lakeAutoBroadcastSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderkey BETWEEN 100 AND 3000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- materialized views with transparent rewrite (round 10) -----------
+
+  /** Source fixture for the `x8_mv_*` family: orders as a lake table
+    * with an exact integer-cents revenue column (sums over longs are
+    * order-independent, so the maintained registers are bit-stable). */
+  private def mvSource(spark: SparkSession, sfDir: String, tag: String): String = {
+    val dir = scratchDir(spark, sfDir) + s"-mv-$tag"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 6)
+    dir
+  }
+
+  /** The user aggregate all three MV queries issue — written against
+    * the SOURCE table, never the view: the rewrite must be invisible. */
+  private def mvUserQuery(spark: SparkSession, srcDir: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", srcDir).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"))
+  }
+
+  /** What the optimizer did with the last MV query: forces
+    * optimization and reads back [[MatView.lastRewrite]]. */
+  private def rewriteKind(df: org.apache.spark.sql.DataFrame,
+      srcDir: String): String = {
+    graft.lake.MatView.lastRewrite.set(null)
+    df.queryExecution.optimizedPlan
+    graft.lake.MatView.lastRewrite.get() match {
+      case (d, kind) if d == srcDir => kind
+      case _ => "none"
+    }
+  }
+
+  /** Registered query `x8_mv_rewrite` — TRANSPARENT MATERIALIZED-VIEW
+    * REWRITE, fresh case (round 10): a per-priority count/sum rollup
+    * of the orders lake table is materialized ([[MatView.define]]),
+    * and the registered aggregate — written against the SOURCE table,
+    * no view mentioned — is answered by the optimizer from the view
+    * ([[graft.plans.MatViewRewrite]]; delta-log version equality
+    * proves freshness). `mv_served` pins the rewrite kind into the
+    * hashed result; the DuckDB mirror aggregates raw orders, so the
+    * rewrite must be value-invisible or the driver hash fails. */
+  def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSource(spark, sfDir, "fresh")
+    graft.lake.MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    val q = mvUserQuery(spark, src)
+    val served = rewriteKind(q, src) == "direct"
+    q.withColumn("mv_served", lit(served)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvRewriteSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  TRUE AS mv_served
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** The mutation both stale-path queries apply AFTER the view is
+    * built: double the `%7` keys' cents (copy-on-write upsert), then
+    * delete the `%11` keys — so the missed history holds updates AND
+    * deletes, exercising both signs of the Σ-compensation. */
+  private def mvMutate(spark: SparkSession, sfDir: String, src: String): Unit = {
+    val cur = Lake.read(spark, src)
+    Lake.upsert(spark, src,
+      cur.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_cents", col("o_cents") * 2))
+    Lake.delete(spark, src,
+      cur.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+  }
+
+  /** Shared mirror for the post-mutation state: doubled `%7` cents,
+    * `%11` keys gone. */
+  private def mvFinalStateSql(flag: String): String =
+    s"""WITH final AS (
+       |  SELECT o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS o_cents
+       |  FROM orders WHERE o_orderkey % 11 <> 0)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  TRUE AS $flag
+       |FROM final
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_mv_stale` — STALE-VIEW COMPENSATION: the
+    * view is built, the source then takes an upsert and a delete, and
+    * the same source aggregate runs WITHOUT a refresh. The rewrite
+    * serves `view ⊕ Σ(changes(built → latest])` — stored registers
+    * plus the change feed's signed contributions, reading only the
+    * commits the view missed, never the full table. `mv_compensated`
+    * pins that the compensated path (not a direct scan, not the stale
+    * registers) produced the hashed numbers. */
+  def mvStale(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSource(spark, sfDir, "stale")
+    graft.lake.MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    mvMutate(spark, sfDir, src)
+    val q = mvUserQuery(spark, src)
+    val compensated = rewriteKind(q, src) == "compensated"
+    q.withColumn("mv_compensated", lit(compensated))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mvStaleSql: String = mvFinalStateSql("mv_compensated")
+
+  /** Registered query `x8_mv_refresh` — INCREMENTAL REFRESH: same
+    * build-then-mutate history, but [[MatView.refresh]] rolls the
+    * view forward from the change feed (upsert changed groups, delete
+    * emptied ones, advance the recorded version) before the query
+    * runs — which must then plan as a DIRECT view scan again. The
+    * refreshed registers themselves are what the driver hashes. */
+  def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSource(spark, sfDir, "refresh")
+    graft.lake.MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    mvMutate(spark, sfDir, src)
+    graft.lake.MatView.refresh(spark, src)
+    val q = mvUserQuery(spark, src)
+    val direct = rewriteKind(q, src) == "direct"
+    q.withColumn("mv_refreshed", lit(direct)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvRefreshSql: String = mvFinalStateSql("mv_refreshed")
 }

@@ -1,0 +1,177 @@
+package graft.lake
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MATERIALIZED VIEWS over [[Lake]] tables, with transparent query
+  * rewrite ([[graft.plans.MatViewRewrite]]) and incremental refresh.
+  *
+  * A view definition is `GROUP BY groupCols` + `count(*)` + one
+  * `sum(col)` per declared sum column — the Σ-maintainable aggregate
+  * family: every commit's effect on the view is computable from the
+  * change feed alone (inserts and update postimages add, deletes and
+  * update preimages subtract), so both [[refresh]] and the rewrite
+  * rule's stale-compensation path cost O(Δ), never O(table). The view
+  * itself is a lake table keyed on the group columns (one row per
+  * group), so it versions, time-travels, and file-skips like any
+  * other table.
+  *
+  * Freshness is decided from the delta log: the definition records the
+  * source version it was built at (`builtVersion`, durably in an
+  * `_mv` sidecar beside the view's `_manifests`), and the rewrite rule
+  * compares it to the version the query's relation PINNED at load.
+  * Equal → scan the view directly. Snapshot ahead of the view → serve
+  * `view ⊕ Σ(changes(builtVersion → snapshot])` — the IVM rule as an
+  * optimizer rewrite, reading only the commits the view hasn't
+  * absorbed. Snapshot BEHIND the view → no rewrite (a time-travel
+  * read below the build point must see the old state; subtracting
+  * history back out would need the feed reversed — correct but never
+  * cheaper than the pruned direct read).
+  *
+  * Scale shape: the 100 TB deployment keeps one nightly-refreshed
+  * rollup per dashboard aggregate; queries between refreshes pay the
+  * day's delta, not the table. Both compensation and refresh plan as
+  * (tiny view scan) ∪ (delta-file scan) → one hash aggregate on the
+  * group key — no shuffle wider than the view itself.
+  *
+  * Limitations (by construction, all checked at [[define]] time or by
+  * the rule's matcher): aggregate family is count(*)/sum(col) over
+  * int/long/double columns (min/max are not Σ-maintainable under
+  * deletes); sum columns must be non-null (a group whose every value
+  * is NULL sums to NULL in SQL but to 0 through Σ-maintenance);
+  * rewrite-eligible queries group on exactly the declared columns,
+  * and any residual filter may reference group columns only (it then
+  * commutes with the aggregate and applies to the view scan).
+  */
+object MatView {
+
+  /** One registered view: `mvDir` holds the aggregate of
+    * `sourceDir` grouped by `groupCols`, as of source `builtVersion`. */
+  case class MvDef(sourceDir: String, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String], builtVersion: Long)
+
+  /** View-table column names: the count register and one sum register
+    * per declared column. Prefixed so they can never collide with
+    * source columns (graft identifiers are lowercase ASCII). */
+  val countCol = "__mv_n"
+  def sumCol(c: String): String = s"__mv_sum_$c"
+
+  private val reg = new ConcurrentHashMap[String, MvDef]()
+
+  /** Last rewrite the optimizer rule performed: (source dir,
+    * "direct" | "compensated") — the observability device the
+    * registered queries pin into their result rows and the specs
+    * assert on (same pattern as [[graft.sources.LakeScan.lastRuntimeFilter]]). */
+  val lastRewrite = new AtomicReference[(String, String)]()
+
+  def get(sourceDir: String): Option[MvDef] = Option(reg.get(sourceDir))
+  def isEmpty: Boolean = reg.isEmpty
+  def unregister(sourceDir: String): Unit = reg.remove(sourceDir)
+  def clear(): Unit = reg.clear()
+
+  /** Build the view table from the CURRENT source snapshot, register
+    * it for rewrite, and persist the definition sidecar. Idempotent:
+    * an existing view at `mvDir` is replaced. */
+  def define(spark: SparkSession, sourceDir: String, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String]): MvDef = {
+    require(groupCols.nonEmpty && sumCols.nonEmpty, "empty MV definition")
+    val v = Lake.latestVersion(sourceDir)
+    require(v > 0L, s"no lake table at $sourceDir")
+    val src = Lake.read(spark, sourceDir, v)
+    val numeric = Set("integer", "long", "double")
+    sumCols.foreach { c =>
+      val dt = src.schema(c).dataType.typeName
+      require(numeric(dt), s"MV sum column $c has non-Σ-maintainable type $dt")
+    }
+    val agg = src.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(sumCol(c))): _*)
+    graft.Scratch.rm(new java.io.File(mvDir))
+    Lake.create(agg, mvDir, groupCols.mkString(","), targetFiles = 1)
+    val d = MvDef(sourceDir, mvDir, groupCols, sumCols, v)
+    writeSidecar(d)
+    reg.put(sourceDir, d)
+    d
+  }
+
+  /** Re-register a view from its `_mv` sidecar (a restarted session
+    * recovering its rewrite registry from storage). */
+  def recover(mvDir: String): MvDef = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(mvDir, "_mv")).toArray(Array.empty[String])
+    val kv = lines.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val d = MvDef(kv("source"), mvDir, kv("group").split(",").toSeq,
+      kv("sums").split(",").toSeq, kv("builtVersion").toLong)
+    reg.put(d.sourceDir, d)
+    d
+  }
+
+  private def writeSidecar(d: MvDef): Unit = {
+    val p = java.nio.file.Paths.get(d.mvDir, "_mv")
+    val tmp = java.nio.file.Paths.get(d.mvDir, "_mv.tmp")
+    java.nio.file.Files.write(tmp,
+      (s"source=${d.sourceDir}\ngroup=${d.groupCols.mkString(",")}\n" +
+        s"sums=${d.sumCols.mkString(",")}\nbuiltVersion=${d.builtVersion}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The view's rows rolled forward by the source's change feed over
+    * `(fromVersion, toVersion]` — the shared Σ-maintenance plan both
+    * [[refresh]] (which then commits it) and the rewrite rule's
+    * compensation path (which serves it directly) consume. Groups
+    * whose row count reaches zero are dropped (a group with no rows
+    * does not appear in a real aggregate). */
+  private[graft] def compensated(spark: SparkSession, d: MvDef,
+      toVersion: Long): DataFrame = {
+    val delta = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+      .withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"),
+        d.sumCols.map(c =>
+          sum(col("__sign") * col(c)).as(s"__ds_$c")): _*)
+    val cur = Lake.read(spark, d.mvDir)
+    cur.join(delta, d.groupCols, "full_outer")
+      .select(d.groupCols.map(col) ++
+        Seq((coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(countCol)) ++
+        d.sumCols.map { c =>
+          (coalesce(col(sumCol(c)), lit(0L).cast(cur.schema(sumCol(c)).dataType)) +
+            coalesce(col(s"__ds_$c"), lit(0L).cast(cur.schema(sumCol(c)).dataType)))
+            .as(sumCol(c))
+        }: _*)
+      .filter(col(countCol) > 0L)
+  }
+
+  /** Incrementally roll the view forward to the source's CURRENT
+    * version: upsert changed groups, delete emptied ones, advance the
+    * sidecar. Cost is O(changes since builtVersion), never a source
+    * re-scan. No-op when already current. */
+  def refresh(spark: SparkSession, sourceDir: String): MvDef = {
+    val d = reg.get(sourceDir)
+    require(d != null, s"no registered MV for $sourceDir")
+    val v = Lake.latestVersion(sourceDir)
+    if (v == d.builtVersion) return d
+    require(v > d.builtVersion, s"source $sourceDir regressed below MV build")
+    val next = compensated(spark, d, v)
+    val cur = Lake.read(spark, d.mvDir)
+    // emptied groups: present now, absent from the rolled-forward view
+    val dead = cur.select(d.groupCols.map(col): _*)
+      .except(next.select(d.groupCols.map(col): _*))
+    Lake.upsert(spark, d.mvDir, next, targetFiles = 1)
+    if (!dead.isEmpty) Lake.delete(spark, d.mvDir, dead)
+    val nd = d.copy(builtVersion = v)
+    writeSidecar(nd)
+    reg.put(sourceDir, nd)
+    nd
+  }
+}

@@ -16,7 +16,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownAggregates, SupportsReportStatistics,
   SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
   V1Write, Write, WriteBuilder}
@@ -125,12 +126,24 @@ class LakeSource extends TableProvider with DataSourceRegister
   }
 }
 
+/** Extractor for cross-package plan matching (the materialized-view
+  * rewrite rule in [[graft.plans]]): a connector `Table` that is a
+  * graft-lake table yields its (table dir, pinned snapshot version)
+  * without exposing the `LakeTable` type itself. */
+private[graft] object LakeTables {
+  def unapply(t: Table): Option[(String, Long)] = t match {
+    case lt: LakeTable => Some((lt.tableDir, lt.tableVersion))
+    case _ => None
+  }
+}
+
 private[sources] class LakeTable(dir: String, version: Long,
     schema0: StructType, pinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private[sources] def tableDir: String = dir
   private[sources] def isPinned: Boolean = pinned
+  private[sources] def tableVersion: Long = version
   override def name(): String = s"graft_lake($dir@v$version)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -451,6 +464,7 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     tableSchema: StructType, required: StructType,
     pushed: Seq[Expression])
     extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val leadingKey = snapshot.key.split(',').head.trim
@@ -473,6 +487,36 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftLake $dir@v$version files=${entries.size}/${snapshot.files.size}"
+
+  /** MANIFEST-DERIVED, PRUNING-AWARE statistics ([[SupportsReportStatistics]]):
+    * row count from the surviving entries' recorded `rows`, bytes from
+    * the same files' on-disk lengths (driver-side `File.length` over
+    * the already-pruned list — metadata-plane cost, no footer reads).
+    * Catalyst consults the SCAN's statistics after pushdown, so a
+    * selective key predicate that skipped most files shrinks the
+    * relation estimate proportionally — and `JoinSelection` then
+    * AUTO-BROADCASTS a pruned lake dimension under
+    * `autoBroadcastJoinThreshold` with no hint, where the default
+    * V2-relation fallback (`defaultSizeInBytes` = "assume huge")
+    * would have planned a shuffle join. Conservative caveats: `rows`
+    * counts physical rows (MoR deletion-vector masks subtract at read,
+    * so the estimate can only overcount — never tips a broadcast the
+    * true size would refuse by more than the masked fraction), and
+    * bytes are compressed parquet lengths, the same basis Spark's own
+    * `FileScan.estimateStatistics` reports. */
+  override def estimateStatistics(): Statistics = {
+    val e = entries
+    val bytes = e.map { f =>
+      java.nio.file.Paths.get(dir, f.name).toFile.length
+    }.sum
+    val rows = e.map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   private def delegated: Scan = {
     val e = entries

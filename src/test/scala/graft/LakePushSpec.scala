@@ -161,4 +161,60 @@ class LakePushSpec extends SparkSpec {
       s"runtime keys confined to one file's band must skip files ($before -> $after)")
     assert(after >= 1)
   }
+
+  /** Extract the (single) LakeScan the optimizer built for `df` —
+    * post-pushdown, so its entry list reflects static file pruning. */
+  private def lakeScanOf(df: org.apache.spark.sql.DataFrame): graft.sources.LakeScan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect { case s: graft.sources.LakeScan => s }
+    assert(scans.size === 1, s"expected one LakeScan, got ${scans.size}")
+    scans.head
+  }
+
+  test("pruning-aware scan statistics drive a hint-free auto-broadcast") {
+    val dir = freshDir("stats")
+    val orders = Tables.orders(spark, sf)
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 8)
+    val full = spark.read.format("graft-lake").option("path", dir).load()
+    val fullStats = lakeScanOf(full).estimateStatistics()
+    assert(fullStats.numRows.getAsLong === orders.count(),
+      "unfiltered row estimate must equal the manifest row sum")
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val pruned = full.filter(col("o_orderkey") <= maxKey / 8)
+    val prunedStats = lakeScanOf(pruned).estimateStatistics()
+    assert(prunedStats.numRows.getAsLong < fullStats.numRows.getAsLong,
+      "a selective key predicate must shrink the row estimate")
+    val (loB, hiB) =
+      (prunedStats.sizeInBytes.getAsLong, fullStats.sizeInBytes.getAsLong)
+    assert(loB < hiB, s"pruned bytes $loB must undercut full bytes $hiB")
+
+    // differential broadcast: a threshold BETWEEN the two estimates
+    // broadcasts the pruned dimension and refuses the full one — so
+    // the decision provably flows from the reported statistics, not
+    // from tiny test data. Static plans (sparkPlan, pre-AQE) isolate
+    // the estimate-driven choice from AQE's runtime-size rescue.
+    val factPath = freshDir("statsfact")
+    Tables.lineitem(spark, sf)
+      .withColumnRenamed("l_orderkey", "f_orderkey").write.parquet(factPath)
+    val fact = spark.read.parquet(factPath)
+    val threshold = (loB + hiB) / 2
+    val factBytes = new java.io.File(factPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(factBytes > threshold,
+      s"fact ($factBytes B) must exceed the threshold ($threshold B) or it broadcasts itself")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      def staticPlan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.toString
+      val small = fact.join(pruned, col("f_orderkey") === col("o_orderkey"))
+      assert(staticPlan(small).contains("BroadcastHashJoin"),
+        s"pruned dim ($loB B < $threshold B) must auto-broadcast:\n${staticPlan(small)}")
+      val big = fact.join(full, col("f_orderkey") === col("o_orderkey"))
+      assert(!staticPlan(big).contains("BroadcastHashJoin"),
+        s"full dim ($hiB B > $threshold B) must not broadcast:\n${staticPlan(big)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Lake, MatView}
+
+/** [[graft.plans.MatViewRewrite]] + [[MatView]]: transparent rewrite
+  * (fresh and change-feed-compensated), incremental refresh, and the
+  * refusal cases that keep the matcher provably conservative. The
+  * expected values always come from [[Lake.read]] (a V1 parquet plan
+  * the rule can never match), so the comparison is rewrite-free by
+  * construction. */
+class MatViewSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): String = {
+    val d = new java.io.File(graft.Scratch.root,
+      s"graft-mvspec-$tag-${spark.sparkContext.applicationId}")
+    graft.Scratch.rm(d)
+    d.getAbsolutePath
+  }
+
+  private def buildSource(tag: String): String = {
+    val dir = freshDir(tag)
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    dir
+  }
+
+  private def userAgg(src: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", src).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+  }
+
+  private def expectedAgg(src: String) =
+    Lake.read(spark, src)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+
+  private def kindOf(df: org.apache.spark.sql.DataFrame,
+      src: String): String = {
+    MatView.lastRewrite.set(null)
+    df.queryExecution.optimizedPlan
+    Option(MatView.lastRewrite.get()) match {
+      case Some((d, k)) if d == src => k
+      case _ => "none"
+    }
+  }
+
+  private def scannedTables(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table.name
+    }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+
+  test("fresh view: aggregate rewrites to a direct view scan, values unchanged") {
+    val src = buildSource("fresh")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val q = userAgg(src)
+      assert(kindOf(q, src) === "direct")
+      val tables = scannedTables(q)
+      assert(tables.exists(_.contains("-view")),
+        s"rewritten plan must scan the view, scanned: $tables")
+      assert(!tables.exists(t => t.contains(src) && !t.contains("-view")),
+        s"rewritten plan must not scan the source, scanned: $tables")
+      assert(rows(q) === rows(expectedAgg(src)))
+    } finally MatView.unregister(src)
+  }
+
+  test("group-column filter transposes onto the view; other filters refuse") {
+    val src = buildSource("filter")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val filtered = userAgg(src).filter(col("o_orderpriority") <= "3-MEDIUM")
+      // filter lands BELOW the aggregate only if written before the agg:
+      val q = spark.read.format("graft-lake").option("path", src).load()
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      assert(kindOf(q, src) === "direct")
+      assert(rows(q) === rows(
+        expectedAgg(src).filter(col("o_orderpriority") =!= "1-URGENT")))
+      val refuse = spark.read.format("graft-lake").option("path", src).load()
+        .filter(col("o_totalprice") > 1000.0) // not a group column
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(refuse, src) === "none",
+        "a non-group-column filter must block the rewrite")
+      filtered.collect() // post-agg filter still evaluates correctly
+    } finally MatView.unregister(src)
+  }
+
+  test("stale view: upsert + delete compensate through the change feed") {
+    val src = buildSource("stale")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val cur = Lake.read(spark, src)
+      Lake.upsert(spark, src,
+        cur.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_cents", col("o_cents") * 2))
+      Lake.delete(spark, src,
+        cur.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+      val q = userAgg(src)
+      assert(kindOf(q, src) === "compensated")
+      assert(rows(q) === rows(expectedAgg(src)),
+        "compensated registers must equal a direct recompute of the latest state")
+    } finally MatView.unregister(src)
+  }
+
+  test("refresh rolls the view forward incrementally; emptied groups are deleted") {
+    val src = buildSource("refresh")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      // delete one ENTIRE priority class: its view row must disappear
+      val gone = Lake.read(spark, src)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Lake.delete(spark, src, gone)
+      val d = MatView.refresh(spark, src)
+      assert(d.builtVersion === Lake.latestVersion(src))
+      val view = Lake.read(spark, src + "-view")
+      assert(view.filter(col("o_orderpriority") === "1-URGENT").count() === 0L,
+        "an emptied group must be deleted from the view")
+      val q = userAgg(src)
+      assert(kindOf(q, src) === "direct",
+        "a refreshed view serves directly again")
+      assert(rows(q) === rows(expectedAgg(src)))
+      // refresh is idempotent when current
+      assert(MatView.refresh(spark, src).builtVersion === d.builtVersion)
+    } finally MatView.unregister(src)
+  }
+
+  test("refusals: min/max, count(col), distinct, wrong grouping, time travel") {
+    val src = buildSource("refuse")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      def lake() = spark.read.format("graft-lake").option("path", src).load()
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "max is not Σ-maintainable" ->
+          lake().groupBy(col("o_orderpriority")).agg(max(col("o_cents")).as("m")),
+        "count(col) skips nulls, registers do not" ->
+          lake().groupBy(col("o_orderpriority")).agg(count(col("o_cents")).as("n")),
+        "distinct sum has no register" ->
+          lake().groupBy(col("o_orderpriority")).agg(sum_distinct(col("o_cents")).as("s")),
+        "grouping must match the declaration" ->
+          lake().groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")),
+        "sum over an undeclared column" ->
+          lake().groupBy(col("o_orderpriority")).agg(sum(col("o_orderkey")).as("s")))
+      cases.foreach { case (why, df) =>
+        assert(kindOf(df, src) === "none", why)
+      }
+      // time travel below the build point never rewrites: advance the
+      // source to v2 and rebuild the view there, then pin v1
+      Lake.upsert(spark, src,
+        Lake.read(spark, src).filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_cents", col("o_cents") + 1))
+      MatView.define(spark, src, src + "-view",
+        Seq("o_orderpriority"), Seq("o_cents")) // built at v2
+      val tt = spark.read.format("graft-lake").option("path", src)
+        .option("versionAsOf", "1").load()
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      assert(kindOf(tt, src) === "none",
+        "a snapshot below the view's build version must not rewrite")
+    } finally MatView.unregister(src)
+  }
+}
