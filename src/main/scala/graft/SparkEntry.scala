@@ -45,6 +45,15 @@ object SparkEntry {
     ("q3_shipping_priority", StarQueries.shippingPriority _, Some(StarQueries.shippingPrioritySql)),
     ("q5_local_supplier", StarQueries.localSupplierVolume _, Some(StarQueries.localSupplierVolumeSql)),
     ("q10_returned_items", StarQueries.returnedItems _, Some(StarQueries.returnedItemsSql)),
+    // round-10 TPC-H composite shapes (Q7/Q8/Q14/Q17/Q19 adapted to
+    // the testdata's columns): nation-pair volume, share-of-total,
+    // conditional-aggregate ratio, decorrelated scalar subquery, and
+    // the OR-of-ANDs join residual
+    ("q7_nation_volume", StarQueries.nationVolume _, Some(StarQueries.nationVolumeSql)),
+    ("q8_market_share", StarQueries.marketShare _, Some(StarQueries.marketShareSql)),
+    ("q14_promo_share", StarQueries.promoShare _, Some(StarQueries.promoShareSql)),
+    ("q17_small_qty", StarQueries.smallQtyRevenue _, Some(StarQueries.smallQtyRevenueSql)),
+    ("q19_disjunctive", StarQueries.disjunctiveRevenue _, Some(StarQueries.disjunctiveRevenueSql)),
     ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
     ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
     ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),

@@ -344,6 +344,222 @@ object StarQueries {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 100""".stripMargin
 
+  // ---- round-10 TPC-H composite shapes ----------------------------------
+  // (adapted to the driver testdata's columns: lineitem has no
+  // shipmode/commitdate, so Q4/Q12/Q21 aren't expressible; Q7/Q8/Q14/
+  // Q17/Q19 are, against p_type/p_brand/p_size/l_shipdate/l_quantity.)
+
+  /** Registered query `q7_nation_volume` (TPC-H Q7 shape): shipping
+    * volume between two nations, both directions, by year. The
+    * nation-PAIR disjunction rides the broadcast join conditions —
+    * supplier and customer each pre-join their (two-row) nation
+    * filter, so the fact chain (lineitem ⋈ orders, the only shuffle)
+    * never materializes a row outside the pair. */
+  def nationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables.nation(spark, sfDir).filter(col("n_name").isin(pair: _*))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val nationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Registered query `q8_market_share` (TPC-H Q8 shape): one
+    * nation's share of a region's market for one part type, by order
+    * year — the 7-table composite whose share-of-total is a
+    * conditional aggregate over ONE pass (no self-join): numerator
+    * and denominator ride the same grouped sum. Part is the selective
+    * dimension (1/6 of keys) and broadcasts into the fact before the
+    * orders join, so the fact chain is pre-thinned. */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val custNation = Tables.nation(spark, sfDir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(spark, sfDir)
+      .join(broadcast(custNation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val vol = dec("l_extendedprice") *
+      (lit(1).cast("decimal(9,2)") - dec("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      // decimal sums are exact; the DIVISION happens in double on both
+      // engines (decimal÷decimal result scale differs between them)
+      .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+        .otherwise(lit(0).cast("decimal(9,2)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val marketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))
+      |      ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+      |  AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |JOIN region ON n2.n_regionkey = r_regionkey
+      |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** Registered query `q14_promo_share` (TPC-H Q14 shape): promo
+    * revenue share for one month — broadcast part classifies each
+    * lineitem, numerator and denominator in one ungrouped aggregate.
+    * The month predicate is the only fact filter and pushes to the
+    * scan. */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type"))
+    val vol = dec("l_extendedprice") *
+      (lit(1).cast("decimal(9,2)") - dec("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // exact decimal sums; multiply-then-divide in double, the same
+      // op order as the mirror (decimal division scales differ)
+      .agg((lit(100.0) *
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0).cast("decimal(9,2)"))).cast("double") /
+        sum(vol).cast("double")).as("promo_revenue"))
+  }
+
+  val promoShareSql: String =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))
+      |    ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  /** Registered query `q17_small_qty` (TPC-H Q17 shape): revenue
+    * locked in small-quantity orders of one brand — the classic
+    * correlated scalar subquery (per-part average quantity),
+    * DECORRELATED into an aggregate-then-join: the brand's partkeys
+    * broadcast-semi-thin the fact FIRST, the per-part averages
+    * aggregate over that thinned slice only, and the tiny average
+    * table broadcasts back. Quantities are integral doubles, so the
+    * averages are exact and order-independent on both engines. */
+  def smallQtyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val branded = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = branded.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    branded.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """WITH branded AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |avg_qty AS (
+      |  SELECT l_partkey AS a_partkey, AVG(l_quantity) AS avg_qty
+      |  FROM branded GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM branded JOIN avg_qty ON l_partkey = a_partkey
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** Registered query `q19_disjunctive` (TPC-H Q19 shape): an
+    * OR-of-ANDs over attributes from BOTH join sides — the predicate
+    * that defeats naive pushdown. The join stays a single broadcast
+    * hash join on partkey with the disjunction as its residual; the
+    * part side is tiny and ships once. (Catalyst's CNF conversion can
+    * extract the common `p_brand IN (…)` implication for the scan;
+    * correctness never depends on it.) */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(spark, sfDir)
+    val clause =
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && clause)
+      .agg(sum(dec("l_extendedprice") *
+        (lit(1).cast("decimal(9,2)") - dec("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Set ops: nations that have customers INTERSECT/EXCEPT suppliers. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))
