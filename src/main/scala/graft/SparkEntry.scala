@@ -54,6 +54,7 @@ object SparkEntry {
     ("q14_promo_share", StarQueries.promoShare _, Some(StarQueries.promoShareSql)),
     ("q17_small_qty", StarQueries.smallQtyRevenue _, Some(StarQueries.smallQtyRevenueSql)),
     ("q19_disjunctive", StarQueries.disjunctiveRevenue _, Some(StarQueries.disjunctiveRevenueSql)),
+    ("q22_dormant_rich", StarQueries.dormantRich _, Some(StarQueries.dormantRichSql)),
     ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
     ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
     ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),

@@ -560,6 +560,58 @@ object StarQueries {
       |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Registered query `q22_dormant_rich` (TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average but who placed
+    * no RECENT order (none since 2000), counted per nation — scalar
+    * aggregate subquery + anti-join. The average threshold is
+    * compared by EXACT integer cross-multiplication
+    * (`cents × n_pos > total_cents`, equivalent to `bal > avg` for a
+    * positive count): no float division exists to diverge between
+    * engines or partition orders. Plan shape: the 1-row stat frame
+    * attaches by explicit broadcast crossJoin (the allowed Cross
+    * BNLJ), the orders side filters on the pushed date predicate and
+    * thins to distinct custkeys before the LEFT ANTI, nation
+    * broadcasts. */
+  def dormantRich(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .withColumn("c_cents",
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+    val thr = c.filter(col("c_cents") > 0L)
+      .agg(sum(col("c_cents")).as("total_cents"),
+        count(lit(1)).as("n_pos"))
+    val rich = c.crossJoin(broadcast(thr))
+      .filter(col("c_cents") * col("n_pos") > col("total_cents"))
+    val buyers = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val nation = Tables.nation(spark, sfDir)
+    rich.join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_cents")).as("total_bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val dormantRichSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_cents
+      |  FROM customer),
+      |thr AS (
+      |  SELECT CAST(sum(c_cents) AS BIGINT) AS total_cents,
+      |    count(*) AS n_pos
+      |  FROM c WHERE c_cents > 0)
+      |SELECT n_name, count(*) AS n_custs,
+      |  CAST(sum(c_cents) AS BIGINT) AS total_bal_cents
+      |FROM c, thr
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_cents * n_pos > total_cents
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Set ops: nations that have customers INTERSECT/EXCEPT suppliers. */
   def setOps(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("long").as("nationkey"))

@@ -209,15 +209,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "bucket" => LakeProcedures.bucket(this)
       case "delete_mor" => LakeProcedures.deleteMor(this)
       case "rewrite_dvs" => LakeProcedures.rewriteDvs(this)
+      case "create_mv" => LakeProcedures.createMv(this)
+      case "refresh_mv" => LakeProcedures.refreshMv(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
-          "(available: optimize, compact_small, bucket, zorder, vacuum, history)")
+          "(available: optimize, compact_small, bucket, zorder, vacuum, " +
+          "history, delete_mor, rewrite_dvs, create_mv, refresh_mv)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
-        "delete_mor", "rewrite_dvs")
+        "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

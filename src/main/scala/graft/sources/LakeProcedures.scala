@@ -156,6 +156,43 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.create_mv(tbl => 'ns.t', view => 'ns.t_by_x',
+    * group_cols => 'x', sum_cols => 'amount')` — build a count/sum
+    * MATERIALIZED VIEW of a lake table as another catalog table and
+    * register it for transparent rewrite
+    * ([[graft.lake.MatView.define]] / [[graft.plans.MatViewRewrite]]).
+    * Returns the source version the view captured. The view name must
+    * not exist yet as an incompatible table — define replaces the
+    * directory wholesale. */
+  def createMv(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("create_mv",
+      Array(in("tbl", StringType), in("view", StringType),
+        in("group_cols", StringType), in("sum_cols", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.define(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          dirOf(catalog, input.getUTF8String(1).toString),
+          input.getUTF8String(2).toString.split(',').map(_.trim).toSeq,
+          input.getUTF8String(3).toString.split(',').map(_.trim).toSeq)
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
+  /** `CALL graft.refresh_mv(tbl => 'ns.t')` — roll the registered
+    * view forward from the change feed ([[graft.lake.MatView.refresh]]):
+    * O(Δ) incremental maintenance, no source re-scan. Returns the
+    * source version the view now reflects. */
+  def refreshMv(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("refresh_mv", Array(in("tbl", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.refresh(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString))
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
   /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
     * one row per still-resolvable commit, derived entirely from the
     * delta log ([[Lake.history]]); audit answers are metadata-sized,

@@ -394,4 +394,31 @@ class LakeCatalogSpec extends SparkSpec {
     val rows = sql("SELECT k, score FROM graftcat.evo2.t ORDER BY k").collect()
     assert(rows.length === 9 && rows.forall(_.isNullAt(1)))
   }
+
+  test("CALL create_mv / refresh_mv: the MV lifecycle stays inside SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mv")
+    sql("""CREATE TABLE graftcat.mv.sales (k BIGINT, grp STRING, amt BIGINT)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("""INSERT INTO graftcat.mv.sales VALUES
+          |  (1, 'a', 10), (2, 'a', 20), (3, 'b', 5)""".stripMargin)
+    val built = sql(
+      """CALL graftcat.create_mv(tbl => 'mv.sales', view => 'mv.sales_by_grp',
+        |  group_cols => 'grp', sum_cols => 'amt')""".stripMargin)
+      .head().getLong(0)
+    assert(built === Lake.latestVersion(s"$warehouse/mv/sales"))
+    // the view is itself a catalog table
+    val v = sql("SELECT grp, __mv_n, __mv_sum_amt FROM graftcat.mv.sales_by_grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(v.toSeq === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    // mutate the source, refresh, registers advance incrementally
+    sql("INSERT INTO graftcat.mv.sales VALUES (4, 'b', 7)")
+    val refreshed = sql("CALL graftcat.refresh_mv(tbl => 'mv.sales')")
+      .head().getLong(0)
+    assert(refreshed === Lake.latestVersion(s"$warehouse/mv/sales"))
+    val v2 = sql("SELECT grp, __mv_n, __mv_sum_amt FROM graftcat.mv.sales_by_grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(v2.toSeq === Seq(("a", 2L, 30L), ("b", 2L, 12L)))
+    graft.lake.MatView.unregister(s"$warehouse/mv/sales")
+  }
 }
