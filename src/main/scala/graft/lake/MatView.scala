@@ -153,25 +153,29 @@ object MatView {
   }
 
   /** Incrementally roll the view forward to the source's CURRENT
-    * version: upsert changed groups, delete emptied ones, advance the
-    * sidecar. Cost is O(changes since builtVersion), never a source
-    * re-scan. No-op when already current. */
+    * version: changed groups upsert and emptied groups delete in ONE
+    * atomic [[Lake.merge]] commit (a reader between two separate
+    * commits would otherwise see refreshed registers beside
+    * should-be-gone groups), then the sidecar advances. Cost is
+    * O(changes since builtVersion), never a source re-scan. No-op
+    * when already current. */
   def refresh(spark: SparkSession, sourceDir: String): MvDef = {
     val d = reg.get(sourceDir)
     require(d != null, s"no registered MV for $sourceDir")
     val v = Lake.latestVersion(sourceDir)
     if (v == d.builtVersion) return d
     require(v > d.builtVersion, s"source $sourceDir regressed below MV build")
-    val next = compensated(spark, d, v)
-    val cur = Lake.read(spark, d.mvDir)
-    // emptied groups: present now, absent from the rolled-forward view
-    val dead = cur.select(d.groupCols.map(col): _*)
-      .except(next.select(d.groupCols.map(col): _*))
-    Lake.upsert(spark, d.mvDir, next, targetFiles = 1)
-    if (!dead.isEmpty) Lake.delete(spark, d.mvDir, dead)
-    val nd = d.copy(builtVersion = v)
-    writeSidecar(nd)
-    reg.put(sourceDir, nd)
-    nd
+    val next = compensated(spark, d, v).persist()
+    try {
+      val cur = Lake.read(spark, d.mvDir)
+      // emptied groups: present now, absent from the rolled-forward view
+      val dead = cur.select(d.groupCols.map(col): _*)
+        .except(next.select(d.groupCols.map(col): _*))
+      Lake.merge(spark, d.mvDir, next, dead, targetFiles = 1)
+      val nd = d.copy(builtVersion = v)
+      writeSidecar(nd)
+      reg.put(sourceDir, nd)
+      nd
+    } finally next.unpersist()
   }
 }

@@ -419,6 +419,19 @@ class LakeCatalogSpec extends SparkSpec {
     val v2 = sql("SELECT grp, __mv_n, __mv_sum_amt FROM graftcat.mv.sales_by_grp")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
     assert(v2.toSeq === Seq(("a", 2L, 30L), ("b", 2L, 12L)))
+    // the transparent rewrite serves CATALOG-QUALIFIED queries too:
+    // the registry key is the resolved table dir, shared by both doors
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val agg = sql(
+      "SELECT grp, count(*) AS n, sum(amt) AS amt FROM graftcat.mv.sales GROUP BY grp")
+    graft.lake.MatView.lastRewrite.set(null)
+    agg.queryExecution.optimizedPlan
+    val rw = Option(graft.lake.MatView.lastRewrite.get())
+    assert(rw.exists(r => r._1 == s"$warehouse/mv/sales" && r._2 == "direct"),
+      s"catalog-qualified aggregate must rewrite to the view, got $rw")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("a", 2L, 30L), ("b", 2L, 12L)))
     graft.lake.MatView.unregister(s"$warehouse/mv/sales")
   }
 }

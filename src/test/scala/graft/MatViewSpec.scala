@@ -130,8 +130,11 @@ class MatViewSpec extends SparkSpec {
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
       Lake.delete(spark, src, gone)
+      val mvVersionBefore = Lake.latestVersion(src + "-view")
       val d = MatView.refresh(spark, src)
       assert(d.builtVersion === Lake.latestVersion(src))
+      assert(Lake.latestVersion(src + "-view") === mvVersionBefore + 1,
+        "refresh must land upsert + emptied-group delete as ONE atomic commit")
       val view = Lake.read(spark, src + "-view")
       assert(view.filter(col("o_orderpriority") === "1-URGENT").count() === 0L,
         "an emptied group must be deleted from the view")
