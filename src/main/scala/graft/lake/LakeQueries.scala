@@ -1655,7 +1655,10 @@ object LakeQueries {
     spark.read.format("graft-lake").option("path", srcDir).load()
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_cents")).as("revenue_cents"))
+        sum(col("o_cents")).as("revenue_cents"),
+        // avg over an integral column: served as register-sum ⊘
+        // register-count, bit-exact (see MatViewRewrite's guard)
+        avg(col("o_cents")).as("avg_cents"))
   }
 
   /** What the optimizer did with the last MV query: forces
@@ -1685,6 +1688,7 @@ object LakeQueries {
        |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2))
        |SELECT o_orderpriority, count(*) AS n_orders,
        |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
        |  TRUE AS $flag
        |FROM final
        |GROUP BY o_orderpriority

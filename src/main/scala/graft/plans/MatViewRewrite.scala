@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Complete, Count, Sum}
+  Average, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -97,6 +99,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private case class GroupRef(name: String, orig: Attribute) extends Ask
   private case class CountAll(orig: NamedExpression) extends Ask
   private case class SumOf(name: String, orig: NamedExpression) extends Ask
+  private case class AvgOf(name: String, orig: NamedExpression) extends Ask
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     chain <- peel(agg.child)
@@ -137,6 +140,16 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         Alias(byName(MatView.countCol), orig.name)(exprId = orig.exprId)
       case SumOf(n, orig) =>
         Alias(byName(MatView.sumCol(n)), orig.name)(exprId = orig.exprId)
+      case AvgOf(n, orig) =>
+        // avg ⊢ sum ⊘ count — Spark's own Average sums integral input
+        // in double, and every partial sum of an integral column is an
+        // exact double below 2⁵³, so register-sum ÷ register-count is
+        // BIT-IDENTICAL to the direct computation (the matcher only
+        // admits int/long columns; n > 0 always, so no ÷0 branch)
+        Alias(Divide(
+          Cast(byName(MatView.sumCol(n)), DoubleType),
+          Cast(byName(MatView.countCol), DoubleType),
+          EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
     }
     MatView.lastRewrite.set(
       (chain.dir, if (fresh) "direct" else "compensated"))
@@ -174,6 +187,17 @@ object MatViewRewrite extends Rule[LogicalPlan] {
           case s: Sum => s.child match {
             case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
               Some(SumOf(a.name.toLowerCase, al))
+            case _ => None
+          }
+          case av: Average => av.child match {
+            // avg only over INTEGRAL declared columns: the sum⊘count
+            // derivation is bit-exact there (double partial sums of
+            // integers below 2⁵³ are exact in any order); a fractional
+            // column's direct average could differ in the last ulp
+            case a: AttributeReference
+                if sums.contains(a.name.toLowerCase) &&
+                  (a.dataType == LongType || a.dataType == IntegerType) =>
+              Some(AvgOf(a.name.toLowerCase, al))
             case _ => None
           }
           case _ => None

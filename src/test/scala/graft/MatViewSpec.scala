@@ -35,13 +35,15 @@ class MatViewSpec extends SparkSpec {
       spark, graft.plans.MatViewRewrite)
     spark.read.format("graft-lake").option("path", src).load()
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+        avg(col("o_cents")).as("avg_cents"))
   }
 
   private def expectedAgg(src: String) =
     Lake.read(spark, src)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+        avg(col("o_cents")).as("avg_cents"))
 
   private def kindOf(df: org.apache.spark.sql.DataFrame,
       src: String): String = {
@@ -88,7 +90,8 @@ class MatViewSpec extends SparkSpec {
       val q = spark.read.format("graft-lake").option("path", src).load()
         .filter(col("o_orderpriority") =!= "1-URGENT")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          avg(col("o_cents")).as("avg_cents"))
       assert(kindOf(q, src) === "direct")
       assert(rows(q) === rows(
         expectedAgg(src).filter(col("o_orderpriority") =!= "1-URGENT")))
@@ -165,10 +168,27 @@ class MatViewSpec extends SparkSpec {
         "grouping must match the declaration" ->
           lake().groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")),
         "sum over an undeclared column" ->
-          lake().groupBy(col("o_orderpriority")).agg(sum(col("o_orderkey")).as("s")))
+          lake().groupBy(col("o_orderpriority")).agg(sum(col("o_orderkey")).as("s")),
+        "avg over an undeclared column" ->
+          lake().groupBy(col("o_orderpriority")).agg(avg(col("o_orderkey")).as("a")))
       cases.foreach { case (why, df) =>
         assert(kindOf(df, src) === "none", why)
       }
+      // avg's exactness guard: a DOUBLE sum column serves sum() but
+      // refuses avg() (fractional double summation is order-sensitive,
+      // so register-sum ⊘ count is not provably bit-equal)
+      MatView.define(spark, src, src + "-view-dbl",
+        Seq("o_orderpriority"), Seq("o_totalprice"))
+      val sumDbl = lake().groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("s"))
+      assert(kindOf(sumDbl, src) === "direct")
+      val avgDbl = lake().groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(kindOf(avgDbl, src) === "none",
+        "avg over a fractional column must refuse")
+      // restore the long-register view for the time-travel case below
+      MatView.define(spark, src, src + "-view",
+        Seq("o_orderpriority"), Seq("o_cents"))
       // time travel below the build point never rewrites: advance the
       // source to v2 and rebuild the view there, then pin v1
       Lake.upsert(spark, src,
