@@ -352,6 +352,11 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.mvStaleSql)),
     ("x8_mv_refresh", graft.lake.LakeQueries.mvRefresh _,
       Some(graft.lake.LakeQueries.mvRefreshSql)),
+    // round-10: min/max registers through the insert-only feed — the
+    // delta log proves the missed slice append-only, so extrema
+    // rewrite as least/greatest against the feed
+    ("x8_mv_append", graft.lake.LakeQueries.mvAppend _,
+      Some(graft.lake.LakeQueries.mvAppendSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -490,6 +495,7 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
+    "x8_mv_append",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

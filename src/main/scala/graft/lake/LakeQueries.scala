@@ -1636,6 +1636,13 @@ object LakeQueries {
         Lake.delete(spark, dir,
           cur.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2)
             .select(col("o_orderkey")))
+        // v4: INSERT-ONLY append — the top decile re-keyed above the
+        // old maximum lands outside every file range, so the commit
+        // removes nothing (the delta log proves the slice insert-only
+        // for MatView's min/max feed maintenance)
+        Lake.upsert(spark, dir,
+          cur.filter(col("o_orderkey") > maxKey - maxKey / 10)
+            .withColumn("o_orderkey", col("o_orderkey") + maxKey))
         dir
       })).get
   }
@@ -1673,19 +1680,28 @@ object LakeQueries {
     }
   }
 
-  /** Shared mirror for the source's final (v3) state: low-band cents
-    * doubled, next band deleted (bands derived from the key domain
-    * exactly as the fixture derives them). */
+  /** The source's final (v4) state as a relational CTE: low-band
+    * cents doubled, next band deleted, top decile appended re-keyed
+    * (bands derived from the key domain exactly as the fixture
+    * derives them; the re-keyed copies keep their original cents). */
+  private val mvFinalStateCte: String =
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+      |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+      |  UNION ALL
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders, mx WHERE o_orderkey > b9)""".stripMargin
+
   private def mvFinalStateSql(flag: String): String =
-    s"""WITH mx AS (
-       |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2
-       |  FROM orders),
-       |final AS (
-       |  SELECT o_orderpriority,
-       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-       |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
-       |  FROM orders, mx
-       |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2))
+    s"""$mvFinalStateCte
        |SELECT o_orderpriority, count(*) AS n_orders,
        |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
        |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
@@ -1716,14 +1732,15 @@ object LakeQueries {
   val mvRewriteSql: String = mvFinalStateSql("mv_served")
 
   /** Registered query `x8_mv_stale` — STALE-VIEW COMPENSATION: the
-    * view is built AS OF v1 of the shared history (below the upsert
-    * and the delete), and the source aggregate runs WITHOUT a
-    * refresh. The rewrite serves `view ⊕ Σ(changes(v1 → v3])` —
-    * stored registers plus the change feed's signed contributions
-    * (updates AND deletes, both signs), reading only the commits the
-    * view missed, never the full table. `mv_compensated` pins that
-    * the compensated path (not a direct scan, not the stale
-    * registers) produced the hashed numbers. */
+    * view is built AS OF v1 of the shared history (below the upsert,
+    * the delete, and the append), and the source aggregate runs
+    * WITHOUT a refresh. The rewrite serves
+    * `view ⊕ Σ(changes(v1 → v4])` — stored registers plus the change
+    * feed's signed contributions (updates, deletes, AND inserts, both
+    * signs), reading only the commits the view missed, never the full
+    * table. `mv_compensated` pins that the compensated path (not a
+    * direct scan, not the stale registers) produced the hashed
+    * numbers. */
   def mvStale(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
     graft.lake.MatView.define(spark, src, src + "-view-stale",
@@ -1741,16 +1758,66 @@ object LakeQueries {
     * change feed (ONE atomic merge commit: upsert changed groups,
     * delete emptied ones, advance the recorded version) before the
     * query runs — which must then plan as a DIRECT view scan again.
-    * The refreshed registers themselves are what the driver hashes. */
+    * The missed slice holds deletes, so the refresh takes the
+    * MIN/MAX RECOMPUTE branch (affected groups re-derive extrema from
+    * the snapshot — the price min/max pays under deletes); the
+    * refreshed registers, min/max included, are what the driver
+    * hashes. */
   def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
     graft.lake.MatView.define(spark, src, src + "-view-refresh",
       Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 1L)
     graft.lake.MatView.refresh(spark, src)
-    val q = mvUserQuery(spark, src)
+    val q = mvUserQueryMinMax(spark, src)
     val direct = rewriteKind(q, src) == "direct"
     q.withColumn("mv_refreshed", lit(direct)).orderBy(col("o_orderpriority"))
   }
 
-  val mvRefreshSql: String = mvFinalStateSql("mv_refreshed")
+  val mvRefreshSql: String = mvMinMaxStateSql("mv_refreshed")
+
+  /** The user aggregate that ALSO asks for extrema — the registered
+    * form of the min/max register surface. */
+  private def mvUserQueryMinMax(spark: SparkSession, srcDir: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", srcDir).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"),
+        min(col("o_cents")).as("min_cents"),
+        max(col("o_cents")).as("max_cents"))
+  }
+
+  private def mvMinMaxStateSql(flag: String): String =
+    s"""$mvFinalStateCte
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(min(o_cents) AS BIGINT) AS min_cents,
+       |  CAST(max(o_cents) AS BIGINT) AS max_cents,
+       |  TRUE AS $flag
+       |FROM final
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_mv_append` — MIN/MAX THROUGH THE FEED: the
+    * view is built AS OF v3, and the only commit it misses is the v4
+    * INSERT-ONLY append (the delta log proves it removed nothing —
+    * [[MatView.appendOnlySlice]]). A query asking for min/max as well
+    * as count/sum still rewrites: extrema roll forward by
+    * least/greatest of the stored registers against the feed's
+    * per-group insert extrema — the append-only case where min/max
+    * ARE incrementally maintainable. Had the slice held a delete, the
+    * rule would refuse (MatViewSpec pins that), because a removed row
+    * may have been the extremum. `mv_minmax_feed` pins the
+    * compensated rewrite kind. */
+  def mvAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.define(spark, src, src + "-view-app",
+      Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 3L)
+    val q = mvUserQueryMinMax(spark, src)
+    val fed = rewriteKind(q, src) == "compensated"
+    q.withColumn("mv_minmax_feed", lit(fed)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvAppendSql: String = mvMinMaxStateSql("mv_minmax_feed")
 }

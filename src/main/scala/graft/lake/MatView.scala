@@ -53,11 +53,29 @@ object MatView {
   case class MvDef(sourceDir: String, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String], builtVersion: Long)
 
-  /** View-table column names: the count register and one sum register
-    * per declared column. Prefixed so they can never collide with
-    * source columns (graft identifiers are lowercase ASCII). */
+  /** View-table column names: the count register plus one sum, min,
+    * and max register per declared column. Prefixed so they can never
+    * collide with source columns (graft identifiers are lowercase
+    * ASCII). Sum/count are Σ-maintainable under ANY history; min/max
+    * are maintainable under INSERTS only (a delete can remove the
+    * extremum), so their maintenance and rewrite eligibility are
+    * gated on the delta log — see [[compensated]] and
+    * [[graft.plans.MatViewRewrite]]. */
   val countCol = "__mv_n"
   def sumCol(c: String): String = s"__mv_sum_$c"
+  def minCol(c: String): String = s"__mv_min_$c"
+  def maxCol(c: String): String = s"__mv_max_$c"
+
+  /** Is the source history over `(fromVersion, toVersion]` INSERT-ONLY?
+    * Decided from the delta log alone ([[Lake.history]]): every
+    * copy-on-write update or delete removes at least one file, so a
+    * slice whose commits removed nothing introduced rows and nothing
+    * else — the condition under which min/max roll forward by
+    * least/greatest against the feed. Metadata-sized, no data read. */
+  def appendOnlySlice(dir: String, fromVersion: Long, toVersion: Long): Boolean =
+    Lake.history(dir)
+      .filter(c => c.version > fromVersion && c.version <= toVersion)
+      .forall(_.removedFiles == 0)
 
   private val reg = new ConcurrentHashMap[String, MvDef]()
 
@@ -91,7 +109,8 @@ object MatView {
     }
     val agg = src.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(countCol),
-        sumCols.map(c => sum(col(c)).as(sumCol(c))): _*)
+        sumCols.flatMap(c => Seq(sum(col(c)).as(sumCol(c)),
+          min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))): _*)
     graft.Scratch.rm(new java.io.File(mvDir))
     Lake.create(agg, mvDir, groupCols.mkString(","), targetFiles = 1)
     val d = MvDef(sourceDir, mvDir, groupCols, sumCols, v)
@@ -126,6 +145,26 @@ object MatView {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** How a compensation/refresh derives the min/max registers for the
+    * rolled-forward view:
+    *  - [[MinMaxFeed]] — the missed slice is insert-only
+    *    ([[appendOnlySlice]]): least/greatest of the stored register
+    *    and the feed's per-group extremum. O(Δ).
+    *  - [[MinMaxRecompute]] — the slice holds updates/deletes: a
+    *    removed row may have BEEN the extremum, so the groups the
+    *    delta touched re-derive min/max from the source snapshot
+    *    (filtered to those groups — the price min/max pays under
+    *    deletes in every IVM system). Used by [[refresh]] only.
+    *  - [[MinMaxNone]] — don't produce min/max columns at all. The
+    *    rewrite rule uses this when the query asks only for
+    *    Σ-maintainable aggregates, keeping the compensation plan
+    *    feed-sized whatever the slice contains.
+    */
+  private[graft] sealed trait MinMaxMode
+  private[graft] case object MinMaxFeed extends MinMaxMode
+  private[graft] case object MinMaxRecompute extends MinMaxMode
+  private[graft] case object MinMaxNone extends MinMaxMode
+
   /** The view's rows rolled forward by the source's change feed over
     * `(fromVersion, toVersion]` — the shared Σ-maintenance plan both
     * [[refresh]] (which then commits it) and the rewrite rule's
@@ -133,26 +172,62 @@ object MatView {
     * whose row count reaches zero are dropped (a group with no rows
     * does not appear in a real aggregate). */
   private[graft] def compensated(spark: SparkSession, d: MvDef,
-      toVersion: Long): DataFrame = {
-    val delta = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+      toVersion: Long, minMax: MinMaxMode = MinMaxNone): DataFrame = {
+    val feed = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    val insertExtrema: Seq[org.apache.spark.sql.Column] =
+      if (minMax != MinMaxFeed) Nil
+      else d.sumCols.flatMap(c => Seq(
+        min(when(col("_change_type") === "insert", col(c))).as(s"__dmin_$c"),
+        max(when(col("_change_type") === "insert", col(c))).as(s"__dmax_$c")))
+    val delta = feed
       .withColumn("__sign",
         when(col("_change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L))
       .groupBy(d.groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),
-        d.sumCols.map(c =>
-          sum(col("__sign") * col(c)).as(s"__ds_$c")): _*)
+        (d.sumCols.map(c =>
+          sum(col("__sign") * col(c)).as(s"__ds_$c")) ++ insertExtrema): _*)
     val cur = Lake.read(spark, d.mvDir)
-    cur.join(delta, d.groupCols, "full_outer")
+    val rolled = cur.join(delta, d.groupCols, "full_outer")
       .select(d.groupCols.map(col) ++
         Seq((coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as(countCol)) ++
-        d.sumCols.map { c =>
-          (coalesce(col(sumCol(c)), lit(0L).cast(cur.schema(sumCol(c)).dataType)) +
-            coalesce(col(s"__ds_$c"), lit(0L).cast(cur.schema(sumCol(c)).dataType)))
-            .as(sumCol(c))
+        d.sumCols.flatMap { c =>
+          val sumPart =
+            (coalesce(col(sumCol(c)), lit(0L).cast(cur.schema(sumCol(c)).dataType)) +
+              coalesce(col(s"__ds_$c"), lit(0L).cast(cur.schema(sumCol(c)).dataType)))
+              .as(sumCol(c))
+          minMax match {
+            // least/greatest skip nulls, so a group new to the feed
+            // takes the feed extremum and an untouched group keeps
+            // its stored register
+            case MinMaxFeed => Seq(sumPart,
+              least(col(minCol(c)), col(s"__dmin_$c")).as(minCol(c)),
+              greatest(col(maxCol(c)), col(s"__dmax_$c")).as(maxCol(c)))
+            case MinMaxRecompute => Seq(sumPart,
+              col(minCol(c)).as(minCol(c)), col(maxCol(c)).as(maxCol(c)))
+            case MinMaxNone => Seq(sumPart)
+          }
         }: _*)
       .filter(col(countCol) > 0L)
+    minMax match {
+      case MinMaxRecompute =>
+        // groups the delta touched re-derive min/max from the source
+        // snapshot; untouched groups carry their stored registers
+        val affected = feed.select(d.groupCols.map(col): _*).distinct()
+        val recAggs = d.sumCols.flatMap(c => Seq(
+          min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
+        val rec = Lake.read(spark, d.sourceDir, toVersion)
+          .join(broadcast(affected), d.groupCols, "left_semi")
+          .groupBy(d.groupCols.map(col): _*)
+          .agg(recAggs.head, recAggs.tail: _*)
+        rolled.join(rec, d.groupCols, "left_outer")
+          .select(d.groupCols.map(col) ++ Seq(col(countCol)) ++
+            d.sumCols.flatMap(c => Seq(col(sumCol(c)),
+              coalesce(col(s"__rmin_$c"), col(minCol(c))).as(minCol(c)),
+              coalesce(col(s"__rmax_$c"), col(maxCol(c))).as(maxCol(c)))): _*)
+      case _ => rolled
+    }
   }
 
   /** Incrementally roll the view forward to the source's CURRENT
@@ -168,7 +243,12 @@ object MatView {
     val v = Lake.latestVersion(sourceDir)
     if (v == d.builtVersion) return d
     require(v > d.builtVersion, s"source $sourceDir regressed below MV build")
-    val next = compensated(spark, d, v).persist()
+    // insert-only slice → min/max roll via the feed; otherwise the
+    // affected groups recompute from the snapshot (delta-log decided)
+    val mode =
+      if (appendOnlySlice(sourceDir, d.builtVersion, v)) MinMaxFeed
+      else MinMaxRecompute
+    val next = compensated(spark, d, v, mode).persist()
     try {
       val cur = Lake.read(spark, d.mvDir)
       // emptied groups: present now, absent from the rolled-forward view

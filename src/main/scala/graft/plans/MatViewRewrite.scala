@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Average, Complete, Count, Sum}
+  Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
@@ -100,6 +100,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private case class CountAll(orig: NamedExpression) extends Ask
   private case class SumOf(name: String, orig: NamedExpression) extends Ask
   private case class AvgOf(name: String, orig: NamedExpression) extends Ask
+  private case class MinOf(name: String, orig: NamedExpression) extends Ask
+  private case class MaxOf(name: String, orig: NamedExpression) extends Ask
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     chain <- peel(agg.child)
@@ -110,12 +112,22 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     if chain.filters.forall(f =>
       f.references.forall(a => groupNames.contains(a.name.toLowerCase)))
     asks <- classify(agg.aggregateExpressions, d, groupNames)
+    wantsExtrema = asks.exists {
+      case _: MinOf | _: MaxOf => true
+      case _ => false
+    }
+    // stale min/max only when the delta log proves the missed slice
+    // insert-only — otherwise a delete may have removed the extremum
+    // and only a recompute (a refresh, not a rewrite) can restore it
+    if chain.version == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
   } yield {
     val spark = SparkSession.active
     val fresh = chain.version == d.builtVersion
     val base =
       if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
-      else MatView.compensated(spark, d, chain.version)
+      else MatView.compensated(spark, d, chain.version,
+        if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
     val analyzed = base.queryExecution.analyzed
     val byName = analyzed.output.map(a => a.name.toLowerCase -> a).toMap
     val transposed = chain.filters.foldLeft(analyzed: LogicalPlan) { (p, c) =>
@@ -150,6 +162,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
           Cast(byName(MatView.sumCol(n)), DoubleType),
           Cast(byName(MatView.countCol), DoubleType),
           EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
+      case MinOf(n, orig) =>
+        Alias(byName(MatView.minCol(n)), orig.name)(exprId = orig.exprId)
+      case MaxOf(n, orig) =>
+        Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
     }
     MatView.lastRewrite.set(
       (chain.dir, if (fresh) "direct" else "compensated"))
@@ -198,6 +214,20 @@ object MatViewRewrite extends Rule[LogicalPlan] {
                 if sums.contains(a.name.toLowerCase) &&
                   (a.dataType == LongType || a.dataType == IntegerType) =>
               Some(AvgOf(a.name.toLowerCase, al))
+            case _ => None
+          }
+          // min/max registers exist for every declared column (exact
+          // copies of values, order-independent for any type); their
+          // STALE eligibility is gated later on the slice being
+          // insert-only — a delete could have removed the extremum
+          case m: Min => m.child match {
+            case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
+              Some(MinOf(a.name.toLowerCase, al))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
+              Some(MaxOf(a.name.toLowerCase, al))
             case _ => None
           }
           case _ => None

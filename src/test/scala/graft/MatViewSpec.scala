@@ -150,6 +150,61 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
+  test("min/max registers: fresh serve, append-only feed, delete refusal, recompute on refresh") {
+    val src = buildSource("minmax")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      def userQ() = {
+        org.apache.spark.sql.GraftSqlShim.addOptimization(
+          spark, graft.plans.MatViewRewrite)
+        spark.read.format("graft-lake").option("path", src).load()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), min(col("o_cents")).as("mn"),
+            max(col("o_cents")).as("mx"))
+      }
+      def expectedQ() = Lake.read(spark, src)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_cents")).as("mn"),
+          max(col("o_cents")).as("mx"))
+      // FRESH: extrema come straight off the registers
+      val fresh = userQ()
+      assert(kindOf(fresh, src) === "direct")
+      assert(rows(fresh) === rows(expectedQ()))
+      // APPEND-ONLY commit (re-keyed above the old max, tripled cents
+      // so the appended rows MOVE the extrema): still rewrites —
+      // least/greatest against the feed
+      val cur = Lake.read(spark, src)
+      val mxKey = cur.agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.upsert(spark, src,
+        cur.filter(col("o_orderkey") > mxKey - 100)
+          .withColumn("o_orderkey", col("o_orderkey") + mxKey)
+          .withColumn("o_cents", col("o_cents") * 3))
+      val fed = userQ()
+      assert(kindOf(fed, src) === "compensated",
+        "an insert-only slice must still serve min/max")
+      assert(rows(fed) === rows(expectedQ()))
+      // a DELETE in the slice: min/max refuse (the extremum may be
+      // gone), Σ-only aggregates still compensate
+      Lake.delete(spark, src,
+        Lake.read(spark, src).filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey")))
+      assert(kindOf(userQ(), src) === "none",
+        "min/max must refuse once the missed slice holds a delete")
+      val sumsOnly = spark.read.format("graft-lake").option("path", src).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))
+      assert(kindOf(sumsOnly, src) === "compensated",
+        "Σ-maintainable asks keep compensating through the same slice")
+      // REFRESH across the delete takes the recompute branch; the
+      // view then serves min/max directly and exactly
+      MatView.refresh(spark, src)
+      val after = userQ()
+      assert(kindOf(after, src) === "direct")
+      assert(rows(after) === rows(expectedQ()))
+    } finally MatView.unregister(src)
+  }
+
   test("refusals: min/max, count(col), distinct, wrong grouping, time travel") {
     val src = buildSource("refuse")
     MatView.define(spark, src, src + "-view",
@@ -159,8 +214,8 @@ class MatViewSpec extends SparkSpec {
       org.apache.spark.sql.GraftSqlShim.addOptimization(
         spark, graft.plans.MatViewRewrite)
       val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "max is not Σ-maintainable" ->
-          lake().groupBy(col("o_orderpriority")).agg(max(col("o_cents")).as("m")),
+        "max over an undeclared column" ->
+          lake().groupBy(col("o_orderpriority")).agg(max(col("o_orderkey")).as("m")),
         "count(col) skips nulls, registers do not" ->
           lake().groupBy(col("o_orderpriority")).agg(count(col("o_cents")).as("n")),
         "distinct sum has no register" ->
