@@ -357,6 +357,10 @@ object SparkEntry {
     // rewrite as least/greatest against the feed
     ("x8_mv_append", graft.lake.LakeQueries.mvAppend _,
       Some(graft.lake.LakeQueries.mvAppendSql)),
+    // round-10: partial rollup answering — a finer-grained view serves
+    // the coarser aggregate by re-aggregating its registers
+    ("x8_mv_rollup", graft.lake.LakeQueries.mvRollup _,
+      Some(graft.lake.LakeQueries.mvRollupSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -495,7 +499,7 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
-    "x8_mv_append",
+    "x8_mv_append", "x8_mv_rollup",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

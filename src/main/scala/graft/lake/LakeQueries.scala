@@ -1820,4 +1820,24 @@ object LakeQueries {
   }
 
   val mvAppendSql: String = mvMinMaxStateSql("mv_minmax_feed")
+
+  /** Registered query `x8_mv_rollup` — PARTIAL ROLLUP ANSWERING: the
+    * view is declared at a FINER grain than the query asks for
+    * (grouped by priority × status), and the rewrite serves the
+    * priority-only aggregate by RE-AGGREGATING the registers — sum of
+    * sums, sum of counts, min of mins, max of maxes, all exact by
+    * associativity — over view-sized rows, never the fact table. This
+    * is the classic "answering queries using views" rollup case: one
+    * fine-grained view serves the whole dimension lattice below it.
+    * `mv_rollup` pins the `direct-rollup` rewrite kind. */
+  def mvRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.define(spark, src, src + "-view-2d",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_cents"))
+    val q = mvUserQueryMinMax(spark, src)
+    val rolled = rewriteKind(q, src) == "direct-rollup"
+    q.withColumn("mv_rollup", lit(rolled)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvRollupSql: String = mvMinMaxStateSql("mv_rollup")
 }

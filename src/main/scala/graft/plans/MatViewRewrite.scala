@@ -108,9 +108,13 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     d <- MatView.get(chain.dir)
     // time travel below the view's build point: the view is too new
     if chain.version >= d.builtVersion
-    groupNames <- groupedOnExactly(agg, d.groupCols)
+    groupNames <- groupedOnSubset(agg, d.groupCols)
+    // filters may reference ANY declared group column — a filter on a
+    // dimension the query rolls AWAY still commutes: it applies to the
+    // view rows before the re-aggregation
+    declaredNames = d.groupCols.map(_.toLowerCase).toSet
     if chain.filters.forall(f =>
-      f.references.forall(a => groupNames.contains(a.name.toLowerCase)))
+      f.references.forall(a => declaredNames.contains(a.name.toLowerCase)))
     asks <- classify(agg.aggregateExpressions, d, groupNames)
     wantsExtrema = asks.exists {
       case _: MinOf | _: MaxOf => true
@@ -128,13 +132,41 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
       else MatView.compensated(spark, d, chain.version,
         if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
-    val analyzed = base.queryExecution.analyzed
-    val byName = analyzed.output.map(a => a.name.toLowerCase -> a).toMap
-    val transposed = chain.filters.foldLeft(analyzed: LogicalPlan) { (p, c) =>
+    val analyzedBase = base.queryExecution.analyzed
+    val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
+    val transposed = chain.filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
       Filter(c.transform {
-        case a: AttributeReference => byName(a.name.toLowerCase)
+        case a: AttributeReference => byBase(a.name.toLowerCase)
       }, p)
     }
+    // PARTIAL ROLLUP: grouping by a strict subset of the declaration
+    // (including the empty set — the global aggregate) re-aggregates
+    // the registers — sum of sums, sum of counts, min of mins, max of
+    // maxes; all exact, register algebra is associative. The
+    // re-aggregation runs over view-sized rows, never the fact table.
+    val exact = groupNames == declaredNames
+    val served: LogicalPlan =
+      if (exact) transposed
+      else {
+        import org.apache.spark.sql.functions.{coalesce, lit, max => fmax,
+          min => fmin, sum => fsum, col => fcol}
+        val fdf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, transposed)
+        // a GLOBAL aggregate over zero surviving rows must yield
+        // count = 0 (sum/min/max stay NULL, like the direct plan)
+        val regAggs = coalesce(fsum(fcol(MatView.countCol)), lit(0L))
+          .as(MatView.countCol) +:
+          d.sumCols.flatMap { c =>
+            fsum(fcol(MatView.sumCol(c))).as(MatView.sumCol(c)) +:
+              (if (wantsExtrema)
+                Seq(fmin(fcol(MatView.minCol(c))).as(MatView.minCol(c)),
+                  fmax(fcol(MatView.maxCol(c))).as(MatView.maxCol(c)))
+              else Nil)
+          }
+        fdf.groupBy(groupNames.toSeq.sorted.map(fcol): _*)
+          .agg(regAggs.head, regAggs.tail: _*)
+          .queryExecution.analyzed
+      }
+    val byName = served.output.map(a => a.name.toLowerCase -> a).toMap
     // Substitute a FULLY OPTIMIZED subplan: in the
     // `extraOptimizations` placement this rule runs after
     // `V2ScanRelationPushDown`, so a raw V2 relation injected here
@@ -143,7 +175,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // the view scan's own manifest pruning. Root output exprIds
     // survive optimization, so `byName`'s attributes stay valid.
     val optimized = org.apache.spark.sql.GraftSqlShim
-      .ofRows(spark, transposed).queryExecution.optimizedPlan
+      .ofRows(spark, served).queryExecution.optimizedPlan
     val projections: Seq[NamedExpression] = asks.map {
       case GroupRef(n, orig) =>
         Alias(byName(n), orig.name)(exprId = orig.exprId,
@@ -167,21 +199,24 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case MaxOf(n, orig) =>
         Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
     }
-    MatView.lastRewrite.set(
-      (chain.dir, if (fresh) "direct" else "compensated"))
+    MatView.lastRewrite.set((chain.dir,
+      (if (fresh) "direct" else "compensated") +
+        (if (exact) "" else "-rollup")))
     Project(projections, optimized)
   }
 
   /** The query's group-column names (lowercased) when it groups on
-    * bare columns equal, as a set, to the view's declaration. */
-  private def groupedOnExactly(agg: Aggregate,
+    * bare columns forming a SUBSET of the view's declaration — equal
+    * (direct serve), strict subset (partial rollup), or empty (the
+    * global aggregate). */
+  private def groupedOnSubset(agg: Aggregate,
       declared: Seq[String]): Option[Set[String]] = {
     val names = agg.groupingExpressions.map {
       case a: AttributeReference => Some(a.name.toLowerCase)
       case _ => None
     }
     if (names.forall(_.isDefined) &&
-      names.flatten.toSet == declared.map(_.toLowerCase).toSet)
+      names.flatten.toSet.subsetOf(declared.map(_.toLowerCase).toSet))
       Some(names.flatten.toSet)
     else None
   }

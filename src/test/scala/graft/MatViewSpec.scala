@@ -205,6 +205,47 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
+  test("partial rollup: subset grouping, rolled-away filter, global aggregate") {
+    val src = buildSource("rollup")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_cents"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", src).load()
+      // subset grouping re-aggregates the registers
+      val byPrio = lake().groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"),
+          avg(col("o_cents")).as("av"))
+      assert(kindOf(byPrio, src) === "direct-rollup")
+      val expPrio = Lake.read(spark, src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"),
+          avg(col("o_cents")).as("av"))
+      assert(rows(byPrio) === rows(expPrio))
+      // a filter on the ROLLED-AWAY dimension still serves: it applies
+      // to the view rows before the re-aggregation
+      val filtered = lake().filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))
+      assert(kindOf(filtered, src) === "direct-rollup")
+      assert(rows(filtered) === rows(
+        Lake.read(spark, src).filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))))
+      // the GLOBAL aggregate is the empty-subset rollup
+      val global = lake().agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))
+      assert(kindOf(global, src) === "direct-rollup")
+      assert(global.head().getLong(0) === Lake.read(spark, src).count())
+      // a SUPERSET grouping (column outside the declaration) refuses
+      val superset = lake()
+        .groupBy(col("o_orderpriority"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(superset, src) === "none")
+    } finally MatView.unregister(src)
+  }
+
   test("refusals: min/max, count(col), distinct, wrong grouping, time travel") {
     val src = buildSource("refuse")
     MatView.define(spark, src, src + "-view",
