@@ -193,6 +193,15 @@ class StreamingSpec extends SparkSpec {
 
   test("crash recovery (deterministic): the dropped commit's batch re-runs and its sink txn no-ops") {
     val sf = "/root/testdata/sf0.001"
+    // pin the batch COUNT deterministic: under host load the engine
+    // may insert a no-data micro-batch to advance the watermark, which
+    // bumps the sink's txn marker past the asserted batch ids (seen
+    // once in a contended full-suite run; the landed DATA is identical
+    // either way). Data batches alone are what this test counts.
+    val noDataPrior = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
     // private two-file source: phase 1 deterministically lands batches
     // 0..1, the crash drops commit 1, phase 2 (files 3..4 added)
     // replays batch 1 and continues
@@ -238,6 +247,8 @@ class StreamingSpec extends SparkSpec {
       .get.filter(_.getName.forall(_.isDigit)).map(_.getName.toLong).sorted
     assert(commits.toSeq === Seq(0L, 1L, 2L, 3L),
       s"commit log after kill/restart: ${commits.toSeq}")
+    } finally spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", noDataPrior)
   }
 
   test("x6_stream_session: watermark-finalized landing + tail completion equals batch sessionize") {
