@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.StarQueries
+import graft.analytics.{StarQueries, TpchShapes}
 import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextStats}
 import graft.ops.{ContestData, ContestQueries, CountyRollup}
 
@@ -55,6 +55,20 @@ object SparkEntry {
     ("q17_small_qty", StarQueries.smallQtyRevenue _, Some(StarQueries.smallQtyRevenueSql)),
     ("q19_disjunctive", StarQueries.disjunctiveRevenue _, Some(StarQueries.disjunctiveRevenueSql)),
     ("q22_dormant_rich", StarQueries.dormantRich _, Some(StarQueries.dormantRichSql)),
+    // round-10 session-III: the remaining 11 TPC-H shapes (Q2/Q4/Q6/
+    // Q9/Q11/Q12/Q13/Q15/Q16/Q20/Q21 adapted per TpchShapes' ground
+    // rules) — the full 22-query sweep is now registered
+    ("q2_min_cost_supp", TpchShapes.minCostSupplier _, Some(TpchShapes.minCostSupplierSql)),
+    ("q4_priority_check", TpchShapes.priorityCheck _, Some(TpchShapes.priorityCheckSql)),
+    ("q6_revenue_forecast", TpchShapes.revenueForecast _, Some(TpchShapes.revenueForecastSql)),
+    ("q9_product_profit", TpchShapes.productProfit _, Some(TpchShapes.productProfitSql)),
+    ("q11_important_stock", TpchShapes.importantStock _, Some(TpchShapes.importantStockSql)),
+    ("q12_priority_lines", TpchShapes.priorityLines _, Some(TpchShapes.priorityLinesSql)),
+    ("q13_cust_distribution", TpchShapes.custDistribution _, Some(TpchShapes.custDistributionSql)),
+    ("q15_top_supplier", TpchShapes.topSupplier _, Some(TpchShapes.topSupplierSql)),
+    ("q16_supplier_counts", TpchShapes.supplierCounts _, Some(TpchShapes.supplierCountsSql)),
+    ("q20_potential_promo", TpchShapes.potentialPromo _, Some(TpchShapes.potentialPromoSql)),
+    ("q21_waiting_supplier", TpchShapes.waitingSupplier _, Some(TpchShapes.waitingSupplierSql)),
     ("x8_join_star", StarQueries.revenueByNation _, Some(StarQueries.revenueByNationSql)),
     ("x8_join_enrich", StarQueries.segmentNationSales _, Some(StarQueries.segmentNationSalesSql)),
     ("x8_semi_join", StarQueries.bigOrderCustomers _, Some(StarQueries.bigOrderCustomersSql)),
