@@ -375,6 +375,13 @@ object SparkEntry {
     // the coarser aggregate by re-aggregating its registers
     ("x8_mv_rollup", graft.lake.LakeQueries.mvRollup _,
       Some(graft.lake.LakeQueries.mvRollupSql)),
+    // round-10: STAR-JOIN views — the optimizer answers a raw
+    // fact ⋈ dim aggregate from a pre-joined rollup (fresh), or from
+    // view ⊕ (Δfact ⋈ pinned dim) when the fact moved on (stale)
+    ("x8_mv_join", graft.lake.LakeQueries.mvJoin _,
+      Some(graft.lake.LakeQueries.mvJoinSql)),
+    ("x8_mv_join_stale", graft.lake.LakeQueries.mvJoinStale _,
+      Some(graft.lake.LakeQueries.mvJoinStaleSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -513,7 +520,7 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
-    "x8_mv_append", "x8_mv_rollup",
+    "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

@@ -1840,4 +1840,114 @@ object LakeQueries {
   }
 
   val mvRollupSql: String = mvMinMaxStateSql("mv_rollup")
+
+  // ---- star-join materialized views --------------------------------------
+
+  /** The customer DIMENSION as a lake table beside the shared MV
+    * source history — built on demand (an existence check, not a
+    * memo: the content is a pure function of sfDir and the dir is
+    * sfDir-keyed, so a rebuild after a cold-pass teardown is the only
+    * cost). */
+  private def mvDim(spark: SparkSession, sfDir: String, src: String): String = {
+    val dimDir = src + "-dim"
+    if (Lake.latestVersion(dimDir) == 0L)
+      Lake.create(Tables.customer(spark, sfDir), dimDir, "c_custkey",
+        targetFiles = 1)
+    dimDir
+  }
+
+  /** The user aggregate the star-view queries issue: the RAW
+    * fact ⋈ dim join grouped by a dimension attribute — no view
+    * mentioned anywhere; the optimizer must recognize the join. */
+  private def mvJoinUserQuery(spark: SparkSession, srcDir: String,
+      dimDir: String): DataFrame = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", srcDir).load()
+    val dim = spark.read.format("graft-lake").option("path", dimDir).load()
+    fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"),
+        avg(col("o_cents")).as("avg_cents"))
+  }
+
+  private def mvJoinStateSql(flag: String): String =
+    s"""$mvFinalStateJoinCte
+       |SELECT c_mktsegment, count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
+       |  TRUE AS $flag
+       |FROM final JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** [[mvFinalStateCte]] with the join key carried through. */
+  private val mvFinalStateJoinCte: String =
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+      |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+      |  UNION ALL
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders, mx WHERE o_orderkey > b9)""".stripMargin
+
+  /** Registered query `x8_mv_join` — STAR-JOIN VIEW, fresh case
+    * (round 10): the view materializes `orders ⋈ customer` rolled up
+    * by market segment ([[MatView.defineJoined]], dimension version
+    * pinned at build), and the registered aggregate — written as the
+    * RAW join of the two lake tables, no view mentioned — is answered
+    * by the optimizer from the view: [[graft.plans.MatViewRewrite]]
+    * matches the inner single-equality join of the registered
+    * (fact, dim) pair, checks the dim pins the SAME version the
+    * registers were computed against, drops the Catalyst-inferred
+    * `IsNotNull(key)` conjuncts (implied by the join inside the view
+    * build), and collapses the whole join+aggregate to the 5-row view
+    * scan. `mv_join` pins the `direct-join` rewrite kind into the
+    * hashed result; the DuckDB mirror joins raw orders (derived v4
+    * state) with customer, so the rewrite must be value-invisible. */
+  def mvJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    val dim = mvDim(spark, sfDir, src)
+    graft.lake.MatView.defineJoined(spark, src, dim,
+      "o_custkey", "c_custkey", src + "-view-join",
+      Seq("c_mktsegment"), Seq("o_cents"))
+    val q = mvJoinUserQuery(spark, src, dim)
+    val served = rewriteKind(q, src) == "direct-join"
+    q.withColumn("mv_join", lit(served)).orderBy(col("c_mktsegment"))
+  }
+
+  val mvJoinSql: String = mvJoinStateSql("mv_join")
+
+  /** Registered query `x8_mv_join_stale` — STAR-JOIN COMPENSATION: the
+    * join view is built AS OF fact v1 (below the upsert, the delete,
+    * and the append) and never refreshed; the raw-join aggregate is
+    * served as `view ⊕ Σ(Δfact ⋈ dim)` — the fact change feed joined
+    * with the PINNED dimension snapshot, signed, and re-aggregated
+    * with the stored registers. Σ-maintenance through the join is
+    * exact because the join key is a fact column and the dimension is
+    * static at its pinned version: each change row maps to ≤1 dim row
+    * or drops exactly as it dropped from the view. Cost stays
+    * O(view + Δfact), never a re-join of the full fact table.
+    * `mv_join_compensated` pins the rewrite kind. */
+  def mvJoinStale(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    val dim = mvDim(spark, sfDir, src)
+    graft.lake.MatView.defineJoined(spark, src, dim,
+      "o_custkey", "c_custkey", src + "-view-join-stale",
+      Seq("c_mktsegment"), Seq("o_cents"), asOfVersion = 1L)
+    val q = mvJoinUserQuery(spark, src, dim)
+    val compensated = rewriteKind(q, src) == "compensated-join"
+    q.withColumn("mv_join_compensated", lit(compensated))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val mvJoinStaleSql: String = mvJoinStateSql("mv_join_compensated")
 }

@@ -48,10 +48,25 @@ import org.apache.spark.sql.functions._
   */
 object MatView {
 
+  /** STAR-JOIN view dimension: the view pre-joins `sourceDir ⋈ dimDir
+    * ON factKey = dimKey` before aggregating, and `dimVersion` pins
+    * the dimension snapshot the registers were computed against.
+    * Σ-maintenance through the FACT feed stays exact because the join
+    * key is a fact column and the dimension is static at its pinned
+    * version: every fact change row maps to at most one dimension row
+    * (or drops, exactly as it dropped from the view), so signed
+    * contributions survive the join unchanged. A query against a
+    * DIFFERENT dimension version refuses — dimension churn invalidates
+    * the registers and only a re-define can absorb it. */
+  case class DimSpec(dimDir: String, factKey: String, dimKey: String,
+      dimVersion: Long)
+
   /** One registered view: `mvDir` holds the aggregate of
-    * `sourceDir` grouped by `groupCols`, as of source `builtVersion`. */
+    * `sourceDir` (pre-joined with `dim` when present) grouped by
+    * `groupCols`, as of source `builtVersion`. */
   case class MvDef(sourceDir: String, mvDir: String,
-      groupCols: Seq[String], sumCols: Seq[String], builtVersion: Long)
+      groupCols: Seq[String], sumCols: Seq[String], builtVersion: Long,
+      dim: Option[DimSpec] = None)
 
   /** View-table column names: the count register plus one sum, min,
     * and max register per declared column. Prefixed so they can never
@@ -79,6 +94,11 @@ object MatView {
 
   private val reg = new ConcurrentHashMap[String, MvDef]()
 
+  /** Registry key: plain views key on the source dir; joined views on
+    * source⋈dim, so one source can carry both kinds simultaneously. */
+  private def regKey(sourceDir: String, dimDir: Option[String]): String =
+    dimDir.fold(sourceDir)(d => s"$sourceDir|$d")
+
   /** Last rewrite the optimizer rule performed: (source dir,
     * "direct" | "compensated") — the observability device the
     * registered queries pin into their result rows and the specs
@@ -86,8 +106,12 @@ object MatView {
   val lastRewrite = new AtomicReference[(String, String)]()
 
   def get(sourceDir: String): Option[MvDef] = Option(reg.get(sourceDir))
+  def getJoined(sourceDir: String, dimDir: String): Option[MvDef] =
+    Option(reg.get(regKey(sourceDir, Some(dimDir))))
   def isEmpty: Boolean = reg.isEmpty
   def unregister(sourceDir: String): Unit = reg.remove(sourceDir)
+  def unregisterJoined(sourceDir: String, dimDir: String): Unit =
+    reg.remove(regKey(sourceDir, Some(dimDir)))
   def clear(): Unit = reg.clear()
 
   /** Build the view table from a source snapshot (the current one, or
@@ -97,11 +121,42 @@ object MatView {
     * existing view at `mvDir` is replaced. */
   def define(spark: SparkSession, sourceDir: String, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
+      asOfVersion: Long = 0L): MvDef =
+    defineImpl(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion, None)
+
+  /** STAR-JOIN view: materialize `source ⋈ dim ON factKey = dimKey`
+    * (inner, dim broadcast) aggregated by `groupCols` — columns from
+    * EITHER side. The dimension pins at its current version; queries
+    * joining a different dim version refuse to rewrite, and refresh
+    * compensates fact changes only (see [[DimSpec]]). */
+  def defineJoined(spark: SparkSession, sourceDir: String, dimDir: String,
+      factKey: String, dimKey: String, mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
       asOfVersion: Long = 0L): MvDef = {
+    val dv = Lake.latestVersion(dimDir)
+    require(dv > 0L, s"no lake table at $dimDir")
+    defineImpl(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion,
+      Some(DimSpec(dimDir, factKey, dimKey, dv)))
+  }
+
+  /** The view's input frame at a source version: the fact read, joined
+    * with the pinned dimension for star views. */
+  private def sourceFrame(spark: SparkSession, sourceDir: String,
+      version: Long, dim: Option[DimSpec]): DataFrame = {
+    val fact = Lake.read(spark, sourceDir, version)
+    dim.fold(fact) { ds =>
+      fact.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
+        col(ds.factKey) === col(ds.dimKey))
+    }
+  }
+
+  private def defineImpl(spark: SparkSession, sourceDir: String,
+      mvDir: String, groupCols: Seq[String], sumCols: Seq[String],
+      asOfVersion: Long, dim: Option[DimSpec]): MvDef = {
     require(groupCols.nonEmpty && sumCols.nonEmpty, "empty MV definition")
     val v = if (asOfVersion == 0L) Lake.latestVersion(sourceDir) else asOfVersion
     require(v > 0L, s"no lake table at $sourceDir")
-    val src = Lake.read(spark, sourceDir, v)
+    val src = sourceFrame(spark, sourceDir, v, dim)
     val numeric = Set("integer", "long", "double")
     sumCols.foreach { c =>
       val dt = src.schema(c).dataType.typeName
@@ -113,9 +168,9 @@ object MatView {
           min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))): _*)
     graft.Scratch.rm(new java.io.File(mvDir))
     Lake.create(agg, mvDir, groupCols.mkString(","), targetFiles = 1)
-    val d = MvDef(sourceDir, mvDir, groupCols, sumCols, v)
+    val d = MvDef(sourceDir, mvDir, groupCols, sumCols, v, dim)
     writeSidecar(d)
-    reg.put(sourceDir, d)
+    reg.put(regKey(sourceDir, dim.map(_.dimDir)), d)
     d
   }
 
@@ -127,18 +182,24 @@ object MatView {
     val kv = lines.filter(_.contains("=")).map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
+    val dim = kv.get("dimDir").map(dd =>
+      DimSpec(dd, kv("factKey"), kv("dimKey"), kv("dimVersion").toLong))
     val d = MvDef(kv("source"), mvDir, kv("group").split(",").toSeq,
-      kv("sums").split(",").toSeq, kv("builtVersion").toLong)
-    reg.put(d.sourceDir, d)
+      kv("sums").split(",").toSeq, kv("builtVersion").toLong, dim)
+    reg.put(regKey(d.sourceDir, dim.map(_.dimDir)), d)
     d
   }
 
   private def writeSidecar(d: MvDef): Unit = {
     val p = java.nio.file.Paths.get(d.mvDir, "_mv")
     val tmp = java.nio.file.Paths.get(d.mvDir, "_mv.tmp")
+    val dimLines = d.dim.fold("")(ds =>
+      s"dimDir=${ds.dimDir}\nfactKey=${ds.factKey}\ndimKey=${ds.dimKey}\n" +
+        s"dimVersion=${ds.dimVersion}\n")
     java.nio.file.Files.write(tmp,
       (s"source=${d.sourceDir}\ngroup=${d.groupCols.mkString(",")}\n" +
-        s"sums=${d.sumCols.mkString(",")}\nbuiltVersion=${d.builtVersion}\n")
+        s"sums=${d.sumCols.mkString(",")}\nbuiltVersion=${d.builtVersion}\n" +
+        dimLines)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -173,7 +234,15 @@ object MatView {
     * does not appear in a real aggregate). */
   private[graft] def compensated(spark: SparkSession, d: MvDef,
       toVersion: Long, minMax: MinMaxMode = MinMaxNone): DataFrame = {
-    val feed = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    // star views join the FACT feed with the pinned dimension before
+    // re-aggregating: each change row maps to ≤1 dim row (or drops,
+    // exactly as it dropped from the view), so the signed contribution
+    // algebra is unchanged and dim group columns become available
+    val factFeed = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    val feed = d.dim.fold(factFeed) { ds =>
+      factFeed.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
+        col(ds.factKey) === col(ds.dimKey))
+    }
     val insertExtrema: Seq[org.apache.spark.sql.Column] =
       if (minMax != MinMaxFeed) Nil
       else d.sumCols.flatMap(c => Seq(
@@ -217,7 +286,7 @@ object MatView {
         val affected = feed.select(d.groupCols.map(col): _*).distinct()
         val recAggs = d.sumCols.flatMap(c => Seq(
           min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
-        val rec = Lake.read(spark, d.sourceDir, toVersion)
+        val rec = sourceFrame(spark, d.sourceDir, toVersion, d.dim)
           .join(broadcast(affected), d.groupCols, "left_semi")
           .groupBy(d.groupCols.map(col): _*)
           .agg(recAggs.head, recAggs.tail: _*)
@@ -237,9 +306,10 @@ object MatView {
     * should-be-gone groups), then the sidecar advances. Cost is
     * O(changes since builtVersion), never a source re-scan. No-op
     * when already current. */
-  def refresh(spark: SparkSession, sourceDir: String): MvDef = {
-    val d = reg.get(sourceDir)
-    require(d != null, s"no registered MV for $sourceDir")
+  def refresh(spark: SparkSession, sourceDir: String,
+      dimDir: Option[String] = None): MvDef = {
+    val d = reg.get(regKey(sourceDir, dimDir))
+    require(d != null, s"no registered MV for $sourceDir (dim=$dimDir)")
     val v = Lake.latestVersion(sourceDir)
     if (v == d.builtVersion) return d
     require(v > d.builtVersion, s"source $sourceDir regressed below MV build")
@@ -257,7 +327,7 @@ object MatView {
       Lake.merge(spark, d.mvDir, next, dead, targetFiles = 1)
       val nd = d.copy(builtVersion = v)
       writeSidecar(nd)
-      reg.put(sourceDir, nd)
+      reg.put(regKey(sourceDir, dimDir), nd)
       nd
     } finally next.unpersist()
   }

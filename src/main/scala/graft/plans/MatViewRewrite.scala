@@ -59,7 +59,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatView.isEmpty) plan
     else plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteJoined(agg)).getOrElse(agg)
     }
   }
 
@@ -94,6 +95,50 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The star chain under an aggregate: filters/pure projects over
+    * ONE inner join of two graft-lake chains on a single equality.
+    * Returns (fact chain, dim chain, fact key, dim key) — sides
+    * identified by which registry entry exists, keys lowercased;
+    * above-join filters accumulate onto the fact chain (validation
+    * treats both sides' filters identically). */
+  private def peelJoined(p: LogicalPlan)
+      : Option[(Chain, Chain, String, String)] = p match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      peelJoined(child)
+    case Filter(cond, child) =>
+      peelJoined(child).map { case (f, d, fk, dk) =>
+        (f.copy(filters = cond +: f.filters), d, fk, dk)
+      }
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+      j.condition match {
+        case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)) =>
+          for {
+            l <- peel(j.left)
+            r <- peel(j.right)
+            // which equality side belongs to which child?
+            (lKey, rKey) <-
+              if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+                Some((a.name.toLowerCase, b.name.toLowerCase))
+              else if (j.left.outputSet.contains(b) &&
+                j.right.outputSet.contains(a))
+                Some((b.name.toLowerCase, a.name.toLowerCase))
+              else None
+            // which child is the fact? the one a joined view is
+            // registered for (join reorder may have swapped sides)
+            res <-
+              if (MatView.getJoined(l.dir, r.dir).isDefined)
+                Some((l, r, lKey, rKey))
+              else if (MatView.getJoined(r.dir, l.dir).isDefined)
+                Some((r, l, rKey, lKey))
+              else None
+          } yield res
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** What one aggregate-list entry asks for, in view-register terms. */
   private sealed trait Ask
   private case class GroupRef(name: String, orig: Attribute) extends Ask
@@ -125,16 +170,72 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // and only a recompute (a refresh, not a rewrite) can restore it
     if chain.version == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
-  } yield {
+  } yield build(d, chain.version, chain.filters, groupNames, asks,
+    wantsExtrema)
+
+  /** STAR-JOIN matching (round 10): an aggregate over
+    * `factLake ⋈ dimLake ON factKey = dimKey` (inner, single
+    * equality) answered from a [[MatView.defineJoined]] view. Same
+    * conservatism as the single-table matcher, plus:
+    *  - the dimension's pinned version must EQUAL the version the
+    *    view was built against (dimension churn invalidates every
+    *    register — only a re-define absorbs it);
+    *  - `IsNotNull(joinKey)` conjuncts (Catalyst infers them from the
+    *    inner equi-join) are DROPPED rather than transposed: the
+    *    join inside the view build already excluded null keys, so
+    *    they are implied — every other filter conjunct must
+    *    reference declared group columns, wherever pushdown placed
+    *    it (above the join or into either side). */
+  private def tryRewriteJoined(agg: Aggregate): Option[LogicalPlan] = for {
+    j <- peelJoined(agg.child)
+    (fact, dim, factKey, dimKey) = j
+    d <- MatView.getJoined(fact.dir, dim.dir)
+    ds <- d.dim
+    if factKey == ds.factKey.toLowerCase && dimKey == ds.dimKey.toLowerCase
+    // the registers were computed against exactly this dim snapshot
+    if dim.version == ds.dimVersion
+    if fact.version >= d.builtVersion
+    groupNames <- groupedOnSubset(agg, d.groupCols)
+    declaredNames = d.groupCols.map(_.toLowerCase).toSet
+    keyNames = Set(factKey, dimKey)
+    kept = (fact.filters ++ dim.filters).flatMap(conjuncts).filterNot {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => keyNames.contains(a.name.toLowerCase)
+      case _ => false
+    }
+    if kept.forall(f =>
+      f.references.forall(a => declaredNames.contains(a.name.toLowerCase)))
+    asks <- classify(agg.aggregateExpressions, d, groupNames)
+    wantsExtrema = asks.exists {
+      case _: MinOf | _: MaxOf => true
+      case _ => false
+    }
+    if fact.version == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
+  } yield build(d, fact.version, kept, groupNames, asks, wantsExtrema)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
+  }
+
+  /** The shared serve path: view scan (fresh) or feed compensation
+    * (stale), transposed filters, optional register re-aggregation
+    * (partial rollup), and the exprId-preserving output projection. */
+  private def build(d: MatView.MvDef, pinnedVersion: Long,
+      filters: Seq[Expression], groupNames: Set[String], asks: Seq[Ask],
+      wantsExtrema: Boolean): LogicalPlan = {
     val spark = SparkSession.active
-    val fresh = chain.version == d.builtVersion
+    val fresh = pinnedVersion == d.builtVersion
+    val declaredNames = d.groupCols.map(_.toLowerCase).toSet
     val base =
       if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
-      else MatView.compensated(spark, d, chain.version,
+      else MatView.compensated(spark, d, pinnedVersion,
         if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
-    val transposed = chain.filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
+    val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
       Filter(c.transform {
         case a: AttributeReference => byBase(a.name.toLowerCase)
       }, p)
@@ -199,9 +300,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case MaxOf(n, orig) =>
         Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
     }
-    MatView.lastRewrite.set((chain.dir,
+    MatView.lastRewrite.set((d.sourceDir,
       (if (fresh) "direct" else "compensated") +
-        (if (exact) "" else "-rollup")))
+        (if (exact) "" else "-rollup") +
+        (if (d.dim.isDefined) "-join" else "")))
     Project(projections, optimized)
   }
 

@@ -589,14 +589,23 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
 
   /** Columns runtime keys can prune on: the leading key rides the
     * manifest [minKey,maxKey] range; any other column prunes via its
-    * typed per-file stat where present (absent → file kept). */
+    * typed per-file stat where present (absent → file kept). Only
+    * columns that SURVIVED pruning are advertised: Spark's
+    * PartitionPruning resolves these refs against the scan's output
+    * unconditionally (before deciding whether to inject anything), so
+    * advertising a pruned-away column crashes any join over the scan
+    * — e.g. a fact read projected to (join key, measure) with the
+    * table key pruned out. */
   override def filterAttributes(): Array[NamedReference] = {
+    val readable = required.fieldNames.map(_.toLowerCase).toSet
     val statCols = snapshot.files
       .flatMap(f => f.stats.keys ++ f.strStats.keys).distinct
       // `__bucket_<n>` is layout bookkeeping (Lake.bucketLayout), not
       // a table column — advertising it would fail ref resolution
       .filterNot(_.startsWith("__bucket_"))
-    (leadingKey +: statCols).distinct.map(Expressions.column).toArray
+    (leadingKey +: statCols).distinct
+      .filter(c => readable.contains(c.toLowerCase))
+      .map(Expressions.column).toArray
   }
 
   override def filter(predicates: Array[Predicate]): Unit = {

@@ -299,4 +299,119 @@ class MatViewSpec extends SparkSpec {
         "a snapshot below the view's build version must not rewrite")
     } finally MatView.unregister(src)
   }
+
+  // ---- star-join views ----------------------------------------------------
+
+  private def buildDim(tag: String): String = {
+    val dir = freshDir(tag + "-dim")
+    Lake.create(Tables.customer(spark, sf), dir, "c_custkey", targetFiles = 1)
+    dir
+  }
+
+  private def joinAgg(src: String, dim: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val d = spark.read.format("graft-lake").option("path", dim).load()
+    fact.join(d, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+  }
+
+  private def expectedJoinAgg(src: String, dim: String) =
+    Lake.read(spark, src)
+      .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+
+  private def segRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+
+  test("star view, fresh: the raw fact-dim join aggregate collapses to the view scan") {
+    val src = buildSource("joinfresh")
+    val dim = buildDim("joinfresh")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "direct-join")
+      val tables = scannedTables(q)
+      assert(tables.exists(_.contains("-jview")), s"scanned: $tables")
+      assert(!tables.exists(t => t.contains(src) && !t.contains("-jview")),
+        s"must not scan fact or dim, scanned: $tables")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("star view, stale fact: served as view + (fact feed JOIN pinned dim)") {
+    val src = buildSource("joinstale")
+    val dim = buildDim("joinstale")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    // fact moves on: double the cents of every key <= median band
+    val cur = Lake.read(spark, src)
+    Lake.upsert(spark, src, cur.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_cents", col("o_cents") * 2))
+    try {
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "compensated-join")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("star view: a mutated dimension refuses the rewrite (registers are stale)") {
+    val src = buildSource("joindim")
+    val dim = buildDim("joindim")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    // the dimension churns AFTER the build: segment reassignment would
+    // invalidate every register, so the matcher must refuse
+    Lake.upsert(spark, dim, Lake.read(spark, dim)
+      .filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("CHURNED")))
+    try {
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "none")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("star view: the global aggregate re-aggregates the join view's registers") {
+    val src = buildSource("joinroll")
+    val dim = buildDim("joinroll")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val d = spark.read.format("graft-lake").option("path", dim).load()
+      val q = fact.join(d, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      assert(kindOf(q, src) === "direct-rollup-join")
+      val expected = Lake.read(spark, src)
+        .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      assert(q.collect().map(_.toSeq).toSeq ===
+        expected.collect().map(_.toSeq).toSeq)
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("star view: refresh rolls the join view forward, then serves direct again") {
+    val src = buildSource("joinrefresh")
+    val dim = buildDim("joinrefresh")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    val cur = Lake.read(spark, src)
+    Lake.upsert(spark, src, cur.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_cents", col("o_cents") * 3))
+    Lake.delete(spark, src, cur.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey")))
+    try {
+      MatView.refresh(spark, src, Some(dim))
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "direct-join")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
 }
