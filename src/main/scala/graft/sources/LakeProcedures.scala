@@ -193,6 +193,47 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.create_mv_join(tbl => 'ns.fact', dim => 'ns.dim',
+    * fact_key => 'custkey', dim_key => 'c_custkey', view => 'ns.v',
+    * group_cols => 'segment', sum_cols => 'amt')` — STAR-JOIN view
+    * ([[graft.lake.MatView.defineJoined]]): materialize
+    * `fact ⋈ dim` rolled up by `group_cols` (columns from either
+    * side), pinning the dimension version. Returns the fact version
+    * the view captured. */
+  def createMvJoin(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("create_mv_join",
+      Array(in("tbl", StringType), in("dim", StringType),
+        in("fact_key", StringType), in("dim_key", StringType),
+        in("view", StringType), in("group_cols", StringType),
+        in("sum_cols", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.defineJoined(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          dirOf(catalog, input.getUTF8String(1).toString),
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          dirOf(catalog, input.getUTF8String(4).toString),
+          input.getUTF8String(5).toString.split(',').map(_.trim).toSeq,
+          input.getUTF8String(6).toString.split(',').map(_.trim).toSeq)
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
+  /** `CALL graft.refresh_mv_join(tbl => 'ns.fact', dim => 'ns.dim')`
+    * — roll the star-join view forward from the FACT change feed
+    * (joined with the pinned dimension snapshot). */
+  def refreshMvJoin(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("refresh_mv_join",
+      Array(in("tbl", StringType), in("dim", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.refresh(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          Some(dirOf(catalog, input.getUTF8String(1).toString)))
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
   /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
     * one row per still-resolvable commit, derived entirely from the
     * delta log ([[Lake.history]]); audit answers are metadata-sized,

@@ -434,4 +434,48 @@ class LakeCatalogSpec extends SparkSpec {
       .sorted.toSeq === Seq(("a", 2L, 30L), ("b", 2L, 12L)))
     graft.lake.MatView.unregister(s"$warehouse/mv/sales")
   }
+
+  test("CALL create_mv_join / refresh_mv_join: the star-view lifecycle stays inside SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mvj")
+    sql("""CREATE TABLE graftcat.mvj.fact (k BIGINT, ck BIGINT, amt BIGINT)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("""INSERT INTO graftcat.mvj.fact VALUES
+          |  (1, 10, 100), (2, 10, 200), (3, 20, 5)""".stripMargin)
+    sql("""CREATE TABLE graftcat.mvj.cust (ckey BIGINT, seg STRING)
+          |  TBLPROPERTIES ('key'='ckey')""".stripMargin)
+    sql("INSERT INTO graftcat.mvj.cust VALUES (10, 'gold'), (20, 'iron')")
+    val built = sql(
+      """CALL graftcat.create_mv_join(tbl => 'mvj.fact', dim => 'mvj.cust',
+        |  fact_key => 'ck', dim_key => 'ckey', view => 'mvj.by_seg',
+        |  group_cols => 'seg', sum_cols => 'amt')""".stripMargin)
+      .head().getLong(0)
+    assert(built === Lake.latestVersion(s"$warehouse/mvj/fact"))
+    // the catalog-qualified RAW join aggregate rewrites to the view
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    def agg = sql(
+      """SELECT seg, count(*) AS n, sum(amt) AS amt
+        |FROM graftcat.mvj.fact JOIN graftcat.mvj.cust ON ck = ckey
+        |GROUP BY seg""".stripMargin)
+    def kind: String = {
+      graft.lake.MatView.lastRewrite.set(null)
+      agg.queryExecution.optimizedPlan
+      Option(graft.lake.MatView.lastRewrite.get()).map(_._2).getOrElse("none")
+    }
+    assert(kind === "direct-join")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("gold", 2L, 300L), ("iron", 1L, 5L)))
+    // fact moves on -> compensated; refresh through SQL -> direct again
+    sql("INSERT INTO graftcat.mvj.fact VALUES (4, 20, 15)")
+    assert(kind === "compensated-join")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("gold", 2L, 300L), ("iron", 2L, 20L)))
+    sql("CALL graftcat.refresh_mv_join(tbl => 'mvj.fact', dim => 'mvj.cust')")
+    assert(kind === "direct-join")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("gold", 2L, 300L), ("iron", 2L, 20L)))
+    graft.lake.MatView.unregisterJoined(s"$warehouse/mvj/fact",
+      s"$warehouse/mvj/cust")
+  }
 }
