@@ -161,6 +161,11 @@ object SparkEntry {
     // round-9: the lake as a DECLARATIVE streaming sink — a stateful
     // update-mode aggregation lands via writeStream.format("graft-lake")
     // (no foreachBatch), exactly-once keyed merges per micro-batch
+    // round-10: the CDC × MV composition — the declarative sink's
+    // streamed commits are the missed slice a v1-pinned view
+    // compensates through the optimizer rewrite
+    ("x6_stream_mv", graft.streaming.EventStream.streamedMvServe _,
+      Some(graft.streaming.EventStream.streamedMvServeSql)),
     ("x6_stream_sink", graft.streaming.EventStream.streamedSinkAggregate _,
       Some(graft.streaming.EventStream.streamedSinkAggregateSql)),
     // round-9: the lake as a streaming SOURCE — the delta log streamed
@@ -528,7 +533,7 @@ object SparkEntry {
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
     "x6_stream_join_outer", "x6_stream_attribution",
     "x6_stream_hll", "x6_stream_recovery",
-    "x6_stream_sink") // multi-file source layout
+    "x6_stream_sink", "x6_stream_mv") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

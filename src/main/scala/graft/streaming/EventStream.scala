@@ -730,6 +730,77 @@ object EventStream {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Registered query `x6_stream_mv` (round 10) — the CDC × MV
+    * composition: the declarative lake sink streams the per-user
+    * spend aggregate (update mode, one transactional commit per
+    * micro-batch, exactly as [[streamedSinkAggregate]]), a
+    * MATERIALIZED VIEW of the landed table (per-cohort rollup) is
+    * pinned AT THE FIRST micro-batch's version, and the registered
+    * cohort aggregate — written against the TABLE — is answered by
+    * [[graft.plans.MatViewRewrite]] as `view ⊕ Σ(changes(v1 → head])`:
+    * the Σ-compensation consumes the UPDATE-mode stream's
+    * pre/postimage rows (a user re-emitted by a later batch subtracts
+    * its v1 register and adds the converged one) across every commit
+    * the stream landed after the pin. This is the production nightly
+    * shape end to end: the dashboard view stays correct while the CDC
+    * stream commits, with cost O(view + streamed Δ), never a table
+    * re-scan. `mv_stream` pins the compensated rewrite kind into the
+    * hashed result; the DuckDB mirror derives the cohort rollup from
+    * raw events, so sink exactly-once, update-mode state carry, CDF
+    * signing, AND the rewrite must all be value-invisible together. */
+  def streamedMvServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = StreamMemo.landed(spark, "stream-mv", sfDir, src) { base =>
+      val tableDir = new java.io.File(base, "table").getAbsolutePath
+      val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+      val agg = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("value_cents"))
+        .withColumn("cohort", col("user_id") % 10)
+      val query = agg.writeStream.format("graft-lake")
+        .option("path", tableDir).option("key", "user_id")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    }
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    // the view pins the FIRST streamed commit; everything the stream
+    // landed after it is the missed slice the rewrite compensates
+    graft.lake.MatView.define(spark, tableDir, tableDir + "-view",
+      Seq("cohort"), Seq("value_cents"), asOfVersion = 1L)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", tableDir).load()
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"), sum(col("value_cents")).as("cents"))
+    graft.lake.MatView.lastRewrite.set(null)
+    q.queryExecution.optimizedPlan
+    val compensated = Option(graft.lake.MatView.lastRewrite.get())
+      .exists(r => r._1 == tableDir && r._2 == "compensated")
+    q.withColumn("mv_stream", lit(compensated)).orderBy(col("cohort"))
+  }
+
+  val streamedMvServeSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS value_cents
+      |  FROM events
+      |  GROUP BY user_id)
+      |SELECT user_id % 10 AS cohort, count(*) AS n_users,
+      |  CAST(sum(value_cents) AS BIGINT) AS cents,
+      |  TRUE AS mv_stream
+      |FROM per_user
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
 
   case class SpendState(n: Long, total: Double)

@@ -414,4 +414,36 @@ class MatViewSpec extends SparkSpec {
       assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
     } finally MatView.unregisterJoined(src, dim)
   }
+
+  test("MoR deletion-vector commits: refresh consumes the mask feed; rewrite_dvs nets to zero") {
+    // a merge-on-read delete removes rows WITHOUT rewriting data files
+    // (sidecar masks); the change feed derives its delete rows from the
+    // rm=(file, dv) log records, so MV maintenance must see them
+    // exactly as copy-on-write deletes. (The V2 SQL scan itself
+    // refuses MoR snapshots by design — materialize first — so the
+    // property under test is the MAINTENANCE plane.)
+    val src = buildSource("mor")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    Lake.deleteWhereMor(spark, src, col("o_orderkey") % 7 === 0)
+    try {
+      // refresh rolls the registers from the DV delete rows, log-direct
+      MatView.refresh(spark, src)
+      val reg = Lake.read(spark, src + "-view")
+        .select(col("o_orderpriority"), col(MatView.countCol).as("n"),
+          col(MatView.sumCol("o_cents")).as("cents"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      val exp = Lake.read(spark, src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      assert(reg === exp)
+      // materializing the masks is an rm+add of IDENTICAL surviving
+      // rows: its feed must cancel per group, so the query compensates
+      // to the same values (and the SQL door works again)
+      Lake.rewriteDvs(spark, src)
+      val q = userAgg(src)
+      assert(kindOf(q, src) === "compensated")
+      assert(rows(q) === rows(expectedAgg(src)))
+    } finally MatView.unregister(src)
+  }
 }
