@@ -387,6 +387,10 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.mvJoinSql)),
     ("x8_mv_join_stale", graft.lake.LakeQueries.mvJoinStale _,
       Some(graft.lake.LakeQueries.mvJoinStaleSql)),
+    // round-10: multi-dimension star view — fact ⋈ customer ⋈
+    // string-keyed priority classifier, collapsed by the star matcher
+    ("x8_mv_star", graft.lake.LakeQueries.mvStar _,
+      Some(graft.lake.LakeQueries.mvStarSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -526,6 +530,7 @@ object SparkEntry {
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
+    "x8_mv_star",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

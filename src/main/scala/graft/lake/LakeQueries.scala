@@ -1950,4 +1950,88 @@ object LakeQueries {
   }
 
   val mvJoinStaleSql: String = mvJoinStateSql("mv_join_compensated")
+
+  /** A second, STRING-KEYED dimension: the priority classifier
+    * (urgent/high → 'high', rest → 'low'), derived deterministically
+    * from the distinct priorities. */
+  private def mvPrioDim(spark: SparkSession, sfDir: String,
+      src: String): String = {
+    val dimDir = src + "-pdim"
+    if (Lake.latestVersion(dimDir) == 0L) {
+      val d = Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority").as("p_prio")).distinct()
+        .withColumn("p_class",
+          when(col("p_prio").isin("1-URGENT", "2-HIGH"), "high")
+            .otherwise("low"))
+      Lake.create(d, dimDir, "p_prio", targetFiles = 1)
+    }
+    dimDir
+  }
+
+  /** Registered query `x8_mv_star` — MULTI-DIMENSION star view
+    * (round 10): the view pre-joins the fact with TWO dimensions —
+    * customer (long key) and the string-keyed priority classifier —
+    * rolled up by (segment, class), and the raw THREE-table join
+    * aggregate is collapsed to the view scan by the star matcher:
+    * the join tree is flattened into leaves + equality edges, the
+    * fact is the leaf whose (leaf, other leaves) pair is registered
+    * (join reorder can't hide it), every edge must connect the fact
+    * to a distinct dim on exactly the declared key pair at exactly
+    * the pinned dim version, and IsNotNull conjuncts over ANY join
+    * key drop as join-implied. `mv_star` pins the rewrite kind; the
+    * DuckDB mirror derives both dimension joins relationally from
+    * raw orders + customer. */
+  def mvStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    val cdim = mvDim(spark, sfDir, src)
+    val pdim = mvPrioDim(spark, sfDir, src)
+    graft.lake.MatView.defineStar(spark, src,
+      Seq((cdim, "o_custkey", "c_custkey"), (pdim, "o_orderpriority", "p_prio")),
+      src + "-view-star", Seq("c_mktsegment", "p_class"), Seq("o_cents"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val dc = spark.read.format("graft-lake").option("path", cdim).load()
+    val dp = spark.read.format("graft-lake").option("path", pdim).load()
+    val q = fact
+      .join(dc, col("o_custkey") === col("c_custkey"))
+      .join(dp, col("o_orderpriority") === col("p_prio"))
+      .groupBy(col("c_mktsegment"), col("p_class"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"))
+    val served = rewriteKind(q, src) == "direct-join"
+    q.withColumn("mv_star", lit(served))
+      .orderBy(col("c_mktsegment"), col("p_class"))
+  }
+
+  val mvStarSql: String =
+    s"""$mvFinalStateStarCte
+       |SELECT c_mktsegment,
+       |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 'high' ELSE 'low' END AS p_class,
+       |  count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  TRUE AS mv_star
+       |FROM final JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment, p_class
+       |ORDER BY c_mktsegment, p_class""".stripMargin
+
+  /** [[mvFinalStateCte]] carrying BOTH the customer key and the
+    * priority (the two star dimensions' join inputs). `def`, not
+    * `val`: referenced by a val declared ABOVE it. */
+  private def mvFinalStateStarCte: String =
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+      |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+      |  UNION ALL
+      |  SELECT o_custkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders, mx WHERE o_orderkey > b9)""".stripMargin
 }

@@ -62,11 +62,12 @@ object MatView {
       dimVersion: Long)
 
   /** One registered view: `mvDir` holds the aggregate of
-    * `sourceDir` (pre-joined with `dim` when present) grouped by
+    * `sourceDir` (pre-joined with every `dims` entry when present —
+    * a star: each dimension joins the FACT directly) grouped by
     * `groupCols`, as of source `builtVersion`. */
   case class MvDef(sourceDir: String, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String], builtVersion: Long,
-      dim: Option[DimSpec] = None)
+      dims: Seq[DimSpec] = Nil)
 
   /** View-table column names: the count register plus one sum, min,
     * and max register per declared column. Prefixed so they can never
@@ -94,10 +95,12 @@ object MatView {
 
   private val reg = new ConcurrentHashMap[String, MvDef]()
 
-  /** Registry key: plain views key on the source dir; joined views on
-    * source⋈dim, so one source can carry both kinds simultaneously. */
-  private def regKey(sourceDir: String, dimDir: Option[String]): String =
-    dimDir.fold(sourceDir)(d => s"$sourceDir|$d")
+  /** Registry key: plain views key on the source dir; star views on
+    * source⋈sorted-dims, so one source can carry several shapes
+    * simultaneously. */
+  private def regKey(sourceDir: String, dimDirs: Seq[String]): String =
+    if (dimDirs.isEmpty) sourceDir
+    else s"$sourceDir|${dimDirs.sorted.mkString("|")}"
 
   /** Last rewrite the optimizer rule performed: (source dir,
     * "direct" | "compensated") — the observability device the
@@ -106,12 +109,14 @@ object MatView {
   val lastRewrite = new AtomicReference[(String, String)]()
 
   def get(sourceDir: String): Option[MvDef] = Option(reg.get(sourceDir))
-  def getJoined(sourceDir: String, dimDir: String): Option[MvDef] =
-    Option(reg.get(regKey(sourceDir, Some(dimDir))))
+  def getStar(sourceDir: String, dimDirs: Seq[String]): Option[MvDef] =
+    Option(reg.get(regKey(sourceDir, dimDirs)))
   def isEmpty: Boolean = reg.isEmpty
   def unregister(sourceDir: String): Unit = reg.remove(sourceDir)
   def unregisterJoined(sourceDir: String, dimDir: String): Unit =
-    reg.remove(regKey(sourceDir, Some(dimDir)))
+    reg.remove(regKey(sourceDir, Seq(dimDir)))
+  def unregisterStar(sourceDir: String, dimDirs: Seq[String]): Unit =
+    reg.remove(regKey(sourceDir, dimDirs))
   def clear(): Unit = reg.clear()
 
   /** Build the view table from a source snapshot (the current one, or
@@ -122,7 +127,7 @@ object MatView {
   def define(spark: SparkSession, sourceDir: String, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
       asOfVersion: Long = 0L): MvDef =
-    defineImpl(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion, None)
+    defineImpl(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion, Nil)
 
   /** STAR-JOIN view: materialize `source ⋈ dim ON factKey = dimKey`
     * (inner, dim broadcast) aggregated by `groupCols` — columns from
@@ -132,27 +137,40 @@ object MatView {
   def defineJoined(spark: SparkSession, sourceDir: String, dimDir: String,
       factKey: String, dimKey: String, mvDir: String,
       groupCols: Seq[String], sumCols: Seq[String],
+      asOfVersion: Long = 0L): MvDef =
+    defineStar(spark, sourceDir, Seq((dimDir, factKey, dimKey)), mvDir,
+      groupCols, sumCols, asOfVersion)
+
+  /** MULTI-DIMENSION star view: every `(dimDir, factKey, dimKey)`
+    * joins the fact directly (a star, not a snowflake — dims never
+    * join each other). Each dimension pins at its current version. */
+  def defineStar(spark: SparkSession, sourceDir: String,
+      dims: Seq[(String, String, String)], mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
       asOfVersion: Long = 0L): MvDef = {
-    val dv = Lake.latestVersion(dimDir)
-    require(dv > 0L, s"no lake table at $dimDir")
+    val specs = dims.map { case (dimDir, fk, dk) =>
+      val dv = Lake.latestVersion(dimDir)
+      require(dv > 0L, s"no lake table at $dimDir")
+      DimSpec(dimDir, fk, dk, dv)
+    }
     defineImpl(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion,
-      Some(DimSpec(dimDir, factKey, dimKey, dv)))
+      specs)
   }
 
   /** The view's input frame at a source version: the fact read, joined
-    * with the pinned dimension for star views. */
+    * with every pinned dimension for star views. */
   private def sourceFrame(spark: SparkSession, sourceDir: String,
-      version: Long, dim: Option[DimSpec]): DataFrame = {
+      version: Long, dims: Seq[DimSpec]): DataFrame = {
     val fact = Lake.read(spark, sourceDir, version)
-    dim.fold(fact) { ds =>
-      fact.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
+    dims.foldLeft(fact) { (df, ds) =>
+      df.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
         col(ds.factKey) === col(ds.dimKey))
     }
   }
 
   private def defineImpl(spark: SparkSession, sourceDir: String,
       mvDir: String, groupCols: Seq[String], sumCols: Seq[String],
-      asOfVersion: Long, dim: Option[DimSpec]): MvDef = {
+      asOfVersion: Long, dim: Seq[DimSpec]): MvDef = {
     require(groupCols.nonEmpty && sumCols.nonEmpty, "empty MV definition")
     val v = if (asOfVersion == 0L) Lake.latestVersion(sourceDir) else asOfVersion
     require(v > 0L, s"no lake table at $sourceDir")
@@ -182,20 +200,24 @@ object MatView {
     val kv = lines.filter(_.contains("=")).map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    val dim = kv.get("dimDir").map(dd =>
-      DimSpec(dd, kv("factKey"), kv("dimKey"), kv("dimVersion").toLong))
+    // dims ride indexed sidecar keys: dim0=dir|factKey|dimKey|version
+    val dims = kv.keys.filter(_.matches("dim\\d+")).toSeq.sortBy(_.drop(3).toInt)
+      .map { k =>
+        val Array(dd, fk, dk, dv) = kv(k).split('|')
+        DimSpec(dd, fk, dk, dv.toLong)
+      }
     val d = MvDef(kv("source"), mvDir, kv("group").split(",").toSeq,
-      kv("sums").split(",").toSeq, kv("builtVersion").toLong, dim)
-    reg.put(regKey(d.sourceDir, dim.map(_.dimDir)), d)
+      kv("sums").split(",").toSeq, kv("builtVersion").toLong, dims)
+    reg.put(regKey(d.sourceDir, dims.map(_.dimDir)), d)
     d
   }
 
   private def writeSidecar(d: MvDef): Unit = {
     val p = java.nio.file.Paths.get(d.mvDir, "_mv")
     val tmp = java.nio.file.Paths.get(d.mvDir, "_mv.tmp")
-    val dimLines = d.dim.fold("")(ds =>
-      s"dimDir=${ds.dimDir}\nfactKey=${ds.factKey}\ndimKey=${ds.dimKey}\n" +
-        s"dimVersion=${ds.dimVersion}\n")
+    val dimLines = d.dims.zipWithIndex.map { case (ds, i) =>
+      s"dim$i=${ds.dimDir}|${ds.factKey}|${ds.dimKey}|${ds.dimVersion}\n"
+    }.mkString
     java.nio.file.Files.write(tmp,
       (s"source=${d.sourceDir}\ngroup=${d.groupCols.mkString(",")}\n" +
         s"sums=${d.sumCols.mkString(",")}\nbuiltVersion=${d.builtVersion}\n" +
@@ -234,13 +256,13 @@ object MatView {
     * does not appear in a real aggregate). */
   private[graft] def compensated(spark: SparkSession, d: MvDef,
       toVersion: Long, minMax: MinMaxMode = MinMaxNone): DataFrame = {
-    // star views join the FACT feed with the pinned dimension before
-    // re-aggregating: each change row maps to ≤1 dim row (or drops,
+    // star views join the FACT feed with the pinned dimensions before
+    // re-aggregating: each change row maps to ≤1 row per dim (or drops,
     // exactly as it dropped from the view), so the signed contribution
     // algebra is unchanged and dim group columns become available
     val factFeed = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
-    val feed = d.dim.fold(factFeed) { ds =>
-      factFeed.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
+    val feed = d.dims.foldLeft(factFeed) { (df, ds) =>
+      df.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
         col(ds.factKey) === col(ds.dimKey))
     }
     val insertExtrema: Seq[org.apache.spark.sql.Column] =
@@ -286,7 +308,7 @@ object MatView {
         val affected = feed.select(d.groupCols.map(col): _*).distinct()
         val recAggs = d.sumCols.flatMap(c => Seq(
           min(col(c)).as(s"__rmin_$c"), max(col(c)).as(s"__rmax_$c")))
-        val rec = sourceFrame(spark, d.sourceDir, toVersion, d.dim)
+        val rec = sourceFrame(spark, d.sourceDir, toVersion, d.dims)
           .join(broadcast(affected), d.groupCols, "left_semi")
           .groupBy(d.groupCols.map(col): _*)
           .agg(recAggs.head, recAggs.tail: _*)
@@ -307,9 +329,9 @@ object MatView {
     * O(changes since builtVersion), never a source re-scan. No-op
     * when already current. */
   def refresh(spark: SparkSession, sourceDir: String,
-      dimDir: Option[String] = None): MvDef = {
-    val d = reg.get(regKey(sourceDir, dimDir))
-    require(d != null, s"no registered MV for $sourceDir (dim=$dimDir)")
+      dimDirs: Seq[String] = Nil): MvDef = {
+    val d = reg.get(regKey(sourceDir, dimDirs))
+    require(d != null, s"no registered MV for $sourceDir (dims=$dimDirs)")
     val v = Lake.latestVersion(sourceDir)
     if (v == d.builtVersion) return d
     require(v > d.builtVersion, s"source $sourceDir regressed below MV build")
@@ -327,7 +349,7 @@ object MatView {
       Lake.merge(spark, d.mvDir, next, dead, targetFiles = 1)
       val nd = d.copy(builtVersion = v)
       writeSidecar(nd)
-      reg.put(regKey(sourceDir, dimDir), nd)
+      reg.put(regKey(sourceDir, dimDirs), nd)
       nd
     } finally next.unpersist()
   }

@@ -95,48 +95,73 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The star chain under an aggregate: filters/pure projects over
-    * ONE inner join of two graft-lake chains on a single equality.
-    * Returns (fact chain, dim chain, fact key, dim key) — sides
-    * identified by which registry entry exists, keys lowercased;
-    * above-join filters accumulate onto the fact chain (validation
-    * treats both sides' filters identically). */
-  private def peelJoined(p: LogicalPlan)
-      : Option[(Chain, Chain, String, String)] = p match {
+  /** One leaf of a star join tree: the relation chain plus the
+    * RELATION's output attributes (stable exprIds — pure projects
+    * above don't mint new ones), used to decide which leaf owns a
+    * join-condition attribute. */
+  private case class StarLeaf(chain: Chain, out: Seq[Attribute])
+
+  private def peelLeaf(p: LogicalPlan): Option[StarLeaf] = p match {
+    case r: DataSourceV2Relation =>
+      peel(r).map(c => StarLeaf(c, r.output))
+    case r: DataSourceV2ScanRelation =>
+      peel(r).map(c => StarLeaf(c, r.output))
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      peelJoined(child)
+      peelLeaf(child)
     case Filter(cond, child) =>
-      peelJoined(child).map { case (f, d, fk, dk) =>
-        (f.copy(filters = cond +: f.filters), d, fk, dk)
-      }
-    case j: org.apache.spark.sql.catalyst.plans.logical.Join
-        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
-      j.condition match {
-        case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-            a: AttributeReference, b: AttributeReference)) =>
-          for {
-            l <- peel(j.left)
-            r <- peel(j.right)
-            // which equality side belongs to which child?
-            (lKey, rKey) <-
-              if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
-                Some((a.name.toLowerCase, b.name.toLowerCase))
-              else if (j.left.outputSet.contains(b) &&
-                j.right.outputSet.contains(a))
-                Some((b.name.toLowerCase, a.name.toLowerCase))
-              else None
-            // which child is the fact? the one a joined view is
-            // registered for (join reorder may have swapped sides)
-            res <-
-              if (MatView.getJoined(l.dir, r.dir).isDefined)
-                Some((l, r, lKey, rKey))
-              else if (MatView.getJoined(r.dir, l.dir).isDefined)
-                Some((r, l, rKey, lKey))
-              else None
-          } yield res
-        case _ => None
-      }
+      peelLeaf(child).map(l =>
+        l.copy(chain = l.chain.copy(filters = cond +: l.chain.filters)))
     case _ => None
+  }
+
+  /** Flatten the inner-join tree under an aggregate into graft-lake
+    * leaves + equality edges + every filter found anywhere in the
+    * tree. Each join must be Inner with exactly one
+    * `EqualTo(attr, attr)` condition; edges are (leafIdx, keyName,
+    * leafIdx, keyName) with key names lowercased. Any non-conforming
+    * node refuses. */
+  private def flattenStar(p: LogicalPlan): Option[
+      (Seq[StarLeaf], Seq[(Int, String, Int, String)], Seq[Expression])] =
+    p match {
+      case Project(ps, child)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenStar(child)
+      case Filter(cond, child) =>
+        flattenStar(child).map { case (ls, es, fs) => (ls, es, cond +: fs) }
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        j.condition match {
+          case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+              a: AttributeReference, b: AttributeReference)) =>
+            for {
+              (ll, le, lf) <- flattenStar(j.left)
+              (rl, re0, rf) <- flattenStar(j.right)
+              leaves = ll ++ rl
+              ownerA <- ownerOf(a, leaves)
+              ownerB <- ownerOf(b, leaves)
+              if ownerA != ownerB
+            } yield {
+              val shifted = re0.map { case (i, ka, k, kb) =>
+                (i + ll.size, ka, k + ll.size, kb)
+              }
+              (leaves,
+                (ownerA, a.name.toLowerCase, ownerB, b.name.toLowerCase) +:
+                  (le ++ shifted),
+                lf ++ rf)
+            }
+          case _ => None
+        }
+      case other =>
+        peelLeaf(other).map(l =>
+          (Seq(l.copy(chain = l.chain.copy(filters = Nil))), Nil,
+            l.chain.filters))
+    }
+
+  private def ownerOf(a: Attribute, leaves: Seq[StarLeaf]): Option[Int] = {
+    val owners = leaves.zipWithIndex.collect {
+      case (l, i) if l.out.exists(_.exprId == a.exprId) => i
+    }
+    if (owners.size == 1) Some(owners.head) else None
   }
 
   /** What one aggregate-list entry asks for, in view-register terms. */
@@ -173,32 +198,62 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   } yield build(d, chain.version, chain.filters, groupNames, asks,
     wantsExtrema)
 
-  /** STAR-JOIN matching (round 10): an aggregate over
-    * `factLake ⋈ dimLake ON factKey = dimKey` (inner, single
-    * equality) answered from a [[MatView.defineJoined]] view. Same
-    * conservatism as the single-table matcher, plus:
-    *  - the dimension's pinned version must EQUAL the version the
+  /** STAR matching (round 10): an aggregate over
+    * `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ` (inner joins, one single-equality
+    * condition each, every dim joined to the FACT) answered from a
+    * [[MatView.defineStar]] view. Same conservatism as the
+    * single-table matcher, plus:
+    *  - each dimension's pinned version must EQUAL the version the
     *    view was built against (dimension churn invalidates every
     *    register — only a re-define absorbs it);
     *  - `IsNotNull(joinKey)` conjuncts (Catalyst infers them from the
-    *    inner equi-join) are DROPPED rather than transposed: the
-    *    join inside the view build already excluded null keys, so
+    *    inner equi-joins) are DROPPED rather than transposed: the
+    *    joins inside the view build already excluded null keys, so
     *    they are implied — every other filter conjunct must
     *    reference declared group columns, wherever pushdown placed
-    *    it (above the join or into either side). */
+    *    it (above a join or into any side);
+    *  - the query's join GRAPH must equal the declaration: every
+    *    declared dim joined to the fact exactly once on the declared
+    *    key pair, no extra leaves, no dim-to-dim edges (star, not
+    *    snowflake). Join reorder is absorbed by matching leaves
+    *    against the registry, not by position. */
   private def tryRewriteJoined(agg: Aggregate): Option[LogicalPlan] = for {
-    j <- peelJoined(agg.child)
-    (fact, dim, factKey, dimKey) = j
-    d <- MatView.getJoined(fact.dir, dim.dir)
-    ds <- d.dim
-    if factKey == ds.factKey.toLowerCase && dimKey == ds.dimKey.toLowerCase
-    // the registers were computed against exactly this dim snapshot
-    if dim.version == ds.dimVersion
-    if fact.version >= d.builtVersion
+    flat <- flattenStar(agg.child)
+    (leaves, edges, filters) = flat
+    if leaves.size >= 2 && edges.size == leaves.size - 1
+    // candidate fact: the leaf for which (leaf, all other leaves) is
+    // a registered star view
+    pick <- leaves.zipWithIndex.flatMap { case (f, i) =>
+      val dimDirs = leaves.zipWithIndex.collect {
+        case (l, j) if j != i => l.chain.dir
+      }
+      MatView.getStar(f.chain.dir, dimDirs).map(d => (i, d))
+    }.headOption
+    (factIdx, d) = pick
+    fact = leaves(factIdx)
+    // every edge must connect the fact to a DISTINCT dim on exactly
+    // the declared key pair, and every declared dim must be an edge
+    specByDir = d.dims.map(ds => ds.dimDir -> ds).toMap
+    dimIdxs = edges.flatMap { case (i, ka, j, kb) =>
+      val (dimIdx, factKey, dimKey) =
+        if (i == factIdx) (j, ka, kb)
+        else if (j == factIdx) (i, kb, ka)
+        else (-1, "", "")
+      if (dimIdx < 0) None
+      else specByDir.get(leaves(dimIdx).chain.dir).flatMap { ds =>
+        if (factKey == ds.factKey.toLowerCase &&
+          dimKey == ds.dimKey.toLowerCase &&
+          leaves(dimIdx).chain.version == ds.dimVersion) Some(dimIdx)
+        else None
+      }
+    }
+    if dimIdxs.size == edges.size && dimIdxs.distinct.size == d.dims.size
+    if fact.chain.version >= d.builtVersion
     groupNames <- groupedOnSubset(agg, d.groupCols)
     declaredNames = d.groupCols.map(_.toLowerCase).toSet
-    keyNames = Set(factKey, dimKey)
-    kept = (fact.filters ++ dim.filters).flatMap(conjuncts).filterNot {
+    keyNames = d.dims.flatMap(ds =>
+      Seq(ds.factKey.toLowerCase, ds.dimKey.toLowerCase)).toSet
+    kept = filters.flatMap(conjuncts).filterNot {
       case org.apache.spark.sql.catalyst.expressions.IsNotNull(
         a: AttributeReference) => keyNames.contains(a.name.toLowerCase)
       case _ => false
@@ -210,9 +265,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
-    if fact.version == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
-  } yield build(d, fact.version, kept, groupNames, asks, wantsExtrema)
+    if fact.chain.version == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(fact.chain.dir, d.builtVersion,
+        fact.chain.version)
+  } yield build(d, fact.chain.version, kept, groupNames, asks, wantsExtrema)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -303,7 +359,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     MatView.lastRewrite.set((d.sourceDir,
       (if (fresh) "direct" else "compensated") +
         (if (exact) "" else "-rollup") +
-        (if (d.dim.isDefined) "-join" else "")))
+        (if (d.dims.nonEmpty) "-join" else "")))
     Project(projections, optimized)
   }
 

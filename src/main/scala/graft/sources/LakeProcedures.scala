@@ -228,7 +228,7 @@ private[sources] object LakeProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val d = graft.lake.MatView.refresh(SparkSession.active,
           dirOf(catalog, input.getUTF8String(0).toString),
-          Some(dirOf(catalog, input.getUTF8String(1).toString)))
+          Seq(dirOf(catalog, input.getUTF8String(1).toString)))
         result(StructType(Seq(StructField("built_version", LongType))),
           d.builtVersion)
       }

@@ -408,7 +408,7 @@ class MatViewSpec extends SparkSpec {
     Lake.delete(spark, src, cur.filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey")))
     try {
-      MatView.refresh(spark, src, Some(dim))
+      MatView.refresh(spark, src, Seq(dim))
       val q = joinAgg(src, dim)
       assert(kindOf(q, src) === "direct-join")
       assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
@@ -445,5 +445,47 @@ class MatViewSpec extends SparkSpec {
       assert(kindOf(q, src) === "compensated")
       assert(rows(q) === rows(expectedAgg(src)))
     } finally MatView.unregister(src)
+  }
+
+  test("multi-dim star: 2-dim serve; a partial join graph refuses") {
+    val src = buildSource("star2")
+    val cdim = buildDim("star2")
+    val pdir = freshDir("star2-pdim")
+    Lake.create(Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p_prio")).distinct()
+      .withColumn("p_class",
+        when(col("p_prio").isin("1-URGENT", "2-HIGH"), "high")
+          .otherwise("low")),
+      pdir, "p_prio", targetFiles = 1)
+    MatView.defineStar(spark, src,
+      Seq((cdim, "o_custkey", "c_custkey"), (pdir, "o_orderpriority", "p_prio")),
+      src + "-sview", Seq("c_mktsegment", "p_class"), Seq("o_cents"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val dc = spark.read.format("graft-lake").option("path", cdim).load()
+      val dp = spark.read.format("graft-lake").option("path", pdir).load()
+      val q = fact.join(dc, col("o_custkey") === col("c_custkey"))
+        .join(dp, col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment"), col("p_class"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      assert(kindOf(q, src) === "direct-join")
+      val expected = Lake.read(spark, src)
+        .join(Lake.read(spark, cdim), col("o_custkey") === col("c_custkey"))
+        .join(Lake.read(spark, pdir), col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment"), col("p_class"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("c_mktsegment", "p_class").collect().map(_.toSeq).toSeq
+      assert(sorted(q) === sorted(expected))
+      // a query joining only ONE of the two dims is a DIFFERENT join
+      // graph: an inner join can drop fact rows, so the 2-dim view
+      // must refuse (no registry entry for the 1-dim pair)
+      val partial = fact.join(dc, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      assert(kindOf(partial, src) === "none")
+    } finally MatView.unregisterStar(src, Seq(cdim, pdir))
   }
 }
