@@ -1647,11 +1647,20 @@ object LakeQueries {
       })).get
   }
 
-  /** Tear down the memoized MV source history (Bench's cold pass). */
+  /** Tear down the memoized MV source history (Bench's cold pass) —
+    * including every sibling the fixture spawned (view dirs, dim
+    * tables: all share the source dir's name as a prefix) and the
+    * rewrite registry, so the cold pass re-prices the view BUILDS
+    * the steady state recovers from sidecars. */
   private[graft] def invalidateMvHistory(): Unit = {
     import scala.jdk.CollectionConverters._
-    mvHistMemo.values.asScala.foreach(_.peek.foreach(d => rm(new java.io.File(d))))
+    mvHistMemo.values.asScala.foreach(_.peek.foreach { d =>
+      val f = new java.io.File(d)
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(f.getName)).foreach(rm)
+    })
     mvHistMemo.clear()
+    graft.lake.MatView.clear()
   }
 
   /** The user aggregate all three MV queries issue — written against
@@ -1722,7 +1731,7 @@ object LakeQueries {
     * must be value-invisible or the driver hash fails. */
   def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
-    graft.lake.MatView.define(spark, src, src + "-view-fresh",
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-fresh",
       Seq("o_orderpriority"), Seq("o_cents"))
     val q = mvUserQuery(spark, src)
     val served = rewriteKind(q, src) == "direct"
@@ -1743,7 +1752,7 @@ object LakeQueries {
     * numbers. */
   def mvStale(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
-    graft.lake.MatView.define(spark, src, src + "-view-stale",
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-stale",
       Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 1L)
     val q = mvUserQuery(spark, src)
     val compensated = rewriteKind(q, src) == "compensated"
@@ -1765,7 +1774,7 @@ object LakeQueries {
     * hashes. */
   def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
-    graft.lake.MatView.define(spark, src, src + "-view-refresh",
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-refresh",
       Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 1L)
     graft.lake.MatView.refresh(spark, src)
     val q = mvUserQueryMinMax(spark, src)
@@ -1812,7 +1821,7 @@ object LakeQueries {
     * compensated rewrite kind. */
   def mvAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
-    graft.lake.MatView.define(spark, src, src + "-view-app",
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-app",
       Seq("o_orderpriority"), Seq("o_cents"), asOfVersion = 3L)
     val q = mvUserQueryMinMax(spark, src)
     val fed = rewriteKind(q, src) == "compensated"
@@ -1832,7 +1841,7 @@ object LakeQueries {
     * `mv_rollup` pins the `direct-rollup` rewrite kind. */
   def mvRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
-    graft.lake.MatView.define(spark, src, src + "-view-2d",
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-2d",
       Seq("o_orderpriority", "o_orderstatus"), Seq("o_cents"))
     val q = mvUserQueryMinMax(spark, src)
     val rolled = rewriteKind(q, src) == "direct-rollup"
@@ -1916,8 +1925,8 @@ object LakeQueries {
   def mvJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
     val dim = mvDim(spark, sfDir, src)
-    graft.lake.MatView.defineJoined(spark, src, dim,
-      "o_custkey", "c_custkey", src + "-view-join",
+    graft.lake.MatView.defineOrRecover(spark, src,
+      Seq((dim, "o_custkey", "c_custkey")), src + "-view-join",
       Seq("c_mktsegment"), Seq("o_cents"))
     val q = mvJoinUserQuery(spark, src, dim)
     val served = rewriteKind(q, src) == "direct-join"
@@ -1940,8 +1949,8 @@ object LakeQueries {
   def mvJoinStale(spark: SparkSession, sfDir: String): DataFrame = {
     val src = mvSharedSource(spark, sfDir)
     val dim = mvDim(spark, sfDir, src)
-    graft.lake.MatView.defineJoined(spark, src, dim,
-      "o_custkey", "c_custkey", src + "-view-join-stale",
+    graft.lake.MatView.defineOrRecover(spark, src,
+      Seq((dim, "o_custkey", "c_custkey")), src + "-view-join-stale",
       Seq("c_mktsegment"), Seq("o_cents"), asOfVersion = 1L)
     val q = mvJoinUserQuery(spark, src, dim)
     val compensated = rewriteKind(q, src) == "compensated-join"
@@ -1985,7 +1994,7 @@ object LakeQueries {
     val src = mvSharedSource(spark, sfDir)
     val cdim = mvDim(spark, sfDir, src)
     val pdim = mvPrioDim(spark, sfDir, src)
-    graft.lake.MatView.defineStar(spark, src,
+    graft.lake.MatView.defineOrRecover(spark, src,
       Seq((cdim, "o_custkey", "c_custkey"), (pdim, "o_orderpriority", "p_prio")),
       src + "-view-star", Seq("c_mktsegment", "p_class"), Seq("o_cents"))
     org.apache.spark.sql.GraftSqlShim.addOptimization(

@@ -192,6 +192,38 @@ object MatView {
     d
   }
 
+  /** [[define]]/[[defineStar]] with the BUILD memoized on storage:
+    * when `mvDir` already holds a sidecar for the SAME definition
+    * (source, grouping, sums, dim dirs+keys — the built/dim versions
+    * may legitimately differ: a refresh advances them), re-register
+    * from it instead of re-aggregating the source. This is the
+    * shared-fixture policy applied to view builds: a production
+    * deployment builds a view once and serves/refreshes it
+    * thereafter; the per-query cost is the view LIFECYCLE, not the
+    * build. Bench's cold pass removes the view dirs with the source
+    * history, so the full build cost stays published alongside. */
+  def defineOrRecover(spark: SparkSession, sourceDir: String,
+      dims: Seq[(String, String, String)], mvDir: String,
+      groupCols: Seq[String], sumCols: Seq[String],
+      asOfVersion: Long = 0L): MvDef = {
+    val sidecar = java.nio.file.Paths.get(mvDir, "_mv")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val d = recover(mvDir)
+      val same = d.sourceDir == sourceDir &&
+        d.groupCols.map(_.toLowerCase) == groupCols.map(_.toLowerCase) &&
+        d.sumCols.map(_.toLowerCase) == sumCols.map(_.toLowerCase) &&
+        d.dims.map(ds => (ds.dimDir, ds.factKey.toLowerCase,
+          ds.dimKey.toLowerCase)) ==
+          dims.map(t => (t._1, t._2.toLowerCase, t._3.toLowerCase))
+      if (same) return d
+      reg.remove(regKey(d.sourceDir, d.dims.map(_.dimDir)))
+    }
+    if (dims.isEmpty)
+      define(spark, sourceDir, mvDir, groupCols, sumCols, asOfVersion)
+    else defineStar(spark, sourceDir, dims, mvDir, groupCols, sumCols,
+      asOfVersion)
+  }
+
   /** Re-register a view from its `_mv` sidecar (a restarted session
     * recovering its rewrite registry from storage). */
   def recover(mvDir: String): MvDef = {

@@ -488,4 +488,26 @@ class MatViewSpec extends SparkSpec {
       assert(kindOf(partial, src) === "none")
     } finally MatView.unregisterStar(src, Seq(cdim, pdir))
   }
+
+  test("defineOrRecover: the second invocation recovers the build and values hold") {
+    val src = buildSource("recov")
+    val mv = src + "-view"
+    val d1 = MatView.defineOrRecover(spark, src, Nil, mv,
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val commit1 = Lake.latestVersion(mv)
+      val r1 = rows(userAgg(src))
+      // second define must NOT rebuild: same view version, same def
+      val d2 = MatView.defineOrRecover(spark, src, Nil, mv,
+        Seq("o_orderpriority"), Seq("o_cents"))
+      assert(d2 === d1)
+      assert(Lake.latestVersion(mv) === commit1,
+        "recover must not re-commit the view")
+      assert(rows(userAgg(src)) === r1)
+      // a DIFFERENT definition at the same dir rebuilds
+      val d3 = MatView.defineOrRecover(spark, src, Nil, mv,
+        Seq("o_orderstatus"), Seq("o_cents"))
+      assert(d3.groupCols === Seq("o_orderstatus"))
+    } finally MatView.unregister(src)
+  }
 }
