@@ -534,6 +534,7 @@ object SparkEntry {
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
+    "x4_hll_table", // persisted HLL register table
     "x6_stream_tumbling", "x6_stream_lake", "x6_stream_join", // chronological
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
     "x6_stream_join_outer", "x6_stream_attribution",
@@ -547,6 +548,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateHistory()
     graft.lake.LakeQueries.invalidateMvHistory()
     graft.ext.Bpe.invalidateLearned()
+    graft.ext.TextStats.invalidateHllRegisters()
     graft.streaming.StreamSource.invalidate()
     graft.streaming.StreamMemo.invalidate()
   }
