@@ -219,6 +219,32 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.mv_status(tbl => 'ns.t')` — the view's freshness
+    * audit: built version vs the source's current version, how many
+    * commits behind, and whether the missed slice is insert-only
+    * (min/max still rewrite-eligible). Metadata-only (delta-log
+    * reads); answers "will my dashboard query hit the view?" without
+    * running one. */
+  def mvStatus(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("mv_status", Array(in("tbl", StringType))) {
+      override def isDeterministic: Boolean = false // registry + log state
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val srcDir = dirOf(catalog, input.getUTF8String(0).toString)
+        val d = graft.lake.MatView.get(srcDir).getOrElse(
+          throw new IllegalArgumentException(s"no registered MV for $srcDir"))
+        val cur = Lake.latestVersion(srcDir)
+        val appendOnly = cur == d.builtVersion ||
+          graft.lake.MatView.appendOnlySlice(srcDir, d.builtVersion, cur)
+        result(StructType(Seq(StructField("built_version", LongType),
+          StructField("current_version", LongType),
+          StructField("commits_behind", LongType),
+          StructField("insert_only_slice",
+            org.apache.spark.sql.types.BooleanType))),
+          d.builtVersion, cur, cur - d.builtVersion,
+          java.lang.Boolean.valueOf(appendOnly))
+      }
+    }
+
   /** `CALL graft.refresh_mv_join(tbl => 'ns.fact', dim => 'ns.dim')`
     * — roll the star-join view forward from the FACT change feed
     * (joined with the pinned dimension snapshot). */

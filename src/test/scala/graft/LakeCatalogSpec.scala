@@ -413,6 +413,10 @@ class LakeCatalogSpec extends SparkSpec {
     assert(v.toSeq === Seq(("a", 2L, 30L), ("b", 1L, 5L)))
     // mutate the source, refresh, registers advance incrementally
     sql("INSERT INTO graftcat.mv.sales VALUES (4, 'b', 7)")
+    // the freshness audit sees the missed (insert-only) commit
+    val st = sql("CALL graftcat.mv_status(tbl => 'mv.sales')").head()
+    assert(st.getLong(2) === 1L && st.getBoolean(3),
+      s"expected 1 commit behind, insert-only; got $st")
     val refreshed = sql("CALL graftcat.refresh_mv(tbl => 'mv.sales')")
       .head().getLong(0)
     assert(refreshed === Lake.latestVersion(s"$warehouse/mv/sales"))

@@ -510,4 +510,18 @@ class MatViewSpec extends SparkSpec {
       assert(d3.groupCols === Seq("o_orderstatus"))
     } finally MatView.unregister(src)
   }
+
+  test("HAVING composes above the rewrite: the parent filter survives substitution") {
+    val src = buildSource("having")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      // HAVING plans as Filter ABOVE the Aggregate; the rewrite
+      // replaces the aggregate with an exprId-preserving projection,
+      // so the parent filter must keep resolving
+      val q = userAgg(src).filter(col("n") > 100L)
+      assert(kindOf(q, src) === "direct")
+      assert(rows(q) === rows(expectedAgg(src).filter(col("n") > 100L)))
+    } finally MatView.unregister(src)
+  }
 }
