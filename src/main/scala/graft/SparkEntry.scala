@@ -527,6 +527,7 @@ object SparkEntry {
     "x2_simhash", "x2_edit_verify", "x2_sketch_calibration", // simhash candidate set
     "x2_ngram_jaccard", "x2_containment", // rare-shingle pair frame
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
+    "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
@@ -547,6 +548,7 @@ object SparkEntry {
     graft.ext.Dedup.invalidateMemos()
     graft.lake.LakeQueries.invalidateHistory()
     graft.lake.LakeQueries.invalidateMvHistory()
+    graft.lake.LakeQueries.invalidateSqlMerge()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()
     graft.streaming.StreamSource.invalidate()
