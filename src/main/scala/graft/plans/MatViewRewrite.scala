@@ -166,7 +166,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
 
   /** What one aggregate-list entry asks for, in view-register terms. */
   private sealed trait Ask
-  private case class GroupRef(name: String, orig: Attribute) extends Ask
+  private case class GroupRef(name: String, orig: NamedExpression)
+    extends Ask
   private case class CountAll(orig: NamedExpression) extends Ask
   private case class SumOf(name: String, orig: NamedExpression) extends Ask
   private case class AvgOf(name: String, orig: NamedExpression) extends Ask
@@ -386,6 +387,12 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val asks = exprs.map {
       case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
         Some(GroupRef(a.name.toLowerCase, a))
+      // an ALIASED group column (`SELECT prio AS p … GROUP BY prio`):
+      // the projection carries the alias's name/exprId, the register
+      // lookup the underlying column's
+      case al @ Alias(a: AttributeReference, _)
+          if groupNames.contains(a.name.toLowerCase) =>
+        Some(GroupRef(a.name.toLowerCase, al))
       case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
         fn match {
           case Count(children)

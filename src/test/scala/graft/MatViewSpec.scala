@@ -524,4 +524,34 @@ class MatViewSpec extends SparkSpec {
       assert(rows(q) === rows(expectedAgg(src).filter(col("n") > 100L)))
     } finally MatView.unregister(src)
   }
+
+  test("aliased group columns rewrite: SELECT prio AS p ... GROUP BY prio") {
+    val src = buildSource("alias")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val q = spark.read.format("graft-lake").option("path", src).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+        .select(col("o_orderpriority").as("prio"), col("n"), col("cents"))
+      // the SQL form puts the alias INSIDE the aggregate list
+      val sqlQ = {
+        spark.read.format("graft-lake").option("path", src).load()
+          .createOrReplaceTempView("alias_src")
+        spark.sql("""SELECT o_orderpriority AS prio, count(*) AS n,
+          sum(o_cents) AS cents FROM alias_src GROUP BY o_orderpriority""")
+      }
+      assert(kindOf(sqlQ, src) === "direct")
+      val expected = Lake.read(spark, src)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+        .select(col("o_orderpriority").as("prio"), col("n"), col("cents"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("prio").collect().map(_.toSeq).toSeq
+      assert(sorted(sqlQ) === sorted(expected))
+      assert(sorted(q) === sorted(expected))
+    } finally MatView.unregister(src)
+  }
 }
