@@ -391,6 +391,22 @@ object SparkEntry {
     // string-keyed priority classifier, collapsed by the star matcher
     ("x8_mv_star", graft.lake.LakeQueries.mvStar _,
       Some(graft.lake.LakeQueries.mvStarSql)),
+    // round-11: EXPRESSION REGISTERS — the TPC-H revenue shape
+    // sum(price*(100-disc)) matched by canonicalized expression and
+    // served from a derived-column view (fresh + Σ-maintained stale)
+    ("x8_mv_expr", graft.lake.LakeQueries.mvExpr _,
+      Some(graft.lake.LakeQueries.mvExprSql)),
+    ("x8_mv_expr_stale", graft.lake.LakeQueries.mvExprStale _,
+      Some(graft.lake.LakeQueries.mvExprStaleSql)),
+    // round-11: TIME-BUCKETED groupings — a day-grain view serves the
+    // month-bucket dashboard aggregate by re-truncating its day column
+    ("x8_mv_timebucket", graft.lake.LakeQueries.mvTimeBucket _,
+      Some(graft.lake.LakeQueries.mvTimeBucketSql)),
+    // round-11: DIMENSION CHURN served incrementally — a churned dim's
+    // change feed re-labels the aux rollup's subtotals; the fact table
+    // is provably untouched (read-counter + plan assert in the result)
+    ("x8_mv_dim_churn", graft.lake.LakeQueries.mvDimChurn _,
+      Some(graft.lake.LakeQueries.mvDimChurnSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -531,7 +547,8 @@ object SparkEntry {
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
-    "x8_mv_star",
+    "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",
+    "x8_mv_dim_churn",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
@@ -548,6 +565,7 @@ object SparkEntry {
     graft.ext.Dedup.invalidateMemos()
     graft.lake.LakeQueries.invalidateHistory()
     graft.lake.LakeQueries.invalidateMvHistory()
+    graft.lake.LakeQueries.invalidateMvExpr()
     graft.lake.LakeQueries.invalidateSqlMerge()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

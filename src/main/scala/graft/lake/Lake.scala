@@ -432,12 +432,17 @@ object Lake {
     * the update rows (minus deleted keys) union back in. `deleteKeys`'
     * columns map positionally onto the table's key columns. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
-      deleteKeys: DataFrame, targetFiles: Int = 2): Long = {
+      deleteKeys: DataFrame, targetFiles: Int = 2,
+      txn: Option[(String, Long)] = None): Long = {
     val base = latestVersion(dir)
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val files = mergedWithDeletes(spark, dir, m, updates, deleteKeys, targetFiles)
-    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    // an optional (appId, version) marker commits ATOMICALLY with the
+    // merge — [[graft.lake.MatView.refresh]] records the absorbed
+    // source version this way, so a crash between the data commit and
+    // its sidecar write is reconcilable from the log (ADVICE r10)
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns ++ txn))
     base + 1L
   }
 
@@ -760,9 +765,25 @@ object Lake {
     * and type changes stay rejected by parquet's merge rules).
     * Deletion vectors apply ([[applyDv]]): a MoR-deleted row is
     * invisible at every version whose entry carries its mask. */
+  /** Per-directory DATA-read counter: every programmatic snapshot or
+    * change-feed read of a table increments its entry. Observability
+    * only (specs and the `x8_mv_dim_churn` fact-untouched assert pin
+    * that maintenance paths never touch the fact table); never read by
+    * the engine itself. */
+  val readCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private def countRead(dir: String): Unit = {
+    readCounts.computeIfAbsent(dir,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    ()
+  }
+  def readsOf(dir: String): Long =
+    Option(readCounts.get(dir)).map(_.get).getOrElse(0L)
+
   def read(spark: SparkSession, dir: String, version: Long = 0L): DataFrame = {
     val v = if (version == 0L) latestVersion(dir) else version
     require(v > 0L, s"no committed version at $dir")
+    countRead(dir)
     val m = manifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f.name).toString)
     val raw = m.schemaJson match {
@@ -812,21 +833,25 @@ object Lake {
     * through here or [[readTouched]], so a rewrite can never
     * resurrect MoR-deleted rows. */
   private def readSubset(spark: SparkSession, dir: String, version: Long,
-      files: Seq[FileEntry]): DataFrame =
+      files: Seq[FileEntry]): DataFrame = {
+    countRead(dir)
     applyDv(spark, dir,
       spark.read.schema(snapshotSchema(spark, dir, version))
         .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
       files.flatMap(_.dv))
+  }
 
   /** The mergeSchema form of [[readSubset]] for the merge paths
     * (additive evolution: an upsert carrying new columns reads its
     * touched files with the union schema), deletion vectors applied. */
   private def readTouched(spark: SparkSession, dir: String,
-      files: Seq[FileEntry]): DataFrame =
+      files: Seq[FileEntry]): DataFrame = {
+    countRead(dir)
     applyDv(spark, dir,
       spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
       files.flatMap(_.dv))
+  }
 
   /** The version in effect at wall-clock `tsMillis` — Delta's
     * `TIMESTAMP AS OF`: the newest still-resolvable version whose
@@ -1600,6 +1625,7 @@ object Lake {
     val to = if (toVersion == 0L) latest else toVersion
     require(fromVersion >= 1L && to <= latest && fromVersion <= to,
       s"bad change range [$fromVersion, $to] at $dir (latest $latest)")
+    countRead(dir)
     // the delta log IS the diff (round 8): each step's removed/added
     // file sets come straight off that version's log record — the feed
     // never resolves a full manifest, so its metadata cost is O(files

@@ -1628,7 +1628,17 @@ object LakeQueries {
     mvHistMemo.keySet.asScala
       .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
       .foreach(k => Option(mvHistMemo.remove(k))
-        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+        .foreach(_.peek.foreach { d =>
+          // the view/dim/aux dirs are SIBLINGS prefixed by the source
+          // dir's name and are fingerprint-independent paths: sweep
+          // them with the source, or a later defineOrRecover would
+          // resurrect registers computed against the previous source
+          // incarnation (ADVICE r10)
+          val f = new java.io.File(d)
+          Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(f.getName)).foreach(rm)
+          graft.lake.MatView.clear()
+        }))
     mvHistMemo.computeIfAbsent((spark, sfDir, fp),
       _ => new graft.Scratch.Slot(() => {
         val dir = scratchDir(spark, sfDir) + "-mv-src"
@@ -2069,4 +2079,279 @@ object LakeQueries {
       |  SELECT o_custkey, o_orderpriority,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
       |  FROM orders, mx WHERE o_orderkey > b9)""".stripMargin
+
+  // ---- expression registers (round 11) -----------------------------------
+
+  /** SHARED lineitem fixture for the expression-register queries: the
+    * table carries exact integer price/discount encodings
+    * (`price_cents`, `disc_pct` — the same DECIMAL(18,2) derivation
+    * every hash-gated money column here uses) under a synthetic unique
+    * key, through a 2-version history whose v2 upsert doubles
+    * `price_cents` for the LOW KEY BAND (`key ≤ max/10` — contiguous,
+    * so the copy-on-write commit touches only intersecting files and
+    * the change feed stays O(files touched)). Same disclosed-memo
+    * policy as [[mvSharedSource]]; swept by [[invalidateMvHistory]]
+    * (the dir shares the `-mv` prefix family via its own memo). */
+  private val mvxMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private[graft] def mvExprSource(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    mvxMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(mvxMemo.remove(k))
+        .foreach(_.peek.foreach { d =>
+          val f = new java.io.File(d)
+          Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(f.getName)).foreach(rm)
+          graft.lake.MatView.clear()
+        }))
+    mvxMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-mvx-src"
+        rm(new java.io.File(dir))
+        // orders, not lineitem: the synthetic lineitem repeats
+        // (orderkey, linenumber), so only orders carries a real unique
+        // key. The discount percentage derives from the key (mod 10) —
+        // deterministic, integer-exact, mirrorable.
+        val o = Tables.orders(spark, sfDir).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_cents"),
+          (col("o_orderkey") % 10).as("disc_pct"))
+        Lake.create(o, dir, "o_orderkey", targetFiles = 6)
+        val maxKey = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        Lake.upsert(spark, dir,
+          Lake.read(spark, dir).filter(col("o_orderkey") <= maxKey / 10)
+            .withColumn("price_cents", col("price_cents") * 2))
+        dir
+      })).get
+  }
+
+  private[graft] def invalidateMvExpr(): Unit = {
+    import scala.jdk.CollectionConverters._
+    mvxMemo.values.asScala.foreach(_.peek.foreach { d =>
+      val f = new java.io.File(d)
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(f.getName)).foreach(rm)
+    })
+    mvxMemo.clear()
+    graft.lake.MatView.clear()
+  }
+
+  /** The user aggregate of the expression-register queries: the raw
+    * TPC-H-revenue SHAPE — `sum(price * (100 - discount))` written as
+    * arithmetic over two source columns, no view mentioned. The
+    * matcher must recognize the expression canonically, not by name. */
+  private def mvExprUserQuery(spark: SparkSession, srcDir: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val rev = col("price_cents") * (lit(100L) - col("disc_pct"))
+    spark.read.format("graft-lake").option("path", srcDir).load()
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rev).as("revenue"),
+        avg(rev).as("avg_rev"))
+  }
+
+  /** The fixture's final (v2) state + the revenue aggregate, mirrored
+    * relationally from raw lineitem. */
+  private def mvExprStateSql(flag: String): String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS price_cents,
+       |    o_orderkey % 10 AS disc_pct
+       |  FROM orders),
+       |mx AS (SELECT max(o_orderkey) // 10 AS b1 FROM base),
+       |final AS (
+       |  SELECT o_orderpriority, o_orderstatus, disc_pct,
+       |    price_cents * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END)
+       |      AS price_cents
+       |  FROM base, mx)
+       |SELECT o_orderpriority, o_orderstatus, count(*) AS n_rows,
+       |  CAST(sum(price_cents * (100 - disc_pct)) AS BIGINT) AS revenue,
+       |  CAST(avg(price_cents * (100 - disc_pct)) AS DOUBLE) AS avg_rev,
+       |  TRUE AS $flag
+       |FROM final
+       |GROUP BY o_orderpriority, o_orderstatus
+       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** Registered query `x8_mv_expr` — EXPRESSION REGISTERS, fresh case
+    * (round 11, VERDICT r10 #1): the view declares a DERIVED sum
+    * column `revenue = price_cents * (100 - disc_pct)` — the TPC-H
+    * revenue shape — and the registered aggregate, written as raw
+    * arithmetic over the source columns, is matched by CANONICALIZED
+    * expression equality and served from the view. `mv_expr` pins the
+    * rewrite kind AND that the executed plan never opens the fact
+    * table's data files (the plan-shape half of the claim); the DuckDB
+    * mirror recomputes revenue from raw lineitem, gating the values. */
+  def mvExpr(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvExprSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-expr",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("revenue"),
+      derived = Seq("revenue" -> "price_cents * (100 - disc_pct)"))
+    val q = mvExprUserQuery(spark, src)
+    val served = rewriteKind(q, src) == "direct" &&
+      !factScanned(q, src)
+    q.withColumn("mv_expr", lit(served))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val mvExprSql: String = mvExprStateSql("mv_expr")
+
+  /** Does the executed plan open the fact table's DATA files? The
+    * rewrite must leave only view-table (or change-feed) scans; scan
+    * leaves are inspected by path prefix. */
+  private def factScanned(q: DataFrame, srcDir: String): Boolean =
+    q.queryExecution.executedPlan.collectLeaves().exists { leaf =>
+      leaf.toString.contains(new java.io.File(srcDir).getName + "/data-")
+    }
+
+  /** Registered query `x8_mv_expr_stale` — expression registers
+    * Σ-MAINTAINED THROUGH THE FEED: the same view shape built AS OF v1
+    * (below the price-doubling upsert), never refreshed. The rewrite
+    * serves `view ⊕ Σ(changes)` with the derived expression applied to
+    * the change feed's pre/postimages — an updated row's revenue
+    * contribution leaves with the old discount-adjusted price and
+    * re-enters with the new one. `mv_expr_stale` pins the compensated
+    * rewrite kind. */
+  def mvExprStale(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvExprSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-exprstale",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("revenue"),
+      asOfVersion = 1L,
+      derived = Seq("revenue" -> "price_cents * (100 - disc_pct)"))
+    val q = mvExprUserQuery(spark, src)
+    val comp = rewriteKind(q, src) == "compensated"
+    q.withColumn("mv_expr_stale", lit(comp))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val mvExprStaleSql: String = mvExprStateSql("mv_expr_stale")
+
+  // ---- time-bucketed view groupings (round 11) ---------------------------
+
+  /** Events as a lake table with exact integer cents — the
+    * time-bucket fixture (single version: bucket serving is orthogonal
+    * to staleness, which the expr/stale queries already gate). Built
+    * on demand beside the MV source history (same prefix family, so
+    * the cold sweep prices its rebuild). */
+  private[graft] def mvTimeSource(spark: SparkSession, sfDir: String): String = {
+    val dir = mvSharedSource(spark, sfDir) + "-tsrc"
+    if (Lake.latestVersion(dir) == 0L) {
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"), col("ts"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("val_cents"))
+      Lake.create(ev, dir, "event_id", targetFiles = 4)
+    }
+    dir
+  }
+
+  /** Registered query `x8_mv_timebucket` — TIME-BUCKETED VIEW
+    * GROUPINGS (round 11, VERDICT r10 #2): the view is declared at DAY
+    * grain (`day = date_trunc('day', ts)` × event_type — the dashboard
+    * rollup shape), and the registered aggregate asks for WEEK
+    * buckets over the raw table. The matcher recognizes
+    * `date_trunc('week', ts)` as a coarser level of the declared day
+    * column on the calendar lattice (week ∘ day ≡ week) and serves
+    * it by re-truncating the view's day column — the partial-rollup
+    * path over view-sized rows, never the fact table. `mv_timebucket`
+    * pins the `direct-rollup` rewrite kind and the no-fact-scan plan
+    * shape; DuckDB mirrors the month aggregate from raw events. */
+  def mvTimeBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvTimeSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-day",
+      Seq("day", "event_type"), Seq("val_cents"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", src).load()
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("val_cents")).as("sum_cents"))
+    val rolled = rewriteKind(q, src) == "direct-rollup" && !factScanned(q, src)
+    // ISO-string the bucket AFTER the aggregate (driver output-type
+    // rule: no raw TIMESTAMP columns) — the cast sits above the
+    // Aggregate node, so the rewrite below it is unaffected
+    q.select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_events"), col("sum_cents"))
+      .withColumn("mv_timebucket", lit(rolled)).orderBy(col("week"))
+  }
+
+  val mvTimeBucketSql: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  TRUE AS mv_timebucket
+      |FROM events
+      |GROUP BY week
+      |ORDER BY week""".stripMargin
+
+  // ---- dimension churn, incrementally (round 11) -------------------------
+
+  /** A PRIVATE customer dimension for the churn query (the shared
+    * [[mvDim]] must stay version-stable — other star views pin it). */
+  private def mvChurnDim(spark: SparkSession, sfDir: String,
+      src: String): String = {
+    val dimDir = src + "-cdim"
+    if (Lake.latestVersion(dimDir) == 0L)
+      Lake.create(Tables.customer(spark, sfDir), dimDir, "c_custkey",
+        targetFiles = 1)
+    dimDir
+  }
+
+  /** Registered query `x8_mv_dim_churn` — STAR-VIEW DIMENSION CHURN,
+    * incrementally (round 11, VERDICT r10 #3): the join view
+    * (orders ⋈ customer by segment) is defined while the dimension is
+    * clean; the dimension then churns — every `%5` customer reassigned
+    * to segment `CHURNED` via a copy-on-write upsert — and
+    * [[MatView.refreshDim]] advances the pin by consuming the
+    * DIMENSION's change feed against the per-dimension AUX rollup
+    * (per-customer subtotals): each changed customer's stored
+    * contribution MOVES from its old segment to the new one with
+    * signed count/sum algebra; the fact table is never read.
+    * `mv_dim_churn` pins three facts into the hashed result: the
+    * post-churn query rewrites `direct-join`, the executed plan opens
+    * no fact data files, and the fact table's programmatic data-read
+    * counter did not move across the churn refresh. The DuckDB mirror
+    * joins the derived fact state with the churned dimension state
+    * relationally. */
+  def mvDimChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    val dim = mvChurnDim(spark, sfDir, src)
+    graft.lake.MatView.defineOrRecover(spark, src,
+      Seq((dim, "o_custkey", "c_custkey")), src + "-view-churn",
+      Seq("c_mktsegment"), Seq("o_cents"))
+    // churn AFTER the define (first run only: the dim is then at v2
+    // and both the churn and the refresh below are replay no-ops)
+    if (Lake.latestVersion(dim) == 1L)
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("CHURNED")))
+    val factReadsBefore = Lake.readsOf(src)
+    graft.lake.MatView.refreshDim(spark, src, Seq(dim))
+    val factUntouched = Lake.readsOf(src) == factReadsBefore
+    val q = mvJoinUserQuery(spark, src, dim)
+    val served = rewriteKind(q, src) == "direct-join" &&
+      !factScanned(q, src) && factUntouched
+    q.withColumn("mv_dim_churn", lit(served)).orderBy(col("c_mktsegment"))
+  }
+
+  val mvDimChurnSql: String =
+    s"""$mvFinalStateJoinCte,
+       |cdim AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 5 = 0 THEN 'CHURNED' ELSE c_mktsegment END
+       |      AS c_mktsegment
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
+       |  TRUE AS mv_dim_churn
+       |FROM final JOIN cdim ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
 }

@@ -1,14 +1,16 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Expression, Literal, NamedExpression}
+  AttributeReference, EqualTo, Expression, If, Literal, NamedExpression,
+  PlanExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EvalMode}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  LogicalPlan, Project}
+  LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation,
   DataSourceV2ScanRelation}
@@ -16,12 +18,11 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation,
 import graft.lake.{Lake, MatView}
 import graft.sources.LakeTables
 
-/** TRANSPARENT MATERIALIZED-VIEW REWRITE (round 10): an injected
-  * optimizer rule that replaces a Σ-maintainable aggregate over a
-  * registered [[graft.lake.Lake]] table with a read of its
-  * [[MatView]] — the Calcite/warehouse "answer from the rollup"
-  * optimization, with freshness decided from the DELTA LOG rather
-  * than trust:
+/** TRANSPARENT MATERIALIZED-VIEW REWRITE: an injected optimizer rule
+  * that replaces a Σ-maintainable aggregate over a registered
+  * [[graft.lake.Lake]] table with a read of its [[MatView]] — the
+  * Calcite/warehouse "answer from the rollup" optimization, with
+  * freshness decided from the DELTA LOG rather than trust:
   *
   *  - the query's relation pins a snapshot version at load; if the
   *    view was built at exactly that version, the aggregate collapses
@@ -31,23 +32,39 @@ import graft.sources.LakeTables
   *    `view ⊕ Σ(changes(built → pinned])` — the change feed's signed
   *    contributions re-aggregated with the stored registers, reading
   *    only the files the missed commits touched. The plan cost is
-  *    O(view + Δ), not O(table): at 100 TB this is the difference
-  *    between a dashboard query re-scanning a year of facts and one
-  *    reading a 25-row rollup plus last night's commits;
+  *    O(view + Δ), not O(table);
   *  - a snapshot BEHIND the view (time travel below the build point)
   *    never rewrites.
   *
+  * MATCHING BY CANONICALIZED EXPRESSION (round 11): declared group and
+  * sum columns may be EXPRESSIONS (`"revenue" ->
+  * "l_extendedprice * (1 - l_discount)"`, `"day" ->
+  * "date_trunc('day', o_ts)"`). The matcher resolves each declared
+  * expression against the query's own relation attributes (analyzer
+  * pass over a LocalRelation carrying the leaf output, so exprIds
+  * line up) and compares CANONICALIZED forms — `sum(price*(1-disc))`
+  * matches the declared register however the query spells it.
+  * Time-bucketed groupings additionally roll UP the trunc hierarchy:
+  * a view grouped by `date_trunc('day', ts)` serves a
+  * `date_trunc('month', ts)` query by re-truncating the day column —
+  * exact because month∘day ≡ month (every level coarser than a
+  * sub-day declaration composes; week only from sub-week, year from
+  * month/quarter — the lattice is encoded, not assumed).
+  *
   * The matcher is deliberately conservative — rewrite only when
-  * provably equivalent, else leave the plan alone: grouping must be
-  * bare columns equal (as a set) to the view's declared group
-  * columns; aggregates must be `count(*)`/`count(1)` or `sum(col)`
-  * over declared sum columns (no DISTINCT, no FILTER clause — and
-  * min/max never, they are not maintainable under deletes); residual
-  * `Filter`s may reference group columns only (then they commute with
-  * the aggregate and transpose onto the view scan); intermediate
-  * `Project`s must be pure column pruning. Every alias in the
-  * replacement carries the original output's exprId, so parent
-  * operators resolve unchanged.
+  * provably equivalent, else leave the plan alone: aggregates must be
+  * `count(*)`/`count(1)` or sum/avg/min/max over declared register
+  * expressions (no DISTINCT, no FILTER clause; min/max stale-serve
+  * only over insert-only slices); residual `Filter`s must be
+  * deterministic, subquery-free functions of declared group columns
+  * (then they commute with the aggregate and transpose onto the view
+  * scan); intermediate `Project`s must be pure column pruning. Every
+  * alias in the replacement carries the original output's exprId, so
+  * parent operators resolve unchanged. NULL sums serve exactly: each
+  * sum register pairs with a non-null-count register and the serve
+  * path yields NULL when it is zero — matching the direct aggregate
+  * on all-NULL groups, which the raw stored sum (0 under Σ-algebra)
+  * cannot.
   *
   * Equivalence is driver-gated end to end: the `x8_mv_*` registered
   * queries run WITH the rule active and hash-match DuckDB computing
@@ -64,10 +81,40 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The relation chain under an aggregate: filters and pure-pruning
-    * projects over a single graft-lake V2 relation. */
+  /** The relation chain under an aggregate: filters and projects over
+    * a single graft-lake V2 relation; `out` is the RELATION's output
+    * (stable exprIds), the attribute universe declared expressions
+    * resolve against. `subst` inlines ALIASED projection columns —
+    * `PullOutGroupingExpressions` hoists every non-trivial grouping
+    * expression into a `Project [... AS _groupingexpression#N]` below
+    * the aggregate, so matching must see through the indirection back
+    * to the relation-attribute expression. */
   private case class Chain(dir: String, version: Long,
-      filters: Seq[Expression])
+      filters: Seq[Expression], out: Seq[Attribute],
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+
+  private def applySubst(e: Expression,
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]): Expression =
+    if (subst.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if subst.contains(a.exprId) => subst(a.exprId)
+    }
+
+  /** The substitutions one Project's alias entries contribute
+    * (inlined through the child's own map), or None when any aliased
+    * expression is nondeterministic / subquery-bearing — matching
+    * through such a projection could change semantics. */
+  private def aliasSubst(ps: Seq[NamedExpression],
+      inner: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      : Option[Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]] = {
+    val extra = ps.collect { case al @ Alias(e, _) =>
+      al.exprId -> applySubst(e, inner)
+    }
+    if (extra.forall { case (_, e) =>
+      e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]]) })
+      Some(inner ++ extra)
+    else None
+  }
 
   /** Both placements are supported: injected via
     * `SparkSessionExtensions` the rule runs in the operator batch and
@@ -80,37 +127,25 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def peel(p: LogicalPlan): Option[Chain] = p match {
     case r: DataSourceV2Relation =>
       r.table match {
-        case LakeTables(dir, version) => Some(Chain(dir, version, Nil))
+        case LakeTables(dir, version) =>
+          Some(Chain(dir, version, Nil, r.output, Map.empty))
         case _ => None
       }
     case r: DataSourceV2ScanRelation =>
       r.relation.table match {
-        case LakeTables(dir, version) => Some(Chain(dir, version, Nil))
+        case LakeTables(dir, version) =>
+          Some(Chain(dir, version, Nil, r.output, Map.empty))
         case _ => None
       }
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      peel(child)
+    case Project(ps, child) if ps.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      for {
+        c <- peel(child)
+        s <- aliasSubst(ps, c.subst)
+      } yield c.copy(subst = s)
     case Filter(cond, child) =>
-      peel(child).map(c => c.copy(filters = cond +: c.filters))
-    case _ => None
-  }
-
-  /** One leaf of a star join tree: the relation chain plus the
-    * RELATION's output attributes (stable exprIds — pure projects
-    * above don't mint new ones), used to decide which leaf owns a
-    * join-condition attribute. */
-  private case class StarLeaf(chain: Chain, out: Seq[Attribute])
-
-  private def peelLeaf(p: LogicalPlan): Option[StarLeaf] = p match {
-    case r: DataSourceV2Relation =>
-      peel(r).map(c => StarLeaf(c, r.output))
-    case r: DataSourceV2ScanRelation =>
-      peel(r).map(c => StarLeaf(c, r.output))
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      peelLeaf(child)
-    case Filter(cond, child) =>
-      peelLeaf(child).map(l =>
-        l.copy(chain = l.chain.copy(filters = cond +: l.chain.filters)))
+      peel(child).map(c =>
+        c.copy(filters = applySubst(cond, c.subst) +: c.filters))
     case _ => None
   }
 
@@ -121,21 +156,26 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     * leafIdx, keyName) with key names lowercased. Any non-conforming
     * node refuses. */
   private def flattenStar(p: LogicalPlan): Option[
-      (Seq[StarLeaf], Seq[(Int, String, Int, String)], Seq[Expression])] =
+      (Seq[Chain], Seq[(Int, String, Int, String)], Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] =
     p match {
-      case Project(ps, child)
-          if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        flattenStar(child)
+      case Project(ps, child) if ps.forall(e =>
+          e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        for {
+          (ls, es, fs, sub) <- flattenStar(child)
+          s <- aliasSubst(ps, sub)
+        } yield (ls, es, fs, s)
       case Filter(cond, child) =>
-        flattenStar(child).map { case (ls, es, fs) => (ls, es, cond +: fs) }
+        flattenStar(child).map { case (ls, es, fs, sub) =>
+          (ls, es, applySubst(cond, sub) +: fs, sub)
+        }
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
         j.condition match {
-          case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-              a: AttributeReference, b: AttributeReference)) =>
+          case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
             for {
-              (ll, le, lf) <- flattenStar(j.left)
-              (rl, re0, rf) <- flattenStar(j.right)
+              (ll, le, lf, lsub) <- flattenStar(j.left)
+              (rl, re0, rf, rsub) <- flattenStar(j.right)
               leaves = ll ++ rl
               ownerA <- ownerOf(a, leaves)
               ownerB <- ownerOf(b, leaves)
@@ -147,26 +187,175 @@ object MatViewRewrite extends Rule[LogicalPlan] {
               (leaves,
                 (ownerA, a.name.toLowerCase, ownerB, b.name.toLowerCase) +:
                   (le ++ shifted),
-                lf ++ rf)
+                lf ++ rf, lsub ++ rsub)
             }
           case _ => None
         }
       case other =>
-        peelLeaf(other).map(l =>
-          (Seq(l.copy(chain = l.chain.copy(filters = Nil))), Nil,
-            l.chain.filters))
+        peel(other).map(c =>
+          (Seq(c.copy(filters = Nil)), Nil, c.filters, c.subst))
     }
 
-  private def ownerOf(a: Attribute, leaves: Seq[StarLeaf]): Option[Int] = {
+  private def ownerOf(a: Attribute, leaves: Seq[Chain]): Option[Int] = {
     val owners = leaves.zipWithIndex.collect {
       case (l, i) if l.out.exists(_.exprId == a.exprId) => i
     }
     if (owners.size == 1) Some(owners.head) else None
   }
 
+  // ---- declared-register resolution --------------------------------------
+
+  /** A declared column resolved against the query's own relation
+    * attributes: canonical comparison against query expressions is
+    * then exact (same exprIds). */
+  private case class Resolved(groups: Seq[(String, Expression)],
+      sums: Seq[(String, Expression)])
+
+  /** Resolve one declared column: a derived name parses + analyzes its
+    * SQL expression over a LocalRelation of the leaf attributes
+    * (functions resolve, implicit casts insert — the SAME rules the
+    * query's own analysis ran under); a plain name binds the matching
+    * attribute. None on any failure → the view never matches. */
+  private def resolveDecl(d: MatView.MvDef, name: String,
+      out: Seq[Attribute]): Option[Expression] =
+    d.derivedExpr(name) match {
+      case Some(sql) =>
+        try {
+          val spark = SparkSession.active
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          val byName = out.groupBy(_.name.toLowerCase)
+          var ok = true
+          val bound = parsed.transformUp {
+            case u: UnresolvedAttribute =>
+              byName.get(u.name.toLowerCase) match {
+                case Some(Seq(a)) => a
+                case _ => ok = false; u
+              }
+          }
+          if (!ok) None
+          else {
+            val probe = Project(Seq(Alias(bound, name)()), LocalRelation(out))
+            spark.sessionState.analyzer.execute(probe) match {
+              case Project(Seq(al: Alias), _) if al.child.resolved =>
+                Some(al.child)
+              case _ => None
+            }
+          }
+        } catch { case _: Exception => None }
+      case None =>
+        out.filter(_.name.equalsIgnoreCase(name)) match {
+          case Seq(a) => Some(a)
+          case _ => None
+        }
+    }
+
+  /** Best-effort per entry: a declared column the query never asks for
+    * may be COLUMN-PRUNED out of the relation (the ScanRelation
+    * placement sees post-pruning output) and then simply cannot — and
+    * need not — resolve; it just rolls away. A query that does ask an
+    * unresolvable register fails to match in [[classify]] naturally. */
+  private def resolveAll(d: MatView.MvDef, out: Seq[Attribute]): Resolved =
+    Resolved(
+      d.groupCols.flatMap(n => resolveDecl(d, n, out).map(n.toLowerCase -> _)),
+      d.sumCols.flatMap(n => resolveDecl(d, n, out).map(n.toLowerCase -> _)))
+
+  /** Canonical form for register matching: CONSTANT-FOLD first (the
+    * declared `100` may analyze as `CAST(100 AS BIGINT)` while the
+    * query wrote `100L` — semantically equal, structurally not), strip
+    * intermediate aliases, then Catalyst's own canonicalization. */
+  private def canon(e0: Expression): Expression = {
+    val e = e0 match { case Alias(c, _) => c; case o => o }
+    e.transformUp {
+      case f if f.foldable && !f.isInstanceOf[Literal] =>
+        Literal.create(f.eval(), f.dataType)
+    }.canonicalized
+  }
+
+  // ---- trunc hierarchy ----------------------------------------------------
+
+  /** Normalized date_trunc level, or None for levels outside the
+    * supported lattice (millisecond/microsecond never bucket-serve). */
+  private def truncLevel(fmt: Expression): Option[String] = fmt match {
+    case Literal(v, _) if v != null =>
+      v.toString.toLowerCase match {
+        case "year" | "yyyy" | "yy" => Some("year")
+        case "quarter" => Some("quarter")
+        case "month" | "mon" | "mm" => Some("month")
+        case "week" => Some("week")
+        case "day" | "dd" => Some("day")
+        case "hour" => Some("hour")
+        case "minute" => Some("minute")
+        case "second" => Some("second")
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Is `date_trunc(q, date_trunc(v, x)) ≡ date_trunc(q, x)`? Exactly
+    * the compositions that hold on the calendar lattice: any level
+    * coarser than a sub-day declaration (day truncation preserves the
+    * date, so week/month/quarter/year all compose), month→quarter/year,
+    * quarter→year. Week composes FROM finer levels but nothing coarser
+    * composes from week (an ISO week straddles month boundaries). */
+  private def truncServable(q: String, v: String): Boolean = {
+    val rank = Map("second" -> 0, "minute" -> 1, "hour" -> 2, "day" -> 3,
+      "week" -> 4, "month" -> 5, "quarter" -> 6, "year" -> 7)
+    q == v ||
+      (rank(v) <= 3 && rank(q) > rank(v)) ||
+      (v == "month" && (q == "quarter" || q == "year")) ||
+      (v == "quarter" && q == "year")
+  }
+
+  // ---- group/aggregate classification -------------------------------------
+
+  /** How one query grouping expression is served from the view. */
+  private sealed trait GroupServe {
+    def name: String // declared view group column
+  }
+  private case class GDirect(name: String) extends GroupServe
+  private case class GTrunc(name: String, level: String) extends GroupServe
+
+  /** Match every grouping expression against the declared groups:
+    * canonical equality serves the view column directly; a
+    * `date_trunc` at a servable coarser level re-truncates it. Refuse
+    * any grouping outside both. Returns (canonical grouping expr →
+    * serve), deduplicated. */
+  private def matchGroups(groupings: Seq[Expression],
+      res: Resolved): Option[Seq[(Expression, GroupServe)]] = {
+    val serves = groupings.map { g0 =>
+      // groupBy(expr.as("name")) leaves the alias in the grouping list
+      val g = g0 match { case Alias(c, _) => c; case o => o }
+      val direct = res.groups.collectFirst {
+        case (n, e) if canon(e) == canon(g) => GDirect(n)
+      }
+      val bucket = g match {
+        case t: TruncTimestamp =>
+          for {
+            q <- truncLevel(t.format)
+            hit <- res.groups.collectFirst {
+              case (n, tv: TruncTimestamp)
+                  if truncLevel(tv.format).exists(v =>
+                    truncServable(q, v) && q != v) &&
+                    canon(tv.timestamp) == canon(t.timestamp) =>
+                GTrunc(n, q)
+            }
+          } yield hit
+        case _ => None
+      }
+      direct.orElse(bucket).map(s => canon(g) -> s)
+    }
+    if (serves.forall(_.isDefined)) {
+      val flat = serves.flatten
+      // one view column may serve at most one bucket level per query
+      // (two different truncs of the same declared column are fine —
+      // they alias distinctly; dedup only exact repeats)
+      Some(flat.distinctBy { case (c, s) => (c, s) })
+    } else None
+  }
+
   /** What one aggregate-list entry asks for, in view-register terms. */
   private sealed trait Ask
-  private case class GroupRef(name: String, orig: NamedExpression)
+  private case class GroupRef(served: String, orig: NamedExpression)
     extends Ask
   private case class CountAll(orig: NamedExpression) extends Ask
   private case class SumOf(name: String, orig: NamedExpression) extends Ask
@@ -174,19 +363,35 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private case class MinOf(name: String, orig: NamedExpression) extends Ask
   private case class MaxOf(name: String, orig: NamedExpression) extends Ask
 
+  /** A filter conjunct is eligible to transpose onto the view scan
+    * only when it is a pure row-independent function of declared group
+    * columns: every reference is a group column, the expression is
+    * DETERMINISTIC (a `rand() < 0.5` filter selects ROWS, not groups —
+    * transposing it would turn a row-level coin flip into a group-level
+    * one, ADVICE r10), and it embeds no subquery plan (a subquery's
+    * result can depend on the very table the rewrite replaces). */
+  private def transposable(f: Expression, declaredNames: Set[String]): Boolean =
+    f.deterministic &&
+      !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      f.references.forall(a => declaredNames.contains(a.name.toLowerCase))
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     chain <- peel(agg.child)
     d <- MatView.get(chain.dir)
     // time travel below the view's build point: the view is too new
     if chain.version >= d.builtVersion
-    groupNames <- groupedOnSubset(agg, d.groupCols)
+    res = resolveAll(d, chain.out)
+    serves <- matchGroups(
+      agg.groupingExpressions.map(applySubst(_, chain.subst)), res)
     // filters may reference ANY declared group column — a filter on a
     // dimension the query rolls AWAY still commutes: it applies to the
-    // view rows before the re-aggregation
+    // view rows before the re-aggregation. (A derived group column has
+    // no source-table name, so raw-column filters refuse — conservative.)
     declaredNames = d.groupCols.map(_.toLowerCase).toSet
-    if chain.filters.forall(f =>
-      f.references.forall(a => declaredNames.contains(a.name.toLowerCase)))
-    asks <- classify(agg.aggregateExpressions, d, groupNames)
+      .filter(n => d.derivedExpr(n).isEmpty)
+    if chain.filters.forall(transposable(_, declaredNames))
+    asks <- classify(
+      agg.aggregateExpressions.map(substNamed(_, chain.subst)), res, serves)
     wantsExtrema = asks.exists {
       case _: MinOf | _: MaxOf => true
       case _ => false
@@ -196,17 +401,15 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // and only a recompute (a refresh, not a rewrite) can restore it
     if chain.version == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
-  } yield build(d, chain.version, chain.filters, groupNames, asks,
-    wantsExtrema)
+  } yield build(d, chain.version, chain.filters, serves, asks, wantsExtrema)
 
-  /** STAR matching (round 10): an aggregate over
-    * `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ` (inner joins, one single-equality
-    * condition each, every dim joined to the FACT) answered from a
-    * [[MatView.defineStar]] view. Same conservatism as the
-    * single-table matcher, plus:
+  /** STAR matching: an aggregate over `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ`
+    * (inner joins, one single-equality condition each, every dim
+    * joined to the FACT) answered from a [[MatView.defineStar]] view.
+    * Same conservatism as the single-table matcher, plus:
     *  - each dimension's pinned version must EQUAL the version the
-    *    view was built against (dimension churn invalidates every
-    *    register — only a re-define absorbs it);
+    *    view was built against ([[MatView.refreshDim]] advances that
+    *    pin incrementally on churn);
     *  - `IsNotNull(joinKey)` conjuncts (Catalyst infers them from the
     *    inner equi-joins) are DROPPED rather than transposed: the
     *    joins inside the view build already excluded null keys, so
@@ -218,17 +421,28 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     *    key pair, no extra leaves, no dim-to-dim edges (star, not
     *    snowflake). Join reorder is absorbed by matching leaves
     *    against the registry, not by position. */
+  /** Substitute inside a named output while keeping its identity: the
+    * top-level Alias survives (same exprId), bare attributes are left
+    * alone (an unsubstitutable alias reference simply fails to
+    * classify, refusing the rewrite — never a cast error). */
+  private def substNamed(ne: NamedExpression,
+      subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])
+      : NamedExpression = ne match {
+    case al: Alias => applySubst(al, subst).asInstanceOf[NamedExpression]
+    case other => other
+  }
+
   private def tryRewriteJoined(agg: Aggregate): Option[LogicalPlan] = for {
     flat <- flattenStar(agg.child)
-    (leaves, edges, filters) = flat
+    (leaves, edges, filters, subst) = flat
     if leaves.size >= 2 && edges.size == leaves.size - 1
     // candidate fact: the leaf for which (leaf, all other leaves) is
     // a registered star view
     pick <- leaves.zipWithIndex.flatMap { case (f, i) =>
       val dimDirs = leaves.zipWithIndex.collect {
-        case (l, j) if j != i => l.chain.dir
+        case (l, j) if j != i => l.dir
       }
-      MatView.getStar(f.chain.dir, dimDirs).map(d => (i, d))
+      MatView.getStar(f.dir, dimDirs).map(d => (i, d))
     }.headOption
     (factIdx, d) = pick
     fact = leaves(factIdx)
@@ -241,17 +455,20 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         else if (j == factIdx) (i, kb, ka)
         else (-1, "", "")
       if (dimIdx < 0) None
-      else specByDir.get(leaves(dimIdx).chain.dir).flatMap { ds =>
+      else specByDir.get(leaves(dimIdx).dir).flatMap { ds =>
         if (factKey == ds.factKey.toLowerCase &&
           dimKey == ds.dimKey.toLowerCase &&
-          leaves(dimIdx).chain.version == ds.dimVersion) Some(dimIdx)
+          leaves(dimIdx).version == ds.dimVersion) Some(dimIdx)
         else None
       }
     }
     if dimIdxs.size == edges.size && dimIdxs.distinct.size == d.dims.size
-    if fact.chain.version >= d.builtVersion
-    groupNames <- groupedOnSubset(agg, d.groupCols)
+    if fact.version >= d.builtVersion
+    res = resolveAll(d, leaves.flatMap(_.out))
+    serves <- matchGroups(
+      agg.groupingExpressions.map(applySubst(_, subst)), res)
     declaredNames = d.groupCols.map(_.toLowerCase).toSet
+      .filter(n => d.derivedExpr(n).isEmpty)
     keyNames = d.dims.flatMap(ds =>
       Seq(ds.factKey.toLowerCase, ds.dimKey.toLowerCase)).toSet
     kept = filters.flatMap(conjuncts).filterNot {
@@ -259,17 +476,16 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         a: AttributeReference) => keyNames.contains(a.name.toLowerCase)
       case _ => false
     }
-    if kept.forall(f =>
-      f.references.forall(a => declaredNames.contains(a.name.toLowerCase)))
-    asks <- classify(agg.aggregateExpressions, d, groupNames)
+    if kept.forall(transposable(_, declaredNames))
+    asks <- classify(
+      agg.aggregateExpressions.map(substNamed(_, subst)), res, serves)
     wantsExtrema = asks.exists {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
-    if fact.chain.version == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(fact.chain.dir, d.builtVersion,
-        fact.chain.version)
-  } yield build(d, fact.chain.version, kept, groupNames, asks, wantsExtrema)
+    if fact.version == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
+  } yield build(d, fact.version, kept, serves, asks, wantsExtrema)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -277,12 +493,21 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     case o => Seq(o)
   }
 
+  /** The served output column name of one group serve in the
+    * replacement plan: a direct serve reads the view column, a bucket
+    * serve re-truncates it under a reserved alias. */
+  private def servedName(s: GroupServe): String = s match {
+    case GDirect(n) => n
+    case GTrunc(n, lvl) => s"__mvg_${lvl}_$n"
+  }
+
   /** The shared serve path: view scan (fresh) or feed compensation
     * (stale), transposed filters, optional register re-aggregation
-    * (partial rollup), and the exprId-preserving output projection. */
+    * (partial rollup / bucket rollup), and the exprId-preserving
+    * output projection. */
   private def build(d: MatView.MvDef, pinnedVersion: Long,
-      filters: Seq[Expression], groupNames: Set[String], asks: Seq[Ask],
-      wantsExtrema: Boolean): LogicalPlan = {
+      filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
+      asks: Seq[Ask], wantsExtrema: Boolean): LogicalPlan = {
     val spark = SparkSession.active
     val fresh = pinnedVersion == d.builtVersion
     val declaredNames = d.groupCols.map(_.toLowerCase).toSet
@@ -298,42 +523,63 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       }, p)
     }
     // PARTIAL ROLLUP: grouping by a strict subset of the declaration
-    // (including the empty set — the global aggregate) re-aggregates
-    // the registers — sum of sums, sum of counts, min of mins, max of
-    // maxes; all exact, register algebra is associative. The
-    // re-aggregation runs over view-sized rows, never the fact table.
-    val exact = groupNames == declaredNames
+    // (including the empty set — the global aggregate), or through a
+    // coarser date_trunc level, re-aggregates the registers — sum of
+    // sums, sum of counts, min of mins, max of maxes; all exact,
+    // register algebra is associative. The re-aggregation runs over
+    // view-sized rows, never the fact table.
+    val exact = serves.forall(_._2.isInstanceOf[GDirect]) &&
+      serves.map(_._2.name).toSet == declaredNames
     val served: LogicalPlan =
       if (exact) transposed
       else {
         import org.apache.spark.sql.functions.{coalesce, lit, max => fmax,
-          min => fmin, sum => fsum, col => fcol}
+          min => fmin, sum => fsum, col => fcol, date_trunc}
         val fdf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, transposed)
         // a GLOBAL aggregate over zero surviving rows must yield
         // count = 0 (sum/min/max stay NULL, like the direct plan)
         val regAggs = coalesce(fsum(fcol(MatView.countCol)), lit(0L))
           .as(MatView.countCol) +:
           d.sumCols.flatMap { c =>
-            fsum(fcol(MatView.sumCol(c))).as(MatView.sumCol(c)) +:
+            Seq(fsum(fcol(MatView.sumCol(c))).as(MatView.sumCol(c)),
+              coalesce(fsum(fcol(MatView.nnCol(c))), lit(0L))
+                .as(MatView.nnCol(c))) ++
               (if (wantsExtrema)
                 Seq(fmin(fcol(MatView.minCol(c))).as(MatView.minCol(c)),
                   fmax(fcol(MatView.maxCol(c))).as(MatView.maxCol(c)))
               else Nil)
           }
-        fdf.groupBy(groupNames.toSeq.sorted.map(fcol): _*)
+        // direct group columns stay BARE (an `as(n)` alias of an
+        // attribute is redundant and the optimizer strips it, minting
+        // a root exprId change); only the bucket transform aliases
+        val groupCols = serves.map(_._2).distinct.map {
+          case GDirect(n) => fcol(n)
+          case g @ GTrunc(n, lvl) =>
+            date_trunc(lvl, fcol(n)).as(servedName(g))
+        }
+        fdf.groupBy(groupCols: _*)
           .agg(regAggs.head, regAggs.tail: _*)
           .queryExecution.analyzed
       }
-    val byName = served.output.map(a => a.name.toLowerCase -> a).toMap
     // Substitute a FULLY OPTIMIZED subplan: in the
     // `extraOptimizations` placement this rule runs after
     // `V2ScanRelationPushDown`, so a raw V2 relation injected here
     // would never become a scan — and optimizing the replacement
     // separately also pushes the transposed group-column filters into
-    // the view scan's own manifest pruning. Root output exprIds
-    // survive optimization, so `byName`'s attributes stay valid.
+    // the view scan's own manifest pruning. The projection resolves
+    // against the OPTIMIZED output (not the analyzed one): alias
+    // cleanup may legitimately re-mint a root exprId, and output
+    // NAMES are stable either way.
     val optimized = org.apache.spark.sql.GraftSqlShim
       .ofRows(spark, served).queryExecution.optimizedPlan
+    val byName = optimized.output.map(a => a.name.toLowerCase -> a).toMap
+    // a sum register serves NULL exactly when its non-null count is
+    // zero — the stored 0 is Σ-algebra bookkeeping, not a SQL sum
+    def nullGuarded(n: String): Expression = {
+      val s = byName(MatView.sumCol(n))
+      If(EqualTo(byName(MatView.nnCol(n)), Literal(0L)),
+        Literal(null, s.dataType), s)
+    }
     val projections: Seq[NamedExpression] = asks.map {
       case GroupRef(n, orig) =>
         Alias(byName(n), orig.name)(exprId = orig.exprId,
@@ -341,16 +587,18 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case CountAll(orig) =>
         Alias(byName(MatView.countCol), orig.name)(exprId = orig.exprId)
       case SumOf(n, orig) =>
-        Alias(byName(MatView.sumCol(n)), orig.name)(exprId = orig.exprId)
+        Alias(nullGuarded(n), orig.name)(exprId = orig.exprId)
       case AvgOf(n, orig) =>
-        // avg ⊢ sum ⊘ count — Spark's own Average sums integral input
-        // in double, and every partial sum of an integral column is an
-        // exact double below 2⁵³, so register-sum ÷ register-count is
-        // BIT-IDENTICAL to the direct computation (the matcher only
-        // admits int/long columns; n > 0 always, so no ÷0 branch)
+        // avg ⊢ sum ⊘ non-null-count — Spark's own Average sums
+        // integral input in double, and every partial sum of an
+        // integral column is an exact double below 2⁵³, so
+        // register-sum ÷ register-count is BIT-IDENTICAL to the direct
+        // computation (the matcher only admits int/long expressions;
+        // LEGACY divide yields NULL on a zero count, exactly the
+        // direct plan's avg-of-no-values)
         Alias(Divide(
           Cast(byName(MatView.sumCol(n)), DoubleType),
-          Cast(byName(MatView.countCol), DoubleType),
+          Cast(byName(MatView.nnCol(n)), DoubleType),
           EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
       case MinOf(n, orig) =>
         Alias(byName(MatView.minCol(n)), orig.name)(exprId = orig.exprId)
@@ -364,75 +612,49 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     Project(projections, optimized)
   }
 
-  /** The query's group-column names (lowercased) when it groups on
-    * bare columns forming a SUBSET of the view's declaration — equal
-    * (direct serve), strict subset (partial rollup), or empty (the
-    * global aggregate). */
-  private def groupedOnSubset(agg: Aggregate,
-      declared: Seq[String]): Option[Set[String]] = {
-    val names = agg.groupingExpressions.map {
-      case a: AttributeReference => Some(a.name.toLowerCase)
-      case _ => None
-    }
-    if (names.forall(_.isDefined) &&
-      names.flatten.toSet.subsetOf(declared.map(_.toLowerCase).toSet))
-      Some(names.flatten.toSet)
-    else None
-  }
-
-  /** Classify every output of the aggregate list, or refuse. */
-  private def classify(exprs: Seq[NamedExpression], d: MatView.MvDef,
-      groupNames: Set[String]): Option[Seq[Ask]] = {
-    val sums = d.sumCols.map(_.toLowerCase).toSet
-    val asks = exprs.map {
-      case a: AttributeReference if groupNames.contains(a.name.toLowerCase) =>
-        Some(GroupRef(a.name.toLowerCase, a))
-      // an ALIASED group column (`SELECT prio AS p … GROUP BY prio`):
-      // the projection carries the alias's name/exprId, the register
-      // lookup the underlying column's
-      case al @ Alias(a: AttributeReference, _)
-          if groupNames.contains(a.name.toLowerCase) =>
-        Some(GroupRef(a.name.toLowerCase, al))
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-        fn match {
+  /** Classify every output of the aggregate list, or refuse. A group
+    * output matches by canonical equality with a served grouping
+    * expression; an aggregate by canonical equality of its child with
+    * a declared register expression. */
+  private def classify(exprs: Seq[NamedExpression], res: Resolved,
+      serves: Seq[(Expression, GroupServe)]): Option[Seq[Ask]] = {
+    val serveByCanon = serves.toMap
+    def sumRegister(child: Expression): Option[String] =
+      res.sums.collectFirst {
+        case (n, e) if canon(e) == canon(child) => n
+      }
+    def classifyOne(e: Expression, orig: NamedExpression): Option[Ask] =
+      e match {
+        case _ if serveByCanon.contains(canon(e)) =>
+          Some(GroupRef(servedName(serveByCanon(canon(e))), orig))
+        case AggregateExpression(fn, Complete, false, None, _) => fn match {
           case Count(children)
               if children.forall(c =>
                 c.foldable && c.isInstanceOf[Literal] &&
                   c.asInstanceOf[Literal].value != null) =>
-            Some(CountAll(al))
-          case s: Sum => s.child match {
-            case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
-              Some(SumOf(a.name.toLowerCase, al))
-            case _ => None
-          }
-          case av: Average => av.child match {
-            // avg only over INTEGRAL declared columns: the sum⊘count
+            Some(CountAll(orig))
+          case s: Sum => sumRegister(s.child).map(SumOf(_, orig))
+          case av: Average =>
+            // avg only over INTEGRAL register expressions: the sum⊘count
             // derivation is bit-exact there (double partial sums of
             // integers below 2⁵³ are exact in any order); a fractional
-            // column's direct average could differ in the last ulp
-            case a: AttributeReference
-                if sums.contains(a.name.toLowerCase) &&
-                  (a.dataType == LongType || a.dataType == IntegerType) =>
-              Some(AvgOf(a.name.toLowerCase, al))
-            case _ => None
-          }
+            // expression's direct average could differ in the last ulp
+            sumRegister(av.child).filter(_ =>
+              av.child.dataType == LongType ||
+                av.child.dataType == IntegerType).map(AvgOf(_, orig))
           // min/max registers exist for every declared column (exact
           // copies of values, order-independent for any type); their
           // STALE eligibility is gated later on the slice being
           // insert-only — a delete could have removed the extremum
-          case m: Min => m.child match {
-            case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
-              Some(MinOf(a.name.toLowerCase, al))
-            case _ => None
-          }
-          case m: Max => m.child match {
-            case a: AttributeReference if sums.contains(a.name.toLowerCase) =>
-              Some(MaxOf(a.name.toLowerCase, al))
-            case _ => None
-          }
+          case m: Min => sumRegister(m.child).map(MinOf(_, orig))
+          case m: Max => sumRegister(m.child).map(MaxOf(_, orig))
           case _ => None
         }
-      case _ => None
+        case _ => None
+      }
+    val asks = exprs.map {
+      case al @ Alias(child, _) => classifyOne(child, al)
+      case other => classifyOne(other, other)
     }
     if (asks.forall(_.isDefined)) Some(asks.flatten) else None
   }

@@ -554,4 +554,328 @@ class MatViewSpec extends SparkSpec {
       assert(sorted(q) === sorted(expected))
     } finally MatView.unregister(src)
   }
+
+  // ---- round 11: expression registers -------------------------------------
+
+  test("expression register: sum(price*(100-disc)) matches canonically") {
+    val dir = freshDir("expr")
+    // orders: the synthetic lineitem repeats (orderkey, linenumber),
+    // so only orders carries a unique lake key
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("li_id"),
+      col("o_orderpriority").as("l_returnflag"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("pc"),
+      (col("o_orderkey") % 10).as("dp"))
+    Lake.create(o, dir, "li_id", targetFiles = 4)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("l_returnflag"), Seq("rev"),
+      derived = Seq("rev" -> "pc * (100 - dp)"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", dir).load()
+      // the query spells the expression itself — different literal
+      // types (100 int vs long) must still match via constant folding
+      val q = lake().groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc") * (lit(100) - col("dp"))).as("rev"),
+          avg(col("pc") * (lit(100) - col("dp"))).as("avg_rev"))
+      assert(kindOf(q, dir) === "direct")
+      val exp = Lake.read(spark, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc") * (lit(100) - col("dp"))).as("rev"),
+          avg(col("pc") * (lit(100) - col("dp"))).as("avg_rev"))
+      def srt(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+      assert(srt(q) === srt(exp))
+      // the SQL spelling matches too
+      lake().createOrReplaceTempView("expr_src")
+      val sqlQ = spark.sql(
+        "SELECT l_returnflag, sum(pc * (100 - dp)) AS rev FROM expr_src GROUP BY 1")
+      assert(kindOf(sqlQ, dir) === "direct")
+      // a DIFFERENT expression refuses
+      val refuse = lake().groupBy(col("l_returnflag"))
+        .agg(sum(col("pc") * (lit(100) + col("dp"))).as("rev"))
+      assert(kindOf(refuse, dir) === "none")
+      // Σ-maintenance THROUGH the feed: upsert doubles pc for a band,
+      // the stale view compensates with the derived expression applied
+      // to the change feed, values exact
+      Lake.upsert(spark, dir, Lake.read(spark, dir)
+        .filter(col("li_id") % 3 === 0).withColumn("pc", col("pc") * 2))
+      val stale = lake().groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc") * (lit(100) - col("dp"))).as("rev"))
+      assert(kindOf(stale, dir) === "compensated")
+      val exp2 = Lake.read(spark, dir).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc") * (lit(100) - col("dp"))).as("rev"))
+      assert(srt(stale) === srt(exp2))
+    } finally MatView.unregister(dir)
+  }
+
+  test("expression register refusals: derived-on-derived, mixed literals ok") {
+    val dir = freshDir("exprref")
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("li_id"),
+      col("o_orderpriority").as("l_returnflag"),
+      (col("o_orderkey") % 50).as("qty"))
+    Lake.create(o, dir, "li_id", targetFiles = 2)
+    // derived referencing another derived is rejected at define
+    val e = intercept[IllegalArgumentException] {
+      MatView.define(spark, dir, dir + "-view", Seq("l_returnflag"),
+        Seq("a", "b"),
+        derived = Seq("a" -> "qty * 2", "b" -> "a + 1"))
+    }
+    assert(e.getMessage.contains("derived"))
+  }
+
+  // ---- round 11: time-bucketed groupings -----------------------------------
+
+  test("time buckets: a day-grain view serves week/month, refuses finer") {
+    val dir = freshDir("tbuck")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"), col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    Lake.create(ev, dir, "event_id", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("day", "event_type"), Seq("vc"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", dir).load()
+      def bucket(lvl: String) = lake()
+        .groupBy(date_trunc(lvl, col("ts")).as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+      def expBucket(lvl: String) = Lake.read(spark, dir)
+        .groupBy(date_trunc(lvl, col("ts")).as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+      def srt(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("b").collect().map(_.toSeq).toSeq
+      for (lvl <- Seq("week", "month", "year")) {
+        val q = bucket(lvl)
+        assert(kindOf(q, dir) === "direct-rollup", s"level $lvl")
+        assert(srt(q) === srt(expBucket(lvl)), s"level $lvl")
+      }
+      // the EXACT declared level serves directly (canonical equality,
+      // grouped with event_type = the full declaration)
+      val exact = lake()
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+      assert(kindOf(exact, dir) === "direct")
+      // FINER than declared refuses: hours are gone
+      assert(kindOf(bucket("hour"), dir) === "none")
+    } finally MatView.unregister(dir)
+  }
+
+  test("time buckets: week-grain view refuses month (weeks straddle months)") {
+    val dir = freshDir("tweek")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    Lake.create(ev, dir, "event_id", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view", Seq("wk"), Seq("vc"),
+      derived = Seq("wk" -> "date_trunc('week', ts)"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", dir).load()
+      val month = lake().groupBy(date_trunc("month", col("ts")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(month, dir) === "none",
+        "month must not be served from week buckets")
+      val week = lake().groupBy(date_trunc("week", col("ts")).as("b"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(week, dir) === "direct")
+    } finally MatView.unregister(dir)
+  }
+
+  // ---- round 11: NULL semantics --------------------------------------------
+
+  test("NULL sums: an all-NULL group serves sum NULL, avg NULL — like the direct plan") {
+    val dir = freshDir("nulls")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_cents",
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast("long"))
+          .otherwise((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val q = userAgg(dir)
+      assert(kindOf(q, dir) === "direct")
+      assert(rows(q) === rows(expectedAgg(dir)))
+      val urgent = q.filter(col("o_orderpriority") === "1-URGENT").head()
+      assert(urgent.isNullAt(urgent.fieldIndex("cents")),
+        "the all-NULL group must serve sum = NULL")
+      assert(urgent.isNullAt(urgent.fieldIndex("avg_cents")))
+      // through the feed too: delete every non-null row of another
+      // group — its surviving rows all carry NULL, sum must go NULL
+      Lake.delete(spark, dir, Lake.read(spark, dir)
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          col("o_orderkey") % 2 === 0).select(col("o_orderkey")))
+      Lake.upsert(spark, dir, Lake.read(spark, dir)
+        .filter(col("o_orderpriority") === "2-HIGH")
+        .withColumn("o_cents", lit(null).cast("long")))
+      val q2 = userAgg(dir)
+      assert(kindOf(q2, dir) === "compensated")
+      assert(rows(q2) === rows(expectedAgg(dir)))
+      val high = q2.filter(col("o_orderpriority") === "2-HIGH").head()
+      assert(high.isNullAt(high.fieldIndex("cents")),
+        "a group whose values all went NULL must compensate to sum = NULL")
+    } finally MatView.unregister(dir)
+  }
+
+  test("NULL groups: define refuses; nondeterministic filters refuse") {
+    val dir = freshDir("nullg")
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("grp",
+        when(col("o_orderkey") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 2)
+    val e = intercept[RuntimeException] {
+      MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("o_cents"))
+    }
+    assert(e.getMessage.contains("NULL"))
+    // nondeterministic filter: never transposed (ADVICE r10)
+    val src = buildSource("nondet")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      val q = spark.read.format("graft-lake").option("path", src).load()
+        .filter(rand(7) < 0.9999) // near-certain per row, NOT provable
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(q, src) === "none",
+        "a nondeterministic filter must block the rewrite")
+    } finally MatView.unregister(src)
+  }
+
+  // ---- round 11: dimension churn -------------------------------------------
+
+  test("dim churn: refreshDim re-labels via the aux rollup, fact untouched") {
+    val src = buildSource("churn")
+    val dim = buildDim("churn")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      // churn 1: segment reassignment (update pre/postimages)
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("CHURNED")))
+      assert(kindOf(joinAgg(src, dim), src) === "none",
+        "pre-refresh: the stale dim pin must refuse")
+      val factReads = Lake.readsOf(src)
+      MatView.refreshDim(spark, src, Seq(dim))
+      assert(Lake.readsOf(src) === factReads,
+        "refreshDim must never read the fact table")
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "direct-join")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+      // churn 2: dim DELETE — the affected customers' orders drop out
+      // of the view exactly as they drop from the raw inner join
+      Lake.delete(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 11 === 0).select(col("c_custkey")))
+      MatView.refreshDim(spark, src, Seq(dim))
+      val q2 = joinAgg(src, dim)
+      assert(kindOf(q2, src) === "direct-join")
+      assert(segRows(q2) === segRows(expectedJoinAgg(src, dim)))
+      // churn 3: dim INSERT of keys no fact row references — a no-op
+      // on the registers, but the pin must still advance
+      Lake.upsert(spark, dim, Lake.read(spark, dim).limit(5)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      MatView.refreshDim(spark, src, Seq(dim))
+      val q3 = joinAgg(src, dim)
+      assert(kindOf(q3, src) === "direct-join")
+      assert(segRows(q3) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("dim churn: min/max re-derive from the aux rollup exactly") {
+    val src = buildSource("churnmm")
+    val dim = buildDim("churnmm")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      MatView.refreshDim(spark, src, Seq(dim))
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val d = spark.read.format("graft-lake").option("path", dim).load()
+      val q = fact.join(d, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(kindOf(q, src) === "direct-join")
+      val exp = Lake.read(spark, src)
+        .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(segRows(q) === segRows(exp))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("dim churn: fact refresh keeps the aux current; both feeds compose") {
+    val src = buildSource("churnboth")
+    val dim = buildDim("churnboth")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      // fact moves first: upsert + delete, then refresh (rolls view AND aux)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_cents", col("o_cents") * 3))
+      Lake.delete(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 9 === 0).select(col("o_orderkey")))
+      MatView.refresh(spark, src, Seq(dim))
+      // then the dim churns; refreshDim must see post-refresh subtotals
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("CHURNED")))
+      val factReads = Lake.readsOf(src)
+      MatView.refreshDim(spark, src, Seq(dim))
+      assert(Lake.readsOf(src) === factReads)
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "direct-join")
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  // ---- round 11: crash-window reconciliation -------------------------------
+
+  test("recover reconciles a sidecar that lags the refresh commit") {
+    val src = buildSource("crash")
+    val d0 = MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_cents", col("o_cents") * 2))
+      MatView.refresh(spark, src)
+      // simulate the crash: re-write the sidecar with the PRE-refresh
+      // definition (as if the process died between the register merge
+      // and the sidecar advance)
+      val sidecarPath = java.nio.file.Paths.get(src + "-view", "_mv")
+      val stale = new String(java.nio.file.Files.readAllBytes(sidecarPath))
+        .replace(s"builtVersion=${Lake.latestVersion(src)}",
+          s"builtVersion=${d0.builtVersion}")
+      java.nio.file.Files.write(sidecarPath, stale.getBytes)
+      MatView.clear()
+      val recovered = MatView.recover(src + "-view")
+      assert(recovered.builtVersion === Lake.latestVersion(src),
+        "recover must trust the txn marker over the lagging sidecar " +
+          "(re-applying the absorbed slice would double-count)")
+      val q = userAgg(src)
+      assert(kindOf(q, src) === "direct")
+      assert(rows(q) === rows(expectedAgg(src)))
+    } finally MatView.unregister(src)
+  }
 }
