@@ -429,6 +429,11 @@ object SparkEntry {
     // travel below the alter keeps the old shape
     ("x8_lake_alter", graft.lake.LakeQueries.lakeAlter _,
       Some(graft.lake.LakeQueries.lakeAlterSql)),
+    // round-11: the FULL evolution surface — RENAME/DROP COLUMN and
+    // lossless type widening as metadata-only commits over column
+    // mapping; re-ADD after DROP provably resurrects nothing
+    ("x8_lake_evolve", graft.lake.LakeQueries.lakeEvolve _,
+      Some(graft.lake.LakeQueries.lakeEvolveSql)),
     // round-9: merge-on-read deletion vectors — scattered deletes as
     // O(deleted) sidecar masks, CDF/read mask application, rewrite_dvs
     // materialization; physical file stability pinned

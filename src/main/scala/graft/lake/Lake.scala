@@ -465,7 +465,7 @@ object Lake {
       val folded =
         if (touched.isEmpty) liveUpdates
         else {
-          val old = readTouched(spark, dir, touched)
+          val old = readTouched(spark, dir, touched, m.schemaJson)
           old.join(allKeys, kc, "left_anti")
             .unionByName(liveUpdates, allowMissingColumns = true)
         }
@@ -620,7 +620,21 @@ object Lake {
       case None => df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
         .sortWithinPartitions(cluster: _*)
     }
-    shaped
+    // column mapping active → rename logical → physical just before
+    // the write (a narrow projection: partitioning and sort survive);
+    // columns outside the declaration pass through (undeclared tables
+    // and pre-declaration additive evolution are unaffected)
+    val physed = activeMapping(dir) match {
+      case Some(decl) =>
+        shaped.select(shaped.columns.map { c =>
+          decl.fields.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) => col(c).as(physName(f))
+            case None => col(c)
+          }
+        }.toSeq: _*)
+      case None => shaped
+    }
+    physed
       .write.mode("overwrite").parquet(out)
     val spark = df.sparkSession
     val kc = keyCols(key)
@@ -638,8 +652,13 @@ object Lake {
     // the order-preserving 8-byte code in minKey/maxKey (the skip
     // join's integer machinery)
     val headStr = dtypes.get(kc.head).contains(StringType)
+    // extra stat columns name LOGICAL columns; the read-back frame has
+    // physical names — translate when mapping is active (key columns
+    // never map)
+    val statPhys = activeMapping(dir).map(physMapOf).getOrElse(Map.empty)
     val statCols =
-      ((if (headStr) kc else kc.tail) ++ extraStatCols).distinct
+      ((if (headStr) kc else kc.tail) ++
+        extraStatCols.map(c => statPhys.getOrElse(c.toLowerCase, c))).distinct
     val (strCols, intCols) =
       statCols.partition(c => dtypes.get(c).contains(StringType))
     def intEnc(c: String) = dtypes(c) match {
@@ -786,19 +805,113 @@ object Lake {
     countRead(dir)
     val m = manifest(dir, v)
     val paths = m.files.map(f => Paths.get(dir, f.name).toString)
-    val raw = m.schemaJson match {
-      // a DECLARED schema (ALTER TABLE ADD COLUMNS) reads verbatim:
-      // files predating a column null-fill, and the column resolves
-      // even before any file carries it
-      case Some(j) => spark.read.schema(schemaFromJson(j)).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    m.schemaJson match {
+      // a DECLARED schema reads through the column mapping: files are
+      // opened with their PHYSICAL names and declared (possibly
+      // widened) types — a file predating an added column null-fills,
+      // a renamed column re-labels, a dropped column never projects —
+      // then the frame re-labels to the logical names
+      case Some(j) =>
+        val decl = schemaFromJson(j)
+        toLogical(applyDv(spark, dir,
+          spark.read.schema(physSchema(decl)).parquet(paths: _*),
+          m.files.flatMap(_.dv)), decl)
+      case None =>
+        applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true").parquet(paths: _*),
+          m.files.flatMap(_.dv))
     }
-    applyDv(spark, dir, raw, m.files.flatMap(_.dv))
   }
 
   private def schemaFromJson(j: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(j)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  // ---- column mapping (round 11: RENAME / DROP / type widening) ---------
+  //
+  // The declared snapshot schema is LOGICAL; each field may carry the
+  // metadata key `graft.phys` naming the column as stored in parquet
+  // (Delta's column-mapping device, by name rather than id). The
+  // physical name is assigned once and never changes — a RENAME only
+  // re-labels the logical field, a DROP removes it (the physical data
+  // stays, unreachable), a re-ADD under a dropped name mints a FRESH
+  // physical name so old values can never resurrect, and a type
+  // WIDENING re-declares the logical type while files keep their
+  // narrow encoding (Spark 4's vectorized parquet reader widens
+  // int→long / int→double / float→double per file on the fly).
+  // Every read path reads files with the PHYSICAL schema and projects
+  // back to logical names; every write path renames logical→physical
+  // just before the parquet write. Key columns never map (file
+  // skipping, the CoW merge joins, and the manifest key all name them
+  // physically), enforced by the evolution ops.
+
+  private val PhysKey = "graft.phys"
+
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** The PHYSICAL read schema of a declared snapshot: stored column
+    * names, DECLARED (possibly widened) types, no metadata. */
+  private[graft] def physSchema(decl: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(decl.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physName(f), f.dataType, f.nullable)))
+
+  private[graft] def toLogical(df: DataFrame,
+      decl: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(decl.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+
+  private[graft] def mappingActive(
+      decl: org.apache.spark.sql.types.StructType): Boolean =
+    decl.fields.exists(_.metadata.contains(PhysKey))
+
+  /** lowercased logical name → physical name. */
+  private[graft] def physMapOf(decl: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    decl.fields.map(f => f.name.toLowerCase -> physName(f)).toMap
+
+  /** The declared-schema JSON in effect at `version`: walk the log
+    * backward collecting the nearest `schema=` line, stopping at the
+    * first checkpoint (which carries the effective declaration) —
+    * O(CheckpointInterval) metadata reads, never a manifest resolve. */
+  private[graft] def declaredSchemaAt(dir: String, version: Long): Option[String] = {
+    var v = version
+    while (v >= 1L) {
+      if (Files.exists(deltaPath(dir, v))) {
+        val e = readLog(deltaPath(dir, v), v)
+        if (e.schema.isDefined) return e.schema
+      }
+      if (Files.exists(ckptPath(dir, v)))
+        return readLog(ckptPath(dir, v), v).schema
+      v -= 1L
+    }
+    None
+  }
+
+  /** The current declaration when column mapping is active, else None
+    * (the cheap gate write/read paths consult). */
+  private def activeMapping(dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val latest = latestVersion(dir)
+    if (latest == 0L) None
+    else declaredSchemaAt(dir, latest).map(schemaFromJson).filter(mappingActive)
+  }
+
+  /** A catalyst predicate with its attribute names translated
+    * logical→physical for manifest-stat lookups (identity when no
+    * mapping; unmapped names pass through — conservative either way). */
+  private def physPredicate(dir: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    activeMapping(dir) match {
+      case Some(decl) =>
+        val pm = physMapOf(decl)
+        e.transformUp {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.withName(pm.getOrElse(a.name.toLowerCase, a.name))
+        }
+      case None => e
+    }
 
   /** The merged schema of snapshot `version` — what every PRUNED read
     * must declare (ADVICE r8): a file subset read with per-subset
@@ -835,22 +948,37 @@ object Lake {
   private def readSubset(spark: SparkSession, dir: String, version: Long,
       files: Seq[FileEntry]): DataFrame = {
     countRead(dir)
-    applyDv(spark, dir,
-      spark.read.schema(snapshotSchema(spark, dir, version))
+    // the snapshot schema is logical; files read physically (identity
+    // when no mapping is active) and re-label
+    val decl = snapshotSchema(spark, dir, version)
+    toLogical(applyDv(spark, dir,
+      spark.read.schema(physSchema(decl))
         .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
-      files.flatMap(_.dv))
+      files.flatMap(_.dv)), decl)
   }
 
-  /** The mergeSchema form of [[readSubset]] for the merge paths
-    * (additive evolution: an upsert carrying new columns reads its
-    * touched files with the union schema), deletion vectors applied. */
+  /** The merge paths' touched-file read: with column mapping active,
+    * the physical read + logical re-label (a mergeSchema union would
+    * surface stored physical names); otherwise mergeSchema, so an
+    * UNDECLARED table's upsert carrying new columns still reads the
+    * union schema (pre-round-9 additive evolution, unchanged).
+    * Deletion vectors applied either way. */
   private def readTouched(spark: SparkSession, dir: String,
-      files: Seq[FileEntry]): DataFrame = {
+      files: Seq[FileEntry],
+      schemaJson: Option[String] = None): DataFrame = {
     countRead(dir)
-    applyDv(spark, dir,
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
-      files.flatMap(_.dv))
+    schemaJson.map(schemaFromJson).filter(mappingActive) match {
+      case Some(decl) =>
+        toLogical(applyDv(spark, dir,
+          spark.read.schema(physSchema(decl))
+            .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
+          files.flatMap(_.dv)), decl)
+      case None =>
+        applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true")
+            .parquet(files.map(f => Paths.get(dir, f.name).toString): _*),
+          files.flatMap(_.dv))
+    }
   }
 
   /** The version in effect at wall-clock `tsMillis` — Delta's
@@ -1010,7 +1138,7 @@ object Lake {
     val newFiles =
       if (touched.isEmpty) writeFiles(updates, dir, key, targetFiles)
       else {
-        val old = readTouched(spark, dir, touched)
+        val old = readTouched(spark, dir, touched, m.schemaJson)
         val survivors = old.join(
           updates.select(kc.map(col): _*).distinct(), kc, "left_anti")
         // allowMissingColumns: additive schema evolution — an upsert
@@ -1214,13 +1342,120 @@ object Lake {
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val cur = snapshotSchema(spark, dir, base)
-    cols.foreach { f =>
+    // each added column mints a FRESH physical name (suffixed with the
+    // declaring version): a column added after a same-named DROP can
+    // then never resurrect the dropped data from old files, and new
+    // writes land under the fresh name unambiguously
+    val added = cols.map { f =>
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"column ${f.name} already exists (schema: ${cur.fieldNames.mkString(", ")})")
       require(f.nullable,
         s"added column ${f.name} must be nullable: existing rows null-fill")
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(PhysKey, s"${f.name}__c${base + 1L}").build())
     }
-    val next = org.apache.spark.sql.types.StructType(cur.fields ++ cols)
+    val next = org.apache.spark.sql.types.StructType(cur.fields ++ added)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
+    base + 1L
+  }
+
+  /** SQL `ALTER TABLE … RENAME COLUMN a TO b` — a METADATA-ONLY commit
+    * under column mapping: the logical field re-labels, its physical
+    * name (the one in every parquet footer) stays; no file is touched,
+    * time travel below the commit serves the old name. Key columns
+    * never rename (the manifest key, file skipping, and the merge
+    * joins address them physically). Registered materialized views
+    * whose declarations reference the old name are INVALIDATED — their
+    * register definitions no longer resolve. */
+  def renameColumn(spark: SparkSession, dir: String,
+      from: String, to: String): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key).map(_.toLowerCase)
+    require(!kc.contains(from.toLowerCase),
+      s"cannot rename key column $from (the manifest and file stats key on it)")
+    val cur = snapshotSchema(spark, dir, base)
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(from))
+    require(idx >= 0, s"no column $from (schema: ${cur.fieldNames.mkString(", ")})")
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    val f = cur.fields(idx)
+    val renamed = org.apache.spark.sql.types.StructField(to, f.dataType,
+      f.nullable, new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
+    val next = org.apache.spark.sql.types.StructType(cur.fields.updated(idx, renamed))
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
+    MatView.invalidateReferencing(dir, from)
+    base + 1L
+  }
+
+  /** SQL `ALTER TABLE … DROP COLUMN` — metadata-only: the field leaves
+    * the declaration (physical data stays in old files, unreachable —
+    * the mapping's projection never names it); time travel below the
+    * commit still serves it. Dependent materialized views invalidate;
+    * the dropped view directories are returned so callers can surface
+    * them. */
+  def dropColumn(spark: SparkSession, dir: String,
+      name: String): (Long, Seq[String]) = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key).map(_.toLowerCase)
+    require(!kc.contains(name.toLowerCase),
+      s"cannot drop key column $name")
+    val cur = snapshotSchema(spark, dir, base)
+    require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"no column $name (schema: ${cur.fieldNames.mkString(", ")})")
+    val kept = cur.fields.filterNot(_.name.equalsIgnoreCase(name))
+    require(kept.length >= 1, "cannot drop the last column")
+    // the remaining fields pin their physical names explicitly: the
+    // mapping must stay active so a later same-named ADD (fresh phys)
+    // can never be confused with this column's stored data
+    val pinned = kept.map(f => f.copy(
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysKey, physName(f)).build()))
+    val next = org.apache.spark.sql.types.StructType(pinned)
+    commit(dir, Some(m),
+      Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
+    val dropped = MatView.invalidateReferencing(dir, name)
+    (base + 1L, dropped)
+  }
+
+  /** SQL `ALTER TABLE … ALTER COLUMN x TYPE t` — TYPE WIDENING as a
+    * metadata-only commit: the declared type widens, files keep their
+    * narrow encodings, and the parquet vectorized reader promotes per
+    * file at read (Spark 4 widening: int→long, int→double,
+    * float→double — the same lattice Delta's type-widening feature
+    * allows losslessly). Narrowing and any other change refuse. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val kc = keyCols(m.key).map(_.toLowerCase)
+    require(!kc.contains(name.toLowerCase),
+      s"cannot widen key column $name (manifest stats encode its type)")
+    val cur = snapshotSchema(spark, dir, base)
+    val idx = cur.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"no column $name (schema: ${cur.fieldNames.mkString(", ")})")
+    val f = cur.fields(idx)
+    val ok = (f.dataType, newType) match {
+      case (IntegerType, LongType) | (IntegerType, DoubleType) |
+           (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported type change ${f.dataType.simpleString} → " +
+      s"${newType.simpleString} (lossless widenings only: int→long, " +
+      "int→double, float→double)")
+    val widened = f.copy(dataType = newType,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
+    val next = org.apache.spark.sql.types.StructType(cur.fields.updated(idx, widened))
     commit(dir, Some(m),
       Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
     base + 1L
@@ -1646,11 +1881,24 @@ object Lake {
     // delete commit (rm(name, old dv) + re-add(name, new dv)) diffs
     // log-direct into exactly its newly-masked rows as `delete`s, and
     // a dv materialization ([[rewriteDvs]]) diffs to an EMPTY feed
-    val read = (files: Seq[(String, Option[String])]) =>
-      applyDv(spark, dir,
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => Paths.get(dir, f._1).toString): _*),
-        files.flatMap(_._2))
+    // the feed is shaped to the TO-version's declaration: renamed
+    // columns surface under their current logical names for every
+    // step (physical names are stable across renames), added columns
+    // null-fill below their declaration, dropped columns don't appear
+    val feedDecl = declaredSchemaAt(dir, to).map(schemaFromJson)
+      .filter(mappingActive)
+    val read = (files: Seq[(String, Option[String])]) => feedDecl match {
+      case Some(d) =>
+        toLogical(applyDv(spark, dir,
+          spark.read.schema(physSchema(d))
+            .parquet(files.map(f => Paths.get(dir, f._1).toString): _*),
+          files.flatMap(_._2)), d)
+      case None =>
+        applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true")
+            .parquet(files.map(f => Paths.get(dir, f._1).toString): _*),
+          files.flatMap(_._2))
+    }
     // one frame per version step; steps are independent file sets so
     // the union is a plain append of per-step plans
     val stepFrames = steps.flatMap { case (v, removed, added) =>
@@ -1749,7 +1997,7 @@ object Lake {
     }
     val condExpr = org.apache.spark.sql.graft.Bridge.expression(cond)
     val candidates = graft.sources.LakeScanBuilder.pruneEntries(
-      m.files, kc.head, Seq(condExpr))
+      m.files, kc.head, Seq(physPredicate(dir, condExpr)))
     if (candidates.isEmpty) return base
     val byPath = candidates.map(f =>
       Paths.get(dir, f.name).toAbsolutePath.normalize.toString -> f.name).toMap
@@ -1803,12 +2051,17 @@ object Lake {
     val kc = keyCols(m.key)
     val condExpr = org.apache.spark.sql.graft.Bridge.expression(cond)
     val candidates = graft.sources.LakeScanBuilder.pruneEntries(
-      m.files, kc.head, Seq(condExpr))
+      m.files, kc.head, Seq(physPredicate(dir, condExpr)))
     if (candidates.isEmpty) return base
-    val withMeta = spark.read.schema(snapshotSchema(spark, dir, base))
+    // physical read + logical re-label WITH the metadata columns kept
+    // (toLogical would project them away; cond references logical names)
+    val decl = snapshotSchema(spark, dir, base)
+    val withMeta = spark.read.schema(physSchema(decl))
       .parquet(candidates.map(f => Paths.get(dir, f.name).toString): _*)
       .withColumn("__f", col("_metadata.file_name"))
       .withColumn("__p", col("_metadata.row_index"))
+      .select(decl.fields.map(f => col(physName(f)).as(f.name)).toSeq ++
+        Seq(col("__f"), col("__p")): _*)
     val existing = candidates.flatMap(_.dv).distinct
     val live =
       if (existing.isEmpty) withMeta
@@ -1893,7 +2146,7 @@ object Lake {
     val newFiles =
       if (touched.isEmpty) Nil
       else {
-        val old = readTouched(spark, dir, touched)
+        val old = readTouched(spark, dir, touched, m.schemaJson)
         val survivors = old.join(keyDf.distinct(), kc, "left_anti")
         writeFiles(survivors, dir, key, math.max(touched.size, 1))
       }

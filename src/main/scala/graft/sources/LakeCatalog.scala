@@ -153,31 +153,59 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeTable(dir, 1L, schema)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)`: the one table change the format
-    * supports first-class — a metadata-only schema-declaration commit
-    * ([[Lake.addColumns]]); existing rows null-fill, time travel below
-    * the ALTER keeps the old shape. Every other change class (drops,
-    * renames, type changes, property updates) is rejected
-    * descriptively: they would require rewriting or re-mapping data
-    * the copy-on-write format keys its history on. */
+  /** DECLARED SCHEMA EVOLUTION (round 11 — the full Delta/Iceberg
+    * ALTER surface, every form a METADATA-ONLY delta-log commit; time
+    * travel below any of them serves the old shape):
+    *
+    *  - `ADD COLUMNS (…)` — existing rows null-fill; the new column
+    *    mints a fresh physical name, so a re-add after a DROP can
+    *    never resurrect dropped data ([[Lake.addColumns]]);
+    *  - `RENAME COLUMN a TO b` — the logical field re-labels over a
+    *    stable physical name ([[Lake.renameColumn]]);
+    *  - `DROP COLUMN c` — the field leaves the declaration; dependent
+    *    materialized views invalidate ([[Lake.dropColumn]]);
+    *  - `ALTER COLUMN c TYPE t` — lossless widening only (int→long,
+    *    int→double, float→double); files keep their narrow encoding
+    *    and the vectorized reader promotes ([[Lake.widenColumn]]).
+    *
+    * Key columns refuse all three mutations (the manifest, file
+    * skipping, and the merge joins address them physically). Property
+    * updates and nested fields are rejected descriptively. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"graft-lake ALTER TABLE adds top-level columns only, got " +
-            a.fieldNames.mkString("."))
-        require(a.isNullable,
-          s"added column ${a.fieldNames.head} must be nullable " +
-            "(existing rows null-fill)")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft-lake ALTER TABLE supports ADD COLUMNS only, got " +
-          other.getClass.getSimpleName)
+    val spark = SparkSession.active
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft-lake ALTER TABLE $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
     }
-    Lake.addColumns(SparkSession.active, dir, adds)
+    // ADD COLUMNS arrives as one change per column; batch them so the
+    // declaration commits once
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.isNullable,
+        s"added column ${a.fieldNames.head} must be nullable " +
+          "(existing rows null-fill)")
+      org.apache.spark.sql.types.StructField(
+        topLevel(a.fieldNames, "ADD COLUMNS"), a.dataType, nullable = true)
+    }
+    if (adds.nonEmpty) Lake.addColumns(spark, dir, adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => // handled above
+      case r: TableChange.RenameColumn =>
+        Lake.renameColumn(spark, dir,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: TableChange.DeleteColumn =>
+        Lake.dropColumn(spark, dir, topLevel(d.fieldNames, "DROP COLUMN"))
+        ()
+      case t: TableChange.UpdateColumnType =>
+        Lake.widenColumn(spark, dir,
+          topLevel(t.fieldNames, "ALTER COLUMN TYPE"), t.newDataType)
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"lossless type widening, got ${other.getClass.getSimpleName}")
+    }
     loadTable(ident)
   }
 

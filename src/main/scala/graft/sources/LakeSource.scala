@@ -258,6 +258,23 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val snapshot = Lake.manifest(dir, version)
+  // COLUMN MAPPING (round 11): the table schema is LOGICAL; when any
+  // field carries a physical name (rename/drop/widen or a post-ADD
+  // declaration), the delegated parquet scan reads the PHYSICAL
+  // schema (stored names, declared/widened types) and filters/stats
+  // translate by name. Batches are positional, so the logical output
+  // schema needs no runtime conversion.
+  private val mapped = Lake.mappingActive(tableSchema)
+  private val physByLogical: Map[String, String] =
+    if (mapped) Lake.physMapOf(tableSchema) else Map.empty
+  private def physOf(c: String): String =
+    physByLogical.getOrElse(c.toLowerCase, c)
+  private def physExpr(e: Expression): Expression =
+    if (!mapped) e
+    else e.transformUp {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(physOf(a.name))
+    }
   // the SQL scan delegates straight to Spark's columnar parquet batch
   // scan, which has no seam for the merge-on-read anti-join — a MoR
   // snapshot must materialize first (the same reader-version gate
@@ -307,9 +324,11 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     required = requiredSchema
 
   /** Files surviving manifest-stat pruning (exposed for LakeSpec's
-    * skipping assertion) — see [[LakeScanBuilder.pruneEntries]]. */
+    * skipping assertion) — see [[LakeScanBuilder.pruneEntries]].
+    * Manifest stats key on PHYSICAL names; filters arrive logical. */
   private[graft] def prunedFiles(filters: Seq[Expression]): Seq[Lake.FileEntry] =
-    LakeScanBuilder.pruneEntries(snapshot.files, leadingKey, filters)
+    LakeScanBuilder.pruneEntries(snapshot.files, leadingKey,
+      filters.map(physExpr))
 
   // ---- MANIFEST-ONLY aggregate pushdown --------------------------------
   //
@@ -355,12 +374,12 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     def intBounds(c: String): Option[(Long, Long)] = {
       val per =
         if (c == leadingKey && !headStr) live.map(f => Some((f.minKey, f.maxKey)))
-        else live.map(_.stats.get(c))
+        else live.map(_.stats.get(physOf(c)))
       if (per.exists(_.isEmpty)) None
       else Some((per.map(_.get._1).min, per.map(_.get._2).max))
     }
     def strBounds(c: String): Option[(String, String)] = {
-      val per = live.map(_.strStats.get(c))
+      val per = live.map(_.strStats.get(physOf(c)))
       if (per.exists(_.isEmpty)) None
       else {
         val (los, his) = (per.map(_.get._1), per.map(_.get._2))
@@ -470,6 +489,22 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
   private val leadingKey = snapshot.key.split(',').head.trim
   private val headStr = tableSchema.find(_.name == leadingKey)
     .exists(_.dataType == org.apache.spark.sql.types.StringType)
+  // column mapping (see LakeScanBuilder): logical ↔ physical name
+  // translation for the delegate, the runtime stat checks, and the
+  // advertised filter attributes
+  private val mapped = Lake.mappingActive(tableSchema)
+  private val physByLogical: Map[String, String] =
+    if (mapped) Lake.physMapOf(tableSchema) else Map.empty
+  private val logicalByPhys: Map[String, String] =
+    physByLogical.map { case (l, p) => p.toLowerCase -> l }
+  private def physOf(c: String): String =
+    physByLogical.getOrElse(c.toLowerCase, c)
+  private def physExpr(e: Expression): Expression =
+    if (!mapped) e
+    else e.transformUp {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(physOf(a.name))
+    }
   // the hash-bucket count when EVERY snapshot file sits in the
   // compactBucketed layout (Lake.bucketLayout) — the gate for
   // KeyGroupedPartitioning / storage-partitioned joins
@@ -527,13 +562,23 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
         new Path(java.nio.file.Paths.get(dir, f.name).toString)).toList
       val index = new InMemoryFileIndex(spark, paths, Map.empty, None,
         FileStatusCache.getOrCreate(spark), None, None)
-      val delegate = ParquetScanBuilder(spark, index, tableSchema, tableSchema,
+      // the delegate reads the PHYSICAL schema (stored names, declared
+      // widened types — the vectorized reader promotes per file);
+      // batches are positional, so the logical `required` output needs
+      // no runtime conversion, only a name-aligned pruned schema
+      val physTable = Lake.physSchema(tableSchema)
+      val physRequired = org.apache.spark.sql.types.StructType(
+        required.fields.map { f =>
+          org.apache.spark.sql.types.StructField(physOf(f.name), f.dataType,
+            f.nullable)
+        })
+      val delegate = ParquetScanBuilder(spark, index, physTable, physTable,
         new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-      delegate.pruneColumns(required)
+      delegate.pruneColumns(physRequired)
       // forwarding through the delegate's own catalyst entry point sets
       // its pushed data filters, so parquet row-group stats prune within
       // each surviving file (the manifest already pruned across files)
-      delegate.pushFilters(pushed)
+      delegate.pushFilters(pushed.map(physExpr))
       val built = delegate.build()
       memo = (e, built)
       built
@@ -603,6 +648,9 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
       // `__bucket_<n>` is layout bookkeeping (Lake.bucketLayout), not
       // a table column — advertising it would fail ref resolution
       .filterNot(_.startsWith("__bucket_"))
+      // stats key on PHYSICAL names; the advertised refs must resolve
+      // against the scan's LOGICAL output
+      .map(p => logicalByPhys.getOrElse(p.toLowerCase, p))
     (leadingKey +: statCols).distinct
       .filter(c => readable.contains(c.toLowerCase))
       .map(Expressions.column).toArray
@@ -651,9 +699,9 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
           case _ => true
         }
       else longIn(f.minKey, f.maxKey)
-    } else f.stats.get(colName) match {
+    } else f.stats.get(physOf(colName)) match {
       case Some((lo, hi)) => longIn(lo, hi)
-      case None => f.strStats.get(colName) match {
+      case None => f.strStats.get(physOf(colName)) match {
         case Some((lo, hi)) => strIn(lo, hi)
         case None => true
       }

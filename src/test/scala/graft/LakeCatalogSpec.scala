@@ -195,13 +195,18 @@ class LakeCatalogSpec extends SparkSpec {
     // time travel BELOW the alter serves the old 2-column shape
     assert(sql(s"SELECT * FROM graftcat.evo.t VERSION AS OF $before")
       .schema.fieldNames.toSeq === Seq("k", "v"))
-    // refusals: non-additive changes and duplicate adds
-    val eDrop = intercept[Exception] { sql("ALTER TABLE graftcat.evo.t DROP COLUMN v") }
+    // refusals: key-column mutations and duplicate adds (non-key
+    // RENAME/DROP/widen are first-class since round 11 —
+    // SchemaEvolutionSpec covers them)
     def msgs2(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs2(x.getCause))
-    assert(msgs2(eDrop).exists(_.contains("ADD COLUMNS only")), s"got: $eDrop")
+    val eDrop = intercept[Exception] { sql("ALTER TABLE graftcat.evo.t DROP COLUMN k") }
+    assert(msgs2(eDrop).exists(_.contains("key column")), s"got: $eDrop")
     val eDup = intercept[Exception] { sql("ALTER TABLE graftcat.evo.t ADD COLUMNS (v STRING)") }
     assert(msgs2(eDup).exists(_.contains("already exists")), s"got: $eDup")
+    // and the catalog SQL DROP of a non-key column works end to end
+    sql("ALTER TABLE graftcat.evo.t DROP COLUMN tag")
+    assert(!sql("SELECT * FROM graftcat.evo.t").schema.fieldNames.contains("tag"))
   }
 
   test("CALL compact_small: bin-packs only the sub-threshold files, idempotent") {
