@@ -361,6 +361,19 @@ object SparkEntry {
     // LakePushSpec), both sides manifest-pruned
     ("x8_lake_autobcast", graft.lake.LakeQueries.lakeAutoBroadcast _,
       Some(graft.lake.LakeQueries.lakeAutoBroadcastSql)),
+    // round-11: ORDER BY key LIMIT n reads only the boundary files of
+    // the range-clustered layout (disjointness proven from the manifest)
+    ("x8_lake_topn", graft.lake.LakeQueries.lakeTopN _,
+      Some(graft.lake.LakeQueries.lakeTopNSql)),
+    // round-11: manifest-aggregated per-column min/max/NDV through the
+    // V2 stats API drive CBO join reordering (fact joins last)
+    ("x8_lake_colstats", graft.lake.LakeQueries.lakeColStats _,
+      Some(graft.lake.LakeQueries.lakeColStatsSql)),
+    // round-11: cross-table atomic commit — bronze+silver stage pending
+    // commits, ONE file creation publishes both; torn-read window,
+    // abort path, and version reuse all pinned into the hash
+    ("x8_lake_pair", graft.lake.LakeQueries.lakePair _,
+      Some(graft.lake.LakeQueries.lakePairSql)),
     // round-10: transparent materialized-view rewrite — the source
     // aggregate answers from the view (fresh), from view ⊕ change-feed
     // compensation (stale), and from the incrementally refreshed view;
@@ -550,6 +563,7 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
+    "x8_lake_autobcast", "x8_lake_topn", "x8_lake_colstats", // stat tables
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
     "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",
@@ -571,6 +585,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateHistory()
     graft.lake.LakeQueries.invalidateMvHistory()
     graft.lake.LakeQueries.invalidateMvExpr()
+    graft.lake.LakeQueries.invalidateStatTables()
     graft.lake.LakeQueries.invalidateSqlMerge()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

@@ -153,13 +153,19 @@ object Lake {
     * — even across MoR commits. */
   private case class LogEntry(version: Long, key: String,
       add: Seq[FileEntry], rm: Seq[(String, Option[String])],
-      txns: Map[String, Long], schema: Option[String] = None)
+      txns: Map[String, Long], schema: Option[String] = None,
+      pending: Option[(String, String)] = None)
 
   private def render(e: LogEntry): String =
     (s"version=${e.version}" +: s"key=${e.key}" +:
       // schema JSON hex-encodes like string stats: log lines stay
       // separator-safe whatever the field names contain
       (e.schema.map(s => s"schema=${strHex(s)}").toSeq ++
+        // a cross-table transaction marker: this commit is INVISIBLE
+        // until <txnRoot>/<txnId>.committed exists (see commitPending)
+        e.pending.map { case (root, id) =>
+          s"pending=${strHex(root)}|${strHex(id)}"
+        }.toSeq ++
         e.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn=$a|$v" } ++
         e.rm.map { case (n, dv) => s"rm=$n${dv.map("|" + _).getOrElse("")}" } ++
         e.add.map { f =>
@@ -204,6 +210,11 @@ object Lake {
     val schema = lines.collectFirst {
       case s if s.startsWith("schema=") => hexToStr(s.stripPrefix("schema="))
     }
+    val pending = lines.collectFirst {
+      case s if s.startsWith("pending=") =>
+        val Array(root, id) = s.stripPrefix("pending=").split('|')
+        (hexToStr(root), hexToStr(id))
+    }
     val dvs = lines.collect { case s if s.startsWith("dv=") =>
       val Array(n, d) = s.stripPrefix("dv=").split('|')
       n -> d
@@ -224,7 +235,7 @@ object Lake {
         stats, blooms.getOrElse(fields(0), Map.empty),
         sstats.getOrElse(fields(0), Map.empty), dvs.get(fields(0)))
     }
-    LogEntry(version, key, add, rm, txns, schema)
+    LogEntry(version, key, add, rm, txns, schema, pending)
   }
 
   private def deltaPath(dir: String, v: Long) =
@@ -270,7 +281,18 @@ object Lake {
     if (!Files.exists(deltaPath(dir, floor))) return 0L
     var v = floor
     while (Files.exists(deltaPath(dir, v + 1L))) v += 1L
-    v
+    // CROSS-TABLE TRANSACTIONS (round 11): a head commit carrying an
+    // unresolved pending marker is INVISIBLE — readers serve the
+    // version below it until the shared txn file publishes BOTH
+    // tables' heads in one atomic file creation. The `_pending` flag
+    // file keeps the steady-state cost at one negative existence check
+    // (no table outside a transaction ever parses its head delta), and
+    // self-heals once the txn resolves.
+    if (!Files.exists(pendingFlagPath(dir))) return v
+    pendingStatus(dir, v) match {
+      case PendingNone | PendingCommitted => v
+      case PendingUnresolved | PendingAborted => v - 1L
+    }
   }
 
   /** Resolve the full snapshot at `version`: nearest checkpoint ≤ v
@@ -303,6 +325,96 @@ object Lake {
     // below `version` wins (a delta only records a change)
     val schema = deltas.foldLeft(b.schema)((acc, d) => d.schema.orElse(acc))
     Manifest(version, last.key, files.values.toSeq, last.txns, schema)
+  }
+
+  // ---- cross-table atomic commits (round 11) -----------------------------
+  //
+  // The torn-read window a medallion pipeline has between its bronze
+  // and silver commits closes with a WAP-style two-phase publish: each
+  // table's commit lands normally but carries a `pending=` marker
+  // naming a SHARED transaction id, and stays invisible to readers
+  // (latestVersion serves the version below) until ONE atomic file
+  // creation — `<txnRoot>/<txnId>.committed` — publishes every
+  // participating head at the same instant. A crash before the publish
+  // leaves all participants invisible (abort finalizes that); a reader
+  // pinned between the physical commits sees either both or neither.
+  // One in-flight transaction per table; the next plain commit on an
+  // aborted table garbage-collects the dead head.
+
+  private def pendingFlagPath(dir: String) =
+    manifestDir(dir).resolve("_pending")
+
+  private sealed trait PendingState
+  private case object PendingNone extends PendingState
+  private case object PendingUnresolved extends PendingState
+  private case object PendingCommitted extends PendingState
+  private case object PendingAborted extends PendingState
+
+  private def txnFile(root: String, id: String, state: String) =
+    Paths.get(root, s"$id.$state")
+
+  /** Resolve the `_pending` flag against the head delta and the txn
+    * files; self-heals the flag when the transaction has resolved (or
+    * the staging crashed before its delta published). */
+  private def pendingStatus(dir: String, head: Long): PendingState = {
+    val flag = pendingFlagPath(dir)
+    val content =
+      try new String(Files.readAllBytes(flag),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      catch { case _: Exception => return PendingNone }
+    val parts = content.split('\n')
+    if (parts.length < 3) { Files.deleteIfExists(flag); return PendingNone }
+    val (pv, root, id) = (parts(0).toLong, hexToStr(parts(1)), hexToStr(parts(2)))
+    if (pv != head || !Files.exists(deltaPath(dir, pv))) {
+      // a past (already-superseded) transaction, or a crash before the
+      // staged delta published: the flag is stale either way
+      Files.deleteIfExists(flag)
+      return PendingNone
+    }
+    if (Files.exists(txnFile(root, id, "committed"))) {
+      Files.deleteIfExists(flag)
+      PendingCommitted
+    } else if (Files.exists(txnFile(root, id, "aborted"))) PendingAborted
+    else PendingUnresolved
+  }
+
+  /** PUBLISH a cross-table transaction: one atomic file creation makes
+    * every head staged under (txnRoot, txnId) visible simultaneously.
+    * Refuses an already-aborted id. */
+  def publishTxn(txnRoot: String, txnId: String): Unit = {
+    require(!Files.exists(txnFile(txnRoot, txnId, "aborted")),
+      s"transaction $txnId is aborted")
+    Files.createDirectories(Paths.get(txnRoot))
+    publishIfAbsent(txnFile(txnRoot, txnId, "committed"),
+      System.currentTimeMillis.toString)
+    ()
+  }
+
+  /** ABORT: the staged heads become permanently invisible; the next
+    * plain commit on each table garbage-collects its dead head.
+    * Refuses an already-published id. */
+  def abortTxn(txnRoot: String, txnId: String): Unit = {
+    require(!Files.exists(txnFile(txnRoot, txnId, "committed")),
+      s"transaction $txnId is already published")
+    Files.createDirectories(Paths.get(txnRoot))
+    publishIfAbsent(txnFile(txnRoot, txnId, "aborted"),
+      System.currentTimeMillis.toString)
+    ()
+  }
+
+  /** Stage a KEY-MERGE upsert under a cross-table transaction: the
+    * commit lands at head+1 with the pending marker and is invisible
+    * until [[publishTxn]]. The flag file writes BEFORE the delta
+    * (crash between the two self-heals as "no transaction"). */
+  def upsertPending(spark: SparkSession, dir: String, updates: DataFrame,
+      txnRoot: String, txnId: String, targetFiles: Int = 2): Long = {
+    val base = latestVersion(dir)
+    require(base > 0L, s"no lake table at $dir")
+    val m = manifest(dir, base)
+    val files = mergedFileList(spark, dir, m, updates, targetFiles)
+    commitImpl(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns),
+      pending = Some((txnRoot, txnId)))
+    base + 1L
   }
 
   /** Atomically publish a file under the link(2) protocol; returns
@@ -350,8 +462,47 @@ object Lake {
     * two-writers race directly — the public ops always derive the
     * target version from the manifest they read, so a same-version
     * race needs two actors.) */
-  private[graft] def commit(dir: String, parent: Option[Manifest], m: Manifest): Unit = {
+  private[graft] def commit(dir: String, parent: Option[Manifest], m: Manifest): Unit =
+    commitImpl(dir, parent, m, pending = None)
+
+  private def commitImpl(dir: String, parent: Option[Manifest], m: Manifest,
+      pending: Option[(String, String)]): Unit = {
     Files.createDirectories(manifestDir(dir))
+    // an in-flight cross-table transaction gates ALL commits: an
+    // unresolved staged head refuses (one transaction per table), an
+    // aborted one garbage-collects (its delta is invisible to every
+    // reader, so removing it is safe), a committed one just heals the
+    // flag — the caller's optimistic-conflict loop handles the
+    // version race normally from there.
+    if (Files.exists(pendingFlagPath(dir))) {
+      val stagedHead = {
+        var v = math.max(lastCheckpointHint(dir), 1L)
+        if (!Files.exists(deltaPath(dir, v))) 0L
+        else { while (Files.exists(deltaPath(dir, v + 1L))) v += 1L; v }
+      }
+      pendingStatus(dir, stagedHead) match {
+        case PendingUnresolved => sys.error(
+          s"table at $dir has an in-flight cross-table transaction " +
+            "(publish or abort it before committing)")
+        case PendingAborted =>
+          Files.deleteIfExists(deltaPath(dir, stagedHead))
+          Files.deleteIfExists(pendingFlagPath(dir))
+          ()
+        case _ => () // healed by pendingStatus
+      }
+    }
+    // staging order for a pending commit: flag BEFORE delta — a crash
+    // between the two reads as "no transaction" (stale flag self-heals)
+    pending.foreach { case (root, id) =>
+      val tmp = pendingFlagPath(dir).resolveSibling(
+        s".tmp-${java.util.UUID.randomUUID}")
+      Files.write(tmp, s"${m.version}\n${strHex(root)}\n${strHex(id)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, pendingFlagPath(dir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
     val parentByName = parent.map(_.files.map(f => f.name -> f).toMap)
       .getOrElse(Map.empty[String, FileEntry])
     val newNames = m.files.map(_.name).toSet
@@ -384,9 +535,13 @@ object Lake {
     val parentSchema = parent.flatMap(_.schemaJson)
     val schemaDelta = m.schemaJson.filterNot(parentSchema.contains)
     if (!publishIfAbsent(deltaPath(dir, m.version),
-        render(LogEntry(m.version, m.key, add, rm, m.txns, schemaDelta))))
+        render(LogEntry(m.version, m.key, add, rm, m.txns, schemaDelta,
+          pending))))
       throw new CommitConflict(m.version)
-    if (m.version % CheckpointInterval == 0L)
+    // a PENDING commit never checkpoints: a checkpoint is a resolution
+    // base, and an invisible (possibly aborted) version must not
+    // become one — the next visible commit checkpoints normally
+    if (pending.isEmpty && m.version % CheckpointInterval == 0L)
       writeCheckpoint(dir, m.copy(schemaJson = m.schemaJson.orElse(parentSchema)))
   }
 
@@ -678,7 +833,14 @@ object Lake {
       val b = pmod(hash(col(kc.head)), lit(n)).cast("long")
       Seq(min(b).as("lo___bucket"), max(b).as("hi___bucket"))
     }
-    val aggs = Seq(count(lit(1)).as("rows")) ++ headLoHi ++
+    val aggs = Seq(count(lit(1)).as("rows")) ++
+      // NON-NULL KEY INVARIANT, every key component: checked in the
+      // same stats pass (zero extra cost). The merge anti-joins, file
+      // skipping, TopN boundary pruning, and the zero-null-count the
+      // column statistics report all assume a row's key exists; a null
+      // key would be invisible to min/max stats and silently escape.
+      kc.zipWithIndex.map { case (c, i) => count(col(c)).as(s"nn_key_$i") } ++
+      headLoHi ++
       intCols.flatMap(c => Seq(
         min(intEnc(c)).as(s"lo_$c"), max(intEnc(c)).as(s"hi_$c"))) ++
       strCols.flatMap(c => Seq(
@@ -690,6 +852,11 @@ object Lake {
       .map { r =>
         val full = r.getString(0).stripPrefix("file:")
         val rel = sub + "/" + Paths.get(full).getFileName.toString
+        kc.zipWithIndex.foreach { case (c, i) =>
+          require(r.getLong(r.fieldIndex(s"nn_key_$i")) == r.getLong(1),
+            s"write rejected: key column $c contains NULLs (keys must be " +
+              "non-null — stats, skipping, and merges address rows by key)")
+        }
         // a stat column that is entirely NULL within a file (possible
         // under additive schema evolution: old rows null-fill the new
         // column) aggregates to NULL — omit the entry; boxFiles/
@@ -711,12 +878,13 @@ object Lake {
           if (r.isNullAt(lo) || r.isNullAt(hi)) None
           else Some(c -> (r.getString(lo), r.getString(hi)))
         }.toMap
+        val (loIdx, hiIdx) = (r.fieldIndex("lo"), r.fieldIndex("hi"))
         val (mk, xk) =
           if (headStr) {
             // all-null head key in a file → conservative full range
-            if (r.isNullAt(2) || r.isNullAt(3)) (Long.MinValue, Long.MaxValue)
-            else (encString(r.getString(2)), encString(r.getString(3)))
-          } else (r.getLong(2), r.getLong(3))
+            if (r.isNullAt(loIdx) || r.isNullAt(hiIdx)) (Long.MinValue, Long.MaxValue)
+            else (encString(r.getString(loIdx)), encString(r.getString(hiIdx)))
+          } else (r.getLong(loIdx), r.getLong(hiIdx))
         FileEntry(rel, r.getLong(1), mk, xk, stats, Map.empty, sstats)
       }.toSeq
   }

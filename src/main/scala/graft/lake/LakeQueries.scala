@@ -1667,13 +1667,7 @@ object LakeQueries {
     * between the pruned and full byte estimates broadcasts one and
     * refuses the other, pre-AQE); the driver hash pins the answer. */
   def lakeAutoBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
-    val factDir = scratchDir(spark, sfDir) + "-stat-fact"
-    val dimDir = scratchDir(spark, sfDir) + "-stat-dim"
-    rm(new java.io.File(factDir)); rm(new java.io.File(dimDir))
-    Lake.create(Tables.lineitem(spark, sfDir), factDir, "l_orderkey",
-      targetFiles = 8)
-    Lake.create(Tables.orders(spark, sfDir), dimDir, "o_orderkey",
-      targetFiles = 8)
+    val (factDir, dimDir) = autoBcastTables(spark, sfDir)
     spark.read.format("graft-lake").option("path", factDir).load()
       .createOrReplaceTempView("autob_fact")
     spark.read.format("graft-lake").option("path", dimDir).load()
@@ -1687,12 +1681,277 @@ object LakeQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** The autobcast/colstats/topn table pair, built ONCE per (session,
+    * sfDir, fingerprint) under the disclosed-memo policy (VERDICT r10
+    * #6): the statistics features these queries exist to prove are
+    * METADATA-only — pricing two full table builds into each steady
+    * invocation measured the fixture, not the feature. Bench's cold
+    * pass invalidates, so the build cost stays published. */
+  private val statTablesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[(String, String, String)]]()
+
+  private[graft] def autoBcastTables(spark: SparkSession,
+      sfDir: String): (String, String) = {
+    val (f, d, _) = statTables(spark, sfDir)
+    (f, d)
+  }
+
+  private[graft] def statTables(spark: SparkSession,
+      sfDir: String): (String, String, String) = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/lineitem.parquet") +
+      graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    statTablesMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(statTablesMemo.remove(k))
+        .foreach(_.peek.foreach { case (f, d, c) =>
+          rm(new java.io.File(f)); rm(new java.io.File(d)); rm(new java.io.File(c))
+        }))
+    statTablesMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val factDir = scratchDir(spark, sfDir) + "-stat-fact"
+        val dimDir = scratchDir(spark, sfDir) + "-stat-dim"
+        val custDir = scratchDir(spark, sfDir) + "-stat-cust"
+        rm(new java.io.File(factDir)); rm(new java.io.File(dimDir))
+        rm(new java.io.File(custDir))
+        Lake.create(Tables.lineitem(spark, sfDir), factDir, "l_orderkey",
+          targetFiles = 8)
+        // composite keys give the TRAILING columns per-file stats too:
+        // o_custkey and c_nationkey then carry manifest min/max — the
+        // NDV/bounds the colstats query's join estimation runs on
+        Lake.create(Tables.orders(spark, sfDir), dimDir, "o_orderkey,o_custkey",
+          targetFiles = 8)
+        Lake.create(Tables.customer(spark, sfDir), custDir,
+          "c_custkey,c_nationkey", targetFiles = 4)
+        (factDir, dimDir, custDir)
+      })).get
+  }
+
+  private[graft] def invalidateStatTables(): Unit = {
+    import scala.jdk.CollectionConverters._
+    statTablesMemo.values.asScala.foreach(_.peek.foreach { case (f, d, c) =>
+      rm(new java.io.File(f)); rm(new java.io.File(d)); rm(new java.io.File(c))
+    })
+    statTablesMemo.clear()
+  }
+
+  /** Registered query `x8_lake_colstats` — MANIFEST COLUMN STATISTICS
+    * driving cost-based JOIN REORDERING (round 11, VERDICT r10 #5):
+    * three lake tables joined in a deliberately BAD syntactic order —
+    * `lineitem ⋈ orders` first, the selectively-filtered customer
+    * last. Every scan reports per-column min/max + NDV aggregated from
+    * its manifest ([[graft.sources.LakeScan]]`.manifestColumnStats`),
+    * so CBO's filter estimation prices `c_nationkey = 3` (a non-join
+    * attribute — constraint propagation cannot shortcut it) at ~1/25
+    * of the customers and the join-reorder DP moves the customer join
+    * OFF the fact's critical path: the optimized tree joins the
+    * 600k-row lineitem LAST, against an orders side already shrunk by
+    * the tiny customer join. `reordered` pins that shape into the hashed result
+    * (the innermost join must not touch the fact table's scan);
+    * LakePushSpec pins the differential (CBO off keeps the syntactic
+    * order). CBO flags are set for the single optimization and
+    * restored. */
+  def lakeColStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val (factDir, dimDir, custDir) = statTables(spark, sfDir)
+    def lake(d: String) =
+      spark.read.format("graft-lake").option("path", d).load()
+    // the filter sits on a NON-join customer attribute, so constraint
+    // propagation cannot pre-shrink the other sides — only the
+    // stats-driven reorder can move the fact off the critical path
+    val q = lake(factDir)
+      .join(lake(dimDir), col("l_orderkey") === col("o_orderkey"))
+      .join(lake(custDir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 3L)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val reordered = try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val inner = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if !j.children.exists(_.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Join])) => j
+      }
+      // the INNERMOST join must not involve the fact scan: with column
+      // stats the reorder pairs orders with the ~20-row customer first
+      inner.nonEmpty && inner.forall(!_.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name.contains("stat-fact")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name.contains("stat-fact")
+        case _ => false
+      })
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    q.withColumn("reordered", lit(reordered)).orderBy(col("c_mktsegment"))
+  }
+
+  /** Mirror: the same filtered 3-table rollup from raw tables. */
+  val lakeColStatsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  TRUE AS reordered
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_nationkey = 3
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Mirror: the same join-aggregate over the raw tables. */
   val lakeAutoBroadcastSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderkey BETWEEN 100 AND 3000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_lake_topn` — TOP-N PUSHDOWN on the lake scan
+    * (round 11, VERDICT r10 #7): `ORDER BY key LIMIT 7` in both
+    * directions over the 8-file range-clustered orders table. The scan
+    * builder proves the snapshot's file ranges pairwise disjoint and
+    * reads only the boundary prefix/suffix holding ≥ 7 rows — the
+    * minKey-ordered head for ASC, the tail for DESC
+    * ([[graft.sources.LakeScanBuilder.pushTopN]]). `topn_pruned` pins
+    * (into the hashed result) that BOTH directions actually skipped
+    * files (kept < live, observed through the scan's prune record);
+    * the DuckDB mirror computes the same ordered limits from raw
+    * orders. The 7-row collects are the LIMIT's own output — the
+    * pruned scans are the distributed part. */
+  def lakeTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, dimDir) = autoBcastTables(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dimDir).load()
+      .createOrReplaceTempView("topn_t")
+    def side(dirn: String): (Seq[(String, Long, String)], Boolean) = {
+      graft.sources.LakeScan.lastTopNPrune.set(null)
+      val rows = spark.sql(
+        s"""SELECT o_orderkey, o_orderpriority FROM topn_t
+           |ORDER BY o_orderkey ${dirn.toUpperCase} LIMIT 7""".stripMargin)
+        .collect().map(r => (dirn, r.getLong(0), r.getString(1))).toSeq
+      val pruned = Option(graft.sources.LakeScan.lastTopNPrune.get()).exists {
+        case (d, live, kept) => d == dimDir && kept < live
+      }
+      (rows, pruned)
+    }
+    val (ascRows, ascPruned) = side("asc")
+    val (descRows, descPruned) = side("desc")
+    (ascRows ++ descRows).toDF("dirn", "o_orderkey", "o_orderpriority")
+      .withColumn("topn_pruned", lit(ascPruned && descPruned))
+      .orderBy(col("dirn"), col("o_orderkey"))
+  }
+
+  /** Mirror: the same two ordered limits from raw orders. */
+  val lakeTopNSql: String =
+    """WITH a AS (
+      |  SELECT 'asc' AS dirn, o_orderkey, o_orderpriority
+      |  FROM orders ORDER BY o_orderkey ASC LIMIT 7),
+      |d AS (
+      |  SELECT 'desc' AS dirn, o_orderkey, o_orderpriority
+      |  FROM orders ORDER BY o_orderkey DESC LIMIT 7)
+      |SELECT dirn, o_orderkey, o_orderpriority, TRUE AS topn_pruned
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+      |ORDER BY dirn, o_orderkey""".stripMargin
+
+  /** Registered query `x8_lake_pair` — CROSS-TABLE ATOMIC COMMIT for
+    * the medallion pair (round 11, VERDICT r10 #8): bronze (row-level
+    * orders) and silver (per-priority registers) are two lake tables
+    * that must move TOGETHER. Each coordinated batch stages one
+    * PENDING commit per table ([[Lake.upsertPending]] — invisible to
+    * readers) and ONE atomic file creation ([[Lake.publishTxn]])
+    * publishes both heads at the same instant:
+    *
+    *  - `torn_free` pins the reader BETWEEN the two physical commits:
+    *    both tables still served the pre-batch state (the window two
+    *    independent commits would tear is provably closed);
+    *  - `published` pins that one publish made both new states visible;
+    *  - `abort_clean` pins the failure path: a second staged pair is
+    *    ABORTED and both tables still serve the published state;
+    *  - `lake_versions` = 3 pins that the aborted staged version was
+    *    garbage-collected and its version number REUSED by the next
+    *    plain commit (the stamp upsert) — no hole in the log.
+    *
+    * The DuckDB mirror derives the final (batch + stamp) state from
+    * raw orders; a torn, lost, or resurrected commit breaks the hash. */
+  def lakePair(spark: SparkSession, sfDir: String): DataFrame = {
+    val bronze = scratchDir(spark, sfDir) + "-pair-bronze"
+    val silver = scratchDir(spark, sfDir) + "-pair-silver"
+    val txnRoot = scratchDir(spark, sfDir) + "-pair-txn"
+    rm(new java.io.File(bronze)); rm(new java.io.File(silver))
+    rm(new java.io.File(txnRoot))
+    val orders = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("o_cents"))
+    def registersOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("cents"))
+    // v1: the odd-key half, both tables consistent
+    Lake.create(orders.filter(col("o_orderkey") % 2 === 1), bronze,
+      "o_orderkey", targetFiles = 4)
+    Lake.create(registersOf(orders.filter(col("o_orderkey") % 2 === 1)),
+      silver, "o_orderpriority", targetFiles = 1)
+    def bronzeCount() = Lake.read(spark, bronze).count()
+    def silverTotal() = Lake.read(spark, silver)
+      .agg(sum(col("n_orders"))).head().getLong(0)
+    val (bn0, sn0) = (bronzeCount(), silverTotal())
+    // coordinated batch: the even-key half + recomputed registers
+    Lake.upsertPending(spark, bronze, orders.filter(col("o_orderkey") % 2 === 0),
+      txnRoot, "t1")
+    Lake.upsertPending(spark, silver, registersOf(orders), txnRoot, "t1")
+    // the reader pinned BETWEEN the two physical commits: neither moved
+    val tornFree = bronzeCount() == bn0 && silverTotal() == sn0
+    Lake.publishTxn(txnRoot, "t1")
+    val all = orders.count()
+    val published = bronzeCount() == all && silverTotal() == all
+    // the failure path: a poison pair staged then ABORTED
+    Lake.upsertPending(spark, bronze,
+      Lake.read(spark, bronze).filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_cents", col("o_cents") * 2), txnRoot, "t2")
+    Lake.upsertPending(spark, silver,
+      registersOf(orders.withColumn("o_cents",
+        when(col("o_orderkey") % 5 === 0, col("o_cents") * 2)
+          .otherwise(col("o_cents")))), txnRoot, "t2")
+    Lake.abortTxn(txnRoot, "t2")
+    val abortClean = bronzeCount() == all && silverTotal() == all
+    // a plain commit after the abort: garbage-collects the dead staged
+    // head and REUSES its version — the final stamp every mirror row
+    // depends on
+    val stamped = orders.withColumn("o_orderpriority",
+      when(col("o_orderkey") % 7 === 0, lit("9-PAIR"))
+        .otherwise(col("o_orderpriority")))
+    Lake.upsert(spark, bronze,
+      stamped.filter(col("o_orderkey") % 7 === 0))
+    Lake.upsert(spark, silver, registersOf(stamped))
+    Lake.read(spark, silver)
+      .withColumn("torn_free", lit(tornFree))
+      .withColumn("published", lit(published))
+      .withColumn("abort_clean", lit(abortClean))
+      .withColumn("lake_versions", lit(Lake.latestVersion(bronze)))
+      .select(col("o_orderpriority"), col("n_orders"), col("cents"),
+        col("torn_free"), col("published"), col("abort_clean"),
+        col("lake_versions"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the stamped full state per priority. */
+  val lakePairSql: String =
+    """WITH base AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-PAIR'
+      |           ELSE o_orderpriority END AS o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_cents) AS BIGINT) AS cents,
+      |  TRUE AS torn_free, TRUE AS published, TRUE AS abort_clean,
+      |  CAST(3 AS BIGINT) AS lake_versions
+      |FROM base
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 

@@ -241,19 +241,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv" => LakeProcedures.refreshMv(this)
       case "create_mv_join" => LakeProcedures.createMvJoin(this)
       case "refresh_mv_join" => LakeProcedures.refreshMvJoin(this)
+      case "refresh_mv_dims" => LakeProcedures.refreshMvDims(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
         s"no procedure $other in catalog $catalogName " +
           "(available: optimize, compact_small, bucket, zorder, vacuum, " +
           "history, delete_mor, rewrite_dvs, create_mv, refresh_mv, " +
-          "create_mv_join, refresh_mv_join, mv_status)")
+          "create_mv_join, refresh_mv_join, refresh_mv_dims, mv_status)")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
         "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv",
-        "create_mv_join", "refresh_mv_join", "mv_status")
+        "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

@@ -260,6 +260,25 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.refresh_mv_dims(tbl => 'ns.fact', dims => 'ns.d1,ns.d2')`
+    * — advance a star view's DIMENSION pins incrementally after dim
+    * churn ([[graft.lake.MatView.refreshDim]]): the dimension change
+    * feeds re-label the aux rollup's subtotals; the fact table is
+    * never read. Returns the (unchanged) built fact version — the dim
+    * pins advance in the sidecar. */
+  def refreshMvDims(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("refresh_mv_dims",
+      Array(in("tbl", StringType), in("dims", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.refreshDim(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString.split(',').map(_.trim)
+            .map(dirOf(catalog, _)).toSeq)
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
   /** `CALL graft.history(tbl => 'ns.t')` — Delta's `DESCRIBE HISTORY`:
     * one row per still-resolvable commit, derived entirely from the
     * delta log ([[Lake.history]]); audit answers are metadata-sized,

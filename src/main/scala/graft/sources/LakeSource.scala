@@ -255,6 +255,7 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     with SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val snapshot = Lake.manifest(dir, version)
@@ -289,6 +290,7 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
   private var exprFilters: Seq[Expression] = Nil
   private var required: StructType = tableSchema
   private var limit: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None // (descending, n)
 
   /** LIMIT pushdown, file-granular: Catalyst only pushes a limit when
     * no filter remains above the scan (and this builder keeps every
@@ -300,6 +302,34 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     * pruning can never change row-level semantics. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** TOP-N pushdown, file-granular (round 11): `ORDER BY <leading key>
+    * LIMIT n` over an unfiltered scan reads only the BOUNDARY files —
+    * the minimal minKey-prefix (ASC) or maxKey-suffix (DESC) of the
+    * range-clustered layout holding at least n rows. Sound because
+    * (a) keys are NON-NULL by format invariant (checked at every
+    * write), and (b) the prune engages only when the snapshot's file
+    * ranges are PAIRWISE DISJOINT (sorted by minKey, each strictly
+    * above the previous maxKey — the state every create/compact
+    * produces; an accretion-overlapped snapshot simply reads all
+    * files). String keys prune via their order-preserving 8-byte
+    * codes: strict code disjointness implies string disjointness.
+    * Partial by contract — Spark keeps its own TopN above the scan, so
+    * this only decides which files CANNOT contribute. At 100 TB:
+    * "latest 100 orders" opens one file instead of the table. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    val eligible = exprFilters.isEmpty && orders.length == 1 &&
+      (orders.head.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames()(0).equalsIgnoreCase(leadingKey)
+        case _ => false
+      })
+    if (!eligible) return false
+    topN = Some((orders.head.direction ==
+      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, n))
+    true
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     exprFilters = filters
@@ -434,18 +464,39 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
       new LakeManifestAggScan(dir, version, schema, values)
     case None =>
       val statHit = prunedFiles(exprFilters)
+      val topHit = topN match {
+        case Some((desc, n)) =>
+          val live = statHit.filter(_.rows > 0)
+          val sorted = live.sortBy(_.minKey)
+          val disjoint = sorted.size <= 1 || sorted.sliding(2).forall {
+            case Seq(a, b) => a.maxKey < b.minKey
+            case _ => true
+          }
+          if (!disjoint) statHit
+          else {
+            val ordered = if (desc) sorted.reverse else sorted
+            val cum = ordered.scanLeft(0L)(_ + _.rows).tail
+            val keep = cum.indexWhere(_ >= n.toLong) match {
+              case -1 => ordered.size
+              case i => i + 1
+            }
+            LakeScan.lastTopNPrune.set((dir, live.size, keep))
+            ordered.take(keep)
+          }
+        case None => statHit
+      }
       val hit = limit match {
         case Some(n) =>
           // minimal file prefix with >= n rows (all of them when the
           // table is smaller than the limit)
-          val cum = statHit.scanLeft(0L)(_ + _.rows).tail
+          val cum = topHit.scanLeft(0L)(_ + _.rows).tail
           val keep = cum.indexWhere(_ >= n.toLong) match {
-            case -1 => statHit.size
+            case -1 => topHit.size
             case i => i + 1
           }
-          LakeScan.lastLimitPrune.set((dir, statHit.size, keep))
-          statHit.take(keep)
-        case None => statHit
+          LakeScan.lastLimitPrune.set((dir, topHit.size, keep))
+          topHit.take(keep)
+        case None => topHit
       }
       new LakeScan(spark, dir, version, snapshot, hit,
         tableSchema, required, exprFilters)
@@ -545,12 +596,85 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
       java.nio.file.Paths.get(dir, f.name).toFile.length
     }.sum
     val rows = e.map(_.rows).sum
+    val colStats = manifestColumnStats(e)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
+  }
+
+  /** PER-COLUMN statistics aggregated from the manifest (round 11,
+    * VERDICT r10 #5 — `SupportsReportStatistics.columnStats`): exact
+    * min/max from the per-file bounds, zero null count for the key
+    * (format invariant), and an NDV estimate as `min(rows, value-range
+    * span)` — an upper bound that is EXACT for dense surrogate keys
+    * (the lake's own layout) and conservative otherwise. Metadata-only
+    * (the pruned entry list is already resolved); with CBO enabled,
+    * multi-join plans over lake tables reorder on these instead of
+    * blind defaults. A column is reported only when EVERY live
+    * surviving file carries its stat (else min/max would lie). */
+  private def manifestColumnStats(e: Seq[Lake.FileEntry])
+      : java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
+    val res = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val live = e.filter(_.rows > 0)
+    if (live.isEmpty) return res
+    val rows = live.map(_.rows).sum
+    def internal(dt: DataType, v: Long): Option[Any] = dt match {
+      case IntegerType | DateType => Some(Int.box(v.toInt))
+      case LongType => Some(Long.box(v))
+      case _: TimestampType | TimestampNTZType => Some(Long.box(v))
+      case _ => None
+    }
+    def put(logical: String, dt: DataType, lo: Long, hi: Long,
+        nulls: Option[Long]): Unit =
+      internal(dt, lo).zip(internal(dt, hi)).foreach { case (mn, mx) =>
+        val span = BigInt(hi) - BigInt(lo) + 1
+        val ndv = span.min(BigInt(rows)).max(1).toLong
+        res.put(Expressions.column(logical),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(ndv)
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(mn.asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(mx.asInstanceOf[Object])
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          })
+      }
+    // every key component is null-free by format invariant (checked at
+    // each write) — report the exact zero; CBO's equi-join estimation
+    // requires ndv AND nullCount on both sides, so this is what makes
+    // lake-to-lake join cardinalities estimable at all
+    val keySet = snapshot.key.split(',').map(_.trim.toLowerCase).toSet
+    def nullsOf(logical: String): Option[Long] =
+      if (keySet.contains(logical.toLowerCase)) Some(0L) else None
+    // the leading key: exact bounds
+    if (!headStr)
+      tableSchema.find(_.name.equalsIgnoreCase(leadingKey)).foreach { f =>
+        put(f.name, f.dataType, live.map(_.minKey).min,
+          live.map(_.maxKey).max, Some(0L))
+      }
+    // every integer-encoded stat column covered by ALL live files
+    val physCovered = live.map(_.stats.keySet)
+      .reduce(_ intersect _).filterNot(_.startsWith("__bucket_"))
+    physCovered.foreach { p =>
+      val logical = logicalByPhys.getOrElse(p.toLowerCase, p)
+      tableSchema.find(_.name.equalsIgnoreCase(logical)).foreach { f =>
+        put(f.name, f.dataType, live.map(_.stats(p)._1).min,
+          live.map(_.stats(p)._2).max, nullsOf(f.name))
+      }
+    }
+    res
   }
 
   private def delegated: Scan = {
@@ -718,6 +842,11 @@ private[graft] object LakeScan {
   /** Last limit-pushdown file prune: (table dir, files surviving stat
     * pruning, files kept for the limit) — same observability device. */
   val lastLimitPrune =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
+
+  /** Last TopN-pushdown boundary prune: (table dir, live files, files
+    * kept for the ordered limit). */
+  val lastTopNPrune =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
 }
 
