@@ -1885,7 +1885,11 @@ object LakeQueries {
     val txnRoot = scratchDir(spark, sfDir) + "-pair-txn"
     rm(new java.io.File(bronze)); rm(new java.io.File(silver))
     rm(new java.io.File(txnRoot))
-    val orders = Tables.orders(spark, sfDir).select(
+    // a THIRD of orders: the feature is the commit protocol, not the
+    // volume — the lifecycle (create + 3 coordinated writes per table)
+    // prices the same at any slice, and the mirror filters identically
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0).select(
       col("o_orderkey"), col("o_orderpriority"),
       (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .as("o_cents"))
@@ -1894,7 +1898,7 @@ object LakeQueries {
         .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("cents"))
     // v1: the odd-key half, both tables consistent
     Lake.create(orders.filter(col("o_orderkey") % 2 === 1), bronze,
-      "o_orderkey", targetFiles = 4)
+      "o_orderkey", targetFiles = 2)
     Lake.create(registersOf(orders.filter(col("o_orderkey") % 2 === 1)),
       silver, "o_orderpriority", targetFiles = 1)
     def bronzeCount() = Lake.read(spark, bronze).count()
@@ -1910,14 +1914,16 @@ object LakeQueries {
     Lake.publishTxn(txnRoot, "t1")
     val all = orders.count()
     val published = bronzeCount() == all && silverTotal() == all
-    // the failure path: a poison pair staged then ABORTED
+    // the failure path: a poison pair staged then ABORTED (the silver
+    // poison derives from the 5-row register table itself — any staged
+    // change proves the abort; a full re-aggregation would price the
+    // scan, not the protocol)
     Lake.upsertPending(spark, bronze,
       Lake.read(spark, bronze).filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_cents", col("o_cents") * 2), txnRoot, "t2")
     Lake.upsertPending(spark, silver,
-      registersOf(orders.withColumn("o_cents",
-        when(col("o_orderkey") % 5 === 0, col("o_cents") * 2)
-          .otherwise(col("o_cents")))), txnRoot, "t2")
+      Lake.read(spark, silver).withColumn("cents", col("cents") * 2),
+      txnRoot, "t2")
     Lake.abortTxn(txnRoot, "t2")
     val abortClean = bronzeCount() == all && silverTotal() == all
     // a plain commit after the abort: garbage-collects the dead staged
@@ -1946,7 +1952,7 @@ object LakeQueries {
       |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-PAIR'
       |           ELSE o_orderpriority END AS o_orderpriority,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
-      |  FROM orders)
+      |  FROM orders WHERE o_orderkey % 3 = 0)
       |SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(sum(o_cents) AS BIGINT) AS cents,
       |  TRUE AS torn_free, TRUE AS published, TRUE AS abort_clean,

@@ -484,6 +484,18 @@ class LakeCatalogSpec extends SparkSpec {
     assert(kind === "direct-join")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq === Seq(("gold", 2L, 300L), ("iron", 2L, 20L)))
+    // DIMENSION churn (round 11): customer 10 changes segment; the pin
+    // refuses until CALL refresh_mv_dims re-labels the aux subtotals —
+    // the fact table is never read
+    sql("UPDATE graftcat.mvj.cust SET seg = 'moved' WHERE ckey = 10")
+    assert(kind === "none", "a churned dim pin must refuse")
+    val factReads = Lake.readsOf(s"$warehouse/mvj/fact")
+    sql("CALL graftcat.refresh_mv_dims(tbl => 'mvj.fact', dims => 'mvj.cust')")
+    assert(Lake.readsOf(s"$warehouse/mvj/fact") === factReads,
+      "the dim-churn refresh must not read the fact table")
+    assert(kind === "direct-join")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("iron", 2L, 20L), ("moved", 2L, 300L)))
     graft.lake.MatView.unregisterJoined(s"$warehouse/mvj/fact",
       s"$warehouse/mvj/cust")
   }
