@@ -374,6 +374,10 @@ object SparkEntry {
     // abort path, and version reuse all pinned into the hash
     ("x8_lake_pair", graft.lake.LakeQueries.lakePair _,
       Some(graft.lake.LakeQueries.lakePairSql)),
+    // round-11: WHERE key IN (...) opens only the files whose Bloom
+    // bitsets might hold the values — point-lookup pruning in SQL
+    ("x8_lake_inlist", graft.lake.LakeQueries.lakeInList _,
+      Some(graft.lake.LakeQueries.lakeInListSql)),
     // round-10: transparent materialized-view rewrite — the source
     // aggregate answers from the view (fresh), from view ⊕ change-feed
     // compensation (stale), and from the incrementally refreshed view;
@@ -415,6 +419,10 @@ object SparkEntry {
     // month-bucket dashboard aggregate by re-truncating its day column
     ("x8_mv_timebucket", graft.lake.LakeQueries.mvTimeBucket _,
       Some(graft.lake.LakeQueries.mvTimeBucketSql)),
+    // round-11: a COARSER-bucket FILTER transposes onto the day view
+    // (week ∘ day on the lattice) while the grouping serves directly
+    ("x8_mv_bucket_filter", graft.lake.LakeQueries.mvBucketFilter _,
+      Some(graft.lake.LakeQueries.mvBucketFilterSql)),
     // round-11: DIMENSION CHURN served incrementally — a churned dim's
     // change feed re-labels the aux rollup's subtotals; the fact table
     // is provably untouched (read-counter + plan assert in the result)
@@ -564,10 +572,11 @@ object SparkEntry {
     "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_colstats", // stat tables
+    "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
     "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",
-    "x8_mv_dim_churn",
+    "x8_mv_bucket_filter", "x8_mv_dim_churn",
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
@@ -586,6 +595,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateMvHistory()
     graft.lake.LakeQueries.invalidateMvExpr()
     graft.lake.LakeQueries.invalidateStatTables()
+    graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateSqlMerge()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

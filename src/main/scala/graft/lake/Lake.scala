@@ -1818,6 +1818,29 @@ object Lake {
   private def hexBits(bs: java.util.BitSet): String =
     bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
 
+  /** [[bloomPositions]] computed DRIVER-LOCAL via Catalyst's own
+    * XxHash64Function — bit-identical to the distributed builder's
+    * `xxhash64(lit(i), col)` chain (seed 42, left-fold over children),
+    * pinned equal by InListSpec so build and probe can never drift.
+    * Used by the scan builder's IN-list pruning, where a per-value
+    * 1-row Spark job at PLANNING time would be absurd. */
+  private[graft] def bloomPositionsLocal(value: Long): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    (0 until BloomHashes).map { i =>
+      val seeded = XxHash64Function.hash(i, IntegerType, 42L)
+      val h = XxHash64Function.hash(value, LongType, seeded)
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+  }
+
+  /** May `value` be present per the hex-encoded bitset? (No bitset =
+    * caller keeps the file — conservative.) */
+  private[graft] def bloomMayContainLocal(hx: String, value: Long): Boolean = {
+    val bs = bitsHex(hx)
+    bloomPositionsLocal(value).forall(bs.get)
+  }
+
   private def bitsHex(hx: String): java.util.BitSet =
     java.util.BitSet.valueOf(hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
 

@@ -332,6 +332,95 @@ object LakeQueries {
        |WHERE o_orderkey IN (${BloomProbeKeys.mkString(", ")})
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Date-clustered orders with a Bloom index over the (now scattered)
+    * order key — the [[lakeInList]] fixture, built once per (session,
+    * sfDir, fingerprint) under the disclosed-memo policy: the IN-list
+    * pruning it exists to prove is metadata-only. */
+  private val inListMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private def inListTable(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    inListMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(inListMemo.remove(k))
+        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+    inListMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-inlist"
+        rm(new java.io.File(dir))
+        val orders = Tables.orders(spark, sfDir)
+          .withColumn("o_days",
+            datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+          .drop("o_orderdate")
+        Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+        Lake.compactWithBloom(spark, dir, "o_days", "o_orderkey",
+          targetFiles = 8)
+        dir
+      })).get
+  }
+
+  private[graft] def invalidateInList(): Unit = {
+    import scala.jdk.CollectionConverters._
+    inListMemo.values.asScala.foreach(_.peek.foreach(d =>
+      rm(new java.io.File(d))))
+    inListMemo.clear()
+  }
+
+  /** Registered query `x8_lake_inlist` — STATIC IN-LIST FILE PRUNING
+    * with Bloom membership on the SQL surface (round 11): the table is
+    * DATE-clustered, so every file's o_orderkey range spans the whole
+    * domain and range stats alone prune nothing — but each file
+    * carries a Bloom bitset over the key, and the scan builder probes
+    * every IN value against it ([[graft.sources.LakeScanBuilder]]
+    * `inListSets` + the driver-local xxhash64 probe): `WHERE
+    * o_orderkey IN (…)` opens only the files that might hold those
+    * keys — [[Lake.readPoint]]'s membership pruning, now reachable
+    * from plain SQL and composed with range pruning. `inlist_pruned`
+    * pins (into the hash) that files were actually skipped AND that an
+    * absent key's probe opens ZERO files; the DuckDB mirror selects
+    * the same keys from raw orders. */
+  def lakeInList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = inListTable(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("inlist_t")
+    graft.sources.LakeScan.lastInListPrune.set(null)
+    val rows = spark.sql(
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS price_cents
+         |FROM inlist_t
+         |WHERE o_orderkey IN (${BloomProbeKeys.mkString(", ")})""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pruned = Option(graft.sources.LakeScan.lastInListPrune.get()).exists {
+      case (d, before, after) => d == dir && after < before
+    }
+    // the needle-absent case: a key outside the domain opens NOTHING
+    graft.sources.LakeScan.lastInListPrune.set(null)
+    val miss = spark.sql(
+      "SELECT count(*) FROM inlist_t WHERE o_orderkey IN (-7)").head().getLong(0)
+    val missedAll = miss == 0L &&
+      Option(graft.sources.LakeScan.lastInListPrune.get()).exists {
+        case (d, _, after) => d == dir && after == 0
+      }
+    rows.toDF("o_orderkey", "o_custkey", "price_cents")
+      .withColumn("inlist_pruned", lit(pruned && missedAll))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Mirror: the same keys off raw orders — pruning must be
+    * answer-invisible. */
+  val lakeInListSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |    AS price_cents,
+       |  TRUE AS inlist_pruned
+       |FROM orders
+       |WHERE o_orderkey IN (${BloomProbeKeys.mkString(", ")})
+       |ORDER BY o_orderkey""".stripMargin
+
   /** Registered query `x8_lake_wap` — WRITE-AUDIT-PUBLISH, the
     * lakehouse governance pattern (Iceberg WAP / Delta staging
     * branches): every batch lands first in a STAGING Lake table, the
@@ -2652,6 +2741,50 @@ object LakeQueries {
       |FROM events
       |GROUP BY week
       |ORDER BY week""".stripMargin
+
+  /** Registered query `x8_mv_bucket_filter` — DERIVED-EXPRESSION
+    * FILTER TRANSPOSITION (round 11): the same day-grain view, but the
+    * query both GROUPS by the declared bucket AND FILTERS on a COARSER
+    * one — `WHERE date_trunc('week', ts) = <last week>` — with neither
+    * expression naming a view column. The matcher rewrites the filter
+    * by re-truncating the view's day column (week ∘ day ≡ week on the
+    * lattice) and drops the Catalyst-inferred `isnotnull(ts)` conjunct
+    * as implied by its null-intolerant sibling; the whole plan then
+    * reads ~7 view rows. `mv_bucket_filter` pins the direct serve and
+    * the no-fact-scan shape; DuckDB mirrors the last calendar week
+    * from raw events. */
+  def mvBucketFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvTimeSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-day",
+      Seq("day", "event_type"), Seq("val_cents"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val lake = spark.read.format("graft-lake").option("path", src).load()
+    val cut = Tables.events(spark, sfDir)
+      .agg(max(date_trunc("week", col("ts")))).head().getTimestamp(0)
+    val q = lake.filter(date_trunc("week", col("ts")) === lit(cut))
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("val_cents")).as("sum_cents"))
+    val served = rewriteKind(q, src) == "direct" && !factScanned(q, src)
+    q.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+      .withColumn("mv_bucket_filter", lit(served))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Mirror: the last calendar week's day × type rollup. */
+  val mvBucketFilterSql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  TRUE AS mv_bucket_filter
+      |FROM events
+      |WHERE date_trunc('week', ts) =
+      |  (SELECT max(date_trunc('week', ts)) FROM events)
+      |GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin
 
   // ---- dimension churn, incrementally (round 11) -------------------------
 

@@ -363,17 +363,83 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private case class MinOf(name: String, orig: NamedExpression) extends Ask
   private case class MaxOf(name: String, orig: NamedExpression) extends Ask
 
-  /** A filter conjunct is eligible to transpose onto the view scan
-    * only when it is a pure row-independent function of declared group
-    * columns: every reference is a group column, the expression is
-    * DETERMINISTIC (a `rand() < 0.5` filter selects ROWS, not groups —
-    * transposing it would turn a row-level coin flip into a group-level
-    * one, ADVICE r10), and it embeds no subquery plan (a subquery's
-    * result can depend on the very table the rewrite replaces). */
-  private def transposable(f: Expression, declaredNames: Set[String]): Boolean =
-    f.deterministic &&
-      !f.exists(_.isInstanceOf[PlanExpression[_]]) &&
-      f.references.forall(a => declaredNames.contains(a.name.toLowerCase))
+  /** Transpose one filter conjunct onto the view scan, or refuse
+    * (None). Eligible conjuncts are pure row-independent functions of
+    * declared group VALUES: DETERMINISTIC (a `rand() < 0.5` filter
+    * selects ROWS, not groups — transposing it would turn a row-level
+    * coin flip into a group-level one, ADVICE r10), subquery-free (a
+    * subquery's result can depend on the very table the rewrite
+    * replaces), and — after rewriting — referencing only view columns:
+    *
+    *  - a subexpression canonically equal to a declared group
+    *    expression (bare column OR derived — `date_trunc('day', ts)`,
+    *    `price*(100-disc)`) replaces with a name-marker attribute the
+    *    serve plan resolves to the view column;
+    *  - a `date_trunc` at a COARSER servable level over a declared
+    *    trunc column re-truncates the view column (the same calendar
+    *    lattice the grouping matcher uses) — so `WHERE
+    *    date_trunc('month', ts) = X` filters a day-grain view;
+    *  - anything still referencing a raw source column refuses. */
+  private def transposeFilter(f: Expression, res: Resolved): Option[Expression] = {
+    if (!f.deterministic || f.exists(_.isInstanceOf[PlanExpression[_]]))
+      return None
+    def groupFor(e: Expression): Option[(String, Expression)] =
+      res.groups.find { case (_, ge) => canon(ge) == canon(e) }
+    val rewritten = f.transformDown {
+      case e if groupFor(e).isDefined =>
+        val (n, _) = groupFor(e).get
+        AttributeReference(n, e.dataType, nullable = true)()
+      case t: TruncTimestamp if truncLevel(t.format).exists(q =>
+          res.groups.exists {
+            case (_, tv: TruncTimestamp) =>
+              truncLevel(tv.format).exists(v => truncServable(q, v)) &&
+                canon(tv.timestamp) == canon(t.timestamp)
+            case _ => false
+          }) =>
+        val (n, tv) = res.groups.collectFirst {
+          case (n0, tv0: TruncTimestamp)
+              if truncLevel(tv0.format).exists(v =>
+                truncLevel(t.format).exists(q => truncServable(q, v))) &&
+                canon(tv0.timestamp) == canon(t.timestamp) => (n0, tv0)
+        }.get
+        t.withNewChildren(Seq(t.format,
+          AttributeReference(n, tv.dataType, nullable = true)()))
+    }
+    val groupNames = res.groups.map(_._1).toSet
+    if (rewritten.references.forall(a => groupNames.contains(a.name.toLowerCase)))
+      Some(rewritten)
+    else None
+  }
+
+  /** Does `a = NULL` force `e` to evaluate NULL (row filtered)? True
+    * when some path from a reference of `a` to the root runs entirely
+    * through null-intolerant operators — Catalyst's own inference rule
+    * for the `IsNotNull` conjuncts it plants next to such predicates. */
+  private def nullKills(e: Expression, a: Attribute): Boolean = e match {
+    case x: AttributeReference => x.exprId == a.exprId
+    case _ => e.nullIntolerant && e.children.exists(nullKills(_, a))
+  }
+
+  /** Transpose a conjunct list, DROPPING `IsNotNull(a)` conjuncts that
+    * are implied by a null-intolerant sibling over the same attribute
+    * (Catalyst's constraint inference plants them beside every such
+    * predicate; over a DERIVED group expression the bare-column
+    * IsNotNull can't itself transpose, but the sibling already filters
+    * every a-NULL row, so the conjunct is redundant). Returns None if
+    * any surviving conjunct refuses. */
+  private def transposeAll(conjs: Seq[Expression],
+      res: Resolved): Option[Seq[Expression]] = {
+    val kept = conjs.filterNot {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) =>
+        conjs.exists(o => (o ne a) && !o.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.IsNotNull] &&
+          nullKills(o, a))
+      case _ => false
+    }
+    val t = kept.map(transposeFilter(_, res))
+    if (t.forall(_.isDefined)) Some(t.flatten) else None
+  }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     chain <- peel(agg.child)
@@ -383,13 +449,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     res = resolveAll(d, chain.out)
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, chain.subst)), res)
-    // filters may reference ANY declared group column — a filter on a
+    // filters may constrain ANY declared group VALUE — a filter on a
     // dimension the query rolls AWAY still commutes: it applies to the
-    // view rows before the re-aggregation. (A derived group column has
-    // no source-table name, so raw-column filters refuse — conservative.)
-    declaredNames = d.groupCols.map(_.toLowerCase).toSet
-      .filter(n => d.derivedExpr(n).isEmpty)
-    if chain.filters.forall(transposable(_, declaredNames))
+    // view rows before the re-aggregation
+    filtersT <- transposeAll(chain.filters.flatMap(conjuncts), res)
     asks <- classify(
       agg.aggregateExpressions.map(substNamed(_, chain.subst)), res, serves)
     wantsExtrema = asks.exists {
@@ -401,7 +464,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // and only a recompute (a refresh, not a rewrite) can restore it
     if chain.version == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
-  } yield build(d, chain.version, chain.filters, serves, asks, wantsExtrema)
+  } yield build(d, chain.version, filtersT, serves, asks, wantsExtrema)
 
   /** STAR matching: an aggregate over `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ`
     * (inner joins, one single-equality condition each, every dim
@@ -467,8 +530,6 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     res = resolveAll(d, leaves.flatMap(_.out))
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, subst)), res)
-    declaredNames = d.groupCols.map(_.toLowerCase).toSet
-      .filter(n => d.derivedExpr(n).isEmpty)
     keyNames = d.dims.flatMap(ds =>
       Seq(ds.factKey.toLowerCase, ds.dimKey.toLowerCase)).toSet
     kept = filters.flatMap(conjuncts).filterNot {
@@ -476,7 +537,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         a: AttributeReference) => keyNames.contains(a.name.toLowerCase)
       case _ => false
     }
-    if kept.forall(transposable(_, declaredNames))
+    keptT <- transposeAll(kept, res)
     asks <- classify(
       agg.aggregateExpressions.map(substNamed(_, subst)), res, serves)
     wantsExtrema = asks.exists {
@@ -485,7 +546,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
     if fact.version == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
-  } yield build(d, fact.version, kept, serves, asks, wantsExtrema)
+  } yield build(d, fact.version, keptT, serves, asks, wantsExtrema)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>

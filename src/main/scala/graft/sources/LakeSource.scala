@@ -360,6 +360,42 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     LakeScanBuilder.pruneEntries(snapshot.files, leadingKey,
       filters.map(physExpr))
 
+  /** IN-LIST file pruning (round 11): each IN/= conjunct's value set
+    * must intersect a file's range stats — and its Bloom bitset where
+    * one exists for the column (LongType columns only: the bitset was
+    * built by hashing the stored longs, so any other encoding would
+    * probe the wrong hash space). Files without the stat/bitset are
+    * kept; `SELECT … WHERE id IN (…)` then opens only the files that
+    * might hold those ids — [[graft.lake.Lake.readPoint]]'s membership
+    * pruning on the SQL surface, composed with range pruning. */
+  private def inListPrune(files: Seq[Lake.FileEntry]): Seq[Lake.FileEntry] = {
+    val sets = LakeScanBuilder.inListSets(exprFilters.map(physExpr))
+    if (sets.isEmpty) return files
+    val headStr = tableSchema.find(_.name.equalsIgnoreCase(leadingKey))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    val logicalByPhys = physByLogical.map { case (l, p) => p.toLowerCase -> l }
+    def isLongCol(phys: String): Boolean = {
+      val logical = logicalByPhys.getOrElse(phys.toLowerCase, phys)
+      tableSchema.find(_.name.equalsIgnoreCase(logical))
+        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+    }
+    val kept = files.filter { f =>
+      sets.forall { case (c, vals) =>
+        val range =
+          if (c.equalsIgnoreCase(leadingKey) && !headStr)
+            Some((f.minKey, f.maxKey))
+          else f.stats.get(c)
+        vals.exists { v =>
+          range.forall { case (lo, hi) => v >= lo && v <= hi } &&
+            (!isLongCol(c) || f.blooms.get(c).forall(
+              Lake.bloomMayContainLocal(_, v)))
+        }
+      }
+    }
+    LakeScan.lastInListPrune.set((dir, files.size, kept.size))
+    kept
+  }
+
   // ---- MANIFEST-ONLY aggregate pushdown --------------------------------
   //
   // COUNT(*) / MIN / MAX over stat-covered columns of an UNFILTERED,
@@ -463,7 +499,7 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     case Some((schema, values)) =>
       new LakeManifestAggScan(dir, version, schema, values)
     case None =>
-      val statHit = prunedFiles(exprFilters)
+      val statHit = inListPrune(prunedFiles(exprFilters))
       val topHit = topN match {
         case Some((desc, n)) =>
           val live = statHit.filter(_.rows > 0)
@@ -848,6 +884,10 @@ private[graft] object LakeScan {
     * kept for the ordered limit). */
   val lastTopNPrune =
     new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
+
+  /** Last IN-list prune: (table dir, files before, files after). */
+  val lastInListPrune =
+    new java.util.concurrent.atomic.AtomicReference[(String, Int, Int)]()
 }
 
 /** One hash bucket of a bucketed lake snapshot as an input partition:
@@ -964,6 +1004,43 @@ private[graft] object LakeScanBuilder {
       Option(l.value).map(_.toString)
     case _ => None
   }
+
+  /** Per-conjunct IN-LIST value sets (round 11): `col IN (v₁…vₙ)` /
+    * `col = v` / the optimizer's `InSet` form, for integer-encoded
+    * columns (integrals, dates as epoch days, timestamps as micros).
+    * A file must satisfy EVERY conjunct by containing AT LEAST ONE of
+    * its values per range stats — and, where the file carries a Bloom
+    * bitset for the column, per membership probe too: the static-scan
+    * analog of [[graft.lake.Lake.readPoint]], which turns a
+    * `WHERE id IN (…)` point lookup on a 100 TB table into opening
+    * only the files that might hold those ids. Conjuncts with any
+    * non-translatable piece are skipped (conservative). */
+  private[graft] def inListSets(filters: Seq[Expression])
+      : Seq[(String, Seq[Long])] =
+    filters.flatMap(conjuncts).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.In(e, vs) =>
+        attrName(e).flatMap { n =>
+          val longs = vs.flatMap {
+            case l: Literal => longOf(l)
+            case _ => None
+          }
+          if (longs.size == vs.size && longs.nonEmpty) Some(n -> longs)
+          else None
+        }
+      case s: org.apache.spark.sql.catalyst.expressions.InSet =>
+        attrName(s.child).flatMap { n =>
+          val dt = s.child.dataType
+          val longs = s.hset.toSeq.flatMap(v =>
+            longOf(Literal.create(v, dt)))
+          if (longs.size == s.hset.size && longs.nonEmpty) Some(n -> longs)
+          else None
+        }
+      case CEqualTo(a, l: Literal) =>
+        attrName(a).zip(longOf(l)).map { case (n, v) => n -> Seq(v) }
+      case CEqualTo(l: Literal, a) =>
+        attrName(a).zip(longOf(l)).map { case (n, v) => n -> Seq(v) }
+      case _ => None
+    }
 
   /** One normalized comparison: (column, op with the COLUMN on the
     * left, literal). Ops: "=", ">", ">=", "<", "<=". */

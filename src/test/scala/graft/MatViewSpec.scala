@@ -691,6 +691,116 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregister(dir)
   }
 
+  test("derived-expression filters transpose; min/max of expressions serve") {
+    val dir = freshDir("exprfil")
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("pc"),
+      (col("o_orderkey") % 10).as("dp"))
+    Lake.create(o, dir, "k", targetFiles = 3)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("prio", "band"), Seq("rev"),
+      derived = Seq("band" -> "dp % 3", "rev" -> "pc * (100 - dp)"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", dir).load()
+      val rev = col("pc") * (lit(100L) - col("dp"))
+      // a filter ON the derived group EXPRESSION transposes onto the
+      // view (it constrains group values, not rows)
+      val q = lake().filter(col("dp") % 3 === 1)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(rev).as("rev"),
+          min(rev).as("mn"), max(rev).as("mx"))
+      assert(kindOf(q, dir) === "direct-rollup")
+      val exp = Lake.read(spark, dir).filter(col("dp") % 3 === 1)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), sum(rev).as("rev"),
+          min(rev).as("mn"), max(rev).as("mx"))
+      assert(rows2(q, "prio") === rows2(exp, "prio"))
+      // a filter on a RAW column outside the declaration still refuses
+      val refuse = lake().filter(col("pc") > 100L)
+        .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+      assert(kindOf(refuse, dir) === "none")
+    } finally MatView.unregister(dir)
+  }
+
+  test("coarser trunc FILTERS re-truncate the view's day column") {
+    val dir = freshDir("tfil")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    Lake.create(ev, dir, "event_id", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view", Seq("day"), Seq("vc"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def lake() = spark.read.format("graft-lake").option("path", dir).load()
+      // WHERE week(ts) >= X GROUP BY day: the filter re-truncates the
+      // day column (week ∘ day ≡ week), the grouping serves directly
+      val cut = Lake.read(spark, dir)
+        .select(date_trunc("week", col("ts")).as("w"))
+        .agg(max(col("w"))).head().getTimestamp(0)
+      val q = lake().filter(date_trunc("week", col("ts")) === lit(cut))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      val exp = Lake.read(spark, dir)
+        .filter(date_trunc("week", col("ts")) === lit(cut))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("s"))
+      assert(rows2(q, "day") === rows2(exp, "day"))
+    } finally MatView.unregister(dir)
+  }
+
+  test("star view with a derived fact-side register: serve, churn, refresh") {
+    val src = buildSource("starexpr")
+    val dim = buildDim("starexpr")
+    // derived register over FACT columns through the star path — the
+    // aux rollup (fact grain) carries it, so churn stays incremental
+    MatView.defineStar(spark, src, Seq((dim, "o_custkey", "c_custkey")),
+      src + "-sxview", Seq("c_mktsegment"), Seq("rev"),
+      derived = Seq("rev" -> "o_cents * 2"))
+    try {
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      def q() = {
+        val fact = spark.read.format("graft-lake").option("path", src).load()
+        val d = spark.read.format("graft-lake").option("path", dim).load()
+        fact.join(d, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("o_cents") * 2).as("rev"))
+      }
+      def exp() = Lake.read(spark, src)
+        .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents") * 2).as("rev"))
+      assert(kindOf(q(), src) === "direct-join")
+      assert(segRows(q()) === segRows(exp()))
+      // dim churn over the derived-register view
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 6 === 0)
+        .withColumn("c_mktsegment", lit("XPR")))
+      val factReads = Lake.readsOf(src)
+      MatView.refreshDim(spark, src, Seq(dim))
+      assert(Lake.readsOf(src) === factReads)
+      assert(kindOf(q(), src) === "direct-join")
+      assert(segRows(q()) === segRows(exp()))
+      // fact refresh keeps the derived register exact
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_cents", col("o_cents") + 5L))
+      MatView.refresh(spark, src, Seq(dim))
+      assert(kindOf(q(), src) === "direct-join")
+      assert(segRows(q()) === segRows(exp()))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  private def rows2(df: org.apache.spark.sql.DataFrame, key: String) =
+    df.orderBy(key).collect().map(_.toSeq).toSeq
+
   // ---- round 11: NULL semantics --------------------------------------------
 
   test("NULL sums: an all-NULL group serves sum NULL, avg NULL — like the direct plan") {
