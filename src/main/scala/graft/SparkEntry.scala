@@ -428,6 +428,17 @@ object SparkEntry {
     // is provably untouched (read-counter + plan assert in the result)
     ("x8_mv_dim_churn", graft.lake.LakeQueries.mvDimChurn _,
       Some(graft.lake.LakeQueries.mvDimChurnSql)),
+    // round-11: COUNT(DISTINCT) views — the aggregate the Σ-register
+    // family refuses, served from a (group × value)-grain aux; min/max
+    // exact under deletes on the stale path (fresh + compensated)
+    ("x8_mv_distinct", graft.lake.LakeQueries.mvDistinct _,
+      Some(graft.lake.LakeQueries.mvDistinctSql)),
+    ("x8_mv_distinct_stale", graft.lake.LakeQueries.mvDistinctStale _,
+      Some(graft.lake.LakeQueries.mvDistinctStaleSql)),
+    // round-11: ROLLUP/CUBE/GROUPING SETS collapse to a union of
+    // per-set register rollups over one view (Expand never sees fact)
+    ("x8_mv_gsets", graft.lake.LakeQueries.mvGsets _,
+      Some(graft.lake.LakeQueries.mvGsetsSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -577,6 +588,8 @@ object SparkEntry {
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
     "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",
     "x8_mv_bucket_filter", "x8_mv_dim_churn",
+    "x8_mv_distinct", "x8_mv_distinct_stale", // distinct aux on MV source hist
+    "x8_mv_gsets", // rollup union over the shared 2-d view
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

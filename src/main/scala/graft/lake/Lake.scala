@@ -1558,6 +1558,7 @@ object Lake {
     commit(dir, Some(m),
       Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
     MatView.invalidateReferencing(dir, from)
+    MatView.invalidateDistinctReferencing(dir, from)
     base + 1L
   }
 
@@ -1589,7 +1590,8 @@ object Lake {
     val next = org.apache.spark.sql.types.StructType(pinned)
     commit(dir, Some(m),
       Manifest(base + 1L, m.key, m.files, m.txns, Some(next.json)))
-    val dropped = MatView.invalidateReferencing(dir, name)
+    val dropped = MatView.invalidateReferencing(dir, name) ++
+      MatView.invalidateDistinctReferencing(dir, name)
     (base + 1L, dropped)
   }
 

@@ -2786,6 +2786,150 @@ object LakeQueries {
       |GROUP BY day, event_type
       |ORDER BY day, event_type""".stripMargin
 
+  // ---- COUNT(DISTINCT) views (round 11, session III) ----------------------
+
+  /** The distinct-view user aggregate — distinct customers per
+    * priority, plus the count/sum/avg/min/max family over the SAME
+    * column: everything the (group × value)-grain aux serves exactly.
+    * Written against the SOURCE, no view mentioned. */
+  private def mvDistinctUserQuery(spark: SparkSession, srcDir: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", srcDir).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(col("o_custkey")).as("n_rows"),
+        sum(col("o_custkey")).as("sum_cust"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"))
+  }
+
+  /** The shared fixture's final (v4) state, aggregated over o_custkey. */
+  private def mvDistinctStateSql(flag: String): String =
+    s"""WITH mx AS (
+       |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+       |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+       |  FROM orders),
+       |final AS (
+       |  SELECT o_orderpriority, o_custkey
+       |  FROM orders, mx
+       |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+       |  UNION ALL
+       |  SELECT o_orderpriority, o_custkey
+       |  FROM orders, mx WHERE o_orderkey > b9)
+       |SELECT o_orderpriority,
+       |  count(DISTINCT o_custkey) AS n_cust,
+       |  count(o_custkey) AS n_rows,
+       |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+       |  CAST(min(o_custkey) AS BIGINT) AS min_cust,
+       |  CAST(max(o_custkey) AS BIGINT) AS max_cust,
+       |  TRUE AS $flag
+       |FROM final
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_mv_distinct` — COUNT(DISTINCT) VIEWS, fresh
+    * case (round 11): `count(DISTINCT o_custkey)` is the one aggregate
+    * the Σ-register family REFUSES (a delete cannot tell whether it
+    * removed the last instance of a value), answered here from a
+    * [[MatView.defineDistinct]] aux at (priority × custkey) grain —
+    * the standard IVM projection. The registered aggregate asks the
+    * whole x-family (distinct count, row count, sum, min, max) and is
+    * served by counting/weighing the aux's surviving value rows.
+    * `mv_distinct` pins the `direct-distinct` rewrite kind AND the
+    * no-fact-scan plan shape; DuckDB mirrors the derived v4 state. */
+  def mvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.defineDistinctOrRecover(spark, src,
+      src + "-dview-fresh", Seq("o_orderpriority"), "o_custkey")
+    val q = mvDistinctUserQuery(spark, src)
+    val served = rewriteKind(q, src) == "direct-distinct" &&
+      !factScanned(q, src)
+    q.withColumn("mv_distinct", lit(served)).orderBy(col("o_orderpriority"))
+  }
+
+  val mvDistinctSql: String = mvDistinctStateSql("mv_distinct")
+
+  /** Registered query `x8_mv_distinct_stale` — the distinct aux
+    * Σ-MAINTAINED THROUGH THE FEED, deletes included: the view is
+    * built AS OF v1 and never refreshed; the serve rolls the aux
+    * forward through the fixture's update + DELETE + append slice
+    * in-plan (instance counts signed, rows reaching zero drop) and
+    * re-counts surviving values. MIN/MAX ARE EXACT UNDER THE DELETE —
+    * the case the plain view's registers must refuse (the extremum may
+    * have been removed) — because the aux keeps every surviving value.
+    * `mv_distinct_stale` pins the `compensated-distinct` kind. */
+  def mvDistinctStale(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.defineDistinctOrRecover(spark, src,
+      src + "-dview-stale", Seq("o_orderpriority"), "o_custkey",
+      asOfVersion = 1L)
+    val q = mvDistinctUserQuery(spark, src)
+    val comp = rewriteKind(q, src) == "compensated-distinct"
+    q.withColumn("mv_distinct_stale", lit(comp))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mvDistinctStaleSql: String = mvDistinctStateSql("mv_distinct_stale")
+
+  /** Registered query `x8_mv_gsets` — ROLLUP SERVED FROM THE VIEW
+    * (round 11): the analyzer plans `GROUP BY ROLLUP(priority,
+    * status)` as an Expand that replays every fact row once per
+    * grouping set — three fact scans' worth of aggregation. The
+    * rewrite collapses it to a UNION OF PER-SET REGISTER ROLLUPS over
+    * the priority × status view (re-used from `x8_mv_rollup`):
+    * view-sized × 3, never the fact table, `grouping_id()` answered
+    * from the per-branch set literal. `mv_gsets` pins the
+    * `direct-gsets` kind and the no-fact-scan plan; DuckDB mirrors the
+    * ROLLUP over the derived v4 state. */
+  def mvGsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-2d",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_cents"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", src).load()
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_cents")).as("revenue_cents"),
+        grouping_id().as("gid"))
+    val served = rewriteKind(q, src) == "direct-gsets" && !factScanned(q, src)
+    q.select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        col("n_orders"), col("revenue_cents"),
+        col("gid").cast("long").as("gid"))
+      .withColumn("mv_gsets", lit(served))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  /** Mirror: the same fixture state ([[mvFinalStateCte]]'s shape, plus
+    * o_orderstatus) rolled up relationally. */
+  val mvGsetsSql: String =
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+      |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey <= b1 THEN 2 ELSE 1 END) AS o_cents
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders, mx WHERE o_orderkey > b9)
+      |SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+      |  coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+      |  count(*) AS n_orders,
+      |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+      |  CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  TRUE AS mv_gsets
+      |FROM final
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+
   // ---- dimension churn, incrementally (round 11) -------------------------
 
   /** A PRIVATE customer dimension for the churn query (the shared

@@ -129,6 +129,7 @@ object MatView {
       .forall(_.removedFiles == 0)
 
   private val reg = new ConcurrentHashMap[String, MvDef]()
+  private val dreg = new ConcurrentHashMap[String, DistinctDef]()
 
   /** Registry key: plain views key on the source dir; star views on
     * source⋈sorted-dims, so one source can carry several shapes
@@ -146,13 +147,14 @@ object MatView {
   def get(sourceDir: String): Option[MvDef] = Option(reg.get(sourceDir))
   def getStar(sourceDir: String, dimDirs: Seq[String]): Option[MvDef] =
     Option(reg.get(regKey(sourceDir, dimDirs)))
-  def isEmpty: Boolean = reg.isEmpty
+  def isEmpty: Boolean = reg.isEmpty && dreg.isEmpty
   def unregister(sourceDir: String): Unit = reg.remove(sourceDir)
+  def unregisterDistinct(mvDir: String): Unit = dreg.remove(mvDir)
   def unregisterJoined(sourceDir: String, dimDir: String): Unit =
     reg.remove(regKey(sourceDir, Seq(dimDir)))
   def unregisterStar(sourceDir: String, dimDirs: Seq[String]): Unit =
     reg.remove(regKey(sourceDir, dimDirs))
-  def clear(): Unit = reg.clear()
+  def clear(): Unit = { reg.clear(); dreg.clear() }
 
   /** Every registered view whose SOURCE is `dir` — the dependency
     * lookup schema evolution consults: dropping a column a view's
@@ -814,6 +816,246 @@ object MatView {
         .except(next.select(d.groupCols.map(col): _*))
       Lake.merge(spark, d.mvDir, next, dead, targetFiles = 1)
       ()
+    } finally next.unpersist()
+  }
+
+  // ---- COUNT(DISTINCT) views: the (group × value)-grain aux ----------------
+
+  /** A DISTINCT-COUNT view: one lake table at `(groupCols × value)`
+    * grain — the standard IVM answer to the one aggregate the Σ-register
+    * family cannot carry. `count(distinct x)` is not incrementally
+    * maintainable from a per-group register (a delete cannot tell
+    * whether it removed the LAST instance of a value), but it IS from
+    * the value-grain projection: each aux row holds a signed instance
+    * count `__mv_n` for one `(group, value)` pair, rows reaching zero
+    * drop, and the distinct count per group is simply the number of
+    * surviving non-null-value rows. The same grain makes EVERY
+    * x-aggregate exact — including min/max UNDER DELETES, which the
+    * plain view's registers must refuse (a removed row may have been
+    * the extremum; here the surviving values are all present).
+    *
+    * NULL values are kept (encoded, see below), so the aux covers every
+    * fact row: group EXISTENCE is preserved (a group whose x values are
+    * all NULL still answers `count(distinct x) = 0`, exactly like the
+    * direct aggregate), and `count(*)` serves as Σ of the instance
+    * counts.
+    *
+    * Scale shape: aux size is Σ per group NDV(x) — the same table a
+    * warehouse materializes for distinct dashboards. At 100 TB the aux
+    * is fact-row-bounded but typically orders of magnitude smaller;
+    * maintenance reads only the change feed, O(Δ) like every other
+    * register here. */
+  case class DistinctDef(sourceDir: String, mvDir: String,
+      groupCols: Seq[String], distinctCol: String, builtVersion: Long)
+
+  /** Aux-table value encoding: the lake keys on
+    * `(groupCols…, __mv_vnull, __mv_v)` and key columns must be
+    * NON-NULL, so a NULL value row stores `(1, <type default>)` and a
+    * real value `(0, value)` — the flag disambiguates a genuine
+    * default-valued row from an encoded NULL. [[distinctValExpr]]
+    * reconstructs the logical value. */
+  val vCol = "__mv_v"
+  val vNullCol = "__mv_vnull"
+
+  private def defaultFor(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => lit(0)
+      case LongType => lit(0L)
+      case DoubleType => lit(0.0)
+      case StringType => lit("")
+      case other => sys.error(
+        s"distinct view value type $other unsupported (int/long/double/string)")
+    }
+  }
+
+  private def encodedVal(x: Column, dt: org.apache.spark.sql.types.DataType)
+      : (Column, Column) =
+    (when(x.isNull, 1).otherwise(0), coalesce(x, defaultFor(dt)))
+
+  /** The logical distinct-column value of one aux row. */
+  def distinctValExpr(): Column =
+    when(col(vNullCol) === 0, col(vCol))
+
+  def getDistinct(mvDir: String): Option[DistinctDef] = Option(dreg.get(mvDir))
+
+  /** Register a distinct view, LAST-WINS per (source, value column):
+    * like the plain registry, the most recently defined/recovered view
+    * is the one the rewrite rule serves — two builds of the same shape
+    * (e.g. a fresh and a stale pin) never race for a query. */
+  private def registerDistinct(d: DistinctDef): Unit = {
+    import scala.jdk.CollectionConverters._
+    dreg.entrySet().asScala
+      .filter(e => e.getValue.sourceDir == d.sourceDir &&
+        e.getValue.distinctCol.equalsIgnoreCase(d.distinctCol) &&
+        e.getKey != d.mvDir)
+      .map(_.getKey).foreach(dreg.remove)
+    dreg.put(d.mvDir, d)
+  }
+
+  /** Every registered distinct view whose source is `dir` — the
+    * rewrite rule's candidate lookup (and schema evolution's
+    * dependency check rides [[invalidateReferencing]]'s sibling for
+    * these — see [[invalidateDistinctReferencing]]). */
+  def distinctViews(sourceDir: String): Seq[DistinctDef] = {
+    import scala.jdk.CollectionConverters._
+    dreg.values.asScala.filter(_.sourceDir == sourceDir).toSeq
+  }
+
+  /** DROP COLUMN dependency check for distinct views: a view whose
+    * grouping or value column is dropped cannot be maintained. */
+  def invalidateDistinctReferencing(dir: String, colName: String): Seq[String] = {
+    val hit = distinctViews(dir).filter(d =>
+      (d.groupCols :+ d.distinctCol).exists(_.equalsIgnoreCase(colName)))
+    hit.foreach(d => dreg.remove(d.mvDir))
+    hit.map(_.mvDir)
+  }
+
+  private val DistinctTxnApp = "graft-mvd-built"
+
+  /** The aux frame of a source snapshot: one row per (group, encoded
+    * value) with the instance count. */
+  private def distinctAuxFrame(spark: SparkSession, sourceDir: String,
+      version: Long, groupCols: Seq[String], distinctCol: String): DataFrame = {
+    val src = Lake.read(spark, sourceDir, version)
+    val dt = src.schema(distinctCol).dataType
+    val (nullFlag, enc) = encodedVal(col(distinctCol), dt)
+    src.withColumn(vNullCol, nullFlag).withColumn(vCol, enc)
+      .groupBy((groupCols.map(col) :+ col(vNullCol) :+ col(vCol)): _*)
+      .agg(count(lit(1)).as(countCol))
+  }
+
+  /** Build (or replace) a distinct view at a source snapshot, register
+    * it for rewrite, persist the `_mvd` sidecar. */
+  def defineDistinct(spark: SparkSession, sourceDir: String, mvDir: String,
+      groupCols: Seq[String], distinctCol: String,
+      asOfVersion: Long = 0L): DistinctDef = {
+    require(groupCols.nonEmpty, "empty distinct-view grouping")
+    require(!groupCols.exists(_.equalsIgnoreCase(distinctCol)),
+      s"distinct column $distinctCol is also a group column")
+    val v = if (asOfVersion == 0L) Lake.latestVersion(sourceDir) else asOfVersion
+    require(v > 0L, s"no lake table at $sourceDir")
+    val agg = distinctAuxFrame(spark, sourceDir, v, groupCols, distinctCol)
+    graft.Scratch.rm(new java.io.File(mvDir))
+    Lake.create(agg, mvDir,
+      (groupCols :+ vNullCol :+ vCol).mkString(","), targetFiles = 1)
+    val nullGroups = Lake.read(spark, mvDir)
+      .filter(groupCols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    if (nullGroups > 0L) {
+      graft.Scratch.rm(new java.io.File(mvDir))
+      sys.error(s"distinct view group columns ${groupCols.mkString(",")} " +
+        s"contain NULLs in $sourceDir@v$v — a NULL group cannot key the view")
+    }
+    val d = DistinctDef(sourceDir, mvDir, groupCols, distinctCol, v)
+    writeDistinctSidecar(d)
+    registerDistinct(d)
+    d
+  }
+
+  /** [[defineDistinct]] with the build memoized on storage — same
+    * policy as [[defineOrRecover]]: a matching `_mvd` sidecar
+    * re-registers instead of re-aggregating (built version may differ,
+    * a refresh advances it); any definition mismatch rebuilds. */
+  def defineDistinctOrRecover(spark: SparkSession, sourceDir: String,
+      mvDir: String, groupCols: Seq[String], distinctCol: String,
+      asOfVersion: Long = 0L): DistinctDef = {
+    val sidecar = java.nio.file.Paths.get(mvDir, "_mvd")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val d = recoverDistinct(mvDir)
+      val same = d.sourceDir == sourceDir &&
+        d.groupCols.map(_.toLowerCase) == groupCols.map(_.toLowerCase) &&
+        d.distinctCol.equalsIgnoreCase(distinctCol)
+      if (same) return d
+      dreg.remove(mvDir)
+    }
+    defineDistinct(spark, sourceDir, mvDir, groupCols, distinctCol, asOfVersion)
+  }
+
+  /** Re-register a distinct view from its sidecar, reconciling the
+    * built version against the view table's own txn marker (same
+    * crash-window rule as [[recover]]): the marker wins — those
+    * registers already absorbed the slice. */
+  def recoverDistinct(mvDir: String): DistinctDef = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(mvDir, "_mvd")).toArray(Array.empty[String])
+    val kv = lines.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val sidecarVersion = kv("builtVersion").toLong
+    val txnVersion = Lake.manifest(mvDir, Lake.latestVersion(mvDir))
+      .txns.getOrElse(DistinctTxnApp, 0L)
+    val d = DistinctDef(kv("source"), mvDir, kv("group").split(",").toSeq,
+      kv("dcol"), math.max(sidecarVersion, txnVersion))
+    if (txnVersion > sidecarVersion) writeDistinctSidecar(d)
+    registerDistinct(d)
+    d
+  }
+
+  private def writeDistinctSidecar(d: DistinctDef): Unit = {
+    val p = java.nio.file.Paths.get(d.mvDir, "_mvd")
+    val tmp = java.nio.file.Paths.get(d.mvDir, "_mvd.tmp")
+    java.nio.file.Files.write(tmp,
+      (s"fmt=1\nsource=${d.sourceDir}\n" +
+        s"group=${d.groupCols.mkString(",")}\n" +
+        s"dcol=${d.distinctCol}\nbuiltVersion=${d.builtVersion}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The aux rows rolled forward by the source change feed over
+    * `(builtVersion, toVersion]` — the signed algebra of
+    * [[compensated]] at value grain: an update moves an instance count
+    * from its old `(group, value)` row to the new one, a delete
+    * decrements, rows reaching zero drop. Shared by the rewrite rule's
+    * stale serve (consumed directly) and [[refreshDistinct]] (which
+    * commits it). */
+  private[graft] def compensatedDistinct(spark: SparkSession, d: DistinctDef,
+      toVersion: Long): DataFrame = {
+    val keyCols = d.groupCols :+ vNullCol :+ vCol
+    val feed0 = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    val dt = feed0.schema(d.distinctCol).dataType
+    val (nullFlag, enc) = encodedVal(col(d.distinctCol), dt)
+    val feed = feed0.withColumn(vNullCol, nullFlag).withColumn(vCol, enc)
+    val delta = feed
+      .withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"))
+    val cur = Lake.read(spark, d.mvDir)
+    val synth = MvDef(d.sourceDir, d.mvDir, keyCols, Nil, d.builtVersion)
+    rollForward(cur, delta, synth, MinMaxNone, None,
+      affectedGroups = feed.select(keyCols.map(col): _*).distinct())
+  }
+
+  /** Roll the distinct view forward to the source's current version:
+    * one atomic merge commit (changed rows upsert, emptied rows
+    * delete) carrying the absorbed source version as a txn marker.
+    * O(Δ), never a source re-scan. */
+  def refreshDistinct(spark: SparkSession, mvDir: String): DistinctDef = {
+    val d = dreg.get(mvDir)
+    require(d != null, s"no registered distinct view at $mvDir")
+    val v = Lake.latestVersion(d.sourceDir)
+    if (v == d.builtVersion) return d
+    require(v > d.builtVersion,
+      s"source ${d.sourceDir} regressed below distinct-view build")
+    val keyCols = d.groupCols :+ vNullCol :+ vCol
+    val next = compensatedDistinct(spark, d, v).persist()
+    try {
+      require(next.filter(d.groupCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() == 0L,
+        s"refresh of $mvDir: the missed slice introduced NULL group values")
+      val cur = Lake.read(spark, d.mvDir)
+      val dead = cur.select(keyCols.map(col): _*)
+        .except(next.select(keyCols.map(col): _*))
+      Lake.merge(spark, d.mvDir, next, dead, targetFiles = 1,
+        txn = Some(DistinctTxnApp -> v))
+      val nd = d.copy(builtVersion = v)
+      writeDistinctSidecar(nd)
+      registerDistinct(nd)
+      nd
     } finally next.unpersist()
   }
 }

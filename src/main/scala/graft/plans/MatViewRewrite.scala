@@ -77,7 +77,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     if (MatView.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate =>
-        tryRewrite(agg).orElse(tryRewriteJoined(agg)).getOrElse(agg)
+        tryRewrite(agg).orElse(tryRewriteDistinct(agg))
+          .orElse(tryRewriteJoined(agg))
+          .orElse(tryRewriteGroupingSets(agg)).getOrElse(agg)
     }
   }
 
@@ -670,6 +672,423 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       (if (fresh) "direct" else "compensated") +
         (if (exact) "" else "-rollup") +
         (if (d.dims.nonEmpty) "-join" else "")))
+    Project(projections, optimized)
+  }
+
+  // ---- GROUPING SETS / ROLLUP / CUBE serving ------------------------------
+
+  /** One output of a grouping-sets aggregate, in serve terms: either a
+    * pure (non-aggregate) expression over the grouping attributes and
+    * the grouping-id column — group values, `grouping()` /
+    * `grouping_id()` bit extracts, and any scalar combination — or one
+    * of the register aggregates the plain matcher admits. */
+  private sealed trait GsAsk
+  private case class GsExpr(expr: Expression, orig: NamedExpression)
+    extends GsAsk
+  private case class GsAgg(ask: Ask) extends GsAsk
+
+  private def seqOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.flatten) else None
+
+  /** ROLLUP / CUBE / GROUPING SETS answered from the view: the
+    * analyzer plans grouping sets as
+    * `Aggregate(groupAttrs :+ spark_grouping_id, Expand(projections,
+    * output, child))` — the Expand replays each input row once per
+    * set, nulling the rolled-away group columns and stamping the set's
+    * grouping-id literal. Registers re-aggregate associatively within
+    * EACH set, so the serve is a UNION of per-set partial rollups over
+    * the view (each branch `groupBy(live view columns)` + register
+    * re-aggregation, null-padded and gid-stamped) — view-sized × the
+    * number of sets, never the fact table. This is the dashboard
+    * lattice shape: one fine-grained view answers the whole
+    * ROLLUP/CUBE pyramid in a single query.
+    *
+    * Matching mirrors the plain path: the Expand's child peels to a
+    * registered relation chain, every live grouping expression must
+    * canonically equal a declared group column (recovered through the
+    * pulled-out-grouping Project the analyzer plants under the
+    * Expand), aggregates are the register family (min/max stale-gated
+    * on insert-only slices), filters below the Expand transpose.
+    * Outputs may reference the grouping id arbitrarily —
+    * `grouping(c)` / `grouping_id()` are scalar functions of the
+    * per-branch gid literal. */
+  private def tryRewriteGroupingSets(agg: Aggregate): Option[LogicalPlan] =
+    agg.child match {
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand => for {
+        chain <- peel(ex.child)
+        d <- MatView.get(chain.dir)
+        if chain.version >= d.builtVersion
+        if agg.groupingExpressions.forall(_.isInstanceOf[Attribute])
+        gAttrs0 = agg.groupingExpressions.map(_.asInstanceOf[Attribute])
+        gidAttr <- gAttrs0.find(_.name == "spark_grouping_id")
+        groupAttrs = gAttrs0.filterNot(_.exprId == gidAttr.exprId)
+        posOf = ex.output.map(_.exprId).zipWithIndex.toMap
+        if (groupAttrs :+ gidAttr).forall(a => posOf.contains(a.exprId))
+        gidPos = posOf(gidAttr.exprId)
+        // each projection row = one grouping set: its gid literal and
+        // which group attributes stay live (non-null) in it
+        sets <- seqOpt(ex.projections.map { proj =>
+          proj(gidPos) match {
+            case Literal(v, _) if v != null =>
+              val entries = groupAttrs.map(a => a -> proj(posOf(a.exprId)))
+              // a rolled-away column is exactly a null literal; any
+              // non-attribute, non-null entry is not analyzer-shaped
+              if (entries.forall { case (_, e) =>
+                e.isInstanceOf[Attribute] ||
+                  (e.isInstanceOf[Literal] &&
+                    e.asInstanceOf[Literal].value == null) })
+                Some((v, entries.collect {
+                  case (a, _: Attribute) => a.exprId }.toSet))
+              else None
+            case _ => None
+          }
+        })
+        // the source expression behind each group attribute: any
+        // projection's live entry, substituted back through the
+        // pulled-grouping Project to relation attributes
+        srcExprs <- seqOpt(groupAttrs.map { a =>
+          ex.projections.view.map(_(posOf(a.exprId))).collectFirst {
+            case e if !e.isInstanceOf[Literal] => applySubst(e, chain.subst)
+          }
+        })
+        res = resolveAll(d, chain.out)
+        // every group attribute must be a declared group column
+        // (bucket lattice composition is the plain path's refinement —
+        // grouping sets serve declared columns directly)
+        viewColByAttr <- seqOpt(groupAttrs.zip(srcExprs).map {
+          case (a, e) =>
+            res.groups.collectFirst {
+              case (n, ge) if canon(ge) == canon(e) => a.exprId -> n
+            }
+        }).map(_.toMap)
+        filtersT <- transposeAll(chain.filters.flatMap(conjuncts), res)
+        asks <- classifyGroupingSets(agg.aggregateExpressions.map(
+          substNamed(_, chain.subst)), res, groupAttrs, gidAttr)
+        wantsExtrema = asks.exists {
+          case GsAgg(_: MinOf) | GsAgg(_: MaxOf) => true
+          case _ => false
+        }
+        if chain.version == d.builtVersion || !wantsExtrema ||
+          MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
+      } yield buildGroupingSets(d, chain.version, filtersT, groupAttrs,
+        gidAttr, viewColByAttr, sets, asks, wantsExtrema)
+      case _ => None
+    }
+
+  private def classifyGroupingSets(exprs: Seq[NamedExpression],
+      res: Resolved, groupAttrs: Seq[Attribute], gidAttr: Attribute)
+      : Option[Seq[GsAsk]] = {
+    val groupIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+    def sumRegister(child: Expression): Option[String] =
+      res.sums.collectFirst { case (n, e) if canon(e) == canon(child) => n }
+    def one(e: Expression, orig: NamedExpression): Option[GsAsk] = e match {
+      case _ if e.references.map(_.exprId).forall(groupIds.contains) &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          e.deterministic =>
+        Some(GsExpr(e, orig))
+      case AggregateExpression(fn, Complete, false, None, _) => (fn match {
+        case Count(children)
+            if children.forall(c =>
+              c.foldable && c.isInstanceOf[Literal] &&
+                c.asInstanceOf[Literal].value != null) =>
+          Some(CountAll(orig))
+        case s: Sum => sumRegister(s.child).map(SumOf(_, orig))
+        case av: Average =>
+          sumRegister(av.child).filter(_ =>
+            av.child.dataType == LongType ||
+              av.child.dataType == IntegerType).map(AvgOf(_, orig))
+        case m: Min => sumRegister(m.child).map(MinOf(_, orig))
+        case m: Max => sumRegister(m.child).map(MaxOf(_, orig))
+        case _ => None
+      }).map(GsAgg(_))
+      case _ => None
+    }
+    seqOpt(exprs.map {
+      case al @ Alias(child, _) => one(child, al)
+      case other => one(other, other)
+    })
+  }
+
+  private def buildGroupingSets(d: MatView.MvDef, pinnedVersion: Long,
+      filters: Seq[Expression], groupAttrs: Seq[Attribute],
+      gidAttr: Attribute, viewColByAttr: Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      sets: Seq[(Any, Set[org.apache.spark.sql.catalyst.expressions.ExprId])],
+      asks: Seq[GsAsk], wantsExtrema: Boolean): LogicalPlan = {
+    val spark = SparkSession.active
+    val fresh = pinnedVersion == d.builtVersion
+    val base =
+      if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
+      else MatView.compensated(spark, d, pinnedVersion,
+        if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
+    val analyzedBase = base.queryExecution.analyzed
+    val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
+    val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
+      Filter(c.transform {
+        case a: AttributeReference => byBase(a.name.toLowerCase)
+      }, p)
+    }
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit,
+      max => fmax, min => fmin, sum => fsum}
+    val fdf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, transposed)
+    val regAggs = coalesce(fsum(fcol(MatView.countCol)), lit(0L))
+      .as(MatView.countCol) +:
+      d.sumCols.flatMap { c =>
+        Seq(fsum(fcol(MatView.sumCol(c))).as(MatView.sumCol(c)),
+          coalesce(fsum(fcol(MatView.nnCol(c))), lit(0L))
+            .as(MatView.nnCol(c))) ++
+          (if (wantsExtrema)
+            Seq(fmin(fcol(MatView.minCol(c))).as(MatView.minCol(c)),
+              fmax(fcol(MatView.maxCol(c))).as(MatView.maxCol(c)))
+          else Nil)
+      }
+    // one branch per grouping set: a partial rollup over the live view
+    // columns, rolled-away columns null-padded, the set's gid stamped.
+    // A set with NO live columns (the grand total) still groups — on a
+    // constant — so an empty filtered view yields zero rows, exactly
+    // like the direct Expand-fed aggregate (NOT like a global agg).
+    val gname = groupAttrs.zipWithIndex
+      .map { case (a, i) => a.exprId -> s"__mv_gs_$i" }.toMap
+    val branches = sets.map { case (gidValue, live) =>
+      val liveCols = groupAttrs.filter(a => live.contains(a.exprId))
+        .map(a => fcol(viewColByAttr(a.exprId)))
+      val grouped =
+        if (liveCols.nonEmpty) fdf.groupBy(liveCols: _*)
+        else fdf.groupBy(lit(1).as("__mv_one"))
+      val aggd = grouped.agg(regAggs.head, regAggs.tail: _*)
+      val outCols = groupAttrs.map { a =>
+        (if (live.contains(a.exprId)) fcol(viewColByAttr(a.exprId))
+        else lit(null)).cast(a.dataType).as(gname(a.exprId))
+      } ++ (fcol(MatView.countCol) +:
+        d.sumCols.flatMap(c =>
+          Seq(fcol(MatView.sumCol(c)), fcol(MatView.nnCol(c))) ++
+            (if (wantsExtrema)
+              Seq(fcol(MatView.minCol(c)), fcol(MatView.maxCol(c)))
+            else Nil))) :+
+        lit(gidValue).cast(gidAttr.dataType).as("__mv_gid")
+      aggd.select(outCols: _*)
+    }
+    val served = branches.reduce(_ unionByName _).queryExecution.analyzed
+    val optimized = org.apache.spark.sql.GraftSqlShim
+      .ofRows(spark, served).queryExecution.optimizedPlan
+    val byName = optimized.output.map(a => a.name.toLowerCase -> a).toMap
+    def nullGuarded(n: String): Expression = {
+      val s = byName(MatView.sumCol(n))
+      If(EqualTo(byName(MatView.nnCol(n)), Literal(0L)),
+        Literal(null, s.dataType), s)
+    }
+    val projections: Seq[NamedExpression] = asks.map {
+      case GsExpr(e, orig) =>
+        val rewritten = e.transform {
+          case a: Attribute if a.exprId == gidAttr.exprId =>
+            byName("__mv_gid")
+          case a: Attribute if gname.contains(a.exprId) =>
+            byName(gname(a.exprId))
+        }
+        Alias(rewritten, orig.name)(exprId = orig.exprId,
+          qualifier = orig.qualifier)
+      case GsAgg(CountAll(orig)) =>
+        Alias(byName(MatView.countCol), orig.name)(exprId = orig.exprId)
+      case GsAgg(SumOf(n, orig)) =>
+        Alias(nullGuarded(n), orig.name)(exprId = orig.exprId)
+      case GsAgg(AvgOf(n, orig)) =>
+        Alias(Divide(
+          Cast(byName(MatView.sumCol(n)), DoubleType),
+          Cast(byName(MatView.nnCol(n)), DoubleType),
+          EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
+      case GsAgg(MinOf(n, orig)) =>
+        Alias(byName(MatView.minCol(n)), orig.name)(exprId = orig.exprId)
+      case GsAgg(MaxOf(n, orig)) =>
+        Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
+      case GsAgg(other) => sys.error(s"unreachable grouping-set ask $other")
+    }
+    MatView.lastRewrite.set((d.sourceDir,
+      (if (fresh) "direct" else "compensated") + "-gsets"))
+    Project(projections, optimized)
+  }
+
+  // ---- COUNT(DISTINCT) serving off the value-grain aux --------------------
+
+  /** What one aggregate-list entry asks of a DISTINCT view. Every ask
+    * is exact off the (group × value)-grain aux — including min/max
+    * under ANY history (the surviving values are all present), which
+    * the plain view's registers must gate on insert-only slices. */
+  private sealed trait DAsk
+  private case class DGroupRef(served: String, orig: NamedExpression) extends DAsk
+  private case class DCountDistinct(orig: NamedExpression) extends DAsk
+  private case class DCountAll(orig: NamedExpression) extends DAsk
+  private case class DCountVal(orig: NamedExpression) extends DAsk
+  private case class DSumVal(orig: NamedExpression) extends DAsk
+  private case class DAvgVal(orig: NamedExpression) extends DAsk
+  private case class DMinVal(orig: NamedExpression) extends DAsk
+  private case class DMaxVal(orig: NamedExpression) extends DAsk
+
+  /** The one aggregate family the Σ-register matcher REFUSES —
+    * `count(DISTINCT x)` — answered from a [[MatView.DistinctDef]]
+    * value-grain aux: the distinct count per group is the number of
+    * surviving non-null-value aux rows, `count(*)` is Σ of the
+    * instance counts (NULL values are kept encoded, so group existence
+    * and row counts are exact), and sum/avg/min/max of the SAME column
+    * ride along — min/max exactly under deletes, because the aux keeps
+    * every surviving value. Same freshness protocol as the plain
+    * matcher: version equality serves the table, a newer pin serves
+    * the rolled-forward aux, time travel below the build refuses. */
+  private def tryRewriteDistinct(agg: Aggregate): Option[LogicalPlan] =
+    peel(agg.child).flatMap { chain =>
+      MatView.distinctViews(chain.dir).view
+        .flatMap(rewriteDistinctWith(agg, chain, _)).headOption
+    }
+
+  private def rewriteDistinctWith(agg: Aggregate, chain: Chain,
+      dd: MatView.DistinctDef): Option[LogicalPlan] = for {
+    _ <- Some(())
+    if chain.version >= dd.builtVersion
+    synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
+      Seq(dd.distinctCol), dd.builtVersion)
+    res = resolveAll(synth, chain.out)
+    // the distinct column resolves as the single "sum" declaration
+    if res.sums.size == 1
+    serves <- matchGroups(
+      agg.groupingExpressions.map(applySubst(_, chain.subst)), res)
+    if serves.forall(_._2.isInstanceOf[GDirect])
+    // filters may constrain group values AND the distinct value itself:
+    // the aux is at (group × value) grain, so a deterministic value
+    // predicate selects whole aux rows exactly as it selects fact rows
+    resF = res.copy(groups = res.groups ++ res.sums)
+    filtersT <- transposeAll(chain.filters.flatMap(conjuncts), resF)
+    asks <- classifyDistinct(
+      agg.aggregateExpressions.map(substNamed(_, chain.subst)), res, serves)
+    // serve only queries that actually need the value grain — plain
+    // group-ref/count(*) shapes belong to the Σ-register views
+    if asks.exists {
+      case _: DGroupRef | _: DCountAll => false
+      case _ => true
+    }
+  } yield buildDistinct(dd, chain.version, filtersT, serves, asks)
+
+  private def classifyDistinct(exprs: Seq[NamedExpression], res: Resolved,
+      serves: Seq[(Expression, GroupServe)]): Option[Seq[DAsk]] = {
+    val serveByCanon = serves.toMap
+    val (_, xAttr) = res.sums.head
+    def isX(c: Expression): Boolean = canon(c) == canon(xAttr)
+    val integral =
+      xAttr.dataType == LongType || xAttr.dataType == IntegerType
+    def one(e: Expression, orig: NamedExpression): Option[DAsk] = e match {
+      case _ if serveByCanon.contains(canon(e)) =>
+        Some(DGroupRef(servedName(serveByCanon(canon(e))), orig))
+      case AggregateExpression(Count(Seq(c)), Complete, true, None, _)
+          if isX(c) =>
+        Some(DCountDistinct(orig))
+      case AggregateExpression(fn, Complete, false, None, _) => fn match {
+        case Count(children)
+            if children.forall(c =>
+              c.foldable && c.isInstanceOf[Literal] &&
+                c.asInstanceOf[Literal].value != null) =>
+          Some(DCountAll(orig))
+        case Count(Seq(c)) if isX(c) => Some(DCountVal(orig))
+        case s: Sum if isX(s.child) && integral => Some(DSumVal(orig))
+        case av: Average if isX(av.child) && integral => Some(DAvgVal(orig))
+        case m: Min if isX(m.child) => Some(DMinVal(orig))
+        case m: Max if isX(m.child) => Some(DMaxVal(orig))
+        case _ => None
+      }
+      case _ => None
+    }
+    val asks = exprs.map {
+      case al @ Alias(child, _) => one(child, al)
+      case other => one(other, other)
+    }
+    if (asks.forall(_.isDefined)) Some(asks.flatten) else None
+  }
+
+  private def buildDistinct(dd: MatView.DistinctDef, pinnedVersion: Long,
+      filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
+      asks: Seq[DAsk]): LogicalPlan = {
+    val spark = SparkSession.active
+    val fresh = pinnedVersion == dd.builtVersion
+    val base =
+      if (fresh) spark.read.format("graft-lake").option("path", dd.mvDir).load()
+      else MatView.compensatedDistinct(spark, dd, pinnedVersion)
+    val analyzedBase = base.queryExecution.analyzed
+    val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
+    val xName = dd.distinctCol.toLowerCase
+    val vAttr = byBase(MatView.vCol)
+    val vnAttr = byBase(MatView.vNullCol)
+    // the logical value of one aux row (NULL rows are flag-encoded)
+    val xValE: Expression =
+      If(EqualTo(vnAttr, Literal(0)), vAttr, Literal(null, vAttr.dataType))
+    val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
+      Filter(c.transform {
+        case a: AttributeReference if a.name.equalsIgnoreCase(xName) => xValE
+        case a: AttributeReference => byBase(a.name.toLowerCase)
+      }, p)
+    }
+    // every declared group present ⇒ aux rows are already unique per
+    // (group, value): count(value) suffices, no distinct Expand
+    val exact =
+      serves.map(_._2.name).toSet == dd.groupCols.map(_.toLowerCase).toSet
+    import org.apache.spark.sql.functions.{coalesce, col => fcol,
+      count => fcount, countDistinct, lit, max => fmax, min => fmin,
+      sum => fsum, when => fwhen}
+    val fdf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, transposed)
+    val xVal = fwhen(fcol(MatView.vNullCol) === 0, fcol(MatView.vCol))
+    val nonNullN =
+      fwhen(fcol(MatView.vNullCol) === 0, fcol(MatView.countCol))
+    val aggList = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Column]()
+    if (asks.exists(_.isInstanceOf[DCountDistinct]))
+      aggList += (if (exact) fcount(xVal) else countDistinct(xVal))
+        .as("__q_dct")
+    if (asks.exists(_.isInstanceOf[DCountAll]))
+      aggList += coalesce(fsum(fcol(MatView.countCol)), lit(0L))
+        .as("__q_cntall")
+    if (asks.exists(a => a.isInstanceOf[DCountVal] || a.isInstanceOf[DAvgVal]))
+      aggList += coalesce(fsum(nonNullN.otherwise(lit(0L))), lit(0L))
+        .as("__q_cntx")
+    if (asks.exists(a => a.isInstanceOf[DSumVal] || a.isInstanceOf[DAvgVal]))
+      aggList += fsum(nonNullN * fcol(MatView.vCol)).as("__q_sumx")
+    if (asks.exists(_.isInstanceOf[DMinVal]))
+      aggList += fmin(xVal).as("__q_minx")
+    if (asks.exists(_.isInstanceOf[DMaxVal]))
+      aggList += fmax(xVal).as("__q_maxx")
+    val groupCols = serves.map(_._2).distinct.map {
+      case GDirect(n) => fcol(n)
+      case g @ GTrunc(_, _) => sys.error(s"unreachable bucket serve $g")
+    }
+    val served = fdf.groupBy(groupCols: _*)
+      .agg(aggList.head, aggList.tail.toSeq: _*)
+      .queryExecution.analyzed
+    val optimized = org.apache.spark.sql.GraftSqlShim
+      .ofRows(spark, served).queryExecution.optimizedPlan
+    val byName = optimized.output.map(a => a.name.toLowerCase -> a).toMap
+    val projections: Seq[NamedExpression] = asks.map {
+      case DGroupRef(n, orig) =>
+        Alias(byName(n), orig.name)(exprId = orig.exprId,
+          qualifier = orig.qualifier)
+      case DCountDistinct(orig) =>
+        Alias(byName("__q_dct"), orig.name)(exprId = orig.exprId)
+      case DCountAll(orig) =>
+        Alias(byName("__q_cntall"), orig.name)(exprId = orig.exprId)
+      case DCountVal(orig) =>
+        Alias(byName("__q_cntx"), orig.name)(exprId = orig.exprId)
+      case DSumVal(orig) =>
+        Alias(byName("__q_sumx"), orig.name)(exprId = orig.exprId)
+      case DAvgVal(orig) =>
+        // same bit-exactness argument as the plain view's AvgOf: the
+        // matcher admits integral values only, and double partial sums
+        // of integers below 2⁵³ are exact in any order
+        Alias(Divide(
+          Cast(byName("__q_sumx"), DoubleType),
+          Cast(byName("__q_cntx"), DoubleType),
+          EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
+      case DMinVal(orig) =>
+        Alias(byName("__q_minx"), orig.name)(exprId = orig.exprId)
+      case DMaxVal(orig) =>
+        Alias(byName("__q_maxx"), orig.name)(exprId = orig.exprId)
+    }
+    MatView.lastRewrite.set((dd.sourceDir,
+      (if (fresh) "direct" else "compensated") + "-distinct" +
+        (if (exact) "" else "-rollup")))
     Project(projections, optimized)
   }
 

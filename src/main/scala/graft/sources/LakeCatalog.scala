@@ -242,6 +242,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "create_mv_join" => LakeProcedures.createMvJoin(this)
       case "refresh_mv_join" => LakeProcedures.refreshMvJoin(this)
       case "refresh_mv_dims" => LakeProcedures.refreshMvDims(this)
+      case "create_mv_distinct" => LakeProcedures.createMvDistinct(this)
+      case "refresh_mv_distinct" => LakeProcedures.refreshMvDistinct(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(

@@ -219,6 +219,41 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.create_mv_distinct(tbl => 'ns.t', view => 'ns.v',
+    * group_cols => 'x', distinct_col => 'user_id')` — build a
+    * COUNT(DISTINCT) view ([[graft.lake.MatView.defineDistinct]]): a
+    * (group × value)-grain aux table serving `count(DISTINCT col)`
+    * plus the count/sum/min/max family over the same column — min/max
+    * exact under deletes. Returns the source version captured. */
+  def createMvDistinct(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("create_mv_distinct",
+      Array(in("tbl", StringType), in("view", StringType),
+        in("group_cols", StringType), in("distinct_col", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.defineDistinct(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          dirOf(catalog, input.getUTF8String(1).toString),
+          input.getUTF8String(2).toString.split(',').map(_.trim).toSeq,
+          input.getUTF8String(3).toString)
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
+  /** `CALL graft.refresh_mv_distinct(view => 'ns.v')` — roll the
+    * distinct view forward from the source change feed
+    * ([[graft.lake.MatView.refreshDistinct]]): O(Δ), one atomic merge
+    * commit. Returns the source version the view now reflects. */
+  def refreshMvDistinct(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("refresh_mv_distinct", Array(in("view", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val d = graft.lake.MatView.refreshDistinct(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString))
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
   /** `CALL graft.mv_status(tbl => 'ns.t')` — the view's freshness
     * audit: built version vs the source's current version, how many
     * commits behind, and whether the missed slice is insert-only
