@@ -439,6 +439,10 @@ object SparkEntry {
     // per-set register rollups over one view (Expand never sees fact)
     ("x8_mv_gsets", graft.lake.LakeQueries.mvGsets _,
       Some(graft.lake.LakeQueries.mvGsetsSql)),
+    // round-11: SERVE-TIME dim compensation — a churned dimension's
+    // move delta (dim feed x aux) absorbed in-plan, no refresh needed
+    ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
+      Some(graft.lake.LakeQueries.mvDimServeSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -590,6 +594,7 @@ object SparkEntry {
     "x8_mv_bucket_filter", "x8_mv_dim_churn",
     "x8_mv_distinct", "x8_mv_distinct_stale", // distinct aux on MV source hist
     "x8_mv_gsets", // rollup union over the shared 2-d view
+    "x8_mv_dim_serve", // churned-dim serve on MV source hist
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

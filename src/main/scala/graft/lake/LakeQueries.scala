@@ -2994,4 +2994,53 @@ object LakeQueries {
        |FROM final JOIN cdim ON o_custkey = c_custkey
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
+
+  /** Registered query `x8_mv_dim_serve` — SERVE-TIME DIMENSION
+    * COMPENSATION (round 11, session III): the same churn shape as
+    * `x8_mv_dim_churn`, but NO refresh runs. The query joining the
+    * CHURNED dimension (every `%4` customer reassigned to segment
+    * `MOVED` after the view build) is answered by absorbing
+    * `Δdim ⋈ aux` IN-PLAN — each changed customer's stored subtotal
+    * moves between segments inside the serve plan, O(Δdim ⋈ aux) +
+    * O(view), the fact table untouched. `mv_dim_serve` pins the
+    * `dim-compensated-join` rewrite kind, the no-fact-scan plan
+    * shape, and the unchanged fact data-read counter across the
+    * optimization. DuckDB mirrors the churned dim state
+    * relationally. */
+  def mvDimServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    val dim = src + "-sdim"
+    if (Lake.latestVersion(dim) == 0L)
+      Lake.create(Tables.customer(spark, sfDir), dim, "c_custkey",
+        targetFiles = 1)
+    graft.lake.MatView.defineOrRecover(spark, src,
+      Seq((dim, "o_custkey", "c_custkey")), src + "-view-dimserve",
+      Seq("c_mktsegment"), Seq("o_cents"))
+    // churn AFTER the define (first run only; the sidecar keeps the
+    // clean v1 pin — no refresh ever advances it, the serve does)
+    if (Lake.latestVersion(dim) == 1L)
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+    val q = mvJoinUserQuery(spark, src, dim)
+    val factReadsBefore = Lake.readsOf(src)
+    val served = rewriteKind(q, src) == "dim-compensated-join" &&
+      !factScanned(q, src) && Lake.readsOf(src) == factReadsBefore
+    q.withColumn("mv_dim_serve", lit(served)).orderBy(col("c_mktsegment"))
+  }
+
+  val mvDimServeSql: String =
+    s"""$mvFinalStateJoinCte,
+       |cdim AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+       |      AS c_mktsegment
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_orders,
+       |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+       |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
+       |  TRUE AS mv_dim_serve
+       |FROM final JOIN cdim ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
 }

@@ -747,13 +747,20 @@ object MatView {
     cur
   }
 
+  /** The move algebra of one dimension's churn: delta/affected frames
+    * plus the extrema re-derivation, shared by [[refreshDim]] (which
+    * commits them) and the rewrite rule's SERVE-TIME dim compensation
+    * ([[compensatedDim]], which consumes the delta directly). */
+  private case class DimChurnPlan(delta: DataFrame, affected: DataFrame,
+      recompute: DataFrame => DataFrame)
+
   /** The view groups whose registers dim `i`'s churn touches, and the
     * signed per-group delta — computed from Δdim ⋈ aux (plus broadcast
     * joins of the OTHER dims at their current pins, to re-label the
     * aux subtotals with their group attributes). The fact table is
     * never read. */
-  private def applyDimChurn(spark: SparkSession, d: MvDef, i: Int,
-      toDimVersion: Long): Unit = {
+  private def dimMoveDelta(spark: SparkSession, d: MvDef, i: Int,
+      toDimVersion: Long): DimChurnPlan = {
     val ds = d.dims(i)
     val adir = auxDir(d.mvDir)
     require(Lake.latestVersion(adir) > 0L,
@@ -784,33 +791,39 @@ object MatView {
     // a MOVE of each matched subtotal between its old and new view
     // groups: signed aggregation OF THE STORED REGISTERS (count/sum/
     // non-null count all move exactly; min/max cannot move and
-    // recompute below)
+    // recompute separately)
     val delta = joined.groupBy(d.groupCols.map(col): _*)
       .agg(sum(col("__sign") * col(countCol)).as("__dn"),
         d.sumCols.flatMap(c => Seq(
           sum(col("__sign") * col(sumCol(c))).as(s"__ds_$c"),
           sum(col("__sign") * col(nnCol(c))).as(s"__dnn_$c"))): _*)
     val affected = joined.select(d.groupCols.map(col): _*).distinct()
+    // extrema re-derive from aux ⋈ dims (dim i at its NEW version),
+    // restricted to affected groups: aux mins/maxes partition the
+    // fact rows per aux group, so min-of-mins over a view group is
+    // exact. O(aux), bounded by dim size × fact-group fanout —
+    // never O(fact).
+    val recompute = (aff: DataFrame) => {
+      val newDim = Lake.read(spark, ds.dimDir, toDimVersion)
+      val reJoined = withDerived(
+        joinOthers(aux).join(broadcast(newDim),
+          col(ds.factKey) === col(ds.dimKey)), dimDerived)
+      val recAggs = d.sumCols.flatMap(c => Seq(
+        min(when(col(nnCol(c)) > 0L, col(minCol(c)))).as(s"__rmin_$c"),
+        max(when(col(nnCol(c)) > 0L, col(maxCol(c)))).as(s"__rmax_$c")))
+      reJoined.join(broadcast(aff), d.groupCols, "left_semi")
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(recAggs.head, recAggs.tail: _*)
+    }
+    DimChurnPlan(delta, affected, recompute)
+  }
+
+  private def applyDimChurn(spark: SparkSession, d: MvDef, i: Int,
+      toDimVersion: Long): Unit = {
+    val p = dimMoveDelta(spark, d, i, toDimVersion)
     val cur = Lake.read(spark, d.mvDir)
-    val next = rollForward(cur, delta, d, MinMaxRecompute,
-      // extrema re-derive from aux ⋈ dims (dim i at its NEW version),
-      // restricted to affected groups: aux mins/maxes partition the
-      // fact rows per aux group, so min-of-mins over a view group is
-      // exact. O(aux), bounded by dim size × fact-group fanout —
-      // never O(fact).
-      recompute = Some((aff: DataFrame) => {
-        val newDim = Lake.read(spark, ds.dimDir, toDimVersion)
-        val reJoined = withDerived(
-          joinOthers(aux).join(broadcast(newDim),
-            col(ds.factKey) === col(ds.dimKey)), dimDerived)
-        val recAggs = d.sumCols.flatMap(c => Seq(
-          min(when(col(nnCol(c)) > 0L, col(minCol(c)))).as(s"__rmin_$c"),
-          max(when(col(nnCol(c)) > 0L, col(maxCol(c)))).as(s"__rmax_$c")))
-        reJoined.join(broadcast(aff), d.groupCols, "left_semi")
-          .groupBy(d.groupCols.map(col): _*)
-          .agg(recAggs.head, recAggs.tail: _*)
-      }),
-      affectedGroups = affected).persist()
+    val next = rollForward(cur, p.delta, d, MinMaxRecompute,
+      recompute = Some(p.recompute), affectedGroups = p.affected).persist()
     try {
       val dead = cur.select(d.groupCols.map(col): _*)
         .except(next.select(d.groupCols.map(col): _*))
@@ -818,6 +831,26 @@ object MatView {
       ()
     } finally next.unpersist()
   }
+
+  /** SERVE-TIME dimension compensation (round 11, session III): the
+    * view's rows with dim `i`'s churn `(pin → toDimVersion]` absorbed
+    * IN-PLAN — the same move algebra [[refreshDim]] commits, consumed
+    * directly by the rewrite rule, so a query joining a CHURNED
+    * dimension still answers in O(Δdim ⋈ aux) + O(view) without
+    * waiting for `CALL graft.refresh_mv_dims`. Σ registers only: a
+    * query asking min/max refuses (the extremum may have moved away —
+    * only the committed refresh re-derives them). */
+  private[graft] def compensatedDim(spark: SparkSession, d: MvDef, i: Int,
+      toDimVersion: Long): DataFrame = {
+    val p = dimMoveDelta(spark, d, i, toDimVersion)
+    rollForward(Lake.read(spark, d.mvDir), p.delta, d, MinMaxNone, None,
+      p.affected)
+  }
+
+  /** Is serve-time dim compensation available (the aux rollup exists —
+    * every register fact-side)? */
+  private[graft] def dimCompensable(d: MvDef): Boolean =
+    d.dims.nonEmpty && Lake.latestVersion(auxDir(d.mvDir)) > 0L
 
   // ---- COUNT(DISTINCT) views: the (group × value)-grain aux ----------------
 

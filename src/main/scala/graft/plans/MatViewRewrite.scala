@@ -514,20 +514,36 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // every edge must connect the fact to a DISTINCT dim on exactly
     // the declared key pair, and every declared dim must be an edge
     specByDir = d.dims.map(ds => ds.dimDir -> ds).toMap
-    dimIdxs = edges.flatMap { case (i, ka, j, kb) =>
+    dimHits = edges.flatMap { case (i, ka, j, kb) =>
       val (dimIdx, factKey, dimKey) =
         if (i == factIdx) (j, ka, kb)
         else if (j == factIdx) (i, kb, ka)
         else (-1, "", "")
       if (dimIdx < 0) None
       else specByDir.get(leaves(dimIdx).dir).flatMap { ds =>
-        if (factKey == ds.factKey.toLowerCase &&
-          dimKey == ds.dimKey.toLowerCase &&
-          leaves(dimIdx).version == ds.dimVersion) Some(dimIdx)
+        if (factKey != ds.factKey.toLowerCase ||
+          dimKey != ds.dimKey.toLowerCase) None
+        // a dim pinned AT the view's pin serves directly; pinned AHEAD
+        // is serve-time-compensable (checked below); pinned below the
+        // view's pin never serves (the view is too new for that read)
+        else if (leaves(dimIdx).version == ds.dimVersion)
+          Some((dimIdx, None))
+        else if (leaves(dimIdx).version > ds.dimVersion)
+          Some((dimIdx,
+            Some((d.dims.indexWhere(_ eq ds), leaves(dimIdx).version))))
         else None
       }
     }
+    dimIdxs = dimHits.map(_._1)
     if dimIdxs.size == edges.size && dimIdxs.distinct.size == d.dims.size
+    // serve-time dim compensation: at most ONE dimension ahead of its
+    // pin, the aux rollup present, and the FACT exactly at the build
+    // (interleaving a fact delta with a dim move in one serve would
+    // compensate them against each other inconsistently)
+    staleDim = dimHits.flatMap(_._2).headOption
+    if dimHits.flatMap(_._2).size <= 1
+    if staleDim.isEmpty || (fact.version == d.builtVersion &&
+      MatView.dimCompensable(d))
     if fact.version >= d.builtVersion
     res = resolveAll(d, leaves.flatMap(_.out))
     serves <- matchGroups(
@@ -546,9 +562,13 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
+    // a moved subtotal may have carried the extremum away: min/max
+    // refuse under an unabsorbed dim churn (only the committed
+    // refreshDim re-derives them)
+    if staleDim.isEmpty || !wantsExtrema
     if fact.version == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
-  } yield build(d, fact.version, keptT, serves, asks, wantsExtrema)
+  } yield build(d, fact.version, keptT, serves, asks, wantsExtrema, staleDim)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -570,14 +590,20 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     * output projection. */
   private def build(d: MatView.MvDef, pinnedVersion: Long,
       filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
-      asks: Seq[Ask], wantsExtrema: Boolean): LogicalPlan = {
+      asks: Seq[Ask], wantsExtrema: Boolean,
+      staleDim: Option[(Int, Long)] = None): LogicalPlan = {
     val spark = SparkSession.active
-    val fresh = pinnedVersion == d.builtVersion
+    val fresh = pinnedVersion == d.builtVersion && staleDim.isEmpty
     val declaredNames = d.groupCols.map(_.toLowerCase).toSet
-    val base =
-      if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
-      else MatView.compensated(spark, d, pinnedVersion,
-        if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
+    val base = staleDim match {
+      case Some((i, toDimVersion)) =>
+        MatView.compensatedDim(spark, d, i, toDimVersion)
+      case None if fresh =>
+        spark.read.format("graft-lake").option("path", d.mvDir).load()
+      case None =>
+        MatView.compensated(spark, d, pinnedVersion,
+          if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
+    }
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
     val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
@@ -669,7 +695,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
     }
     MatView.lastRewrite.set((d.sourceDir,
-      (if (fresh) "direct" else "compensated") +
+      (if (staleDim.isDefined) "dim-compensated"
+      else if (fresh) "direct" else "compensated") +
         (if (exact) "" else "-rollup") +
         (if (d.dims.nonEmpty) "-join" else "")))
     Project(projections, optimized)

@@ -364,15 +364,28 @@ class MatViewSpec extends SparkSpec {
     val dim = buildDim("joindim")
     MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
       src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
-    // the dimension churns AFTER the build: segment reassignment would
-    // invalidate every register, so the matcher must refuse
+    // the dimension churns AFTER the build: segment reassignment moves
+    // register subtotals between groups. Round 11 session III: instead
+    // of refusing, the rule absorbs the move IN-PLAN from
+    // Δdim ⋈ aux — the query answers without a refresh
     Lake.upsert(spark, dim, Lake.read(spark, dim)
       .filter(col("c_custkey") % 7 === 0)
       .withColumn("c_mktsegment", lit("CHURNED")))
     try {
       val q = joinAgg(src, dim)
-      assert(kindOf(q, src) === "none")
+      val factReads = Lake.readsOf(src)
+      assert(kindOf(q, src) === "dim-compensated-join")
+      assert(Lake.readsOf(src) === factReads,
+        "serve-time dim compensation must never read the fact table")
       assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+      // min/max over the churned dim still refuse: the extremum may
+      // have moved away with a subtotal — only refreshDim re-derives
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val dd = spark.read.format("graft-lake").option("path", dim).load()
+      val qx = fact.join(dd, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("o_cents")).as("mn"))
+      assert(kindOf(qx, src) === "none")
     } finally MatView.unregisterJoined(src, dim)
   }
 
@@ -877,8 +890,8 @@ class MatViewSpec extends SparkSpec {
       Lake.upsert(spark, dim, Lake.read(spark, dim)
         .filter(col("c_custkey") % 7 === 0)
         .withColumn("c_mktsegment", lit("CHURNED")))
-      assert(kindOf(joinAgg(src, dim), src) === "none",
-        "pre-refresh: the stale dim pin must refuse")
+      assert(kindOf(joinAgg(src, dim), src) === "dim-compensated-join",
+        "pre-refresh: the stale dim pin serves through the in-plan move")
       val factReads = Lake.readsOf(src)
       MatView.refreshDim(spark, src, Seq(dim))
       assert(Lake.readsOf(src) === factReads,
