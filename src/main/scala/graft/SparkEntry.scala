@@ -164,6 +164,10 @@ object SparkEntry {
     // round-10: the CDC × MV composition — the declarative sink's
     // streamed commits are the missed slice a v1-pinned view
     // compensates through the optimizer rewrite
+    // round-11: CDC × COUNT(DISTINCT) — the streamed commit history is
+    // a valid distinct-aux feed; the pinned view serves compensated
+    ("x6_stream_distinct", graft.streaming.EventStream.streamedDistinctServe _,
+      Some(graft.streaming.EventStream.streamedDistinctServeSql)),
     ("x6_stream_mv", graft.streaming.EventStream.streamedMvServe _,
       Some(graft.streaming.EventStream.streamedMvServeSql)),
     ("x6_stream_sink", graft.streaming.EventStream.streamedSinkAggregate _,
@@ -443,6 +447,10 @@ object SparkEntry {
     // move delta (dim feed x aux) absorbed in-plan, no refresh needed
     ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
       Some(graft.lake.LakeQueries.mvDimServeSql)),
+    // round-11: ROLLUP over date_trunc buckets — each grouping-set
+    // branch re-truncates the day-grain view on the calendar lattice
+    ("x8_mv_gsets_time", graft.lake.LakeQueries.mvGsetsTime _,
+      Some(graft.lake.LakeQueries.mvGsetsTimeSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -595,6 +603,7 @@ object SparkEntry {
     "x8_mv_distinct", "x8_mv_distinct_stale", // distinct aux on MV source hist
     "x8_mv_gsets", // rollup union over the shared 2-d view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
+    "x8_mv_gsets_time", // bucket rollup over the day-grain view
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo
@@ -603,7 +612,8 @@ object SparkEntry {
     "x6_stream_enrich", "x6_stream_dedup", "x6_stream_session",
     "x6_stream_join_outer", "x6_stream_attribution",
     "x6_stream_hll", "x6_stream_recovery",
-    "x6_stream_sink", "x6_stream_mv") // multi-file source layout
+    "x6_stream_sink", "x6_stream_mv",
+    "x6_stream_distinct") // multi-file source layout
 
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */

@@ -2930,6 +2930,51 @@ object LakeQueries {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
+  /** Registered query `x8_mv_gsets_time` — ROLLUP OVER TIME BUCKETS
+    * served from the day-grain view (round 11, session III): `GROUP BY
+    * ROLLUP(date_trunc('week', ts), event_type)` — neither grouping
+    * names a view column — answers from the `x8_mv_timebucket` view:
+    * each branch re-truncates the view's day column to week on the
+    * calendar lattice (week ∘ day ≡ week) and re-aggregates the
+    * registers; the subtotal/grand-total branches roll further. The
+    * dashboard time-pyramid shape end to end. `mv_gsets_time` pins
+    * `direct-gsets` + no-fact-scan; DuckDB mirrors the ROLLUP with
+    * `grouping()` from raw events. */
+  def mvGsetsTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvTimeSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-day",
+      Seq("day", "event_type"), Seq("val_cents"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", src).load()
+      .rollup(date_trunc("week", col("ts")).as("wk"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("val_cents")).as("sum_cents"),
+        grouping_id().as("gid"))
+    val served = rewriteKind(q, src) == "direct-gsets" && !factScanned(q, src)
+    q.select(
+        coalesce(date_format(col("wk"), "yyyy-MM-dd"), lit("(all)")).as("week"),
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        col("n_events"), col("sum_cents"), col("gid").cast("long").as("gid"))
+      .withColumn("mv_gsets_time", lit(served))
+      .orderBy(col("gid"), col("week"), col("event_type"))
+  }
+
+  val mvGsetsTimeSql: String =
+    """SELECT
+      |  coalesce(strftime(date_trunc('week', ts), '%Y-%m-%d'), '(all)')
+      |    AS week,
+      |  coalesce(event_type, '(all)') AS event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(grouping(date_trunc('week', ts), event_type) AS BIGINT) AS gid,
+      |  TRUE AS mv_gsets_time
+      |FROM events
+      |GROUP BY ROLLUP(date_trunc('week', ts), event_type)
+      |ORDER BY gid, week, event_type""".stripMargin
+
   // ---- dimension churn, incrementally (round 11) -------------------------
 
   /** A PRIVATE customer dimension for the churn query (the shared

@@ -322,29 +322,37 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     * `date_trunc` at a servable coarser level re-truncates it. Refuse
     * any grouping outside both. Returns (canonical grouping expr →
     * serve), deduplicated. */
+  /** Match ONE grouping expression against the declared groups:
+    * canonical equality serves the view column directly; a
+    * `date_trunc` at a servable coarser level re-truncates it. */
+  private def matchOneGroup(g0: Expression, res: Resolved): Option[GroupServe] = {
+    // groupBy(expr.as("name")) leaves the alias in the grouping list
+    val g = g0 match { case Alias(c, _) => c; case o => o }
+    val direct = res.groups.collectFirst {
+      case (n, e) if canon(e) == canon(g) => GDirect(n)
+    }
+    val bucket = g match {
+      case t: TruncTimestamp =>
+        for {
+          q <- truncLevel(t.format)
+          hit <- res.groups.collectFirst {
+            case (n, tv: TruncTimestamp)
+                if truncLevel(tv.format).exists(v =>
+                  truncServable(q, v) && q != v) &&
+                  canon(tv.timestamp) == canon(t.timestamp) =>
+              GTrunc(n, q)
+          }
+        } yield hit
+      case _ => None
+    }
+    direct.orElse(bucket)
+  }
+
   private def matchGroups(groupings: Seq[Expression],
       res: Resolved): Option[Seq[(Expression, GroupServe)]] = {
     val serves = groupings.map { g0 =>
-      // groupBy(expr.as("name")) leaves the alias in the grouping list
       val g = g0 match { case Alias(c, _) => c; case o => o }
-      val direct = res.groups.collectFirst {
-        case (n, e) if canon(e) == canon(g) => GDirect(n)
-      }
-      val bucket = g match {
-        case t: TruncTimestamp =>
-          for {
-            q <- truncLevel(t.format)
-            hit <- res.groups.collectFirst {
-              case (n, tv: TruncTimestamp)
-                  if truncLevel(tv.format).exists(v =>
-                    truncServable(q, v) && q != v) &&
-                    canon(tv.timestamp) == canon(t.timestamp) =>
-                GTrunc(n, q)
-            }
-          } yield hit
-        case _ => None
-      }
-      direct.orElse(bucket).map(s => canon(g) -> s)
+      matchOneGroup(g0, res).map(s => canon(g) -> s)
     }
     if (serves.forall(_.isDefined)) {
       val flat = serves.flatten
@@ -779,14 +787,12 @@ object MatViewRewrite extends Rule[LogicalPlan] {
           }
         })
         res = resolveAll(d, chain.out)
-        // every group attribute must be a declared group column
-        // (bucket lattice composition is the plain path's refinement —
-        // grouping sets serve declared columns directly)
+        // every group attribute must serve from a declared group
+        // column — directly, or via a coarser date_trunc on the
+        // calendar lattice (a ROLLUP over week buckets answers from a
+        // day-grain view, each branch re-truncating)
         viewColByAttr <- seqOpt(groupAttrs.zip(srcExprs).map {
-          case (a, e) =>
-            res.groups.collectFirst {
-              case (n, ge) if canon(ge) == canon(e) => a.exprId -> n
-            }
+          case (a, e) => matchOneGroup(e, res).map(a.exprId -> _)
         }).map(_.toMap)
         filtersT <- transposeAll(chain.filters.flatMap(conjuncts), res)
         asks <- classifyGroupingSets(agg.aggregateExpressions.map(
@@ -839,7 +845,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def buildGroupingSets(d: MatView.MvDef, pinnedVersion: Long,
       filters: Seq[Expression], groupAttrs: Seq[Attribute],
       gidAttr: Attribute, viewColByAttr: Map[
-        org.apache.spark.sql.catalyst.expressions.ExprId, String],
+        org.apache.spark.sql.catalyst.expressions.ExprId, GroupServe],
       sets: Seq[(Any, Set[org.apache.spark.sql.catalyst.expressions.ExprId])],
       asks: Seq[GsAsk], wantsExtrema: Boolean): LogicalPlan = {
     val spark = SparkSession.active
@@ -876,15 +882,30 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // like the direct Expand-fed aggregate (NOT like a global agg).
     val gname = groupAttrs.zipWithIndex
       .map { case (a, i) => a.exprId -> s"__mv_gs_$i" }.toMap
+    // one grouping column per attr: direct serves stay BARE (aliasing
+    // a bare attribute would be optimizer-stripped), bucket serves
+    // re-truncate under a stable alias referenced by name afterwards
+    import org.apache.spark.sql.functions.date_trunc
+    def liveGroupCol(a: Attribute): org.apache.spark.sql.Column =
+      viewColByAttr(a.exprId) match {
+        case GDirect(n) => fcol(n)
+        case GTrunc(n, lvl) =>
+          date_trunc(lvl, fcol(n)).as(s"__mv_gt_${gname(a.exprId)}")
+      }
+    def liveOutCol(a: Attribute): org.apache.spark.sql.Column =
+      viewColByAttr(a.exprId) match {
+        case GDirect(n) => fcol(n)
+        case GTrunc(_, _) => fcol(s"__mv_gt_${gname(a.exprId)}")
+      }
     val branches = sets.map { case (gidValue, live) =>
-      val liveCols = groupAttrs.filter(a => live.contains(a.exprId))
-        .map(a => fcol(viewColByAttr(a.exprId)))
+      val liveAttrs = groupAttrs.filter(a => live.contains(a.exprId))
+      val liveCols = liveAttrs.map(liveGroupCol)
       val grouped =
         if (liveCols.nonEmpty) fdf.groupBy(liveCols: _*)
         else fdf.groupBy(lit(1).as("__mv_one"))
       val aggd = grouped.agg(regAggs.head, regAggs.tail: _*)
       val outCols = groupAttrs.map { a =>
-        (if (live.contains(a.exprId)) fcol(viewColByAttr(a.exprId))
+        (if (live.contains(a.exprId)) liveOutCol(a)
         else lit(null)).cast(a.dataType).as(gname(a.exprId))
       } ++ (fcol(MatView.countCol) +:
         d.sumCols.flatMap(c =>

@@ -801,6 +801,71 @@ object EventStream {
       |GROUP BY cohort
       |ORDER BY cohort""".stripMargin
 
+  /** Registered query `x6_stream_distinct` (round 11, session III) —
+    * the CDC × COUNT(DISTINCT) composition: the exactly-once keyed
+    * ingest stream (same landed fixture as `x6_stream_lake` — one
+    * transactional commit per micro-batch) feeds a DISTINCT view
+    * ([[graft.lake.MatView.defineDistinct]]) pinned at the FIRST
+    * streamed commit; the registered `count(DISTINCT user_id)` per
+    * event type — written against the TABLE — is answered by rolling
+    * the (type × user)-grain aux forward through every commit the
+    * stream landed after the pin. min/max ride along EXACTLY even
+    * though the slice is multi-commit — the value-grain aux never
+    * needs the insert-only gate. `mv_stream_distinct` pins the
+    * compensated-distinct rewrite kind; DuckDB mirrors the distinct
+    * rollup from raw events, so sink exactly-once AND the distinct
+    * compensation must be value-invisible together. */
+  def streamedDistinctServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = StreamSource.chronological(spark, sfDir, "events", "ts")
+    val schema = spark.read.parquet(src).schema
+    val base = StreamMemo.landed(spark, "stream-lake", sfDir, src) { base =>
+      val tableDir = new java.io.File(base, "table").getAbsolutePath
+      val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val query = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.lake.Lake.streamUpsert(batch.sparkSession, tableDir, batch.toDF(),
+            "event_id", "events-ingest", batchId)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    }
+    val tableDir = new java.io.File(base, "table").getAbsolutePath
+    graft.lake.MatView.defineDistinctOrRecover(spark, tableDir,
+      tableDir + "-dview", Seq("event_type"), "user_id", asOfVersion = 1L)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", tableDir).load()
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+    graft.lake.MatView.lastRewrite.set(null)
+    q.queryExecution.optimizedPlan
+    val compensated = Option(graft.lake.MatView.lastRewrite.get())
+      .exists(r => r._1 == tableDir && r._2 == "compensated-distinct")
+    q.withColumn("mv_stream_distinct", lit(compensated))
+      .orderBy(col("event_type"))
+  }
+
+  val streamedDistinctServeSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  CAST(min(user_id) AS BIGINT) AS min_user,
+      |  CAST(max(user_id) AS BIGINT) AS max_user,
+      |  TRUE AS mv_stream_distinct
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---- transformWithState (the Spark 4 arbitrary-state API) -------------
 
   case class SpendState(n: Long, total: Double)

@@ -163,6 +163,33 @@ class MatViewGroupingSetsSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
+  test("ROLLUP over coarser date_trunc buckets serves from a day-grain view") {
+    val dir = freshDir("buckets")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"), col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("val_cents"))
+    Lake.create(ev, dir, "event_id", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("day", "event_type"), Seq("val_cents"),
+      derived = Seq("day" -> "date_trunc('day', ts)"))
+    try {
+      def q(df: org.apache.spark.sql.DataFrame) =
+        df.rollup(date_trunc("week", col("ts")).as("wk"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("val_cents")).as("cents"))
+      val served = q(lakeDf(dir))
+      assert(kindOf(served, dir) === "direct-gsets")
+      val tables = scannedTables(served)
+      assert(!tables.exists(t => t.contains(dir) && !t.contains("-view")),
+        s"must not scan the fact, scanned: $tables")
+      assert(sortedRows(served) === sortedRows(q(Lake.read(spark, dir))))
+      // an HOUR rollup is FINER than the day declaration: refuse
+      val fine = lakeDf(dir)
+        .rollup(date_trunc("hour", col("ts")), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(fine, dir) === "none")
+    } finally MatView.unregister(dir)
+  }
+
   test("refusals: undeclared grouping column, undeclared register") {
     val src = buildSource("refuse")
     MatView.define(spark, src, src + "-view",
