@@ -444,6 +444,47 @@ class LakeCatalogSpec extends SparkSpec {
     graft.lake.MatView.unregister(s"$warehouse/mv/sales")
   }
 
+  test("CALL create_mv_distinct / refresh_mv_distinct: the distinct lifecycle in SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mvd")
+    sql("""CREATE TABLE graftcat.mvd.visits (k BIGINT, grp STRING, uid BIGINT)
+          |  TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("""INSERT INTO graftcat.mvd.visits VALUES
+          |  (1, 'a', 100), (2, 'a', 100), (3, 'a', 200), (4, 'b', 100)""".stripMargin)
+    val built = sql(
+      """CALL graftcat.create_mv_distinct(tbl => 'mvd.visits',
+        |  view => 'mvd.visits_uid', group_cols => 'grp',
+        |  distinct_col => 'uid')""".stripMargin).head().getLong(0)
+    assert(built === Lake.latestVersion(s"$warehouse/mvd/visits"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    def agg = sql("""SELECT grp, count(DISTINCT uid) AS u, count(*) AS n
+                    |FROM graftcat.mvd.visits GROUP BY grp""".stripMargin)
+    def kind = {
+      graft.lake.MatView.lastRewrite.set(null)
+      agg.queryExecution.optimizedPlan
+      Option(graft.lake.MatView.lastRewrite.get())
+        .filter(_._1 == s"$warehouse/mvd/visits").map(_._2).getOrElse("none")
+    }
+    assert(kind === "direct-distinct")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("a", 2L, 3L), ("b", 1L, 1L)))
+    // DELETE the only row carrying uid 200 — the distinct count drops,
+    // served compensated until the refresh commits the roll-forward
+    sql("DELETE FROM graftcat.mvd.visits WHERE k = 3")
+    assert(kind === "compensated-distinct")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("a", 1L, 2L), ("b", 1L, 1L)))
+    val refreshed = sql(
+      "CALL graftcat.refresh_mv_distinct(view => 'mvd.visits_uid')")
+      .head().getLong(0)
+    assert(refreshed === Lake.latestVersion(s"$warehouse/mvd/visits"))
+    assert(kind === "direct-distinct")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("a", 1L, 2L), ("b", 1L, 1L)))
+    graft.lake.MatView.unregisterDistinct(s"$warehouse/mvd/visits_uid")
+  }
+
   test("CALL create_mv_join / refresh_mv_join: the star-view lifecycle stays inside SQL") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.mvj")
@@ -484,11 +525,16 @@ class LakeCatalogSpec extends SparkSpec {
     assert(kind === "direct-join")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq === Seq(("gold", 2L, 300L), ("iron", 2L, 20L)))
-    // DIMENSION churn (round 11): customer 10 changes segment; the pin
-    // refuses until CALL refresh_mv_dims re-labels the aux subtotals —
-    // the fact table is never read
+    // DIMENSION churn (round 11): customer 10 changes segment; the
+    // serve absorbs the move IN-PLAN (session III), and CALL
+    // refresh_mv_dims then re-labels the aux subtotals durably —
+    // the fact table is never read on either path
     sql("UPDATE graftcat.mvj.cust SET seg = 'moved' WHERE ckey = 10")
-    assert(kind === "none", "a churned dim pin must refuse")
+    assert(kind === "dim-compensated-join",
+      "a churned dim pin serves through the in-plan move")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq === Seq(("iron", 2L, 20L), ("moved", 2L, 300L)),
+      "the pre-refresh serve must already reflect the churn")
     val factReads = Lake.readsOf(s"$warehouse/mvj/fact")
     sql("CALL graftcat.refresh_mv_dims(tbl => 'mvj.fact', dims => 'mvj.cust')")
     assert(Lake.readsOf(s"$warehouse/mvj/fact") === factReads,
