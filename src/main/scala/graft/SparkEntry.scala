@@ -451,6 +451,10 @@ object SparkEntry {
     // branch re-truncates the day-grain view on the calendar lattice
     ("x8_mv_gsets_time", graft.lake.LakeQueries.mvGsetsTime _,
       Some(graft.lake.LakeQueries.mvGsetsTimeSql)),
+    // round-11: the distinct pyramid — ROLLUP × count(DISTINCT) from
+    // the value-grain aux (distinct counts never roll up from registers)
+    ("x8_mv_gsets_distinct", graft.lake.LakeQueries.mvGsetsDistinct _,
+      Some(graft.lake.LakeQueries.mvGsetsDistinctSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -604,6 +608,7 @@ object SparkEntry {
     "x8_mv_gsets", // rollup union over the shared 2-d view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
+    "x8_mv_gsets_distinct", // distinct pyramid over the value-grain aux
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

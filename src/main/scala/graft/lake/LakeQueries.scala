@@ -2930,6 +2930,57 @@ object LakeQueries {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
+  /** Registered query `x8_mv_gsets_distinct` — the DISTINCT PYRAMID
+    * (round 11, session III): `ROLLUP(priority)` × `count(DISTINCT
+    * o_custkey)` — distinct counts do NOT roll up from per-group
+    * registers (the same customer appears under several priorities),
+    * so each grouping-set branch re-counts the DISTINCT AUX's
+    * surviving value rows at its own grain: per-priority exact counts
+    * from unique (priority, custkey) rows, the grand total a
+    * count-distinct over the aux — never the fact. `mv_gsets_distinct`
+    * pins the `direct-gsets-distinct` kind + no-fact-scan; DuckDB
+    * mirrors the ROLLUP from the derived v4 state. */
+  def mvGsetsDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.defineDistinctOrRecover(spark, src,
+      src + "-dview-fresh", Seq("o_orderpriority"), "o_custkey")
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", src).load()
+      .rollup(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+    val served = rewriteKind(q, src) == "direct-gsets-distinct" &&
+      !factScanned(q, src)
+    q.select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_cust"), col("n_rows"), col("gid").cast("long").as("gid"))
+      .withColumn("mv_gsets_distinct", lit(served))
+      .orderBy(col("gid"), col("o_orderpriority"))
+  }
+
+  val mvGsetsDistinctSql: String =
+    """WITH mx AS (
+      |  SELECT max(o_orderkey) // 10 AS b1, max(o_orderkey) // 5 AS b2,
+      |    max(o_orderkey) - max(o_orderkey) // 10 AS b9
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderpriority, o_custkey
+      |  FROM orders, mx
+      |  WHERE NOT (o_orderkey > b1 AND o_orderkey <= b2)
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_custkey
+      |  FROM orders, mx WHERE o_orderkey > b9)
+      |SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(*) AS n_rows,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  TRUE AS mv_gsets_distinct
+      |FROM final
+      |GROUP BY ROLLUP(o_orderpriority)
+      |ORDER BY gid, o_orderpriority""".stripMargin
+
   /** Registered query `x8_mv_gsets_time` — ROLLUP OVER TIME BUCKETS
     * served from the day-grain view (round 11, session III): `GROUP BY
     * ROLLUP(date_trunc('week', ts), event_type)` — neither grouping

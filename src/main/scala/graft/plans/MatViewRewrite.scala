@@ -79,7 +79,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate =>
         tryRewrite(agg).orElse(tryRewriteDistinct(agg))
           .orElse(tryRewriteJoined(agg))
-          .orElse(tryRewriteGroupingSets(agg)).getOrElse(agg)
+          .orElse(tryRewriteGroupingSets(agg))
+          .orElse(tryRewriteGroupingSetsDistinct(agg)).getOrElse(agg)
     }
   }
 
@@ -747,45 +748,62 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     * Outputs may reference the grouping id arbitrarily —
     * `grouping(c)` / `grouping_id()` are scalar functions of the
     * per-branch gid literal. */
+  /** The analyzer-shaped pieces of one grouping-sets Aggregate: the
+    * grouping-id attribute, the group attributes, their recovered
+    * source expressions (through the pulled-grouping Project), and the
+    * per-set (gid literal, live attribute) pairs. Shared by the
+    * plain-register and distinct-aux grouping-set matchers. */
+  private case class GsShape(gidAttr: Attribute, groupAttrs: Seq[Attribute],
+      srcExprs: Seq[Expression],
+      sets: Seq[(Any, Set[org.apache.spark.sql.catalyst.expressions.ExprId])])
+
+  private def gsShape(agg: Aggregate,
+      ex: org.apache.spark.sql.catalyst.plans.logical.Expand,
+      chain: Chain): Option[GsShape] = for {
+    _ <- Some(())
+    if agg.groupingExpressions.forall(_.isInstanceOf[Attribute])
+    gAttrs0 = agg.groupingExpressions.map(_.asInstanceOf[Attribute])
+    gidAttr <- gAttrs0.find(_.name == "spark_grouping_id")
+    groupAttrs = gAttrs0.filterNot(_.exprId == gidAttr.exprId)
+    posOf = ex.output.map(_.exprId).zipWithIndex.toMap
+    if (groupAttrs :+ gidAttr).forall(a => posOf.contains(a.exprId))
+    gidPos = posOf(gidAttr.exprId)
+    // each projection row = one grouping set: its gid literal and
+    // which group attributes stay live (non-null) in it
+    sets <- seqOpt(ex.projections.map { proj =>
+      proj(gidPos) match {
+        case Literal(v, _) if v != null =>
+          val entries = groupAttrs.map(a => a -> proj(posOf(a.exprId)))
+          // a rolled-away column is exactly a null literal; any
+          // non-attribute, non-null entry is not analyzer-shaped
+          if (entries.forall { case (_, e) =>
+            e.isInstanceOf[Attribute] ||
+              (e.isInstanceOf[Literal] &&
+                e.asInstanceOf[Literal].value == null) })
+            Some((v, entries.collect {
+              case (a, _: Attribute) => a.exprId }.toSet))
+          else None
+        case _ => None
+      }
+    })
+    // the source expression behind each group attribute: any
+    // projection's live entry, substituted back through the
+    // pulled-grouping Project to relation attributes
+    srcExprs <- seqOpt(groupAttrs.map { a =>
+      ex.projections.view.map(_(posOf(a.exprId))).collectFirst {
+        case e if !e.isInstanceOf[Literal] => applySubst(e, chain.subst)
+      }
+    })
+  } yield GsShape(gidAttr, groupAttrs, srcExprs, sets)
+
   private def tryRewriteGroupingSets(agg: Aggregate): Option[LogicalPlan] =
     agg.child match {
       case ex: org.apache.spark.sql.catalyst.plans.logical.Expand => for {
         chain <- peel(ex.child)
         d <- MatView.get(chain.dir)
         if chain.version >= d.builtVersion
-        if agg.groupingExpressions.forall(_.isInstanceOf[Attribute])
-        gAttrs0 = agg.groupingExpressions.map(_.asInstanceOf[Attribute])
-        gidAttr <- gAttrs0.find(_.name == "spark_grouping_id")
-        groupAttrs = gAttrs0.filterNot(_.exprId == gidAttr.exprId)
-        posOf = ex.output.map(_.exprId).zipWithIndex.toMap
-        if (groupAttrs :+ gidAttr).forall(a => posOf.contains(a.exprId))
-        gidPos = posOf(gidAttr.exprId)
-        // each projection row = one grouping set: its gid literal and
-        // which group attributes stay live (non-null) in it
-        sets <- seqOpt(ex.projections.map { proj =>
-          proj(gidPos) match {
-            case Literal(v, _) if v != null =>
-              val entries = groupAttrs.map(a => a -> proj(posOf(a.exprId)))
-              // a rolled-away column is exactly a null literal; any
-              // non-attribute, non-null entry is not analyzer-shaped
-              if (entries.forall { case (_, e) =>
-                e.isInstanceOf[Attribute] ||
-                  (e.isInstanceOf[Literal] &&
-                    e.asInstanceOf[Literal].value == null) })
-                Some((v, entries.collect {
-                  case (a, _: Attribute) => a.exprId }.toSet))
-              else None
-            case _ => None
-          }
-        })
-        // the source expression behind each group attribute: any
-        // projection's live entry, substituted back through the
-        // pulled-grouping Project to relation attributes
-        srcExprs <- seqOpt(groupAttrs.map { a =>
-          ex.projections.view.map(_(posOf(a.exprId))).collectFirst {
-            case e if !e.isInstanceOf[Literal] => applySubst(e, chain.subst)
-          }
-        })
+        shape <- gsShape(agg, ex, chain)
+        GsShape(gidAttr, groupAttrs, srcExprs, sets) = shape
         res = resolveAll(d, chain.out)
         // every group attribute must serve from a declared group
         // column — directly, or via a coarser date_trunc on the
@@ -952,6 +970,206 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
     MatView.lastRewrite.set((d.sourceDir,
       (if (fresh) "direct" else "compensated") + "-gsets"))
+    Project(projections, optimized)
+  }
+
+  /** GROUPING SETS × COUNT(DISTINCT): `ROLLUP(day) → distinct users
+    * per day, per week, total` — the analytics pyramid over the one
+    * aggregate registers cannot roll up (per-group distinct counts do
+    * NOT sum across sets). Served from the DISTINCT view's value-grain
+    * aux instead: each grouping-set branch re-counts the surviving
+    * value rows at its own grain (the aux carries the values, so every
+    * set's distinct count is exact), unioned with null-pads and gid
+    * literals exactly like the register path. */
+  private def tryRewriteGroupingSetsDistinct(agg: Aggregate): Option[LogicalPlan] =
+    agg.child match {
+      case ex: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        peel(ex.child).flatMap { chain =>
+          gsShape(agg, ex, chain).flatMap { shape =>
+            MatView.distinctViews(chain.dir).view.flatMap {
+              rewriteGsDistinctWith(agg, chain, shape, _)
+            }.headOption
+          }
+        }
+      case _ => None
+    }
+
+  private def rewriteGsDistinctWith(agg: Aggregate, chain: Chain,
+      shape: GsShape, dd: MatView.DistinctDef): Option[LogicalPlan] = for {
+    _ <- Some(())
+    if chain.version >= dd.builtVersion
+    GsShape(gidAttr, groupAttrs, srcExprs, sets) = shape
+    synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
+      Seq(dd.distinctCol), dd.builtVersion)
+    res = resolveAll(synth, chain.out)
+    if res.sums.size == 1
+    // every group attribute must be a declared group column (bare)
+    viewColByAttr <- seqOpt(groupAttrs.zip(srcExprs).map {
+      case (a, e) =>
+        res.groups.collectFirst {
+          case (n, ge) if canon(ge) == canon(e) => a.exprId -> n
+        }
+    }).map(_.toMap)
+    resF = res.copy(groups = res.groups ++ res.sums)
+    filtersT <- transposeAll(chain.filters.flatMap(conjuncts), resF)
+    asks <- classifyGsDistinct(agg.aggregateExpressions.map(
+      substNamed(_, chain.subst)), res, groupAttrs, gidAttr)
+    // at least one distinct/value ask — plain shapes belong elsewhere
+    if asks.exists {
+      case Right(d) => !d.isInstanceOf[DCountAll]
+      case _ => false
+    }
+  } yield buildGroupingSetsDistinct(dd, chain.version, filtersT, groupAttrs,
+    gidAttr, viewColByAttr, sets, asks)
+
+  /** Grouping-set distinct asks: Left = a pure expression over the
+    * grouping attributes / gid, Right = one value-family aggregate. */
+  private def classifyGsDistinct(exprs: Seq[NamedExpression], res: Resolved,
+      groupAttrs: Seq[Attribute], gidAttr: Attribute)
+      : Option[Seq[Either[(Expression, NamedExpression), DAsk]]] = {
+    val groupIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+    val (_, xAttr) = res.sums.head
+    def isX(c: Expression): Boolean = canon(c) == canon(xAttr)
+    val integral =
+      xAttr.dataType == LongType || xAttr.dataType == IntegerType
+    def one(e: Expression, orig: NamedExpression)
+        : Option[Either[(Expression, NamedExpression), DAsk]] = e match {
+      case _ if e.references.map(_.exprId).forall(groupIds.contains) &&
+          !e.exists(_.isInstanceOf[AggregateExpression]) &&
+          e.deterministic =>
+        Some(Left((e, orig)))
+      case AggregateExpression(Count(Seq(c)), Complete, true, None, _)
+          if isX(c) =>
+        Some(Right(DCountDistinct(orig)))
+      case AggregateExpression(fn, Complete, false, None, _) => (fn match {
+        case Count(children)
+            if children.forall(c =>
+              c.foldable && c.isInstanceOf[Literal] &&
+                c.asInstanceOf[Literal].value != null) =>
+          Some(DCountAll(orig))
+        case Count(Seq(c)) if isX(c) => Some(DCountVal(orig))
+        case s: Sum if isX(s.child) && integral => Some(DSumVal(orig))
+        case av: Average if isX(av.child) && integral => Some(DAvgVal(orig))
+        case m: Min if isX(m.child) => Some(DMinVal(orig))
+        case m: Max if isX(m.child) => Some(DMaxVal(orig))
+        case _ => None
+      }).map(Right(_))
+      case _ => None
+    }
+    seqOpt(exprs.map {
+      case al @ Alias(child, _) => one(child, al)
+      case other => one(other, other)
+    })
+  }
+
+  private def buildGroupingSetsDistinct(dd: MatView.DistinctDef,
+      pinnedVersion: Long, filters: Seq[Expression],
+      groupAttrs: Seq[Attribute], gidAttr: Attribute,
+      viewColByAttr: Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId, String],
+      sets: Seq[(Any, Set[org.apache.spark.sql.catalyst.expressions.ExprId])],
+      asks: Seq[Either[(Expression, NamedExpression), DAsk]]): LogicalPlan = {
+    val spark = SparkSession.active
+    val fresh = pinnedVersion == dd.builtVersion
+    val base =
+      if (fresh) spark.read.format("graft-lake").option("path", dd.mvDir).load()
+      else MatView.compensatedDistinct(spark, dd, pinnedVersion)
+    val analyzedBase = base.queryExecution.analyzed
+    val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
+    val xName = dd.distinctCol.toLowerCase
+    val vAttr = byBase(MatView.vCol)
+    val vnAttr = byBase(MatView.vNullCol)
+    val xValE: Expression =
+      If(EqualTo(vnAttr, Literal(0)), vAttr, Literal(null, vAttr.dataType))
+    val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
+      Filter(c.transform {
+        case a: AttributeReference if a.name.equalsIgnoreCase(xName) => xValE
+        case a: AttributeReference => byBase(a.name.toLowerCase)
+      }, p)
+    }
+    import org.apache.spark.sql.functions.{coalesce, col => fcol,
+      count => fcount, countDistinct, lit, max => fmax, min => fmin,
+      sum => fsum, when => fwhen}
+    val fdf = org.apache.spark.sql.GraftSqlShim.ofRows(spark, transposed)
+    val xVal = fwhen(fcol(MatView.vNullCol) === 0, fcol(MatView.vCol))
+    val nonNullN =
+      fwhen(fcol(MatView.vNullCol) === 0, fcol(MatView.countCol))
+    val dAsks = asks.collect { case Right(a) => a }
+    val declared = dd.groupCols.map(_.toLowerCase).toSet
+    val gname = groupAttrs.zipWithIndex
+      .map { case (a, i) => a.exprId -> s"__mv_gs_$i" }.toMap
+    val branches = sets.map { case (gidValue, live) =>
+      val liveAttrs = groupAttrs.filter(a => live.contains(a.exprId))
+      val liveNames = liveAttrs.map(a => viewColByAttr(a.exprId))
+      // a branch grouping on EVERY declared column sees unique
+      // (group, value) aux rows — count(value) suffices, no Expand
+      val exact = liveNames.toSet == declared
+      val aggList = scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Column]()
+      if (dAsks.exists(_.isInstanceOf[DCountDistinct]))
+        aggList += (if (exact) fcount(xVal) else countDistinct(xVal))
+          .as("__q_dct")
+      if (dAsks.exists(_.isInstanceOf[DCountAll]))
+        aggList += coalesce(fsum(fcol(MatView.countCol)), lit(0L))
+          .as("__q_cntall")
+      if (dAsks.exists(a => a.isInstanceOf[DCountVal] ||
+          a.isInstanceOf[DAvgVal]))
+        aggList += coalesce(fsum(nonNullN.otherwise(lit(0L))), lit(0L))
+          .as("__q_cntx")
+      if (dAsks.exists(a => a.isInstanceOf[DSumVal] ||
+          a.isInstanceOf[DAvgVal]))
+        aggList += fsum(nonNullN * fcol(MatView.vCol)).as("__q_sumx")
+      if (dAsks.exists(_.isInstanceOf[DMinVal]))
+        aggList += fmin(xVal).as("__q_minx")
+      if (dAsks.exists(_.isInstanceOf[DMaxVal]))
+        aggList += fmax(xVal).as("__q_maxx")
+      val grouped =
+        if (liveNames.nonEmpty) fdf.groupBy(liveNames.map(fcol): _*)
+        else fdf.groupBy(lit(1).as("__mv_one"))
+      val aggd = grouped.agg(aggList.head, aggList.tail.toSeq: _*)
+      val outCols = groupAttrs.map { a =>
+        (if (live.contains(a.exprId)) fcol(viewColByAttr(a.exprId))
+        else lit(null)).cast(a.dataType).as(gname(a.exprId))
+      } ++ aggd.columns.filter(_.startsWith("__q_")).map(fcol).toSeq :+
+        lit(gidValue).cast(gidAttr.dataType).as("__mv_gid")
+      aggd.select(outCols: _*)
+    }
+    val served = branches.reduce(_ unionByName _).queryExecution.analyzed
+    val optimized = org.apache.spark.sql.GraftSqlShim
+      .ofRows(spark, served).queryExecution.optimizedPlan
+    val byName = optimized.output.map(a => a.name.toLowerCase -> a).toMap
+    val projections: Seq[NamedExpression] = asks.map {
+      case Left((e, orig)) =>
+        val rewritten = e.transform {
+          case a: Attribute if a.exprId == gidAttr.exprId =>
+            byName("__mv_gid")
+          case a: Attribute if gname.contains(a.exprId) =>
+            byName(gname(a.exprId))
+        }
+        Alias(rewritten, orig.name)(exprId = orig.exprId,
+          qualifier = orig.qualifier)
+      case Right(DCountDistinct(orig)) =>
+        Alias(byName("__q_dct"), orig.name)(exprId = orig.exprId)
+      case Right(DCountAll(orig)) =>
+        Alias(byName("__q_cntall"), orig.name)(exprId = orig.exprId)
+      case Right(DCountVal(orig)) =>
+        Alias(byName("__q_cntx"), orig.name)(exprId = orig.exprId)
+      case Right(DSumVal(orig)) =>
+        Alias(byName("__q_sumx"), orig.name)(exprId = orig.exprId)
+      case Right(DAvgVal(orig)) =>
+        Alias(Divide(
+          Cast(byName("__q_sumx"), DoubleType),
+          Cast(byName("__q_cntx"), DoubleType),
+          EvalMode.LEGACY), orig.name)(exprId = orig.exprId)
+      case Right(DMinVal(orig)) =>
+        Alias(byName("__q_minx"), orig.name)(exprId = orig.exprId)
+      case Right(DMaxVal(orig)) =>
+        Alias(byName("__q_maxx"), orig.name)(exprId = orig.exprId)
+      case Right(other) =>
+        sys.error(s"unreachable grouping-set distinct ask $other")
+    }
+    MatView.lastRewrite.set((dd.sourceDir,
+      (if (fresh) "direct" else "compensated") + "-gsets-distinct"))
     Project(projections, optimized)
   }
 

@@ -225,6 +225,40 @@ class MatViewDistinctSpec extends SparkSpec {
     } finally MatView.unregisterDistinct(src + "-dview")
   }
 
+  test("ROLLUP/CUBE over the distinct aux: the distinct pyramid in one serve") {
+    val src = buildSource("gsets")
+    MatView.defineDistinct(spark, src, src + "-dview",
+      Seq("o_orderpriority", "o_orderstatus"), "o_custkey")
+    try {
+      def q(df: org.apache.spark.sql.DataFrame) =
+        df.rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"),
+            count(lit(1)).as("n_rows"),
+            min(col("o_custkey")).as("mn"),
+            grouping_id().as("gid"))
+      val served = q(lakeDf(src))
+      MatView.lastRewrite.set(null)
+      served.queryExecution.optimizedPlan
+      assert(Option(MatView.lastRewrite.get())
+        .exists(r => r._1 == src && r._2 == "direct-gsets-distinct"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(v => if (v == null) "∅" else v.toString))
+          .sortBy(_.mkString("|")).toSeq
+      assert(sorted(served) === sorted(q(Lake.read(spark, src))))
+      // stale: a delete-bearing slice still serves (the aux recounts)
+      val cur = Lake.read(spark, src)
+      val maxKey = cur.agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.delete(spark, src, cur.filter(col("o_orderkey") <= maxKey / 5)
+        .select(col("o_orderkey")))
+      val served2 = q(lakeDf(src))
+      MatView.lastRewrite.set(null)
+      served2.queryExecution.optimizedPlan
+      assert(Option(MatView.lastRewrite.get())
+        .exists(r => r._1 == src && r._2 == "compensated-gsets-distinct"))
+      assert(sorted(served2) === sorted(q(Lake.read(spark, src))))
+    } finally MatView.unregisterDistinct(src + "-dview")
+  }
+
   test("refusals: wrong column, non-subset grouping, travel below build, raw filter") {
     val src = buildSource("refuse")
     MatView.defineDistinct(spark, src, src + "-dview",
