@@ -455,6 +455,10 @@ object SparkEntry {
     // the value-grain aux (distinct counts never roll up from registers)
     ("x8_mv_gsets_distinct", graft.lake.LakeQueries.mvGsetsDistinct _,
       Some(graft.lake.LakeQueries.mvGsetsDistinctSql)),
+    // round-11: row-preserving maintenance marker — a nightly OPTIMIZE
+    // neither invalidates view freshness nor costs a netting feed
+    ("x8_mv_maintain", graft.lake.LakeQueries.mvMaintain _,
+      Some(graft.lake.LakeQueries.mvMaintainSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -609,6 +613,7 @@ object SparkEntry {
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
     "x8_mv_gsets_distinct", // distinct pyramid over the value-grain aux
+    "x8_mv_maintain", // optimized-table fixture beside the MV source
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

@@ -1357,12 +1357,34 @@ object Lake {
     * maintenance op every streaming-ingest table needs. Data is
     * byte-identical (same rows, better layout); older versions keep
     * referencing the old files until [[vacuum]]. */
+  /** Txn app id stamped by every ROW-PRESERVING maintenance commit
+    * (compaction, bucketed/z-order/clustered re-layout, bloom
+    * attachment, deletion-vector materialization): the commit's
+    * visible row multiset equals its parent's exactly. Downstream
+    * incremental consumers use the marker two ways — the change feed
+    * can SKIP marked versions outright (their net contribution is zero
+    * by the invariant, but reading them would cost a full-table diff),
+    * and the MV plane keeps maintenance from invalidating view
+    * freshness (nightly OPTIMIZE must not force dashboards onto the
+    * compensation path). Detection is per-commit: the delta record's
+    * cumulative txn map sets the marker to its OWN version; later
+    * commits carry the old value forward and so don't read as
+    * maintenance. */
+  val RewriteOnlyTxn = "graft-rewrite-only"
+
+  /** Did version `v` commit as row-preserving maintenance?
+    * Conservative false when the version's delta record is gone. */
+  def rewriteOnly(dir: String, v: Long): Boolean = {
+    val p = deltaPath(dir, v)
+    Files.exists(p) && readLog(p, v).txns.get(RewriteOnlyTxn).contains(v)
+  }
+
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
     val base = latestVersion(dir)
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val files = writeFiles(read(spark, dir, base), dir, m.key, targetFiles)
-    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -1389,7 +1411,7 @@ object Lake {
     val m = manifest(dir, base)
     val files = writeFilesBy(read(spark, dir, base), dir, m.key, buckets,
       keyCols(m.key).map(col), Nil, buckets = Some(buckets))
-    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -1429,7 +1451,8 @@ object Lake {
     val fresh = writeFiles(readSubset(spark, dir, base, small), dir, m.key,
       targetFiles)
     commit(dir, Some(m),
-      Manifest(base + 1L, m.key, packed ++ fresh, m.txns))
+      Manifest(base + 1L, m.key, packed ++ fresh,
+        m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -1674,7 +1697,7 @@ object Lake {
       col(yCol).cast("long").bitwiseAND(lit(0xFFFFL)))
     val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
       Seq(z), Seq(xCol, yCol))
-    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -1724,7 +1747,7 @@ object Lake {
     val m = manifest(dir, base)
     val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
       clusterCols.map(col), clusterCols)
-    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, files, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -1903,7 +1926,7 @@ object Lake {
     val blooms = fileBlooms(spark, dir, files, bloomCol)
     val withBlooms = files.map(f =>
       f.copy(blooms = Map(bloomCol -> blooms(f.name))))
-    commit(dir, Some(m), Manifest(base + 1L, m.key, withBlooms, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, withBlooms, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 
@@ -2048,7 +2071,7 @@ object Lake {
     * changes. (The exclusive form is what incremental consumers
     * actually checkpoint: "I have processed through N".) */
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long = 0L): DataFrame = {
+      toVersion: Long = 0L, skipRewriteOnly: Boolean = false): DataFrame = {
     val latest = latestVersion(dir)
     val to = if (toVersion == 0L) latest else toVersion
     require(fromVersion >= 1L && to <= latest && fromVersion <= to,
@@ -2065,9 +2088,14 @@ object Lake {
     def align(df: DataFrame, cols: Seq[String]): DataFrame =
       df.select(cols.map(c =>
         (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
-    val steps = ((fromVersion + 1L) to to).map { v =>
+    val steps = ((fromVersion + 1L) to to).flatMap { v =>
       val e = if (v == to) toEntry else readDelta(dir, v)
-      (v, e.rm, e.add.map(f => f.name -> f.dv))
+      // a row-preserving maintenance commit's feed nets to zero BY THE
+      // MARKER'S INVARIANT — skipping it (when asked) saves the
+      // full-table delete+insert diff a compaction would otherwise
+      // cost every incremental consumer
+      if (skipRewriteOnly && e.txns.get(RewriteOnlyTxn).contains(v)) None
+      else Some((v, e.rm, e.add.map(f => f.name -> f.dv)))
     }
     // both sides read with their deletion vectors applied — the rm
     // lines carry each removed entry's dv AT REMOVAL TIME, so a MoR
@@ -2303,7 +2331,7 @@ object Lake {
     val live = readSubset(spark, dir, base, dvd)
     val fresh = writeFiles(live, dir, m.key,
       if (targetFiles > 0) targetFiles else dvd.size)
-    commit(dir, Some(m), Manifest(base + 1L, m.key, plain ++ fresh, m.txns))
+    commit(dir, Some(m), Manifest(base + 1L, m.key, plain ++ fresh, m.txns + (RewriteOnlyTxn -> (base + 1L))))
     base + 1L
   }
 

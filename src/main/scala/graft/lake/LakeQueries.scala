@@ -2930,6 +2930,52 @@ object LakeQueries {
       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
       |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
 
+  /** Registered query `x8_mv_maintain` — MAINTENANCE-TRANSPARENT
+    * FRESHNESS (round 11, session III): the view is built at v1, the
+    * table is then OPTIMIZED (full compaction, a `rewrite` commit that
+    * removes every v1 file) — and the aggregate STILL SERVES DIRECT,
+    * extrema included: the compaction committed with the
+    * row-preserving txn marker ([[Lake.RewriteOnlyTxn]]), so the
+    * rewrite proves from the delta log that v2's rows equal v1's and
+    * treats the pin as the build version. Without the marker this
+    * query would pay a compensation whose full-table diff nets to
+    * zero — the nightly-OPTIMIZE-vs-dashboard interaction every
+    * warehouse hits. `mv_maintain` pins the direct kind, the
+    * no-fact-scan shape, AND that the table head really is past the
+    * build (the versions column, mirrored as a literal). */
+  def mvMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir) + "-opt"
+    if (Lake.latestVersion(src) == 0L) {
+      val orders = Tables.orders(spark, sfDir)
+        .withColumn("o_cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      Lake.create(orders, src, "o_orderkey", targetFiles = 6)
+    }
+    val d = graft.lake.MatView.defineOrRecover(spark, src, Nil,
+      src + "-view", Seq("o_orderpriority"), Seq("o_cents"))
+    if (Lake.latestVersion(src) == 1L) Lake.compact(spark, src, 3)
+    val q = mvUserQueryMinMax(spark, src)
+    val served = rewriteKind(q, src) == "direct" && !factScanned(q, src) &&
+      Lake.latestVersion(src) == d.builtVersion + 1L
+    q.withColumn("mv_maintain", lit(served))
+      .withColumn("versions", lit(Lake.latestVersion(src)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val mvMaintainSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS revenue_cents,
+      |  CAST(min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS max_cents,
+      |  TRUE AS mv_maintain,
+      |  CAST(2 AS BIGINT) AS versions
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Registered query `x8_mv_gsets_distinct` — the DISTINCT PYRAMID
     * (round 11, session III): `ROLLUP(priority)` × `count(DISTINCT
     * o_custkey)` — distinct counts do NOT roll up from per-group

@@ -126,7 +126,25 @@ object MatView {
   def appendOnlySlice(dir: String, fromVersion: Long, toVersion: Long): Boolean =
     Lake.history(dir)
       .filter(c => c.version > fromVersion && c.version <= toVersion)
-      .forall(_.removedFiles == 0)
+      // row-preserving maintenance (compaction etc.) removes files but
+      // not ROWS — it can't have removed an extremum
+      .forall(c => c.removedFiles == 0 || Lake.rewriteOnly(dir, c.version))
+
+  /** Is every commit in `(fromVersion, toVersion]` row-preserving
+    * maintenance ([[Lake.RewriteOnlyTxn]])? Then a view built at
+    * `fromVersion` is EXACT at `toVersion` — the rewrite serves the
+    * view DIRECTLY across a nightly OPTIMIZE instead of paying a
+    * compensation whose feed nets to zero. */
+  def rowPreservingSlice(dir: String, fromVersion: Long, toVersion: Long): Boolean =
+    ((fromVersion + 1L) to toVersion).forall(Lake.rewriteOnly(dir, _))
+
+  /** The version the rewrite should treat a pinned snapshot as: the
+    * pin itself, unless everything past the view's build is
+    * row-preserving maintenance — then the build version (a DIRECT
+    * serve). */
+  def effectiveVersion(dir: String, built: Long, pinned: Long): Long =
+    if (pinned > built && rowPreservingSlice(dir, built, pinned)) built
+    else pinned
 
   private val reg = new ConcurrentHashMap[String, MvDef]()
   private val dreg = new ConcurrentHashMap[String, DistinctDef]()
@@ -512,7 +530,8 @@ object MatView {
     // re-aggregating: each change row maps to ≤1 row per dim (or drops,
     // exactly as it dropped from the view), so the signed contribution
     // algebra is unchanged and dim group columns become available
-    val factFeed = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    val factFeed = Lake.changes(spark, d.sourceDir, d.builtVersion,
+      toVersion, skipRewriteOnly = true)
     val feed = withDerived(d.dims.foldLeft(factFeed) { (df, ds) =>
       df.join(broadcast(Lake.read(spark, ds.dimDir, ds.dimVersion)),
         col(ds.factKey) === col(ds.dimKey))
@@ -668,7 +687,8 @@ object MatView {
     val gcols = auxGroupCols(spark, d)
     val factDerived = d.derived.filter { case (n, _) => factSide(spark, d, n) }
     val feed = withDerived(
-      Lake.changes(spark, d.sourceDir, d.builtVersion, v), factDerived)
+      Lake.changes(spark, d.sourceDir, d.builtVersion, v,
+        skipRewriteOnly = true), factDerived)
     val delta = feed
       .withColumn("__sign",
         when(col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -781,7 +801,8 @@ object MatView {
     // the dim feed: preimages/deletes carry the OLD attribute values
     // (sign −1), postimages/inserts the NEW (sign +1); an insert of a
     // key no fact row references joins nothing and contributes nothing
-    val dimFeed = Lake.changes(spark, ds.dimDir, ds.dimVersion, toDimVersion)
+    val dimFeed = Lake.changes(spark, ds.dimDir, ds.dimVersion,
+      toDimVersion, skipRewriteOnly = true)
       .withColumn("__sign",
         when(col("_change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L))
@@ -1047,7 +1068,8 @@ object MatView {
   private[graft] def compensatedDistinct(spark: SparkSession, d: DistinctDef,
       toVersion: Long): DataFrame = {
     val keyCols = d.groupCols :+ vNullCol :+ vCol
-    val feed0 = Lake.changes(spark, d.sourceDir, d.builtVersion, toVersion)
+    val feed0 = Lake.changes(spark, d.sourceDir, d.builtVersion,
+      toVersion, skipRewriteOnly = true)
     val dt = feed0.schema(d.distinctCol).dataType
     val (nullFlag, enc) = encodedVal(col(d.distinctCol), dt)
     val feed = feed0.withColumn(vNullCol, nullFlag).withColumn(vCol, enc)

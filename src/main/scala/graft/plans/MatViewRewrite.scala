@@ -457,6 +457,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     d <- MatView.get(chain.dir)
     // time travel below the view's build point: the view is too new
     if chain.version >= d.builtVersion
+    // a pin separated from the build only by row-preserving
+    // maintenance (nightly OPTIMIZE) serves DIRECT — same rows
+    pinned = MatView.effectiveVersion(chain.dir, d.builtVersion, chain.version)
     res = resolveAll(d, chain.out)
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, chain.subst)), res)
@@ -473,9 +476,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // stale min/max only when the delta log proves the missed slice
     // insert-only — otherwise a delete may have removed the extremum
     // and only a recompute (a refresh, not a rewrite) can restore it
-    if chain.version == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
-  } yield build(d, chain.version, filtersT, serves, asks, wantsExtrema)
+    if pinned == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(chain.dir, d.builtVersion, pinned)
+  } yield build(d, pinned, filtersT, serves, asks, wantsExtrema)
 
   /** STAR matching: an aggregate over `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ`
     * (inner joins, one single-equality condition each, every dim
@@ -551,9 +554,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // compensate them against each other inconsistently)
     staleDim = dimHits.flatMap(_._2).headOption
     if dimHits.flatMap(_._2).size <= 1
-    if staleDim.isEmpty || (fact.version == d.builtVersion &&
-      MatView.dimCompensable(d))
     if fact.version >= d.builtVersion
+    factPinned = MatView.effectiveVersion(fact.dir, d.builtVersion, fact.version)
+    if staleDim.isEmpty || (factPinned == d.builtVersion &&
+      MatView.dimCompensable(d))
     res = resolveAll(d, leaves.flatMap(_.out))
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, subst)), res)
@@ -575,9 +579,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // refuse under an unabsorbed dim churn (only the committed
     // refreshDim re-derives them)
     if staleDim.isEmpty || !wantsExtrema
-    if fact.version == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(fact.dir, d.builtVersion, fact.version)
-  } yield build(d, fact.version, keptT, serves, asks, wantsExtrema, staleDim)
+    if factPinned == d.builtVersion || !wantsExtrema ||
+      MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
+  } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDim)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -802,6 +806,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         chain <- peel(ex.child)
         d <- MatView.get(chain.dir)
         if chain.version >= d.builtVersion
+        pinned = MatView.effectiveVersion(chain.dir, d.builtVersion,
+          chain.version)
         shape <- gsShape(agg, ex, chain)
         GsShape(gidAttr, groupAttrs, srcExprs, sets) = shape
         res = resolveAll(d, chain.out)
@@ -819,9 +825,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
           case GsAgg(_: MinOf) | GsAgg(_: MaxOf) => true
           case _ => false
         }
-        if chain.version == d.builtVersion || !wantsExtrema ||
-          MatView.appendOnlySlice(chain.dir, d.builtVersion, chain.version)
-      } yield buildGroupingSets(d, chain.version, filtersT, groupAttrs,
+        if pinned == d.builtVersion || !wantsExtrema ||
+          MatView.appendOnlySlice(chain.dir, d.builtVersion, pinned)
+      } yield buildGroupingSets(d, pinned, filtersT, groupAttrs,
         gidAttr, viewColByAttr, sets, asks, wantsExtrema)
       case _ => None
     }
@@ -998,6 +1004,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       shape: GsShape, dd: MatView.DistinctDef): Option[LogicalPlan] = for {
     _ <- Some(())
     if chain.version >= dd.builtVersion
+    pinned = MatView.effectiveVersion(chain.dir, dd.builtVersion, chain.version)
     GsShape(gidAttr, groupAttrs, srcExprs, sets) = shape
     synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
       Seq(dd.distinctCol), dd.builtVersion)
@@ -1019,7 +1026,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case Right(d) => !d.isInstanceOf[DCountAll]
       case _ => false
     }
-  } yield buildGroupingSetsDistinct(dd, chain.version, filtersT, groupAttrs,
+  } yield buildGroupingSetsDistinct(dd, pinned, filtersT, groupAttrs,
     gidAttr, viewColByAttr, sets, asks)
 
   /** Grouping-set distinct asks: Left = a pure expression over the
@@ -1209,6 +1216,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       dd: MatView.DistinctDef): Option[LogicalPlan] = for {
     _ <- Some(())
     if chain.version >= dd.builtVersion
+    pinned = MatView.effectiveVersion(chain.dir, dd.builtVersion, chain.version)
     synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
       Seq(dd.distinctCol), dd.builtVersion)
     res = resolveAll(synth, chain.out)
@@ -1230,7 +1238,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: DGroupRef | _: DCountAll => false
       case _ => true
     }
-  } yield buildDistinct(dd, chain.version, filtersT, serves, asks)
+  } yield buildDistinct(dd, pinned, filtersT, serves, asks)
 
   private def classifyDistinct(exprs: Seq[NamedExpression], res: Resolved,
       serves: Seq[(Expression, GroupServe)]): Option[Seq[DAsk]] = {

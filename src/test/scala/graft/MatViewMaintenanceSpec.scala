@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Lake, MatView}
+
+/** ROW-PRESERVING MAINTENANCE × the MV plane: compaction / z-order /
+  * dv-materialization commits carry [[Lake.RewriteOnlyTxn]], so a
+  * nightly OPTIMIZE neither invalidates view freshness (the rewrite
+  * serves DIRECT across it) nor costs incremental consumers a
+  * full-table diff (the change feed skips marked versions when asked).
+  * Expected values come from [[Lake.read]] (V1, never matched). */
+class MatViewMaintenanceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): String = {
+    val d = new java.io.File(graft.Scratch.root,
+      s"graft-mvmaint-$tag-${spark.sparkContext.applicationId}")
+    graft.Scratch.rm(d)
+    d.getAbsolutePath
+  }
+
+  private def buildSource(tag: String): String = {
+    val dir = freshDir(tag)
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+    dir
+  }
+
+  private def lakeDf(src: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", src).load()
+  }
+
+  private def kindOf(df: org.apache.spark.sql.DataFrame,
+      src: String): String = {
+    MatView.lastRewrite.set(null)
+    df.queryExecution.optimizedPlan
+    Option(MatView.lastRewrite.get()) match {
+      case Some((d, k)) if d == src => k
+      case _ => "none"
+    }
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+
+  test("rewriteOnly: maintenance commits are marked, mutations are not") {
+    val src = buildSource("marks")
+    Lake.compact(spark, src, targetFiles = 2) // v2
+    val cur = Lake.read(spark, src)
+    Lake.upsert(spark, src, cur.limit(10)
+      .withColumn("o_cents", col("o_cents") * 2)) // v3: a real mutation
+    Lake.compactSmall(spark, src, rowThreshold = 1000000L, targetFiles = 2) // v4
+    assert(Lake.rewriteOnly(src, 2L))
+    assert(!Lake.rewriteOnly(src, 3L),
+      "a CoW upsert must NOT read as row-preserving (marker carried forward)")
+    assert(Lake.rewriteOnly(src, 4L))
+    assert(!Lake.rewriteOnly(src, 1L))
+  }
+
+  test("OPTIMIZE does not invalidate freshness: direct serve, extrema included") {
+    val src = buildSource("fresh")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    Lake.compact(spark, src, targetFiles = 2)
+    Lake.compactZOrder(spark, src, "o_orderkey", "o_custkey", targetFiles = 2)
+    try {
+      val q = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(kindOf(q, src) === "direct",
+        "a pin separated from the build only by maintenance serves DIRECT")
+      val expected = Lake.read(spark, src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(rows(q) === rows(expected))
+    } finally MatView.unregister(src)
+  }
+
+  test("compaction + append: compensation feed skips the maintenance commit") {
+    val src = buildSource("mixed")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    Lake.compact(spark, src, targetFiles = 2) // v2: row-preserving
+    val cur = Lake.read(spark, src)
+    val maxKey = cur.agg(max(col("o_orderkey"))).head().getLong(0)
+    Lake.upsert(spark, src, // v3: a real insert-only append
+      cur.filter(col("o_orderkey") > maxKey - maxKey / 10)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+    try {
+      // min/max still serve stale: appendOnlySlice ignores the
+      // compaction's removed files (rows were preserved)
+      val q = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(kindOf(q, src) === "compensated")
+      val expected = Lake.read(spark, src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(rows(q) === rows(expected))
+      // the skip's effect is PLAN COST, not values: the unskipped feed
+      // nets the compaction to zero rows through a full-table diff
+      // join; the skipped feed never plans that join at all
+      val full = Lake.changes(spark, src, 1L, 3L)
+      val skipped = Lake.changes(spark, src, 1L, 3L, skipRewriteOnly = true)
+      assert(skipped.count() === full.count(),
+        "skipping is value-invisible (the compaction diff nets to zero)")
+      def leaves(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectLeaves().size
+      assert(leaves(skipped) < leaves(full),
+        s"the skipped feed must not plan the compaction's diff join " +
+          s"(${leaves(skipped)} vs ${leaves(full)} scan leaves)")
+      // refresh across the mixed slice stays exact
+      MatView.refresh(spark, src)
+      val q2 = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_cents")).as("mn"))
+      assert(kindOf(q2, src) === "direct")
+      assert(rows(q2) === rows(Lake.read(spark, src)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_cents")).as("mn"))))
+    } finally MatView.unregister(src)
+  }
+
+  test("distinct views serve direct across dv materialization") {
+    val src = buildSource("dv")
+    MatView.defineDistinct(spark, src, src + "-dview",
+      Seq("o_orderpriority"), "o_custkey")
+    try {
+      // MoR delete (a REAL change) then materialize (row-preserving)
+      val cur = Lake.read(spark, src)
+      Lake.deleteWhereMor(spark, src, col("o_orderkey") % 7 === 0)
+      Lake.rewriteDvs(spark, src)
+      val q = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("d"),
+          min(col("o_custkey")).as("mn"))
+      // the MoR delete is a real change → compensated; the
+      // materialization version contributes NOTHING to the feed
+      assert(kindOf(q, src) === "compensated-distinct")
+      assert(rows(q) === rows(Lake.read(spark, src)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("d"),
+          min(col("o_custkey")).as("mn"))))
+      // refresh absorbs both; a further OPTIMIZE keeps it direct
+      MatView.refreshDistinct(spark, src + "-dview")
+      Lake.compact(spark, src, targetFiles = 2)
+      val q2 = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("d"))
+      assert(kindOf(q2, src) === "direct-distinct")
+    } finally MatView.unregisterDistinct(src + "-dview")
+  }
+}
