@@ -535,15 +535,23 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       else specByDir.get(leaves(dimIdx).dir).flatMap { ds =>
         if (factKey != ds.factKey.toLowerCase ||
           dimKey != ds.dimKey.toLowerCase) None
-        // a dim pinned AT the view's pin serves directly; pinned AHEAD
-        // is serve-time-compensable (checked below); pinned below the
-        // view's pin never serves (the view is too new for that read)
-        else if (leaves(dimIdx).version == ds.dimVersion)
-          Some((dimIdx, None))
-        else if (leaves(dimIdx).version > ds.dimVersion)
-          Some((dimIdx,
-            Some((d.dims.indexWhere(_ eq ds), leaves(dimIdx).version))))
-        else None
+        else {
+          // a dim pinned AT the view's pin serves directly — including
+          // one separated from it only by row-preserving maintenance
+          // (a compacted dimension is not churn); pinned AHEAD with
+          // real changes is serve-time-compensable (checked below);
+          // pinned below the view's pin never serves
+          val dimPinned =
+            if (leaves(dimIdx).version > ds.dimVersion)
+              MatView.effectiveVersion(ds.dimDir, ds.dimVersion,
+                leaves(dimIdx).version)
+            else leaves(dimIdx).version
+          if (dimPinned == ds.dimVersion) Some((dimIdx, None))
+          else if (dimPinned > ds.dimVersion)
+            Some((dimIdx,
+              Some((d.dims.indexWhere(_ eq ds), dimPinned))))
+          else None
+        }
       }
     }
     dimIdxs = dimHits.map(_._1)

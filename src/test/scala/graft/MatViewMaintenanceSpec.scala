@@ -126,6 +126,33 @@ class MatViewMaintenanceSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
+  test("a compacted DIMENSION is not churn: the star view serves direct") {
+    val src = buildSource("dimopt")
+    val dim = freshDir("dimopt-dim")
+    Lake.create(Tables.customer(spark, sf), dim, "c_custkey", targetFiles = 2)
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    Lake.compact(spark, dim, targetFiles = 1) // maintenance, not churn
+    try {
+      val fact = lakeDf(src)
+      val dd = spark.read.format("graft-lake").option("path", dim).load()
+      val q = fact.join(dd, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"))
+      assert(kindOf(q, src) === "direct-join",
+        "a dim pin separated only by maintenance must serve direct")
+      val expected = Lake.read(spark, src)
+        .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          min(col("o_cents")).as("mn"))
+      def seg(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+      assert(seg(q) === seg(expected))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
   test("distinct views serve direct across dv materialization") {
     val src = buildSource("dv")
     MatView.defineDistinct(spark, src, src + "-dview",

@@ -451,11 +451,14 @@ class MatViewSpec extends SparkSpec {
         .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
       assert(reg === exp)
       // materializing the masks is an rm+add of IDENTICAL surviving
-      // rows: its feed must cancel per group, so the query compensates
-      // to the same values (and the SQL door works again)
+      // rows — and it commits with the row-preserving maintenance
+      // marker (session III), so the refreshed view stays provably
+      // FRESH across it: the query serves DIRECT (and the SQL door
+      // works again)
       Lake.rewriteDvs(spark, src)
       val q = userAgg(src)
-      assert(kindOf(q, src) === "compensated")
+      assert(kindOf(q, src) === "direct",
+        "dv materialization must not invalidate view freshness")
       assert(rows(q) === rows(expectedAgg(src)))
     } finally MatView.unregister(src)
   }
