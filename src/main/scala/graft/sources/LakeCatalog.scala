@@ -244,6 +244,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv_dims" => LakeProcedures.refreshMvDims(this)
       case "create_mv_distinct" => LakeProcedures.createMvDistinct(this)
       case "refresh_mv_distinct" => LakeProcedures.refreshMvDistinct(this)
+      case "mvd_status" => LakeProcedures.mvdStatus(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(

@@ -254,6 +254,27 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.mvd_status(view => 'ns.v')` — the distinct view's
+    * freshness audit: built vs current source version and commits
+    * behind. (Distinct serves never gate on insert-only slices — the
+    * value-grain aux recounts exactly under any history — so unlike
+    * [[mvStatus]] there is no eligibility column to report.) */
+  def mvdStatus(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("mvd_status", Array(in("view", StringType))) {
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val mvDir = dirOf(catalog, input.getUTF8String(0).toString)
+        val d = graft.lake.MatView.getDistinct(mvDir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no registered distinct view at $mvDir"))
+        val cur = Lake.latestVersion(d.sourceDir)
+        result(StructType(Seq(StructField("built_version", LongType),
+          StructField("current_version", LongType),
+          StructField("commits_behind", LongType))),
+          d.builtVersion, cur, cur - d.builtVersion)
+      }
+    }
+
   /** `CALL graft.mv_status(tbl => 'ns.t')` — the view's freshness
     * audit: built version vs the source's current version, how many
     * commits behind, and whether the missed slice is insert-only

@@ -475,10 +475,15 @@ class LakeCatalogSpec extends SparkSpec {
     assert(kind === "compensated-distinct")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq === Seq(("a", 1L, 2L), ("b", 1L, 1L)))
+    // freshness audit sees the missed delete commit
+    val st = sql("CALL graftcat.mvd_status(view => 'mvd.visits_uid')").head()
+    assert(st.getLong(2) === 1L, s"expected 1 commit behind, got $st")
     val refreshed = sql(
       "CALL graftcat.refresh_mv_distinct(view => 'mvd.visits_uid')")
       .head().getLong(0)
     assert(refreshed === Lake.latestVersion(s"$warehouse/mvd/visits"))
+    assert(sql("CALL graftcat.mvd_status(view => 'mvd.visits_uid')")
+      .head().getLong(2) === 0L)
     assert(kind === "direct-distinct")
     assert(agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq === Seq(("a", 1L, 2L), ("b", 1L, 1L)))

@@ -163,6 +163,23 @@ class MatViewGroupingSetsSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
+  test("HAVING composes above the grouping-set rewrite") {
+    val src = buildSource("having")
+    MatView.define(spark, src, src + "-view",
+      Seq("o_orderpriority", "o_orderstatus"), Seq("o_cents"))
+    try {
+      // a Filter over the Aggregate (HAVING): the substitution keeps
+      // the aggregate's output exprIds, so the parent still resolves
+      def q(df: org.apache.spark.sql.DataFrame) =
+        df.rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+          .where(col("n") > 50L)
+      val served = q(lakeDf(src))
+      assert(kindOf(served, src) === "direct-gsets")
+      assert(sortedRows(served) === sortedRows(q(Lake.read(spark, src))))
+    } finally MatView.unregister(src)
+  }
+
   test("ROLLUP over coarser date_trunc buckets serves from a day-grain view") {
     val dir = freshDir("buckets")
     val ev = Tables.events(spark, sf).select(
