@@ -459,6 +459,10 @@ object SparkEntry {
     // neither invalidates view freshness nor costs a netting feed
     ("x8_mv_maintain", graft.lake.LakeQueries.mvMaintain _,
       Some(graft.lake.LakeQueries.mvMaintainSql)),
+    // round-11: weekly active users recounted from a daily distinct
+    // aux — the DAU→WAU pyramid per-day counts can never roll up to
+    ("x8_mv_wau", graft.lake.LakeQueries.mvWau _,
+      Some(graft.lake.LakeQueries.mvWauSql)),
     // round-9: typed (timestamp) manifest stats — a date-clustered
     // layout's pushed one-year range opens only intersecting files
     ("x8_lake_date_skip", graft.lake.LakeQueries.lakeDateSkip _,
@@ -614,6 +618,7 @@ object SparkEntry {
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
     "x8_mv_gsets_distinct", // distinct pyramid over the value-grain aux
     "x8_mv_maintain", // optimized-table fixture beside the MV source
+    "x8_mv_wau", // daily distinct aux beside the MV source
 
     "x6_stream_cdf", "x6_stream_medallion", // lake hist
     "x4_bpe_merges", "x4_bpe_tokens", // BPE train-once memo

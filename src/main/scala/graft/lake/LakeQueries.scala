@@ -2976,6 +2976,49 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Registered query `x8_mv_wau` — WEEKLY ACTIVE USERS from a DAILY
+    * aux (round 11, session III): the distinct view declares a DERIVED
+    * day grouping (`day = date_trunc('day', ts)` × user) and the
+    * registered aggregate asks `count(DISTINCT user_id)` per WEEK —
+    * the one rollup per-day distinct COUNTS can never answer (a user
+    * active on three days is three day-counts but one weekly user).
+    * The aux carries the VALUES, so the serve re-truncates day→week
+    * on the calendar lattice and RECOUNTS distinct users per week:
+    * exact, aux-sized, the canonical DAU→WAU→MAU pyramid every
+    * analytics deployment runs. `mv_wau` pins the
+    * `direct-distinct-rollup` kind + no-fact-scan; DuckDB mirrors the
+    * weekly distinct rollup from raw events. */
+  def mvWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir) + "-ev"
+    if (Lake.latestVersion(src) == 0L) {
+      val ev = Tables.events(spark, sfDir).select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      Lake.create(ev, src, "event_id", targetFiles = 4)
+    }
+    graft.lake.MatView.defineDistinctOrRecover(spark, src, src + "-dview",
+      Seq("day"), "user_id", derived = Seq("day" -> "date_trunc('day', ts)"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val q = spark.read.format("graft-lake").option("path", src).load()
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        count(lit(1)).as("n_events"))
+    val served = rewriteKind(q, src) == "direct-distinct-rollup" &&
+      !factScanned(q, src)
+    q.select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("wau"), col("n_events"))
+      .withColumn("mv_wau", lit(served)).orderBy(col("week"))
+  }
+
+  val mvWauSql: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  count(DISTINCT user_id) AS wau,
+      |  count(*) AS n_events,
+      |  TRUE AS mv_wau
+      |FROM events
+      |GROUP BY week
+      |ORDER BY week""".stripMargin
+
   /** Registered query `x8_mv_gsets_distinct` — the DISTINCT PYRAMID
     * (round 11, session III): `ROLLUP(priority)` × `count(DISTINCT
     * o_custkey)` — distinct counts do NOT roll up from per-group

@@ -900,7 +900,8 @@ object MatView {
     * maintenance reads only the change feed, O(Δ) like every other
     * register here. */
   case class DistinctDef(sourceDir: String, mvDir: String,
-      groupCols: Seq[String], distinctCol: String, builtVersion: Long)
+      groupCols: Seq[String], distinctCol: String, builtVersion: Long,
+      derived: Seq[(String, String)] = Nil)
 
   /** Aux-table value encoding: the lake keys on
     * `(groupCols…, __mv_vnull, __mv_v)` and key columns must be
@@ -959,8 +960,14 @@ object MatView {
   /** DROP COLUMN dependency check for distinct views: a view whose
     * grouping or value column is dropped cannot be maintained. */
   def invalidateDistinctReferencing(dir: String, colName: String): Seq[String] = {
-    val hit = distinctViews(dir).filter(d =>
-      (d.groupCols :+ d.distinctCol).exists(_.equalsIgnoreCase(colName)))
+    val lc = colName.toLowerCase
+    val hit = distinctViews(dir).filter { d =>
+      (d.groupCols :+ d.distinctCol).exists(_.equalsIgnoreCase(lc)) ||
+        d.derived.exists { case (_, e) =>
+          s"\\b${java.util.regex.Pattern.quote(lc)}\\b".r
+            .findFirstIn(e.toLowerCase).isDefined
+        }
+    }
     hit.foreach(d => dreg.remove(d.mvDir))
     hit.map(_.mvDir)
   }
@@ -970,8 +977,9 @@ object MatView {
   /** The aux frame of a source snapshot: one row per (group, encoded
     * value) with the instance count. */
   private def distinctAuxFrame(spark: SparkSession, sourceDir: String,
-      version: Long, groupCols: Seq[String], distinctCol: String): DataFrame = {
-    val src = Lake.read(spark, sourceDir, version)
+      version: Long, groupCols: Seq[String], distinctCol: String,
+      derived: Seq[(String, String)]): DataFrame = {
+    val src = withDerived(Lake.read(spark, sourceDir, version), derived)
     val dt = src.schema(distinctCol).dataType
     val (nullFlag, enc) = encodedVal(col(distinctCol), dt)
     src.withColumn(vNullCol, nullFlag).withColumn(vCol, enc)
@@ -983,13 +991,19 @@ object MatView {
     * it for rewrite, persist the `_mvd` sidecar. */
   def defineDistinct(spark: SparkSession, sourceDir: String, mvDir: String,
       groupCols: Seq[String], distinctCol: String,
-      asOfVersion: Long = 0L): DistinctDef = {
+      asOfVersion: Long = 0L, derived: Seq[(String, String)] = Nil): DistinctDef = {
     require(groupCols.nonEmpty, "empty distinct-view grouping")
     require(!groupCols.exists(_.equalsIgnoreCase(distinctCol)),
       s"distinct column $distinctCol is also a group column")
+    derived.foreach { case (n, e) =>
+      require(!derived.exists { case (m, _) =>
+        (m ne n) && e.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(m.toLowerCase)}\\b.*")
+      }, s"derived column $n references another derived column")
+    }
     val v = if (asOfVersion == 0L) Lake.latestVersion(sourceDir) else asOfVersion
     require(v > 0L, s"no lake table at $sourceDir")
-    val agg = distinctAuxFrame(spark, sourceDir, v, groupCols, distinctCol)
+    val agg = distinctAuxFrame(spark, sourceDir, v, groupCols, distinctCol,
+      derived)
     graft.Scratch.rm(new java.io.File(mvDir))
     Lake.create(agg, mvDir,
       (groupCols :+ vNullCol :+ vCol).mkString(","), targetFiles = 1)
@@ -1000,7 +1014,7 @@ object MatView {
       sys.error(s"distinct view group columns ${groupCols.mkString(",")} " +
         s"contain NULLs in $sourceDir@v$v — a NULL group cannot key the view")
     }
-    val d = DistinctDef(sourceDir, mvDir, groupCols, distinctCol, v)
+    val d = DistinctDef(sourceDir, mvDir, groupCols, distinctCol, v, derived)
     writeDistinctSidecar(d)
     registerDistinct(d)
     d
@@ -1012,17 +1026,20 @@ object MatView {
     * a refresh advances it); any definition mismatch rebuilds. */
   def defineDistinctOrRecover(spark: SparkSession, sourceDir: String,
       mvDir: String, groupCols: Seq[String], distinctCol: String,
-      asOfVersion: Long = 0L): DistinctDef = {
+      asOfVersion: Long = 0L, derived: Seq[(String, String)] = Nil): DistinctDef = {
     val sidecar = java.nio.file.Paths.get(mvDir, "_mvd")
     if (java.nio.file.Files.exists(sidecar)) {
       val d = recoverDistinct(mvDir)
       val same = d.sourceDir == sourceDir &&
         d.groupCols.map(_.toLowerCase) == groupCols.map(_.toLowerCase) &&
-        d.distinctCol.equalsIgnoreCase(distinctCol)
+        d.distinctCol.equalsIgnoreCase(distinctCol) &&
+        d.derived.map { case (n, e) => (n.toLowerCase, e) } ==
+          derived.map { case (n, e) => (n.toLowerCase, e) }
       if (same) return d
       dreg.remove(mvDir)
     }
-    defineDistinct(spark, sourceDir, mvDir, groupCols, distinctCol, asOfVersion)
+    defineDistinct(spark, sourceDir, mvDir, groupCols, distinctCol,
+      asOfVersion, derived)
   }
 
   /** Re-register a distinct view from its sidecar, reconciling the
@@ -1038,8 +1055,13 @@ object MatView {
     val sidecarVersion = kv("builtVersion").toLong
     val txnVersion = Lake.manifest(mvDir, Lake.latestVersion(mvDir))
       .txns.getOrElse(DistinctTxnApp, 0L)
+    val derived = kv.keys.filter(_.matches("der\\d+")).toSeq.sortBy(_.drop(3).toInt)
+      .map { k =>
+        val Array(n, hx) = kv(k).split('|')
+        n -> hexToStr(hx)
+      }
     val d = DistinctDef(kv("source"), mvDir, kv("group").split(",").toSeq,
-      kv("dcol"), math.max(sidecarVersion, txnVersion))
+      kv("dcol"), math.max(sidecarVersion, txnVersion), derived)
     if (txnVersion > sidecarVersion) writeDistinctSidecar(d)
     registerDistinct(d)
     d
@@ -1048,10 +1070,14 @@ object MatView {
   private def writeDistinctSidecar(d: DistinctDef): Unit = {
     val p = java.nio.file.Paths.get(d.mvDir, "_mvd")
     val tmp = java.nio.file.Paths.get(d.mvDir, "_mvd.tmp")
+    val derLines = d.derived.zipWithIndex.map { case ((n, e), i) =>
+      s"der$i=$n|${strHex(e)}\n"
+    }.mkString
     java.nio.file.Files.write(tmp,
       (s"fmt=1\nsource=${d.sourceDir}\n" +
         s"group=${d.groupCols.mkString(",")}\n" +
-        s"dcol=${d.distinctCol}\nbuiltVersion=${d.builtVersion}\n")
+        s"dcol=${d.distinctCol}\nbuiltVersion=${d.builtVersion}\n" +
+        derLines)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -1068,8 +1094,8 @@ object MatView {
   private[graft] def compensatedDistinct(spark: SparkSession, d: DistinctDef,
       toVersion: Long): DataFrame = {
     val keyCols = d.groupCols :+ vNullCol :+ vCol
-    val feed0 = Lake.changes(spark, d.sourceDir, d.builtVersion,
-      toVersion, skipRewriteOnly = true)
+    val feed0 = withDerived(Lake.changes(spark, d.sourceDir, d.builtVersion,
+      toVersion, skipRewriteOnly = true), d.derived)
     val dt = feed0.schema(d.distinctCol).dataType
     val (nullFlag, enc) = encodedVal(col(d.distinctCol), dt)
     val feed = feed0.withColumn(vNullCol, nullFlag).withColumn(vCol, enc)

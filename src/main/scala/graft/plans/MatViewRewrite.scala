@@ -1015,7 +1015,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     pinned = MatView.effectiveVersion(chain.dir, dd.builtVersion, chain.version)
     GsShape(gidAttr, groupAttrs, srcExprs, sets) = shape
     synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
-      Seq(dd.distinctCol), dd.builtVersion)
+      Seq(dd.distinctCol), dd.builtVersion, derived = dd.derived)
     res = resolveAll(synth, chain.out)
     if res.sums.size == 1
     // every group attribute must be a declared group column (bare)
@@ -1226,13 +1226,16 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     if chain.version >= dd.builtVersion
     pinned = MatView.effectiveVersion(chain.dir, dd.builtVersion, chain.version)
     synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
-      Seq(dd.distinctCol), dd.builtVersion)
+      Seq(dd.distinctCol), dd.builtVersion, derived = dd.derived)
     res = resolveAll(synth, chain.out)
     // the distinct column resolves as the single "sum" declaration
     if res.sums.size == 1
+    // groupings serve directly or through a COARSER date_trunc on the
+    // calendar lattice: a week query recounts a day-declared aux's
+    // values per week — exact, because the aux carries the VALUES
+    // (distinct counts recount, they never roll up from counts)
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, chain.subst)), res)
-    if serves.forall(_._2.isInstanceOf[GDirect])
     // filters may constrain group values AND the distinct value itself:
     // the aux is at (group × value) grain, so a deterministic value
     // predicate selects whole aux rows exactly as it selects fact rows
@@ -1305,9 +1308,11 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         case a: AttributeReference => byBase(a.name.toLowerCase)
       }, p)
     }
-    // every declared group present ⇒ aux rows are already unique per
-    // (group, value): count(value) suffices, no distinct Expand
-    val exact =
+    // every declared group present AT ITS OWN GRAIN ⇒ aux rows are
+    // already unique per (group, value): count(value) suffices, no
+    // distinct Expand. A bucket (coarser-trunc) serve collapses
+    // groups, so values must re-deduplicate.
+    val exact = serves.forall(_._2.isInstanceOf[GDirect]) &&
       serves.map(_._2.name).toSet == dd.groupCols.map(_.toLowerCase).toSet
     import org.apache.spark.sql.functions.{coalesce, col => fcol,
       count => fcount, countDistinct, lit, max => fmax, min => fmin,
@@ -1333,9 +1338,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       aggList += fmin(xVal).as("__q_minx")
     if (asks.exists(_.isInstanceOf[DMaxVal]))
       aggList += fmax(xVal).as("__q_maxx")
+    import org.apache.spark.sql.functions.date_trunc
     val groupCols = serves.map(_._2).distinct.map {
       case GDirect(n) => fcol(n)
-      case g @ GTrunc(_, _) => sys.error(s"unreachable bucket serve $g")
+      case g @ GTrunc(n, lvl) => date_trunc(lvl, fcol(n)).as(servedName(g))
     }
     val served = fdf.groupBy(groupCols: _*)
       .agg(aggList.head, aggList.tail.toSeq: _*)

@@ -259,6 +259,57 @@ class MatViewDistinctSpec extends SparkSpec {
     } finally MatView.unregisterDistinct(src + "-dview")
   }
 
+  test("derived day grouping: weekly/monthly active users off a daily aux") {
+    val dir = freshDir("daily")
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    Lake.create(ev, dir, "event_id", targetFiles = 2)
+    MatView.defineDistinct(spark, dir, dir + "-dview",
+      Seq("day"), "user_id", derived = Seq("day" -> "date_trunc('day', ts)"))
+    try {
+      // daily active users: exact-grain direct serve
+      def dau(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(date_trunc("day", col("ts")).as("d"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+      assert(kindOf(dau(lakeDf(dir)), dir) === "direct-distinct")
+      // weekly active users: a COARSER bucket recounts the day-grain
+      // aux's values per week — exact (values, not counts, roll up)
+      def wau(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(date_trunc("week", col("ts")).as("w"))
+          .agg(countDistinct(col("user_id")).as("wau"),
+            count(lit(1)).as("n_events"))
+      val served = wau(lakeDf(dir))
+      assert(kindOf(served, dir) === "direct-distinct-rollup")
+      assert(!scannedTables(served).exists(t =>
+        t.contains(dir) && !t.contains("-dview")))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(sorted(served).toSeq === sorted(wau(Lake.read(spark, dir))).toSeq)
+      // global distinct users
+      val g = lakeDf(dir).agg(countDistinct(col("user_id")).as("u"))
+      assert(kindOf(g, dir) === "direct-distinct-rollup")
+      assert(g.head().getLong(0) ===
+        Lake.read(spark, dir).agg(countDistinct(col("user_id"))).head().getLong(0))
+      // an HOUR query is FINER than the day declaration: refuse
+      val fine = lakeDf(dir).groupBy(date_trunc("hour", col("ts")))
+        .agg(countDistinct(col("user_id")).as("u"))
+      assert(kindOf(fine, dir) === "none")
+      // stale: a delete-bearing slice still serves through the feed
+      val cur = Lake.read(spark, dir)
+      Lake.delete(spark, dir, cur.filter(col("event_id") % 3 === 0)
+        .select(col("event_id")))
+      val served2 = wau(lakeDf(dir))
+      assert(kindOf(served2, dir) === "compensated-distinct-rollup")
+      assert(sorted(served2).toSeq === sorted(wau(Lake.read(spark, dir))).toSeq)
+      // recovery keeps the derived declaration
+      MatView.unregisterDistinct(dir + "-dview")
+      val rec = MatView.defineDistinctOrRecover(spark, dir, dir + "-dview",
+        Seq("day"), "user_id", derived = Seq("day" -> "date_trunc('day', ts)"))
+      assert(rec.derived === Seq("day" -> "date_trunc('day', ts)"))
+      assert(kindOf(dau(lakeDf(dir)), dir) === "compensated-distinct")
+    } finally MatView.unregisterDistinct(dir + "-dview")
+  }
+
   test("refusals: wrong column, non-subset grouping, travel below build, raw filter") {
     val src = buildSource("refuse")
     MatView.defineDistinct(spark, src, src + "-dview",
