@@ -1373,10 +1373,37 @@ object Lake {
   val RewriteOnlyTxn = "graft-rewrite-only"
 
   /** Did version `v` commit as row-preserving maintenance?
-    * Conservative false when the version's delta record is gone. */
+    * Conservative false when the version's delta record is gone.
+    *
+    * MEMOIZED per (dir, version, delta-file fingerprint) — ADVICE r11:
+    * the MV plane's `effectiveVersion` probes this per candidate view
+    * per planning pass, and a view left stale behind a long
+    * maintenance history would otherwise pay O(history) log parses on
+    * every query. A committed version's delta is write-once
+    * ([[publishIfAbsent]]), but scratch fixtures remove and recreate
+    * tables at the same path with the same version numbers, so the
+    * cache key carries the file's (size, mtime) — one stat call
+    * replaces the read+parse, and a recreated table never serves a
+    * stale verdict. */
+  private val rewriteOnlyCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, java.nio.file.attribute.FileTime, Boolean)]()
+
   def rewriteOnly(dir: String, v: Long): Boolean = {
     val p = deltaPath(dir, v)
-    Files.exists(p) && readLog(p, v).txns.get(RewriteOnlyTxn).contains(v)
+    if (!Files.exists(p)) return false
+    val attrs =
+      try Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return false } // raced a vacuum
+    val cached = rewriteOnlyCache.get((dir, v))
+    if (cached != null && cached._1 == attrs.size &&
+        cached._2 == attrs.lastModifiedTime) cached._3
+    else {
+      val r = readLog(p, v).txns.get(RewriteOnlyTxn).contains(v)
+      rewriteOnlyCache.put((dir, v),
+        (attrs.size, attrs.lastModifiedTime, r))
+      r
+    }
   }
 
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {

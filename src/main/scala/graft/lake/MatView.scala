@@ -934,16 +934,21 @@ object MatView {
 
   def getDistinct(mvDir: String): Option[DistinctDef] = Option(dreg.get(mvDir))
 
-  /** Register a distinct view, LAST-WINS per (source, value column):
-    * like the plain registry, the most recently defined/recovered view
-    * is the one the rewrite rule serves — two builds of the same shape
-    * (e.g. a fresh and a stale pin) never race for a query. */
+  /** Register a distinct view, LAST-WINS per SHAPE — (source, value
+    * column, grouping, derived): the most recently defined/recovered
+    * view of one shape is the one the rewrite rule serves, so two
+    * builds of the same shape (e.g. a fresh and a stale pin) never
+    * race for a query. Views of DIFFERENT shapes over the same source
+    * and value column coexist (ADVICE r11: a by-country aux beside the
+    * daily DAU aux must not evict it — the rewrite's candidate scan
+    * already picks per query). */
   private def registerDistinct(d: DistinctDef): Unit = {
     import scala.jdk.CollectionConverters._
+    def shape(x: DistinctDef) = (x.sourceDir, x.distinctCol.toLowerCase,
+      x.groupCols.map(_.toLowerCase),
+      x.derived.map { case (n, e) => (n.toLowerCase, e) })
     dreg.entrySet().asScala
-      .filter(e => e.getValue.sourceDir == d.sourceDir &&
-        e.getValue.distinctCol.equalsIgnoreCase(d.distinctCol) &&
-        e.getKey != d.mvDir)
+      .filter(e => shape(e.getValue) == shape(d) && e.getKey != d.mvDir)
       .map(_.getKey).foreach(dreg.remove)
     dreg.put(d.mvDir, d)
   }

@@ -775,7 +775,11 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     _ <- Some(())
     if agg.groupingExpressions.forall(_.isInstanceOf[Attribute])
     gAttrs0 = agg.groupingExpressions.map(_.asInstanceOf[Attribute])
-    gidAttr <- gAttrs0.find(_.name == "spark_grouping_id")
+    // the analyzer's own name constant, not a string literal (ADVICE
+    // r11): a renamed internal would then fail to COMPILE here rather
+    // than silently disabling grouping-sets serving
+    gidAttr <- gAttrs0.find(_.name ==
+      org.apache.spark.sql.catalyst.expressions.VirtualColumn.groupingIdName)
     groupAttrs = gAttrs0.filterNot(_.exprId == gidAttr.exprId)
     posOf = ex.output.map(_.exprId).zipWithIndex.toMap
     if (groupAttrs :+ gidAttr).forall(a => posOf.contains(a.exprId))

@@ -353,4 +353,45 @@ class MatViewDistinctSpec extends SparkSpec {
       assert(MatView.getDistinct(src + "-dview").isEmpty)
     } finally MatView.unregisterDistinct(src + "-dview")
   }
+
+  test("two distinct views over the same value column with different " +
+      "groupings coexist (ADVICE r11: no cross-shape eviction)") {
+    val src = buildSource("coexist")
+    MatView.defineDistinct(spark, src, src + "-dview",
+      Seq("o_orderpriority"), "o_custkey")
+    MatView.defineDistinct(spark, src, src + "-dview2",
+      Seq("o_orderstatus"), "o_custkey")
+    try {
+      // BOTH registered: defining the by-status view must not evict
+      // the by-priority one
+      assert(MatView.getDistinct(src + "-dview").isDefined,
+        "by-priority view was evicted by a different-shape definition")
+      assert(MatView.getDistinct(src + "-dview2").isDefined)
+      // and each serves its own query
+      val q1 = lakeDf(src).groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      assert(kindOf(q1, src) === "direct-distinct")
+      val q2 = lakeDf(src).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      assert(kindOf(q2, src) === "direct-distinct")
+      assert(rows(q1, "o_orderpriority") ===
+        rows(Lake.read(spark, src).groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust")),
+          "o_orderpriority"))
+      assert(rows(q2, "o_orderstatus") ===
+        rows(Lake.read(spark, src).groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust")),
+          "o_orderstatus"))
+      // SAME-shape redefinition at a new dir still evicts (last wins)
+      MatView.defineDistinct(spark, src, src + "-dview3",
+        Seq("o_orderpriority"), "o_custkey")
+      assert(MatView.getDistinct(src + "-dview").isEmpty,
+        "same-shape redefinition must replace the prior registration")
+      assert(MatView.getDistinct(src + "-dview3").isDefined)
+    } finally {
+      MatView.unregisterDistinct(src + "-dview")
+      MatView.unregisterDistinct(src + "-dview2")
+      MatView.unregisterDistinct(src + "-dview3")
+    }
+  }
 }
