@@ -382,6 +382,10 @@ object SparkEntry {
     // bitsets might hold the values — point-lookup pruning in SQL
     ("x8_lake_inlist", graft.lake.LakeQueries.lakeInList _,
       Some(graft.lake.LakeQueries.lakeInListSql)),
+    // round-12: the same membership pruning on a STRING-keyed corpus
+    // table — the doc-id lookup shape LLM pipelines actually serve
+    ("x8_lake_inlist_str", graft.lake.LakeQueries.lakeInListStr _,
+      Some(graft.lake.LakeQueries.lakeInListStrSql)),
     // round-10: transparent materialized-view rewrite — the source
     // aggregate answers from the view (fresh), from view ⊕ change-feed
     // compensation (stale), and from the incrementally refreshed view;
@@ -608,6 +612,7 @@ object SparkEntry {
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_colstats", // stat tables
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
+    "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
     "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",

@@ -1893,6 +1893,31 @@ object Lake {
     bloomPositionsLocal(value).forall(bs.get)
   }
 
+  /** [[bloomPositionsLocal]] for STRING values (round 12, VERDICT r11
+    * #3): the distributed builder's `xxhash64(lit(i), col)` hashes a
+    * string column's UTF8String bytes, so the driver-local probe must
+    * hash the SAME representation — `UTF8String.fromString` through
+    * Catalyst's own XxHash64Function, bit-identical by construction
+    * (InListSpec pins the distributed/local agreement for strings like
+    * it does for longs). This is what makes `WHERE doc_id IN (…)`
+    * membership pruning work on string-keyed corpus tables — the
+    * LLM-pipeline serving lookup the feature exists for. */
+  private[graft] def bloomPositionsLocalStr(value: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(value)
+    (0 until BloomHashes).map { i =>
+      val seeded = XxHash64Function.hash(i, IntegerType, 42L)
+      val h = XxHash64Function.hash(u, StringType, seeded)
+      (((h % BloomBits) + BloomBits) % BloomBits).toInt
+    }
+  }
+
+  private[graft] def bloomMayContainLocalStr(hx: String, value: String): Boolean = {
+    val bs = bitsHex(hx)
+    bloomPositionsLocalStr(value).forall(bs.get)
+  }
+
   private def bitsHex(hx: String): java.util.BitSet =
     java.util.BitSet.valueOf(hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
 

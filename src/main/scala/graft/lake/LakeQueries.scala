@@ -363,10 +363,98 @@ object LakeQueries {
 
   private[graft] def invalidateInList(): Unit = {
     import scala.jdk.CollectionConverters._
-    inListMemo.values.asScala.foreach(_.peek.foreach(d =>
-      rm(new java.io.File(d))))
+    (inListMemo.values.asScala ++ inListStrMemo.values.asScala)
+      .foreach(_.peek.foreach(d => rm(new java.io.File(d))))
     inListMemo.clear()
+    inListStrMemo.clear()
   }
+
+  /** STRING-KEYED corpus table, length-clustered, with a Bloom index
+    * over the (scattered) string doc key — the [[lakeInListStr]]
+    * fixture, same disclosed-memo policy as [[inListTable]]. */
+  private val inListStrMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private def inListStrTable(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/documents.parquet")
+    import scala.jdk.CollectionConverters._
+    inListStrMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(inListStrMemo.remove(k))
+        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+    inListStrMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-inliststr"
+        rm(new java.io.File(dir))
+        val docs = Tables.documents(spark, sfDir)
+          .select(
+            concat(lit("doc-"),
+              lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+            col("lang"), col("source"), col("n_chars"))
+        Lake.create(docs, dir, "doc_key", targetFiles = 4)
+        // re-cluster by document LENGTH (an ingest-quality layout every
+        // corpus ends up with after bucketing by size): each file now
+        // spans the whole doc_key domain, so key range stats prune
+        // nothing — only the string-hashed membership bits do
+        Lake.compactWithBloom(spark, dir, "n_chars", "doc_key",
+          targetFiles = 8)
+        dir
+      })).get
+  }
+
+  private[graft] val DocProbeIds = Seq(7L, 77L, 177L, 377L, 477L)
+  private[graft] def docKeyOf(id: Long): String = f"doc-$id%08d"
+
+  /** Registered query `x8_lake_inlist_str` — STRING-TYPED IN-LIST +
+    * Bloom membership pruning (round 12, VERDICT r11 #3): the corpus
+    * table keys on a STRING doc id and is length-clustered, so every
+    * file's key range spans the whole domain; `WHERE doc_key IN (…)`
+    * prunes via per-file Bloom bitsets probed with the DRIVER-LOCAL
+    * string hash ([[Lake.bloomPositionsLocalStr]], bit-identical to
+    * the distributed builder's `xxhash64` over UTF8String — InListSpec
+    * pins the agreement). `inlist_str_pruned` pins (into the hash)
+    * that files were skipped AND that a needle-absent key opens ZERO
+    * files; DuckDB mirrors the same ids off raw documents. */
+  def lakeInListStr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = inListStrTable(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("inliststr_t")
+    val keyList = DocProbeIds.map(id => s"'${docKeyOf(id)}'").mkString(", ")
+    graft.sources.LakeScan.lastInListPrune.set(null)
+    val rows = spark.sql(
+      s"""SELECT doc_key, lang, source, n_chars
+         |FROM inliststr_t
+         |WHERE doc_key IN ($keyList)""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val pruned = Option(graft.sources.LakeScan.lastInListPrune.get()).exists {
+      case (d, before, after) => d == dir && after < before
+    }
+    // the needle-absent case: a key outside the domain opens NOTHING
+    graft.sources.LakeScan.lastInListPrune.set(null)
+    val miss = spark.sql(
+      "SELECT count(*) FROM inliststr_t WHERE doc_key IN ('doc-absent')")
+      .head().getLong(0)
+    val missedAll = miss == 0L &&
+      Option(graft.sources.LakeScan.lastInListPrune.get()).exists {
+        case (d, _, after) => d == dir && after == 0
+      }
+    rows.toDF("doc_key", "lang", "source", "n_chars")
+      .withColumn("inlist_str_pruned", lit(pruned && missedAll))
+      .orderBy(col("doc_key"))
+  }
+
+  /** Mirror: the same ids off raw documents — pruning must be
+    * answer-invisible. */
+  val lakeInListStrSql: String =
+    s"""SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+       |  lang, source, n_chars,
+       |  TRUE AS inlist_str_pruned
+       |FROM documents
+       |WHERE doc_id IN (${DocProbeIds.mkString(", ")})
+       |ORDER BY doc_key""".stripMargin
 
   /** Registered query `x8_lake_inlist` — STATIC IN-LIST FILE PRUNING
     * with Bloom membership on the SQL surface (round 11): the table is

@@ -360,25 +360,34 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     LakeScanBuilder.pruneEntries(snapshot.files, leadingKey,
       filters.map(physExpr))
 
-  /** IN-LIST file pruning (round 11): each IN/= conjunct's value set
-    * must intersect a file's range stats — and its Bloom bitset where
-    * one exists for the column (LongType columns only: the bitset was
-    * built by hashing the stored longs, so any other encoding would
-    * probe the wrong hash space). Files without the stat/bitset are
-    * kept; `SELECT … WHERE id IN (…)` then opens only the files that
-    * might hold those ids — [[graft.lake.Lake.readPoint]]'s membership
-    * pruning on the SQL surface, composed with range pruning. */
+  /** IN-LIST file pruning (round 11; strings round 12): each IN/=
+    * conjunct's value set must intersect a file's range stats — and
+    * its Bloom bitset where one exists for the column. Membership
+    * probes run in the column's own hash space: LongType columns probe
+    * the stored longs' hashes, StringType columns the stored
+    * UTF8String hashes (any other type skips the bitset — it was built
+    * over a representation the planner can't reproduce). Files without
+    * the stat/bitset are kept; `SELECT … WHERE id IN (…)` then opens
+    * only the files that might hold those ids —
+    * [[graft.lake.Lake.readPoint]]'s membership pruning on the SQL
+    * surface, composed with range pruning, now covering the
+    * string-doc-id lookups LLM corpus tables key on. */
   private def inListPrune(files: Seq[Lake.FileEntry]): Seq[Lake.FileEntry] = {
-    val sets = LakeScanBuilder.inListSets(exprFilters.map(physExpr))
-    if (sets.isEmpty) return files
+    val phys = exprFilters.map(physExpr)
+    val sets = LakeScanBuilder.inListSets(phys)
+    val strSets = LakeScanBuilder.inListStrSets(phys)
+    if (sets.isEmpty && strSets.isEmpty) return files
     val headStr = tableSchema.find(_.name.equalsIgnoreCase(leadingKey))
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
     val logicalByPhys = physByLogical.map { case (l, p) => p.toLowerCase -> l }
-    def isLongCol(phys: String): Boolean = {
+    def typeOf(phys: String): Option[org.apache.spark.sql.types.DataType] = {
       val logical = logicalByPhys.getOrElse(phys.toLowerCase, phys)
-      tableSchema.find(_.name.equalsIgnoreCase(logical))
-        .exists(_.dataType == org.apache.spark.sql.types.LongType)
+      tableSchema.find(_.name.equalsIgnoreCase(logical)).map(_.dataType)
     }
+    def isLongCol(p: String): Boolean =
+      typeOf(p).contains(org.apache.spark.sql.types.LongType)
+    def isStrCol(p: String): Boolean =
+      typeOf(p).contains(org.apache.spark.sql.types.StringType)
     val kept = files.filter { f =>
       sets.forall { case (c, vals) =>
         val range =
@@ -389,6 +398,27 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
           range.forall { case (lo, hi) => v >= lo && v <= hi } &&
             (!isLongCol(c) || f.blooms.get(c).forall(
               Lake.bloomMayContainLocal(_, v)))
+        }
+      } &&
+      strSets.forall { case (c, vals) =>
+        vals.exists { v =>
+          val rangeOk =
+            if (c.equalsIgnoreCase(leadingKey) && headStr) {
+              // minKey/maxKey hold the order-preserving 8-byte codes of
+              // the file's string bounds; enc is monotone, so
+              // v ∈ [lo, hi] ⇒ enc(v) ∈ [enc(lo), enc(hi)] — a sound
+              // necessary condition for any string, ASCII or not
+              val code = Lake.encString(v)
+              code >= f.minKey && code <= f.maxKey
+            } else f.strStats.get(c) match {
+              // ASCII-only, same guard as pruneEntries: UTF-16 compare
+              // agrees with the stats' UTF8String byte order only there
+              case Some((lo, hi)) if (v + lo + hi).forall(_ < 0x80) =>
+                v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+              case _ => true
+            }
+          rangeOk && (!isStrCol(c) || f.blooms.get(c).forall(
+            Lake.bloomMayContainLocalStr(_, v)))
         }
       }
     }
@@ -1039,6 +1069,39 @@ private[graft] object LakeScanBuilder {
         attrName(a).zip(longOf(l)).map { case (n, v) => n -> Seq(v) }
       case CEqualTo(l: Literal, a) =>
         attrName(a).zip(longOf(l)).map { case (n, v) => n -> Seq(v) }
+      case _ => None
+    }
+
+  /** STRING IN-LIST value sets (round 12): the string-typed sibling of
+    * [[inListSets]] — `col IN ('a','b')` / `col = 'a'` / the
+    * optimizer's `InSet` form over StringType columns. Consumed by the
+    * scan builder's membership pruning against per-file string bounds
+    * and string-hashed Bloom bitsets. Conjuncts with any
+    * non-translatable piece are skipped (conservative). */
+  private[graft] def inListStrSets(filters: Seq[Expression])
+      : Seq[(String, Seq[String])] =
+    filters.flatMap(conjuncts).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.In(e, vs) =>
+        attrName(e).flatMap { n =>
+          val strs = vs.flatMap {
+            case l: Literal => strOf(l)
+            case _ => None
+          }
+          if (strs.size == vs.size && strs.nonEmpty) Some(n -> strs)
+          else None
+        }
+      case s: org.apache.spark.sql.catalyst.expressions.InSet
+          if s.child.dataType == org.apache.spark.sql.types.StringType =>
+        attrName(s.child).flatMap { n =>
+          val strs = s.hset.toSeq.flatMap(v =>
+            strOf(Literal.create(v, org.apache.spark.sql.types.StringType)))
+          if (strs.size == s.hset.size && strs.nonEmpty) Some(n -> strs)
+          else None
+        }
+      case CEqualTo(a, l: Literal) =>
+        attrName(a).zip(strOf(l)).map { case (n, v) => n -> Seq(v) }
+      case CEqualTo(l: Literal, a) =>
+        attrName(a).zip(strOf(l)).map { case (n, v) => n -> Seq(v) }
       case _ => None
     }
 

@@ -103,7 +103,7 @@ class InListSpec extends SparkSpec {
       "SELECT count(*) FROM cons_t WHERE o_custkey IN (1, 2, 3)").head().getLong(0)
     assert(n === Tables.orders(spark, sf)
       .filter(col("o_custkey").isin(1L, 2L, 3L)).count())
-    // string IN: not integer-encoded, pruner skips the conjunct
+    // string IN with neither strStats nor bloom: every file kept
     val s = spark.sql(
       "SELECT count(*) FROM cons_t WHERE o_orderpriority IN ('1-URGENT')")
       .head().getLong(0)
@@ -116,5 +116,57 @@ class InListSpec extends SparkSpec {
     assert(k === 2L)
     val rec = LakeScan.lastInListPrune.get()
     assert(rec._3 < rec._2, "key IN values outside a file's range must skip it")
+  }
+
+  test("driver-local STRING bloom positions equal the distributed builder's") {
+    for (v <- Seq("", "a", "doc-00000007", "Ünïcødé-№", "x" * 100)) {
+      val viaJob = (0 until Lake.BloomHashes).map { i =>
+        spark.range(1).select(
+          pmod(xxhash64(lit(i), lit(v)), lit(Lake.BloomBits.toLong)))
+          .head().getLong(0).toInt
+      }
+      assert(Lake.bloomPositionsLocalStr(v) === viaJob, s"value '$v'")
+    }
+  }
+
+  test("IN over a bloom-indexed scattered STRING column opens only matching files") {
+    val dir = fresh("strbloom")
+    val docs = Tables.documents(spark, sf)
+      .select(concat(lit("doc-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("doc_key"),
+        col("lang"), col("n_chars"))
+    Lake.create(docs, dir, "doc_key", targetFiles = 2)
+    // length-clustered: every file's doc_key range spans the domain,
+    // so only the string-hashed bloom can prune
+    Lake.compactWithBloom(spark, dir, "n_chars", "doc_key", targetFiles = 8)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("strb_t")
+    val keys = Seq("doc-00000011", "doc-00000222", "doc-00000333")
+    LakeScan.lastInListPrune.set(null)
+    val got = spark.sql(
+      s"""SELECT doc_key FROM strb_t
+         |WHERE doc_key IN (${keys.map(k => s"'$k'").mkString(",")})"""
+        .stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val expected = Lake.read(spark, dir)
+      .filter(col("doc_key").isin(keys: _*))
+      .collect().map(_.getAs[String]("doc_key")).sorted.toSeq
+    assert(got === expected && got.nonEmpty)
+    val (d, before, after) = LakeScan.lastInListPrune.get()
+    assert(d === dir && after < before,
+      s"string bloom IN-pruning must skip files: $after/$before")
+    // equality form prunes too
+    LakeScan.lastInListPrune.set(null)
+    assert(spark.sql(
+      "SELECT count(*) FROM strb_t WHERE doc_key = 'doc-00000011'")
+      .head().getLong(0) === 1L)
+    val eq = LakeScan.lastInListPrune.get()
+    assert(eq._3 < eq._2, "string equality must probe the bloom")
+    // absent value: zero files opened
+    LakeScan.lastInListPrune.set(null)
+    assert(spark.sql(
+      "SELECT count(*) FROM strb_t WHERE doc_key IN ('doc-absent')")
+      .head().getLong(0) === 0L)
+    assert(LakeScan.lastInListPrune.get()._3 === 0)
   }
 }
