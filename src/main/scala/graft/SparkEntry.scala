@@ -367,6 +367,10 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.lakeAutoBroadcastSql)),
     // round-11: ORDER BY key LIMIT n reads only the boundary files of
     // the range-clustered layout (disjointness proven from the manifest)
+    // round-12: composite/DESC TopN — the tie-breaker column no longer
+    // blocks the boundary prune on range-disjoint snapshots
+    ("x8_lake_topn_multi", graft.lake.LakeQueries.lakeTopNMulti _,
+      Some(graft.lake.LakeQueries.lakeTopNMultiSql)),
     ("x8_lake_topn", graft.lake.LakeQueries.lakeTopN _,
       Some(graft.lake.LakeQueries.lakeTopNSql)),
     // round-11: manifest-aggregated per-column min/max/NDV through the
@@ -610,7 +614,8 @@ object SparkEntry {
     "x8_lake_cdf", "x8_lake_ivm", "x8_lake_meta_count", "x8_lake_sql",
     "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
-    "x8_lake_autobcast", "x8_lake_topn", "x8_lake_colstats", // stat tables
+    "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
+    "x8_lake_colstats", // stat tables
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist

@@ -2036,6 +2036,54 @@ object LakeQueries {
       |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
       |ORDER BY dirn, o_orderkey""".stripMargin
 
+  /** Registered query `x8_lake_topn_multi` — COMPOSITE / DESC TOP-N
+    * PUSHDOWN (round 12, VERDICT r11 #4): `ORDER BY o_orderkey DESC,
+    * o_orderpriority LIMIT 9` (and the ASC mirror) over the same
+    * 8-file range-clustered table. The tie-breaker column no longer
+    * blocks the boundary prune: under strict file disjointness every
+    * row outside the minKey-prefix/maxKey-suffix is strictly greater/
+    * smaller on the LEADING key than every row inside, so the ≥ n
+    * boundary rows sort lexicographically first whatever the remaining
+    * sort columns say ([[graft.sources.LakeScanBuilder.pushTopN]]).
+    * `topn_multi_pruned` pins (into the hash) that both composite
+    * orders actually skipped files; DuckDB mirrors the same composite
+    * limits from raw orders. */
+  def lakeTopNMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, dimDir) = autoBcastTables(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dimDir).load()
+      .createOrReplaceTempView("topnm_t")
+    def side(dirn: String): (Seq[(String, Long, String)], Boolean) = {
+      graft.sources.LakeScan.lastTopNPrune.set(null)
+      val rows = spark.sql(
+        s"""SELECT o_orderkey, o_orderpriority FROM topnm_t
+           |ORDER BY o_orderkey ${dirn.toUpperCase}, o_orderpriority ASC
+           |LIMIT 9""".stripMargin)
+        .collect().map(r => (dirn, r.getLong(0), r.getString(1))).toSeq
+      val pruned = Option(graft.sources.LakeScan.lastTopNPrune.get()).exists {
+        case (d, live, kept) => d == dimDir && kept < live
+      }
+      (rows, pruned)
+    }
+    val (ascRows, ascPruned) = side("asc")
+    val (descRows, descPruned) = side("desc")
+    (ascRows ++ descRows).toDF("dirn", "o_orderkey", "o_orderpriority")
+      .withColumn("topn_multi_pruned", lit(ascPruned && descPruned))
+      .orderBy(col("dirn"), col("o_orderkey"))
+  }
+
+  /** Mirror: the same composite ordered limits from raw orders. */
+  val lakeTopNMultiSql: String =
+    """WITH a AS (
+      |  SELECT 'asc' AS dirn, o_orderkey, o_orderpriority
+      |  FROM orders ORDER BY o_orderkey ASC, o_orderpriority ASC LIMIT 9),
+      |d AS (
+      |  SELECT 'desc' AS dirn, o_orderkey, o_orderpriority
+      |  FROM orders ORDER BY o_orderkey DESC, o_orderpriority ASC LIMIT 9)
+      |SELECT dirn, o_orderkey, o_orderpriority, TRUE AS topn_multi_pruned
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+      |ORDER BY dirn, o_orderkey""".stripMargin
+
   /** Registered query `x8_lake_pair` — CROSS-TABLE ATOMIC COMMIT for
     * the medallion pair (round 11, VERDICT r10 #8): bronze (row-level
     * orders) and silver (per-priority registers) are two lake tables

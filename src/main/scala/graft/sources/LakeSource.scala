@@ -303,23 +303,30 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
-  /** TOP-N pushdown, file-granular (round 11): `ORDER BY <leading key>
-    * LIMIT n` over an unfiltered scan reads only the BOUNDARY files —
-    * the minimal minKey-prefix (ASC) or maxKey-suffix (DESC) of the
+  /** TOP-N pushdown, file-granular (round 11; composite orders round
+    * 12): `ORDER BY <leading key> [ASC|DESC][, anything …] LIMIT n`
+    * over an unfiltered scan reads only the BOUNDARY files — the
+    * minimal minKey-prefix (ASC) or maxKey-suffix (DESC) of the
     * range-clustered layout holding at least n rows. Sound because
     * (a) keys are NON-NULL by format invariant (checked at every
     * write), and (b) the prune engages only when the snapshot's file
-    * ranges are PAIRWISE DISJOINT (sorted by minKey, each strictly
-    * above the previous maxKey — the state every create/compact
-    * produces; an accretion-overlapped snapshot simply reads all
-    * files). String keys prune via their order-preserving 8-byte
-    * codes: strict code disjointness implies string disjointness.
-    * Partial by contract — Spark keeps its own TopN above the scan, so
-    * this only decides which files CANNOT contribute. At 100 TB:
-    * "latest 100 orders" opens one file instead of the table. */
+    * ranges are PAIRWISE STRICTLY DISJOINT (sorted by minKey, each
+    * strictly above the previous maxKey — the state every
+    * create/compact produces; an accretion-overlapped snapshot simply
+    * reads all files). TIE-BREAKER columns after the leading key never
+    * affect file selection: under strict disjointness every row
+    * outside the prefix is STRICTLY greater on the leading key than
+    * every row inside, so the ≥ n prefix rows all sort lexicographically
+    * before it whatever the remaining sort columns say (VERDICT r10 #7
+    * covered the single-key case; r11 #4 lifts the composite/DESC
+    * gate). String keys prune via their order-preserving 8-byte codes:
+    * strict code disjointness implies string disjointness. Partial by
+    * contract — Spark keeps its own TopN above the scan, so this only
+    * decides which files CANNOT contribute. At 100 TB: "latest 100
+    * orders by (key, ts)" opens one file instead of the table. */
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
-    val eligible = exprFilters.isEmpty && orders.length == 1 &&
+    val eligible = exprFilters.isEmpty && orders.nonEmpty &&
       (orders.head.expression match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
           nr.fieldNames()(0).equalsIgnoreCase(leadingKey)

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.Lake
+import graft.sources.LakeScan
+
+/** File-granular TopN pushdown on the lake scan
+  * ([[graft.sources.LakeScanBuilder.pushTopN]]): boundary prefix/suffix
+  * selection for `ORDER BY <leading key> [DESC][, tie-breakers…]
+  * LIMIT n`, the strict-disjointness gate that keeps a straddling tie
+  * group sound, and the refusals. */
+class TopNPushSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fresh(tag: String): String = {
+    val d = new java.io.File(graft.Scratch.root,
+      s"graft-topn-$tag-${spark.sparkContext.applicationId}")
+    graft.Scratch.rm(d)
+    d.getAbsolutePath
+  }
+
+  private def lastPrune(dir: String): Option[(Int, Int)] =
+    Option(LakeScan.lastTopNPrune.get()).collect {
+      case (d, live, kept) if d == dir => (live, kept)
+    }
+
+  test("composite ORDER BY with a tie-breaker prunes to boundary files " +
+      "in both directions") {
+    val dir = fresh("multi")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+      dir, "o_orderkey", targetFiles = 8)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_multi")
+    for (dirn <- Seq("ASC", "DESC")) {
+      LakeScan.lastTopNPrune.set(null)
+      val got = spark.sql(
+        s"""SELECT o_orderkey, o_orderpriority FROM tn_multi
+           |ORDER BY o_orderkey $dirn, o_orderpriority LIMIT 5""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val all = Lake.read(spark, dir)
+        .collect().map(r => (r.getAs[Long]("o_orderkey"),
+          r.getAs[String]("o_orderpriority"))).toSeq
+      val exp = (if (dirn == "ASC") all.sorted else all.sorted.reverse).take(5)
+      assert(got === exp, s"$dirn answer")
+      val Some((live, kept)) = lastPrune(dir)
+      assert(kept < live, s"$dirn must prune: kept $kept of $live")
+    }
+  }
+
+  test("duplicate leading keys straddling a file boundary refuse the " +
+      "prune (strict disjointness) and the answer stays exact") {
+    import spark.implicits._
+    val dir = fresh("straddle")
+    // composite key (k, sub): k repeats 40×, so range clustering by
+    // (k, sub) must split some k group across two of the 8 files —
+    // adjacent files then share a boundary key and a.maxKey < b.minKey
+    // fails
+    val df = (0 until 400).map(i => (i / 40L, i % 40L, s"p${i % 7}"))
+      .toDF("k", "sub", "tag")
+    Lake.create(df, dir, "k,sub", targetFiles = 8)
+    val m = Lake.manifest(dir, Lake.latestVersion(dir))
+    val sorted = m.files.filter(_.rows > 0).sortBy(_.minKey)
+    assume(sorted.sliding(2).exists {
+      case Seq(a, b) => a.maxKey >= b.minKey
+      case _ => false
+    }, "fixture must produce a straddling boundary key")
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_straddle")
+    LakeScan.lastTopNPrune.set(null)
+    val got = spark.sql(
+      """SELECT k, sub FROM tn_straddle
+        |ORDER BY k, tag, sub LIMIT 50""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy { case (k, sub, tag) => (k, tag, sub) }
+      .take(50).map { case (k, sub, _) => (k, sub) }.toSeq
+    assert(got === exp)
+    // overlapped snapshot: the prune must NOT have dropped files
+    lastPrune(dir).foreach { case (live, kept) =>
+      assert(kept === live, "overlapped ranges must keep every file")
+    }
+  }
+
+  test("ORDER BY a non-leading column refuses the pushdown; answer exact") {
+    val dir = fresh("refuse")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+      dir, "o_orderkey", targetFiles = 4)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_refuse")
+    LakeScan.lastTopNPrune.set(null)
+    val got = spark.sql(
+      "SELECT o_custkey FROM tn_refuse ORDER BY o_custkey LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    val exp = Lake.read(spark, dir).orderBy(col("o_custkey")).limit(3)
+      .collect().map(_.getAs[Long]("o_custkey")).toSeq
+    assert(got === exp)
+    assert(lastPrune(dir).isEmpty,
+      "a non-leading-key order must never reach the boundary prune")
+  }
+}
