@@ -168,6 +168,10 @@ object SparkEntry {
     // a valid distinct-aux feed; the pinned view serves compensated
     ("x6_stream_distinct", graft.streaming.EventStream.streamedDistinctServe _,
       Some(graft.streaming.EventStream.streamedDistinctServeSql)),
+    // round-12: declare → ingest → serve: the post-commit hook keeps
+    // the view fresh through every micro-batch commit, no CALL anywhere
+    ("x6_stream_mv_auto", graft.streaming.EventStream.streamedMvAuto _,
+      Some(graft.streaming.EventStream.streamedMvAutoSql)),
     ("x6_stream_mv", graft.streaming.EventStream.streamedMvServe _,
       Some(graft.streaming.EventStream.streamedMvServeSql)),
     ("x6_stream_sink", graft.streaming.EventStream.streamedSinkAggregate _,
@@ -394,6 +398,10 @@ object SparkEntry {
     // aggregate answers from the view (fresh), from view ⊕ change-feed
     // compensation (stale), and from the incrementally refreshed view;
     // the rewrite kind is pinned into each hashed result
+    // round-12: automatic incremental maintenance — a post-commit hook
+    // advances dependent views, steady state serves DIRECT with no CALL
+    ("x8_mv_auto", graft.lake.LakeQueries.mvAuto _,
+      Some(graft.lake.LakeQueries.mvAutoSql)),
     ("x8_mv_rewrite", graft.lake.LakeQueries.mvRewrite _,
       Some(graft.lake.LakeQueries.mvRewriteSql)),
     ("x8_mv_stale", graft.lake.LakeQueries.mvStale _,

@@ -3364,4 +3364,64 @@ object LakeQueries {
        |FROM final JOIN cdim ON o_custkey = c_custkey
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
+
+  /** Registered query `x8_mv_auto` — AUTOMATIC INCREMENTAL MV
+    * MAINTENANCE (round 12, VERDICT r11 #1): the view is defined once,
+    * [[MatView.enableAutoMaintenance]] arms the post-commit hook, and
+    * then a writer lands TWO ordinary commits (an insert batch and a
+    * price-doubling update slice) with NO `CALL graft.refresh_mv`
+    * anywhere — each commit's hook advances the view incrementally on
+    * the writer's thread (the Delta-Live-Tables / MV-log pattern).
+    * `mv_auto` pins (into the hash) that the registered aggregate then
+    * serves DIRECT — the rewrite found the view already at the source
+    * head — with the no-fact-scan plan shape, and that the view's
+    * built version equals the source head (two maintenance passes
+    * actually ran). The whole lifecycle (create + define + 2 write→
+    * maintain cycles) re-runs per invocation: maintenance-on-commit IS
+    * the priced feature. DuckDB mirrors the final state relationally. */
+  def mvAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-mvauto"
+    rm(new java.io.File(dir))
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
+      "o_orderkey", targetFiles = 4)
+    graft.Scratch.rm(new java.io.File(dir + "-view"))
+    graft.lake.MatView.define(spark, dir, dir + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    graft.lake.MatView.enableAutoMaintenance()
+    try {
+      // writer commit 1: the even half inserts
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      // writer commit 2: every %7 key's cents double (updates)
+      Lake.upsert(spark, dir, Lake.read(spark, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_cents", col("o_cents") * 2))
+      val q = mvUserQuery(spark, dir)
+      val viewFresh = graft.lake.MatView.get(dir)
+        .exists(_.builtVersion == Lake.latestVersion(dir)) &&
+        Lake.latestVersion(dir) == 3L
+      val served = rewriteKind(q, dir) == "direct" && !factScanned(q, dir)
+      q.withColumn("mv_auto", lit(served && viewFresh))
+        .orderBy(col("o_orderpriority"))
+    } finally {
+      graft.lake.MatView.disableAutoMaintenance()
+      graft.lake.MatView.unregister(dir)
+    }
+  }
+
+  /** Mirror: all orders, %7 keys' cents doubled. */
+  val mvAutoSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(avg(cents) AS DOUBLE) AS avg_cents,
+      |  TRUE AS mv_auto
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS cents
+      |  FROM orders)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -296,7 +296,7 @@ object MatView {
     val agg = src.groupBy(groupCols.map(col): _*)
       .agg(registerAggs(sumCols).head, registerAggs(sumCols).tail: _*)
     graft.Scratch.rm(new java.io.File(mvDir))
-    Lake.create(agg, mvDir, groupCols.mkString(","), targetFiles = 1)
+    createViewTable(spark, agg, mvDir, groupCols)
     // group columns must be NULL-FREE (the doc'd contract): the lake
     // key machinery and the refresh merge key on them. Checked against
     // the WRITTEN view — one view-sized read, not a second source scan.
@@ -321,6 +321,23 @@ object MatView {
     writeSidecar(d)
     reg.put(regKey(sourceDir, dim.map(_.dimDir)), d)
     d
+  }
+
+  /** Land a register/aux frame as a lake table, handling the EMPTY
+    * case (round 12): a view defined over a just-created (or fully
+    * filtered) source has zero register rows, and a zero-row frame
+    * cannot land through [[Lake.create]] (parquet writes no part
+    * files) — it anchors via [[Lake.createEmpty]] instead, so a view
+    * can be declared on a brand-new table and auto-maintenance fills
+    * it as commits arrive (the streaming-ingest define-then-fill
+    * shape). The emptiness probe is a LIMIT-1 count over the register
+    * aggregate — view-sized, at define time only. */
+  private def createViewTable(spark: SparkSession, agg: DataFrame,
+      dir: String, keyColumns: Seq[String]): Unit = {
+    if (agg.limit(1).count() == 0L)
+      Lake.createEmpty(spark, dir, agg.schema, keyColumns.mkString(","))
+    else Lake.create(agg, dir, keyColumns.mkString(","), targetFiles = 1)
+    ()
   }
 
   private[lake] def auxDir(mvDir: String): String = s"$mvDir-aux"
@@ -381,8 +398,7 @@ object MatView {
     val agg = src.groupBy(gcols.map(col): _*)
       .agg(registerAggs(d.sumCols).head, registerAggs(d.sumCols).tail: _*)
     graft.Scratch.rm(new java.io.File(dir))
-    Lake.create(agg, dir, gcols.mkString(","), targetFiles = 1)
-    ()
+    createViewTable(spark, agg, dir, gcols)
   }
 
   /** [[define]]/[[defineStar]] with the BUILD memoized on storage:
@@ -873,6 +889,84 @@ object MatView {
   private[graft] def dimCompensable(d: MvDef): Boolean =
     d.dims.nonEmpty && Lake.latestVersion(auxDir(d.mvDir)) > 0L
 
+  // ---- AUTOMATIC INCREMENTAL MAINTENANCE (round 12, VERDICT r11 #1) --------
+
+  /** When enabled, a [[Lake.onCommit]] hook advances every registered
+    * view that DEPENDS on the committed table — as its fact source
+    * ([[refresh]] / [[refreshDistinct]]) or as a star dimension
+    * ([[refreshDim]], after a fact [[refresh]] to satisfy its
+    * fact-fresh precondition) — on the writer's thread, immediately
+    * after the commit publishes. Steady state then serves DIRECT with
+    * no human `CALL graft.refresh_mv*`: the Delta-Live-Tables /
+    * MV-log pattern, here riding the commit protocol itself.
+    *
+    * Failure containment: each advance is the same crash-safe
+    * incremental refresh the manual CALL runs (atomic merge + txn
+    * marker); an advance that fails leaves the view stale and STILL
+    * CORRECT — the rewrite's compensation path covers the gap until
+    * the next commit retries. Outcomes land in [[lastMaintenance]]
+    * for observability. Re-entrancy: the refreshes commit to the view
+    * tables themselves, which fires the hook again — a thread-local
+    * guard makes those inner commits no-ops.
+    *
+    * Scale shape: at 100 TB each source commit already knows its
+    * touched files; the maintenance pass reads exactly that change
+    * feed once per dependent view, so write amplification is
+    * O(dependents × Δ) — the same work the first post-commit query
+    * would otherwise pay per query until someone refreshed. */
+  private val autoMaintain = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val inMaintenance = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Last auto-maintenance outcome: (committed source dir, summary). */
+  val lastMaintenance = new AtomicReference[(String, String)]()
+
+  def enableAutoMaintenance(): Unit = {
+    if (hookInstalled.compareAndSet(false, true))
+      Lake.onCommit(maintainDependents)
+    autoMaintain.set(true)
+  }
+
+  def disableAutoMaintenance(): Unit = autoMaintain.set(false)
+
+  private def maintainDependents(dir: String, version: Long): Unit = {
+    if (!autoMaintain.get() || inMaintenance.get()) return
+    import scala.jdk.CollectionConverters._
+    val asSource = reg.values.asScala.filter(_.sourceDir == dir).toSeq
+    val asDim = reg.values.asScala
+      .filter(d => d.sourceDir != dir && d.dims.exists(_.dimDir == dir)).toSeq
+    val asDistinct = dreg.values.asScala.filter(_.sourceDir == dir).toSeq
+    if (asSource.isEmpty && asDim.isEmpty && asDistinct.isEmpty) return
+    inMaintenance.set(java.lang.Boolean.TRUE)
+    try {
+      val spark = SparkSession.active
+      val outcomes = scala.collection.mutable.ArrayBuffer[String]()
+      asSource.foreach { d =>
+        try { refresh(spark, d.sourceDir, d.dims.map(_.dimDir))
+          outcomes += s"refreshed ${d.mvDir}" }
+        catch { case e: Exception =>
+          outcomes += s"refresh ${d.mvDir} FAILED: ${e.getMessage}" }
+      }
+      asDim.foreach { d =>
+        try {
+          refresh(spark, d.sourceDir, d.dims.map(_.dimDir))
+          refreshDim(spark, d.sourceDir, d.dims.map(_.dimDir))
+          outcomes += s"dim-refreshed ${d.mvDir}"
+        } catch { case e: Exception =>
+          outcomes += s"refreshDim ${d.mvDir} FAILED: ${e.getMessage}" }
+      }
+      asDistinct.foreach { d =>
+        try { refreshDistinct(spark, d.mvDir)
+          outcomes += s"refreshed-distinct ${d.mvDir}" }
+        catch { case e: Exception =>
+          outcomes += s"refreshDistinct ${d.mvDir} FAILED: ${e.getMessage}" }
+      }
+      lastMaintenance.set((dir, outcomes.mkString("; ")))
+    } finally inMaintenance.set(java.lang.Boolean.FALSE)
+  }
+
   // ---- COUNT(DISTINCT) views: the (group × value)-grain aux ----------------
 
   /** A DISTINCT-COUNT view: one lake table at `(groupCols × value)`
@@ -1010,8 +1104,7 @@ object MatView {
     val agg = distinctAuxFrame(spark, sourceDir, v, groupCols, distinctCol,
       derived)
     graft.Scratch.rm(new java.io.File(mvDir))
-    Lake.create(agg, mvDir,
-      (groupCols :+ vNullCol :+ vCol).mkString(","), targetFiles = 1)
+    createViewTable(spark, agg, mvDir, groupCols :+ vNullCol :+ vCol)
     val nullGroups = Lake.read(spark, mvDir)
       .filter(groupCols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
     if (nullGroups > 0L) {

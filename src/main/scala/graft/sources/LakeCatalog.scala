@@ -245,6 +245,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "create_mv_distinct" => LakeProcedures.createMvDistinct(this)
       case "refresh_mv_distinct" => LakeProcedures.refreshMvDistinct(this)
       case "mvd_status" => LakeProcedures.mvdStatus(this)
+      case "auto_maintenance" => LakeProcedures.autoMaintenance(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
@@ -257,7 +258,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
         "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv",
-        "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status")
+        "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status",
+        "auto_maintenance")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

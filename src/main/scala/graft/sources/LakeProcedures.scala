@@ -193,6 +193,25 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.auto_maintenance(enabled => true)` — arm or disarm
+    * the post-commit maintenance hook
+    * ([[graft.lake.MatView.enableAutoMaintenance]]): while armed,
+    * every visible commit to a table some registered view depends on
+    * advances that view incrementally on the writer's thread, so
+    * steady state serves DIRECT with no further CALLs. Returns the
+    * resulting state. */
+  def autoMaintenance(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("auto_maintenance",
+      Array(in("enabled", org.apache.spark.sql.types.BooleanType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val on = input.getBoolean(0)
+        if (on) graft.lake.MatView.enableAutoMaintenance()
+        else graft.lake.MatView.disableAutoMaintenance()
+        result(StructType(Seq(StructField("enabled",
+          org.apache.spark.sql.types.BooleanType))), on)
+      }
+    }
+
   /** `CALL graft.create_mv_join(tbl => 'ns.fact', dim => 'ns.dim',
     * fact_key => 'custkey', dim_key => 'c_custkey', view => 'ns.v',
     * group_cols => 'segment', sum_cols => 'amt')` — STAR-JOIN view

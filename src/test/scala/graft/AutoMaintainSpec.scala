@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Lake, MatView}
+
+/** Automatic incremental MV maintenance (round 12):
+  * [[MatView.enableAutoMaintenance]] arms a [[Lake.onCommit]] hook
+  * that advances every dependent view — plain, distinct, and star —
+  * on the writer's thread after each visible commit, so steady state
+  * serves DIRECT with no manual refresh. Also covers the
+  * define-over-empty-table shape (the view anchors via createEmpty
+  * and maintenance fills it), failure containment (a failed advance
+  * degrades to the compensation serve, never the writer), and
+  * re-entrancy (the refresh's own view-table commits don't recurse). */
+class AutoMaintainSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fresh(tag: String): String = {
+    val d = new java.io.File(graft.Scratch.root,
+      s"graft-automv-$tag-${spark.sparkContext.applicationId}")
+    graft.Scratch.rm(d)
+    d.getAbsolutePath
+  }
+
+  private def kindOf(df: org.apache.spark.sql.DataFrame,
+      src: String): String = {
+    MatView.lastRewrite.set(null)
+    df.queryExecution.optimizedPlan
+    Option(MatView.lastRewrite.get()) match {
+      case Some((d, k)) if d == src => k
+      case _ => "none"
+    }
+  }
+
+  private def lakeDf(src: String) = {
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    spark.read.format("graft-lake").option("path", src).load()
+  }
+
+  test("a source commit advances the dependent view; the next query serves direct") {
+    val dir = fresh("plain")
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_custkey"))
+    Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
+      "o_orderkey", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("o_orderpriority"), Seq("o_custkey"))
+    MatView.enableAutoMaintenance()
+    try {
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      // the hook already refreshed: registry pin == source head
+      assert(MatView.get(dir).exists(_.builtVersion == 2L))
+      val q = lakeDf(dir).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      val exp = Lake.read(spark, dir).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("s"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+      assert(q.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq === exp)
+      val Some((d, outcome)) = Option(MatView.lastMaintenance.get())
+      assert(d === dir && outcome.contains("refreshed"))
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("declare over an EMPTY table, let ingest commits fill it") {
+    import spark.implicits._
+    val dir = fresh("empty")
+    val schema = Seq((1L, "a", 10L)).toDF("id", "grp", "v").schema
+    Lake.createEmpty(spark, dir, schema, "id")
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    MatView.enableAutoMaintenance()
+    try {
+      Lake.upsert(spark, dir,
+        Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 5L)).toDF("id", "grp", "v"))
+      Lake.upsert(spark, dir, Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+      assert(MatView.get(dir).exists(_.builtVersion == 3L))
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      assert(q.orderBy("grp").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 15L), ("b", 27L)))
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("distinct views and star dimensions maintain too") {
+    val dir = fresh("star")
+    val dim = fresh("star-dim")
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_custkey"))
+    Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
+      "o_orderkey", targetFiles = 2)
+    Lake.create(Tables.customer(spark, sf), dim, "c_custkey", targetFiles = 1)
+    MatView.defineDistinct(spark, dir, dir + "-dview",
+      Seq("o_orderpriority"), "o_custkey")
+    MatView.defineStar(spark, dir, Seq((dim, "o_custkey", "c_custkey")),
+      dir + "-sview", Seq("c_mktsegment"), Seq("o_orderkey"))
+    MatView.enableAutoMaintenance()
+    try {
+      // a FACT commit advances both the distinct view and the star view
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      assert(MatView.getDistinct(dir + "-dview").exists(_.builtVersion == 2L))
+      assert(MatView.getStar(dir, Seq(dim)).exists(_.builtVersion == 2L))
+      // a DIMENSION commit advances the star view's dim pin
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      assert(MatView.getStar(dir, Seq(dim))
+        .exists(_.dims.head.dimVersion == Lake.latestVersion(dim)))
+      // and the star query serves direct against the churned dim
+      val q = lakeDf(dir)
+        .join(lakeDf(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      assert(kindOf(q, dir) === "direct-join")
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+      MatView.unregisterDistinct(dir + "-dview")
+      MatView.unregisterStar(dir, Seq(dim))
+    }
+  }
+
+  test("a failed advance degrades to the compensation serve, never the writer") {
+    import spark.implicits._
+    val dir = fresh("fail")
+    Lake.create(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"),
+      dir, "id", targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    MatView.enableAutoMaintenance()
+    try {
+      // a NULL group value makes refresh refuse (it cannot key the
+      // view table) — the WRITE must still succeed
+      Lake.upsert(spark, dir,
+        Seq((3L, null.asInstanceOf[String], 7L)).toDF("id", "grp", "v"))
+      assert(Lake.latestVersion(dir) === 2L, "writer must not fail")
+      assert(MatView.get(dir).exists(_.builtVersion == 1L),
+        "the view stays at its old pin")
+      val Some((_, outcome)) = Option(MatView.lastMaintenance.get())
+      assert(outcome.contains("FAILED"))
+      // the query still answers EXACTLY via compensation
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "compensated")
+      assert(q.orderBy(col("grp").asc_nulls_first).collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1))).toSeq ===
+        Seq((None, 7L), (Some("a"), 10L), (Some("b"), 20L)))
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("disabled by default: commits without enable leave views stale") {
+    import spark.implicits._
+    val dir = fresh("off")
+    Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), dir, "id",
+      targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    try {
+      Lake.upsert(spark, dir, Seq((2L, "b", 20L)).toDF("id", "grp", "v"))
+      assert(MatView.get(dir).exists(_.builtVersion == 1L),
+        "no auto-advance without enableAutoMaintenance")
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "compensated")
+    } finally MatView.unregister(dir)
+  }
+}

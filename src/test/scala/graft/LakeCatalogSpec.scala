@@ -550,4 +550,32 @@ class LakeCatalogSpec extends SparkSpec {
     graft.lake.MatView.unregisterJoined(s"$warehouse/mvj/fact",
       s"$warehouse/mvj/cust")
   }
+
+  test("CALL auto_maintenance: INSERTs advance the view, no refresh CALL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.amv")
+    sql("""CREATE TABLE graftcat.amv.t (k BIGINT, grp STRING, v BIGINT)
+          |TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.amv.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("""CALL graftcat.create_mv(tbl => 'amv.t', view => 'amv.v',
+          |group_cols => 'grp', sum_cols => 'v')""".stripMargin)
+    val dir = s"$warehouse/amv/t"
+    try {
+      assert(sql("CALL graftcat.auto_maintenance(enabled => true)")
+        .head().getBoolean(0))
+      sql("INSERT INTO graftcat.amv.t VALUES (3, 'a', 5), (4, 'c', 7)")
+      // the catalog INSERT's commit already advanced the view
+      assert(graft.lake.MatView.get(dir)
+        .exists(_.builtVersion == Lake.latestVersion(dir)))
+      val st = sql("CALL graftcat.mv_status(tbl => 'amv.t')").head()
+      assert(st.getLong(0) === Lake.latestVersion(dir) && st.getLong(2) === 0L,
+        s"view must be zero commits behind: $st")
+      assert(sql("SELECT grp, __mv_sum_v FROM graftcat.amv.v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+        Seq(("a", 15L), ("b", 20L), ("c", 7L)))
+    } finally {
+      sql("CALL graftcat.auto_maintenance(enabled => false)")
+      graft.lake.MatView.unregister(dir)
+    }
+  }
 }
