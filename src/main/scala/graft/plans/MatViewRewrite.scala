@@ -556,16 +556,16 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
     dimIdxs = dimHits.map(_._1)
     if dimIdxs.size == edges.size && dimIdxs.distinct.size == d.dims.size
-    // serve-time dim compensation: at most ONE dimension ahead of its
-    // pin, the aux rollup present, and the FACT exactly at the build
-    // (interleaving a fact delta with a dim move in one serve would
-    // compensate them against each other inconsistently)
-    staleDim = dimHits.flatMap(_._2).headOption
-    if dimHits.flatMap(_._2).size <= 1
+    // serve-time star compensation (round 12 lifts the round-11
+    // one-dim / fact-at-build gates): ANY number of dims ahead of
+    // their pins and an unabsorbed fact delta compose — fact
+    // compensation against pinned dims first, then sequential moves
+    // off the in-plan fact-fresh aux (MatView.compensatedStar).
+    // Requires the aux rollup (every register fact-side).
+    staleDims = dimHits.flatMap(_._2)
     if fact.version >= d.builtVersion
     factPinned = MatView.effectiveVersion(fact.dir, d.builtVersion, fact.version)
-    if staleDim.isEmpty || (factPinned == d.builtVersion &&
-      MatView.dimCompensable(d))
+    if staleDims.isEmpty || MatView.dimCompensable(d)
     res = resolveAll(d, leaves.flatMap(_.out))
     serves <- matchGroups(
       agg.groupingExpressions.map(applySubst(_, subst)), res)
@@ -586,10 +586,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // a moved subtotal may have carried the extremum away: min/max
     // refuse under an unabsorbed dim churn (only the committed
     // refreshDim re-derives them)
-    if staleDim.isEmpty || !wantsExtrema
+    if staleDims.isEmpty || !wantsExtrema
     if factPinned == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
-  } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDim)
+  } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDims)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -612,19 +612,18 @@ object MatViewRewrite extends Rule[LogicalPlan] {
   private def build(d: MatView.MvDef, pinnedVersion: Long,
       filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
       asks: Seq[Ask], wantsExtrema: Boolean,
-      staleDim: Option[(Int, Long)] = None): LogicalPlan = {
+      staleDims: Seq[(Int, Long)] = Nil): LogicalPlan = {
     val spark = SparkSession.active
-    val fresh = pinnedVersion == d.builtVersion && staleDim.isEmpty
+    val fresh = pinnedVersion == d.builtVersion && staleDims.isEmpty
     val declaredNames = d.groupCols.map(_.toLowerCase).toSet
-    val base = staleDim match {
-      case Some((i, toDimVersion)) =>
-        MatView.compensatedDim(spark, d, i, toDimVersion)
-      case None if fresh =>
+    val base =
+      if (staleDims.nonEmpty)
+        MatView.compensatedStar(spark, d, pinnedVersion, staleDims)
+      else if (fresh)
         spark.read.format("graft-lake").option("path", d.mvDir).load()
-      case None =>
+      else
         MatView.compensated(spark, d, pinnedVersion,
           if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
-    }
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
     val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
@@ -716,7 +715,9 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         Alias(byName(MatView.maxCol(n)), orig.name)(exprId = orig.exprId)
     }
     MatView.lastRewrite.set((d.sourceDir,
-      (if (staleDim.isDefined) "dim-compensated"
+      (if (staleDims.nonEmpty && pinnedVersion > d.builtVersion)
+        "star-compensated" // fact delta AND dim churn absorbed in-plan
+      else if (staleDims.nonEmpty) "dim-compensated"
       else if (fresh) "direct" else "compensated") +
         (if (exact) "" else "-rollup") +
         (if (d.dims.nonEmpty) "-join" else "")))

@@ -505,6 +505,100 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregisterStar(src, Seq(cdim, pdir))
   }
 
+  test("star serve-time composition: TWO churned dims + a fact append " +
+      "absorb in one plan (round 12)") {
+    val src = buildSource("star2c")
+    val cdim = buildDim("star2c")
+    val pdir = freshDir("star2c-pdim")
+    Lake.create(Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p_prio")).distinct()
+      .withColumn("p_class",
+        when(col("p_prio").isin("1-URGENT", "2-HIGH"), "high")
+          .otherwise("low")),
+      pdir, "p_prio", targetFiles = 1)
+    MatView.defineStar(spark, src,
+      Seq((cdim, "o_custkey", "c_custkey"), (pdir, "o_orderpriority", "p_prio")),
+      src + "-sview", Seq("c_mktsegment", "p_class"), Seq("o_cents"))
+    try {
+      // AFTER the build: churn BOTH dims and append fact rows —
+      // round 11 refused this combination (one stale dim max, fact at
+      // build); round 12 composes all three deltas in the serve plan
+      Lake.upsert(spark, cdim, Lake.read(spark, cdim)
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      Lake.upsert(spark, pdir, Lake.read(spark, pdir)
+        .filter(col("p_prio") === "3-MEDIUM")
+        .withColumn("p_class", lit("mid")))
+      val maxKey = Lake.read(spark, src)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey))
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val dc = spark.read.format("graft-lake").option("path", cdim).load()
+      val dp = spark.read.format("graft-lake").option("path", pdir).load()
+      val q = fact.join(dc, col("o_custkey") === col("c_custkey"))
+        .join(dp, col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment"), col("p_class"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          avg(col("o_cents")).as("avg_cents"))
+      assert(kindOf(q, src) === "star-compensated-join")
+      val expected = Lake.read(spark, src)
+        .join(Lake.read(spark, cdim), col("o_custkey") === col("c_custkey"))
+        .join(Lake.read(spark, pdir), col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment"), col("p_class"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"),
+          avg(col("o_cents")).as("avg_cents"))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("c_mktsegment", "p_class").collect().map(_.toSeq).toSeq
+      assert(sorted(q) === sorted(expected))
+      // min/max still refuse under churn (a moved subtotal may have
+      // carried the extremum)
+      val qx = fact.join(dc, col("o_custkey") === col("c_custkey"))
+        .join(dp, col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment")).agg(max(col("o_cents")).as("mx"))
+      assert(kindOf(qx, src) === "none")
+      // a partial rollup over the churned star composes too
+      val qr = fact.join(dc, col("o_custkey") === col("c_custkey"))
+        .join(dp, col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("p_class")).agg(sum(col("o_cents")).as("cents"))
+      assert(kindOf(qr, src) === "star-compensated-rollup-join")
+      val er = Lake.read(spark, src)
+        .join(Lake.read(spark, cdim), col("o_custkey") === col("c_custkey"))
+        .join(Lake.read(spark, pdir), col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("p_class")).agg(sum(col("o_cents")).as("cents"))
+      assert(qr.orderBy("p_class").collect().map(_.toSeq).toSeq ===
+        er.orderBy("p_class").collect().map(_.toSeq).toSeq)
+    } finally MatView.unregisterStar(src, Seq(cdim, pdir))
+  }
+
+  test("star serve-time composition: one stale dim + fact UPDATES " +
+      "(not just appends) compose exactly") {
+    val src = buildSource("starfd")
+    val dim = buildDim("starfd")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      // fact UPDATES: a %6 slice's cents double — the feed carries
+      // pre/postimages, the aux roll-forward must absorb both
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_cents", col("o_cents") * 2))
+      val q = joinAgg(src, dim)
+      assert(kindOf(q, src) === "star-compensated-join")
+      // the serve reads the fact CHANGE FEED (bounded) + the view +
+      // Δdim ⋈ aux — never a fact snapshot scan (structural: the plan
+      // below is built from compensatedStar, whose only fact input is
+      // Lake.changes over the missed commits)
+      assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
   test("defineOrRecover: the second invocation recovers the build and values hold") {
     val src = buildSource("recov")
     val mv = src + "-view"
