@@ -404,6 +404,10 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.mvAutoSql)),
     ("x8_mv_rewrite", graft.lake.LakeQueries.mvRewrite _,
       Some(graft.lake.LakeQueries.mvRewriteSql)),
+    // round-12: rank + share-of-total ABOVE a view-served aggregate —
+    // the exprId-preserving rewrite lets the Window resolve unchanged
+    ("x8_mv_window", graft.lake.LakeQueries.mvWindow _,
+      Some(graft.lake.LakeQueries.mvWindowSql)),
     ("x8_mv_stale", graft.lake.LakeQueries.mvStale _,
       Some(graft.lake.LakeQueries.mvStaleSql)),
     ("x8_mv_refresh", graft.lake.LakeQueries.mvRefresh _,
@@ -635,6 +639,7 @@ object SparkEntry {
     "x8_mv_bucket_filter", "x8_mv_dim_churn",
     "x8_mv_distinct", "x8_mv_distinct_stale", // distinct aux on MV source hist
     "x8_mv_gsets", // rollup union over the shared 2-d view
+    "x8_mv_window", // window over the shared fresh view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view

@@ -2364,6 +2364,54 @@ object LakeQueries {
 
   val mvRewriteSql: String = mvFinalStateSql("mv_served")
 
+  /** Registered query `x8_mv_window` — WINDOW FUNCTIONS OVER A
+    * VIEW-SERVED AGGREGATE (round 12, VERDICT r11 #8): the dashboard
+    * "rank segments by revenue share" shape — `rank() OVER (ORDER BY
+    * sum(cents) DESC)` and `sum(cents) / sum(sum(cents)) OVER ()` —
+    * written against the SOURCE. The Window sits ABOVE the Aggregate
+    * the rule rewrites; because every replacement alias carries the
+    * original output's exprId, the Window's references resolve
+    * unchanged and the whole plan reduces to (5-row view scan) +
+    * (window over 5 rows) — no new matcher code, the exprId-preserving
+    * contract doing exactly what it was built for. `mv_window` pins
+    * the direct serve and the no-fact-scan shape; DuckDB mirrors the
+    * windowed rollup from the derived final state. */
+  def mvWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = mvSharedSource(spark, sfDir)
+    graft.lake.MatView.defineOrRecover(spark, src, Nil, src + "-view-fresh",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    import org.apache.spark.sql.expressions.Window
+    val agg = spark.read.format("graft-lake").option("path", src).load()
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("revenue_cents"))
+    val q = agg
+      .withColumn("revenue_rank",
+        rank().over(Window.orderBy(col("revenue_cents").desc)).cast("long"))
+      .withColumn("revenue_share",
+        (col("revenue_cents").cast("double") /
+          sum(col("revenue_cents")).over(Window.partitionBy())))
+    val served = rewriteKind(q, src) == "direct" && !factScanned(q, src)
+    q.withColumn("mv_window", lit(served)).orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the same windowed rollup from the derived v4 state. */
+  val mvWindowSql: String =
+    s"""$mvFinalStateCte,
+       |rolled AS (
+       |  SELECT o_orderpriority, count(*) AS n_orders,
+       |    CAST(sum(o_cents) AS BIGINT) AS revenue_cents
+       |  FROM final GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, n_orders, revenue_cents,
+       |  CAST(rank() OVER (ORDER BY revenue_cents DESC) AS BIGINT)
+       |    AS revenue_rank,
+       |  CAST(revenue_cents AS DOUBLE) /
+       |    CAST(sum(revenue_cents) OVER () AS DOUBLE) AS revenue_share,
+       |  TRUE AS mv_window
+       |FROM rolled
+       |ORDER BY o_orderpriority""".stripMargin
+
   /** Registered query `x8_mv_stale` — STALE-VIEW COMPENSATION: the
     * view is built AS OF v1 of the shared history (below the upsert,
     * the delete, and the append), and the source aggregate runs
