@@ -386,6 +386,10 @@ object SparkEntry {
     // abort path, and version reuse all pinned into the hash
     ("x8_lake_pair", graft.lake.LakeQueries.lakePair _,
       Some(graft.lake.LakeQueries.lakePairSql)),
+    // round-12: vacuum refuses below registered view pins; time travel
+    // below the floor errors descriptively
+    ("x8_lake_vacuum_pin", graft.lake.LakeQueries.lakeVacuumPin _,
+      Some(graft.lake.LakeQueries.lakeVacuumPinSql)),
     // round-11: WHERE key IN (...) opens only the files whose Bloom
     // bitsets might hold the values — point-lookup pruning in SQL
     ("x8_lake_inlist", graft.lake.LakeQueries.lakeInList _,

@@ -2084,6 +2084,77 @@ object LakeQueries {
       |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
       |ORDER BY dirn, o_orderkey""".stripMargin
 
+  /** Registered query `x8_lake_vacuum_pin` — VACUUM × MV-PIN SAFETY
+    * (round 12, VERDICT r11 #7): a view pinned BELOW the retention
+    * floor must block the vacuum (expiring those versions would break
+    * its compensation feed), a refreshed pin must unblock it, and time
+    * travel below the floor must error DESCRIPTIVELY (the version
+    * existed — it was vacuumed, not never-committed). The scenario
+    * pins all three into the hash: `vac_refused` (the early vacuum
+    * threw the pin error and the stale view still served exactly),
+    * `vac_reclaimed` (post-refresh vacuum deleted rewritten files),
+    * and `tt_clean` (reading v1 afterwards names the vacuum and the
+    * earliest surviving version). The output rows are the view-served
+    * aggregate of the final state, mirrored relationally. */
+  def lakeVacuumPin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratchDir(spark, sfDir) + "-vacpin"
+    val f = new java.io.File(dir)
+    Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(f.getName)).foreach(rm)
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    Lake.create(orders.filter(col("o_orderkey") % 3 === 0), dir,
+      "o_orderkey", targetFiles = 4)
+    graft.lake.MatView.define(spark, dir, dir + "-view",
+      Seq("o_orderpriority"), Seq("o_cents"))
+    try {
+      // two post-build commits: the view pin (v1) falls below the
+      // retention floor of vacuum(retain=2) → keepFrom = 2
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 3 === 1))
+      Lake.upsert(spark, dir, Lake.read(spark, dir)
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_cents", col("o_cents") * 2))
+      val refused =
+        try { Lake.vacuum(dir, retainVersions = 2); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("registered view pins") }
+      // the stale view still serves exactly (compensated) — vacuum
+      // refusing is what kept that possible
+      val staleServe = rewriteKind(mvUserQuery(spark, dir), dir) == "compensated"
+      // advance the pin, vacuum proceeds, v1's rewritten files reclaim
+      graft.lake.MatView.refresh(spark, dir)
+      val reclaimed = Lake.vacuum(dir, retainVersions = 2)
+      // time travel below the floor: descriptive error, not "never existed"
+      val ttMsg =
+        try { Lake.read(spark, dir, 1L); "" }
+        catch { case e: Exception => Option(e.getMessage).getOrElse("") }
+      val ttClean = ttMsg.contains("has been vacuumed") &&
+        ttMsg.contains("earliest time-travelable version is 2")
+      val q = mvUserQuery(spark, dir)
+      val direct = rewriteKind(q, dir) == "direct"
+      q.withColumn("vac_refused", lit(refused && staleServe))
+        .withColumn("vac_reclaimed", lit(reclaimed.nonEmpty && direct))
+        .withColumn("tt_clean", lit(ttClean))
+        .orderBy(col("o_orderpriority"))
+    } finally graft.lake.MatView.unregister(dir)
+  }
+
+  /** Mirror: the final state (two-thirds of orders, %5 keys of the
+    * landed set doubled) aggregated relationally. */
+  val lakeVacuumPinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(avg(cents) AS DOUBLE) AS avg_cents,
+      |  TRUE AS vac_refused, TRUE AS vac_reclaimed, TRUE AS tt_clean
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END) AS cents
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Registered query `x8_lake_pair` — CROSS-TABLE ATOMIC COMMIT for
     * the medallion pair (round 11, VERDICT r10 #8): bronze (row-level
     * orders) and silver (per-priority registers) are two lake tables

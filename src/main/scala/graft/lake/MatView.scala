@@ -183,6 +183,23 @@ object MatView {
     reg.values.asScala.filter(_.sourceDir == dir).toSeq
   }
 
+  /** Every version of `dir` some registered view still PINS — its
+    * build version when `dir` is the view's fact source (plain,
+    * star, or distinct), its dim pin when `dir` is a star dimension.
+    * [[Lake.vacuum]] consults this: expiring a pinned version would
+    * break the view's compensation feed (`changes(pin → head)` reads
+    * the expired commits' files), so vacuum refuses instead —
+    * VERDICT r11 #7. Returns (view dir, pinned version) pairs. */
+  def pinsOn(dir: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    reg.values.asScala.flatMap { d =>
+      (if (d.sourceDir == dir) Seq(d.mvDir -> d.builtVersion) else Nil) ++
+        d.dims.filter(_.dimDir == dir).map(ds => d.mvDir -> ds.dimVersion)
+    }.toSeq ++
+      dreg.values.asScala.filter(_.sourceDir == dir)
+        .map(d => d.mvDir -> d.builtVersion).toSeq
+  }
+
   /** Unregister (and report) every view over `dir` whose declaration
     * references `colName` — as a raw group/sum column or inside a
     * derived expression. Called by the lake's DROP COLUMN path: a view

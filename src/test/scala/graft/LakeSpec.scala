@@ -463,6 +463,39 @@ class LakeSpec extends SparkSpec {
     assert(m3.files.map(_.name).forall(n =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))))
     intercept[Exception] { Lake.manifest(dir, 1L) } // history actually gone
+    // round 12: the error is DESCRIPTIVE — the version was vacuumed,
+    // not never-committed, and the floor is named
+    val msg = intercept[Exception] { Lake.manifest(dir, 1L) }.getMessage
+    assert(msg.contains("has been vacuumed") &&
+      msg.contains("earliest time-travelable version is 3"), msg)
+  }
+
+  test("vacuum refuses below a registered view pin; a refreshed pin unblocks") {
+    import graft.lake.MatView
+    val dir = freshDir("vacpin")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
+      "o_orderkey", targetFiles = 2)
+    MatView.define(spark, dir, dir + "-view",
+      Seq("o_orderpriority"), Seq("o_custkey"))
+    try {
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 2 === 0))
+      Lake.upsert(spark, dir, Lake.read(spark, dir).limit(5)
+        .withColumn("o_orderpriority", lit("9-MOVED")))
+      // view pinned at v1, retention floor v2 → refuse, with remediation
+      val msg = intercept[IllegalArgumentException] {
+        Lake.vacuum(dir, retainVersions = 2)
+      }.getMessage
+      assert(msg.contains("registered view pins") &&
+        msg.contains("-view@v1"), msg)
+      // nothing was deleted: the full history still resolves
+      assert(Lake.manifest(dir, 1L).files.nonEmpty)
+      // advancing the pin clears the block
+      MatView.refresh(spark, dir)
+      assert(Lake.vacuum(dir, retainVersions = 2).nonEmpty)
+      assert(Lake.latestVersion(dir) === 3L)
+    } finally MatView.unregister(dir)
   }
 
   test("readRange: manifest stats skip non-intersecting files; result stays exact") {
