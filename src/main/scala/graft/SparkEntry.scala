@@ -379,6 +379,10 @@ object SparkEntry {
       Some(graft.lake.LakeQueries.lakeTopNSql)),
     // round-11: manifest-aggregated per-column min/max/NDV through the
     // V2 stats API drive CBO join reordering (fact joins last)
+    // round-12: ANALYZE-attached HLL NDV + null counts reorder a
+    // 4-table join off an UNCLUSTERED predicate column
+    ("x8_lake_colstats4", graft.lake.LakeQueries.lakeColStats4 _,
+      Some(graft.lake.LakeQueries.lakeColStats4Sql)),
     ("x8_lake_colstats", graft.lake.LakeQueries.lakeColStats _,
       Some(graft.lake.LakeQueries.lakeColStatsSql)),
     // round-11: cross-table atomic commit — bronze+silver stage pending
@@ -634,7 +638,7 @@ object SparkEntry {
     "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
-    "x8_lake_colstats", // stat tables
+    "x8_lake_colstats", "x8_lake_colstats4", // stat tables
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
@@ -669,6 +673,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateMvHistory()
     graft.lake.LakeQueries.invalidateMvExpr()
     graft.lake.LakeQueries.invalidateStatTables()
+    graft.lake.LakeQueries.invalidateStatTables4()
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()

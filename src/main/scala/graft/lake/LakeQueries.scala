@@ -1989,6 +1989,131 @@ object LakeQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** The [[lakeColStats4]] fixture: four lake tables — lineitem,
+    * orders, customer, nation — where customer keys ONLY on c_custkey,
+    * so c_nationkey is an UNCLUSTERED column that carries no stats at
+    * all until `CALL graft.analyze` attaches HLL NDV + range + null
+    * counts. Memoized like [[statTables]]. */
+  private val statTables4Memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[(String, String, String, String)]]()
+
+  private[graft] def invalidateStatTables4(): Unit = {
+    import scala.jdk.CollectionConverters._
+    statTables4Memo.values.asScala.foreach(_.peek.foreach {
+      case (a, b, c, d) => Seq(a, b, c, d).foreach(x => rm(new java.io.File(x)))
+    })
+    statTables4Memo.clear()
+  }
+
+  private def statTables4(spark: SparkSession,
+      sfDir: String): (String, String, String, String) = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/lineitem.parquet") +
+      graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    statTables4Memo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(statTables4Memo.remove(k))
+        .foreach(_.peek.foreach { case (a, b, c, d) =>
+          Seq(a, b, c, d).foreach(x => rm(new java.io.File(x))) }))
+    statTables4Memo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val factDir = scratchDir(spark, sfDir) + "-stat4-fact"
+        val ordDir = scratchDir(spark, sfDir) + "-stat4-ord"
+        val custDir = scratchDir(spark, sfDir) + "-stat4-cust"
+        val natDir = scratchDir(spark, sfDir) + "-stat4-nat"
+        Seq(factDir, ordDir, custDir, natDir).foreach(x =>
+          rm(new java.io.File(x)))
+        Lake.create(Tables.lineitem(spark, sfDir), factDir, "l_orderkey",
+          targetFiles = 8)
+        Lake.create(Tables.orders(spark, sfDir), ordDir,
+          "o_orderkey,o_custkey", targetFiles = 8)
+        Lake.create(Tables.customer(spark, sfDir), custDir, "c_custkey",
+          targetFiles = 4)
+        Lake.create(Tables.nation(spark, sfDir), natDir, "n_nationkey",
+          targetFiles = 1)
+        // the round-12 feature: statistics for the UNCLUSTERED filter
+        // and join column arrive via ANALYZE, not via key clustering
+        Lake.compactAnalyzed(spark, custDir, Seq("c_nationkey"),
+          targetFiles = 4)
+        (factDir, ordDir, custDir, natDir)
+      })).get
+  }
+
+  /** Registered query `x8_lake_colstats4` — ANALYZED COLUMN
+    * STATISTICS driving a 4-TABLE CBO reorder off a NON-KEY predicate
+    * (round 12, VERDICT r11 #6): `lineitem ⋈ orders ⋈ customer ⋈
+    * nation` written in the worst syntactic order (fact first,
+    * filtered tables last), filtered on `c_nationkey = 3` — a column
+    * customer's layout does NOT cluster, so without
+    * [[Lake.compactAnalyzed]] it carries no statistics at all. The
+    * manifest's per-file HLL sketches merge into a snapshot NDV (~25
+    * nations) + exact null count + range at planning time
+    * ([[graft.sources.LakeScan]] `columnStats`), CBO prices the
+    * equality at ~1/25 and moves the fact off the innermost join.
+    * `reordered` pins the plan shape and `ndv_sane` pins the merged
+    * estimate landing on the true nation count; DuckDB mirrors the
+    * rollup from raw tables. */
+  def lakeColStats4(spark: SparkSession, sfDir: String): DataFrame = {
+    val (factDir, ordDir, custDir, natDir) = statTables4(spark, sfDir)
+    def lake(d: String) =
+      spark.read.format("graft-lake").option("path", d).load()
+    val q = lake(factDir)
+      .join(lake(ordDir), col("l_orderkey") === col("o_orderkey"))
+      .join(lake(custDir), col("o_custkey") === col("c_custkey"))
+      .join(lake(natDir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_nationkey") === 3L)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val reordered = try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val inner = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if !j.children.exists(_.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Join])) => j
+      }
+      inner.nonEmpty && inner.forall(!_.exists {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name.contains("stat4-fact")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name.contains("stat4-fact")
+        case _ => false
+      })
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // the merged sketch must land on the true NDV (25 nations): the
+    // reorder above is only honest if the estimate it priced is real
+    val live = Lake.manifest(custDir, Lake.latestVersion(custDir))
+      .files.filter(f => f.rows > 0 && f.ndv.contains("c_nationkey"))
+    val est = if (live.isEmpty) 0L
+      else Lake.mergeNdv(live.map(_.ndv("c_nationkey")))
+    val exact = Tables.customer(spark, sfDir)
+      .select("c_nationkey").distinct().count()
+    val ndvSane = live.nonEmpty &&
+      math.abs(est - exact) <= math.max(1L, exact / 10)
+    q.withColumn("reordered", lit(reordered))
+      .withColumn("ndv_sane", lit(ndvSane))
+      .orderBy(col("n_name"))
+  }
+
+  /** Mirror: the same filtered 4-table rollup from raw tables. */
+  val lakeColStats4Sql: String =
+    """SELECT n_name, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  TRUE AS reordered, TRUE AS ndv_sane
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_nationkey = 3
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** Registered query `x8_lake_topn` — TOP-N PUSHDOWN on the lake scan
     * (round 11, VERDICT r10 #7): `ORDER BY key LIMIT 7` in both
     * directions over the 8-file range-clustered orders table. The scan

@@ -193,6 +193,25 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.analyze(tbl => 'ns.t', cols => 'a,b', target_files
+    * => 8)` — attach per-file column statistics (range stats, HLL NDV
+    * sketches, exact null counts) for the named columns as a
+    * row-preserving maintenance rewrite
+    * ([[graft.lake.Lake.compactAnalyzed]]); CBO then prices non-key
+    * predicates from the manifest. Returns the new version. */
+  def analyze(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("analyze",
+      Array(in("tbl", StringType), in("cols", StringType),
+        in("target_files", org.apache.spark.sql.types.IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = graft.lake.Lake.compactAnalyzed(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString.split(',').map(_.trim).toSeq,
+          input.getInt(2))
+        result(StructType(Seq(StructField("version", LongType))), v)
+      }
+    }
+
   /** `CALL graft.auto_maintenance(enabled => true)` — arm or disarm
     * the post-commit maintenance hook
     * ([[graft.lake.MatView.enableAutoMaintenance]]): while armed,

@@ -470,6 +470,52 @@ class LakeSpec extends SparkSpec {
       msg.contains("earliest time-travelable version is 3"), msg)
   }
 
+  test("compactAnalyzed: per-file HLL sketches + exact null counts; " +
+      "the scan reports the merged NDV through columnStats") {
+    import spark.implicits._
+    val dir = freshDir("analyze")
+    // c_nationkey is NOT a key component here — without analyze it
+    // would carry no stats at all
+    Lake.create(Tables.customer(spark, sf), dir, "c_custkey", targetFiles = 4)
+    val v = Lake.compactAnalyzed(spark, dir, Seq("c_nationkey"),
+      targetFiles = 4)
+    assert(v === 2L && Lake.rewriteOnly(dir, 2L),
+      "analyze must commit as row-preserving maintenance")
+    val m = Lake.manifest(dir, v)
+    val live = m.files.filter(_.rows > 0)
+    assert(live.forall(f => f.ndv.contains("c_nationkey") &&
+      f.nulls.contains("c_nationkey")))
+    // merged estimate ≈ exact distinct count (HLL lgK 12 → ~1.6% RSE)
+    val exact = Lake.read(spark, dir).select("c_nationkey").distinct().count()
+    val est = Lake.mergeNdv(live.map(_.ndv("c_nationkey")))
+    assert(math.abs(est - exact) <= math.max(1L, exact / 10),
+      s"merged NDV $est vs exact $exact")
+    assert(live.map(_.nulls("c_nationkey")).sum === 0L)
+    // range stats landed alongside (analyze lists the column)
+    assert(live.forall(_.stats.contains("c_nationkey")))
+    // the V2 scan exposes the merged statistics to CBO
+    val schema = Lake.snapshotSchema(spark, dir, v)
+    val scan = new graft.sources.LakeScanBuilder(spark, dir, v, schema).build()
+    val colStats = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().columnStats()
+    val entry = colStats.get(
+      org.apache.spark.sql.connector.expressions.Expressions.column("c_nationkey"))
+    assert(entry != null, s"columnStats must cover the analyzed column")
+    assert(entry.distinctCount.getAsLong === est)
+    assert(entry.nullCount.getAsLong === 0L)
+    assert(entry.min.isPresent && entry.max.isPresent,
+      "range stats must carry over into the analyzed entry")
+    // NULL accounting is exact: re-analyze a table with nulls
+    val dir2 = freshDir("analyze-nulls")
+    Lake.create(Seq((1L, Some(5L)), (2L, None), (3L, None), (4L, Some(7L)))
+      .toDF("k", "x"), dir2, "k", targetFiles = 2)
+    Lake.compactAnalyzed(spark, dir2, Seq("x"), targetFiles = 2)
+    val live2 = Lake.manifest(dir2, 2L).files.filter(_.rows > 0)
+    assert(live2.map(_.nulls("x")).sum === 2L)
+    assert(Lake.mergeNdv(live2.map(_.ndv("x"))) === 2L)
+  }
+
   test("vacuum refuses below a registered view pin; a refreshed pin unblocks") {
     import graft.lake.MatView
     val dir = freshDir("vacpin")
