@@ -375,6 +375,10 @@ object SparkEntry {
     // blocks the boundary prune on range-disjoint snapshots
     ("x8_lake_topn_multi", graft.lake.LakeQueries.lakeTopNMulti _,
       Some(graft.lake.LakeQueries.lakeTopNMultiSql)),
+    // round-12: TopN on a NON-key column via the analyzed cluster-by
+    // layout (per-file ranges + null counts from CALL graft.analyze)
+    ("x8_lake_topn_col", graft.lake.LakeQueries.lakeTopNCol _,
+      Some(graft.lake.LakeQueries.lakeTopNColSql)),
     ("x8_lake_topn", graft.lake.LakeQueries.lakeTopN _,
       Some(graft.lake.LakeQueries.lakeTopNSql)),
     // round-11: manifest-aggregated per-column min/max/NDV through the
@@ -638,7 +642,7 @@ object SparkEntry {
     "x8_lake_sqlmerge", // landed MERGE INTO lifecycle
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
-    "x8_lake_colstats", "x8_lake_colstats4", // stat tables
+    "x8_lake_colstats", "x8_lake_colstats4", "x8_lake_topn_col", // stat tables
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
@@ -674,6 +678,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateMvExpr()
     graft.lake.LakeQueries.invalidateStatTables()
     graft.lake.LakeQueries.invalidateStatTables4()
+    graft.lake.LakeQueries.invalidateTopNCol()
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()

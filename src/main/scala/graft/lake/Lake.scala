@@ -2068,13 +2068,18 @@ object Lake {
     * predicates (the round-11 gap: only clustered key components
     * carried NDV). */
   def compactAnalyzed(spark: SparkSession, dir: String, statCols: Seq[String],
-      targetFiles: Int): Long = {
+      targetFiles: Int, clusterCol: Option[String] = None): Long = {
     val base = latestVersion(dir)
     require(base > 0L, s"no lake table at $dir")
     val m = manifest(dir, base)
     val head = m.key.split(',').head.trim
+    // optionally RE-CLUSTER by an analyzed column instead of the key:
+    // its per-file ranges then become pairwise disjoint, which is what
+    // unlocks TopN boundary pruning on a non-key sort column (nulls
+    // range-cluster low and are excluded from the stats; the recorded
+    // null counts keep the prune's row accounting exact)
     val files = writeFilesBy(read(spark, dir, base), dir, m.key, targetFiles,
-      Seq(col(head)), statCols)
+      Seq(col(clusterCol.getOrElse(head))), statCols)
     val enriched = attachColumnSketches(spark, dir, files, statCols)
     commit(dir, Some(m), Manifest(base + 1L, m.key, enriched,
       m.txns + (RewriteOnlyTxn -> (base + 1L))))

@@ -2039,6 +2039,97 @@ object LakeQueries {
       })).get
   }
 
+  /** The [[lakeTopNCol]] fixture: orders with a UNIQUE derived price
+    * key (`cents * 10⁶ + orderkey mod 10⁶` — price-ordered,
+    * key-tie-broken; uniqueness keeps every range boundary strict, so
+    * the disjointness gate never soundly-but-unhelpfully refuses on a
+    * straddling duplicate), keyed on o_orderkey but CLUSTERED +
+    * ANALYZED by the price key. Memoized like the other stat
+    * fixtures. */
+  private val topnColMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private[graft] def invalidateTopNCol(): Unit = {
+    import scala.jdk.CollectionConverters._
+    topnColMemo.values.asScala.foreach(_.peek.foreach(d =>
+      rm(new java.io.File(d))))
+    topnColMemo.clear()
+  }
+
+  private def topnColTable(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/orders.parquet")
+    import scala.jdk.CollectionConverters._
+    topnColMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(topnColMemo.remove(k))
+        .foreach(_.peek.foreach(d => rm(new java.io.File(d)))))
+    topnColMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val dir = scratchDir(spark, sfDir) + "-topncol"
+        rm(new java.io.File(dir))
+        val orders = Tables.orders(spark, sfDir)
+          .withColumn("o_pricekey",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              * 1000000L + pmod(col("o_orderkey"), lit(1000000L)))
+          .select("o_orderkey", "o_custkey", "o_orderpriority", "o_pricekey")
+        Lake.create(orders, dir, "o_orderkey", targetFiles = 4)
+        Lake.compactAnalyzed(spark, dir, Seq("o_pricekey"), targetFiles = 8,
+          clusterCol = Some("o_pricekey"))
+        dir
+      })).get
+  }
+
+  /** Registered query `x8_lake_topn_col` — TOP-N PUSHDOWN ON A
+    * NON-KEY COLUMN (round 12, VERDICT r11 #4's second half): "the 9
+    * most expensive orders" — `ORDER BY o_pricekey DESC LIMIT 9` where
+    * o_pricekey is NOT the table key. The ANALYZE maintenance op
+    * clustered the layout by the price key and recorded per-file
+    * [min,max] + null counts, so the scan builder proves the ranges
+    * pairwise disjoint and reads only the max-side suffix holding ≥ 9
+    * NON-NULL rows ([[graft.sources.LakeScanBuilder]]). The key-range
+    * layout this table previously had could never serve this — TopN on
+    * an unclustered column read everything. `topn_col_pruned` pins
+    * files-skipped for both directions; DuckDB mirrors the same limits
+    * from raw orders. */
+  def lakeTopNCol(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = topnColTable(spark, sfDir)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("topncol_t")
+    def side(dirn: String): (Seq[(String, Long, Long)], Boolean) = {
+      graft.sources.LakeScan.lastTopNPrune.set(null)
+      val rows = spark.sql(
+        s"""SELECT o_orderkey, o_pricekey FROM topncol_t
+           |ORDER BY o_pricekey ${dirn.toUpperCase}
+           |${if (dirn == "asc") "NULLS LAST" else ""} LIMIT 9""".stripMargin)
+        .collect().map(r => (dirn, r.getLong(0), r.getLong(1))).toSeq
+      val pruned = Option(graft.sources.LakeScan.lastTopNPrune.get()).exists {
+        case (d, live, kept) => d == dir && kept < live
+      }
+      (rows, pruned)
+    }
+    val (ascRows, ascPruned) = side("asc")
+    val (descRows, descPruned) = side("desc")
+    (ascRows ++ descRows).toDF("dirn", "o_orderkey", "o_pricekey")
+      .withColumn("topn_col_pruned", lit(ascPruned && descPruned))
+      .orderBy(col("dirn"), col("o_pricekey"))
+  }
+
+  /** Mirror: the same price-key limits from raw orders. */
+  val lakeTopNColSql: String =
+    """WITH pk AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * 1000000 + o_orderkey % 1000000 AS o_pricekey
+      |  FROM orders),
+      |a AS (SELECT 'asc' AS dirn, o_orderkey, o_pricekey FROM pk
+      |  ORDER BY o_pricekey ASC LIMIT 9),
+      |d AS (SELECT 'desc' AS dirn, o_orderkey, o_pricekey FROM pk
+      |  ORDER BY o_pricekey DESC LIMIT 9)
+      |SELECT dirn, o_orderkey, o_pricekey, TRUE AS topn_col_pruned
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+      |ORDER BY dirn, o_pricekey""".stripMargin
+
   /** Registered query `x8_lake_colstats4` — ANALYZED COLUMN
     * STATISTICS driving a 4-TABLE CBO reorder off a NON-KEY predicate
     * (round 12, VERDICT r11 #6): `lineitem ⋈ orders ⋈ customer ⋈

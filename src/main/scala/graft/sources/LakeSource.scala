@@ -290,7 +290,8 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
   private var exprFilters: Seq[Expression] = Nil
   private var required: StructType = tableSchema
   private var limit: Option[Int] = None
-  private var topN: Option[(Boolean, Int)] = None // (descending, n)
+  // (column, descending, nullsFirst, n)
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
 
   /** LIMIT pushdown, file-granular: Catalyst only pushes a limit when
     * no filter remains above the scan (and this builder keeps every
@@ -323,19 +324,35 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     * strict code disjointness implies string disjointness. Partial by
     * contract — Spark keeps its own TopN above the scan, so this only
     * decides which files CANNOT contribute. At 100 TB: "latest 100
-    * orders by (key, ts)" opens one file instead of the table. */
+    * orders by (key, ts)" opens one file instead of the table.
+    *
+    * NON-KEY sort columns (round 12, with VERDICT r11 #6's ANALYZE):
+    * any leading sort column whose per-file [min,max] stats AND null
+    * counts every live file carries, with pairwise-disjoint ranges
+    * (the [[graft.lake.Lake.compactAnalyzed]] cluster-by layout),
+    * prunes the same way — cumulative counts use NON-NULL rows
+    * (stats cover non-null values only), and a NULLS FIRST order
+    * additionally requires a zero total null count (a null row sorts
+    * into the top-n from ANY file, so no boundary is sound). */
   override def pushTopN(orders: Array[
       org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
-    val eligible = exprFilters.isEmpty && orders.nonEmpty &&
-      (orders.head.expression match {
+    val headCol = if (exprFilters.nonEmpty || orders.isEmpty) None
+      else orders.head.expression match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
-          nr.fieldNames()(0).equalsIgnoreCase(leadingKey)
-        case _ => false
-      })
-    if (!eligible) return false
-    topN = Some((orders.head.direction ==
-      org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING, n))
-    true
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    headCol match {
+      case Some(c) =>
+        topN = Some((c,
+          orders.head.direction ==
+            org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING,
+          orders.head.nullOrdering ==
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST,
+          n))
+        true
+      case None => false
+    }
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
@@ -538,23 +555,43 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     case None =>
       val statHit = inListPrune(prunedFiles(exprFilters))
       val topHit = topN match {
-        case Some((desc, n)) =>
+        case Some((colName, desc, nullsFirst, n)) =>
           val live = statHit.filter(_.rows > 0)
-          val sorted = live.sortBy(_.minKey)
-          val disjoint = sorted.size <= 1 || sorted.sliding(2).forall {
-            case Seq(a, b) => a.maxKey < b.minKey
-            case _ => true
-          }
-          if (!disjoint) statHit
-          else {
-            val ordered = if (desc) sorted.reverse else sorted
-            val cum = ordered.scanLeft(0L)(_ + _.rows).tail
-            val keep = cum.indexWhere(_ >= n.toLong) match {
-              case -1 => ordered.size
-              case i => i + 1
-            }
-            LakeScan.lastTopNPrune.set((dir, live.size, keep))
-            ordered.take(keep)
+          val onKey = colName.equalsIgnoreCase(leadingKey)
+          val p = physOf(colName)
+          // (entry, lo, hi, non-null rows) per live file — the key via
+          // its manifest range (keys are non-null by invariant), any
+          // other column via its analyzed stats + null counts
+          val ranges: Option[Seq[(Lake.FileEntry, Long, Long, Long)]] =
+            if (onKey) Some(live.map(f => (f, f.minKey, f.maxKey, f.rows)))
+            else if (live.forall(f =>
+                f.stats.contains(p) && f.nulls.contains(p)))
+              Some(live.map(f =>
+                (f, f.stats(p)._1, f.stats(p)._2, f.rows - f.nulls(p))))
+            else None
+          // a NULLS FIRST order admits every file's null rows into the
+          // top-n: only a provably null-free column can prune
+          val nullSafe = !nullsFirst || onKey ||
+            ranges.exists(_.forall { case (f, _, _, nn) => nn == f.rows })
+          ranges.filter(_ => nullSafe) match {
+            case Some(rs) =>
+              val sorted = rs.sortBy(_._2)
+              val disjoint = sorted.size <= 1 || sorted.sliding(2).forall {
+                case Seq(a, b) => a._3 < b._2
+                case _ => true
+              }
+              if (!disjoint) statHit
+              else {
+                val ordered = if (desc) sorted.reverse else sorted
+                val cum = ordered.scanLeft(0L)(_ + _._4).tail
+                val keep = cum.indexWhere(_ >= n.toLong) match {
+                  case -1 => ordered.size
+                  case i => i + 1
+                }
+                LakeScan.lastTopNPrune.set((dir, live.size, keep))
+                ordered.take(keep).map(_._1)
+              }
+            case None => statHit
           }
         case None => statHit
       }

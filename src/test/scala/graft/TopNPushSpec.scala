@@ -84,6 +84,54 @@ class TopNPushSpec extends SparkSpec {
     }
   }
 
+  test("non-key sort column: analyze with cluster-by unlocks the boundary " +
+      "prune; nulls gate NULLS FIRST") {
+    import spark.implicits._
+    val dir = fresh("nonkey")
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i % 50 == 0) None else Some(i.toLong * 3 % 997), s"t$i"))
+      .toDF("k", "score", "tag")
+    Lake.create(df, dir, "k", targetFiles = 4)
+    // cluster + analyze by the NON-KEY score column: disjoint per-file
+    // score ranges, null counts recorded
+    Lake.compactAnalyzed(spark, dir, Seq("score"), targetFiles = 8,
+      clusterCol = Some("score"))
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_nonkey")
+    val all = Lake.read(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    // DESC (NULLS LAST): prunes to the max-side suffix, nulls never enter
+    LakeScan.lastTopNPrune.set(null)
+    val gotDesc = spark.sql(
+      "SELECT k, score FROM tn_nonkey ORDER BY score DESC LIMIT 10")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSeq
+    val expDesc = all.filter(_._2.isDefined)
+      .sortBy { case (k, s) => (-s.get, k) }.take(10)
+    assert(gotDesc.map(_._2).sorted === expDesc.map(_._2).sorted.toSeq)
+    val Some((liveD, keptD)) = Option(LakeScan.lastTopNPrune.get()).collect {
+      case (d, l, kp) if d == dir => (l, kp) }
+    assert(keptD < liveD, s"DESC on the analyzed column must prune: $keptD/$liveD")
+    // ASC (NULLS FIRST) with nulls present: NO prune — a null row in
+    // any file sorts into the top-n
+    LakeScan.lastTopNPrune.set(null)
+    val gotAsc = spark.sql(
+      "SELECT score FROM tn_nonkey ORDER BY score LIMIT 10")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSeq
+    assert(gotAsc.count(_.isEmpty) === 8, "the 8 null scores sort first")
+    assert(Option(LakeScan.lastTopNPrune.get()).isEmpty,
+      "NULLS FIRST over a null-bearing column must keep every file")
+    // ASC NULLS LAST: prunes to the min-side prefix by NON-NULL counts
+    LakeScan.lastTopNPrune.set(null)
+    val gotAscNl = spark.sql(
+      "SELECT score FROM tn_nonkey ORDER BY score ASC NULLS LAST LIMIT 10")
+      .collect().map(_.getLong(0)).toSeq
+    val expAscNl = all.flatMap(_._2).sorted.take(10).toSeq
+    assert(gotAscNl === expAscNl)
+    val Some((liveA, keptA)) = Option(LakeScan.lastTopNPrune.get()).collect {
+      case (d, l, kp) if d == dir => (l, kp) }
+    assert(keptA < liveA, s"ASC NULLS LAST must prune: $keptA/$liveA")
+  }
+
   test("ORDER BY a non-leading column refuses the pushdown; answer exact") {
     val dir = fresh("refuse")
     Lake.create(Tables.orders(spark, sf)
