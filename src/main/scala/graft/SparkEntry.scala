@@ -398,6 +398,9 @@ object SparkEntry {
     // below the floor errors descriptively
     ("x8_lake_vacuum_pin", graft.lake.LakeQueries.lakeVacuumPin _,
       Some(graft.lake.LakeQueries.lakeVacuumPinSql)),
+    // round-12: small-file self-healing on the post-commit hook
+    ("x8_lake_autocompact", graft.lake.LakeQueries.lakeAutoCompact _,
+      Some(graft.lake.LakeQueries.lakeAutoCompactSql)),
     // round-11: WHERE key IN (...) opens only the files whose Bloom
     // bitsets might hold the values — point-lookup pruning in SQL
     ("x8_lake_inlist", graft.lake.LakeQueries.lakeInList _,
@@ -644,6 +647,7 @@ object SparkEntry {
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
     "x8_lake_colstats", "x8_lake_colstats4", "x8_lake_topn_col", // stat tables
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
+    "x8_lake_evolve", // nine-commit evolution lifecycle (r12, disclosed memo)
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
@@ -679,6 +683,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateStatTables()
     graft.lake.LakeQueries.invalidateStatTables4()
     graft.lake.LakeQueries.invalidateTopNCol()
+    graft.lake.LakeQueries.invalidateEvolve()
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()

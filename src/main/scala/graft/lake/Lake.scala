@@ -535,6 +535,63 @@ object Lake {
     fireCommitHooks(dir, m.version)
   }
 
+  // ---- AUTO-COMPACT (round 12): small-file management on the hook ---------
+  //
+  // The Delta autoCompact capability: when armed, every visible commit
+  // checks its snapshot for SMALL-FILE accumulation (files under
+  // `rowThreshold` rows) and, past `maxSmallFiles` of them, runs
+  // [[compactSmall]] inline — a row-preserving maintenance commit, so
+  // change feeds skip it and MV freshness survives it (the round-11
+  // maintenance-marker machinery is what makes compacting here FREE
+  // for every incremental consumer). At 100 TB this is the operational
+  // failure mode that kills streaming ingest tables: thousands of
+  // per-micro-batch files degrade every scan until someone remembers
+  // to OPTIMIZE — armed, the table self-heals with bounded write
+  // amplification (each row is rewritten only when it sits in a small
+  // file, and the merged file graduates past the threshold).
+  private val autoCompactConf =
+    new java.util.concurrent.atomic.AtomicReference[Option[(Long, Int)]](None)
+  private val autoCompactInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val inAutoCompact = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** Last auto-compaction: (table dir, version that triggered it). */
+  val lastAutoCompact =
+    new java.util.concurrent.atomic.AtomicReference[(String, Long)]()
+
+  def enableAutoCompact(rowThreshold: Long, maxSmallFiles: Int): Unit = {
+    if (autoCompactInstalled.compareAndSet(false, true))
+      onCommit(autoCompactHook)
+    autoCompactConf.set(Some((rowThreshold, maxSmallFiles)))
+  }
+
+  def disableAutoCompact(): Unit = autoCompactConf.set(None)
+
+  private def autoCompactHook(dir: String, version: Long): Unit =
+    autoCompactConf.get() match {
+      case Some((rowThreshold, maxSmall)) if !inAutoCompact.get() =>
+        // metadata-only gate per commit: count the snapshot's small
+        // files; the zero-row anchor of an empty-created table is not
+        // "small" (it is the schema carrier)
+        val small = manifest(dir, version).files
+          .count(f => f.rows > 0 && f.rows < rowThreshold)
+        if (small > maxSmall) {
+          inAutoCompact.set(java.lang.Boolean.TRUE)
+          try {
+            compactSmall(SparkSession.active, dir, rowThreshold)
+            lastAutoCompact.set((dir, version))
+            ()
+          } catch {
+            // a racing writer won the version: fine — the NEXT commit's
+            // hook sees the still-small snapshot and retries
+            case _: CommitConflict => ()
+          } finally inAutoCompact.set(java.lang.Boolean.FALSE)
+        }
+      case _ => ()
+    }
+
   private def commitImpl(dir: String, parent: Option[Manifest], m: Manifest,
       pending: Option[(String, String)]): Unit = {
     Files.createDirectories(manifestDir(dir))

@@ -1009,6 +1009,11 @@ object MatView {
 
   private def maintainDependents(dir: String, version: Long): Unit = {
     if (!autoMaintain.get() || inMaintenance.get()) return
+    // row-preserving maintenance (compaction, analyze, auto-compact)
+    // changes no rows: the serve path already treats the slice as
+    // fresh (effectiveVersion), so a refresh cycle would commit an
+    // empty delta for nothing
+    if (Lake.rewriteOnly(dir, version)) return
     import scala.jdk.CollectionConverters._
     val asSource = reg.values.asScala.filter(_.sourceDir == dir).toSeq
     val asDim = reg.values.asScala

@@ -247,6 +247,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "mvd_status" => LakeProcedures.mvdStatus(this)
       case "auto_maintenance" => LakeProcedures.autoMaintenance(this)
       case "analyze" => LakeProcedures.analyze(this)
+      case "auto_compact" => LakeProcedures.autoCompact(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
@@ -260,7 +261,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
         "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv",
         "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status",
-        "auto_maintenance", "analyze")
+        "auto_maintenance", "analyze", "auto_compact")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

@@ -212,6 +212,27 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.auto_compact(enabled => true, row_threshold => 1000,
+    * max_small_files => 4)` — arm or disarm post-commit small-file
+    * compaction ([[graft.lake.Lake.enableAutoCompact]]): past the
+    * small-file budget, the committing writer inline-runs a
+    * row-preserving compactSmall, so streaming ingest tables self-heal
+    * instead of degrading every scan until a manual OPTIMIZE. */
+  def autoCompact(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("auto_compact",
+      Array(in("enabled", org.apache.spark.sql.types.BooleanType),
+        in("row_threshold", LongType),
+        in("max_small_files", org.apache.spark.sql.types.IntegerType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val on = input.getBoolean(0)
+        if (on) graft.lake.Lake.enableAutoCompact(input.getLong(1),
+          input.getInt(2))
+        else graft.lake.Lake.disableAutoCompact()
+        result(StructType(Seq(StructField("enabled",
+          org.apache.spark.sql.types.BooleanType))), on)
+      }
+    }
+
   /** `CALL graft.auto_maintenance(enabled => true)` — arm or disarm
     * the post-commit maintenance hook
     * ([[graft.lake.MatView.enableAutoMaintenance]]): while armed,

@@ -516,6 +516,76 @@ class LakeSpec extends SparkSpec {
     assert(Lake.mergeNdv(live2.map(_.ndv("x"))) === 2L)
   }
 
+  test("auto-compact: small-file accumulation self-heals past the budget; " +
+      "rows exact; maintenance markers stamped") {
+    import spark.implicits._
+    val dir = freshDir("autocompact")
+    Lake.create((1L to 1000L).map(i => (i, i % 7)).toDF("k", "v"), dir,
+      "k", targetFiles = 2)
+    Lake.enableAutoCompact(rowThreshold = 100L, maxSmallFiles = 3)
+    try {
+      // ten 20-row appends in fresh key ranges: unmanaged this would
+      // accumulate ten small files
+      (0 until 10).foreach { b =>
+        Lake.upsert(spark, dir,
+          (1L to 20L).map(i => (2000L + b * 100L + i, i)).toDF("k", "v"))
+      }
+      val m = Lake.manifest(dir, Lake.latestVersion(dir))
+      assert(m.files.count(_.rows > 0) <= 6,
+        s"file count must stay bounded: ${m.files.map(_.rows)}")
+      // compactions actually fired, as row-preserving maintenance
+      val maint = Lake.history(dir).count(c => Lake.rewriteOnly(dir, c.version))
+      assert(maint >= 1, "expected at least one auto-compaction commit")
+      assert(Option(Lake.lastAutoCompact.get()).exists(_._1 == dir))
+      // no row lost or duplicated
+      assert(Lake.read(spark, dir).count() === 1200L)
+      assert(Lake.read(spark, dir).select(sum(col("v"))).head().getLong(0) ===
+        (1L to 1000L).map(_ % 7).sum + 10L * (1L to 20L).sum)
+    } finally Lake.disableAutoCompact()
+  }
+
+  test("auto-compact composes with auto MV maintenance: the compaction " +
+      "commit neither refreshes nor degrades the view") {
+    import spark.implicits._
+    import graft.lake.MatView
+    val dir = freshDir("autoboth")
+    Lake.create((1L to 500L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "v"),
+      dir, "k", targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("g"), Seq("v"))
+    Lake.enableAutoCompact(rowThreshold = 50L, maxSmallFiles = 2)
+    MatView.enableAutoMaintenance()
+    try {
+      (0 until 6).foreach { b =>
+        Lake.upsert(spark, dir,
+          (1L to 10L).map(i => (1000L + b * 50L + i, s"g${i % 3}", i))
+            .toDF("k", "g", "v"))
+      }
+      // the view advanced through the DATA commits only: its pin is a
+      // version whose suffix to head is all maintenance
+      val d = MatView.get(dir).get
+      val head = Lake.latestVersion(dir)
+      assert(MatView.effectiveVersion(dir, d.builtVersion, head)
+        === d.builtVersion,
+        s"view pin ${d.builtVersion} must be row-preserving-equal to head $head")
+      // and the serve is DIRECT with exact values
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val q = spark.read.format("graft-lake").option("path", dir).load()
+        .groupBy(col("g")).agg(sum(col("v")).as("s"))
+      MatView.lastRewrite.set(null)
+      q.queryExecution.optimizedPlan
+      assert(Option(MatView.lastRewrite.get()).exists(r =>
+        r._1 == dir && r._2 == "direct"))
+      val exp = Lake.read(spark, dir).groupBy(col("g")).agg(sum(col("v")).as("s"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(q.orderBy("g").collect().map(_.toSeq).toSeq === exp)
+    } finally {
+      MatView.disableAutoMaintenance()
+      Lake.disableAutoCompact()
+      MatView.unregister(dir)
+    }
+  }
+
   test("vacuum refuses below a registered view pin; a refreshed pin unblocks") {
     import graft.lake.MatView
     val dir = freshDir("vacpin")
