@@ -2411,14 +2411,16 @@ object LakeQueries {
     val orders = Tables.orders(spark, sfDir)
       .withColumn("o_cents",
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
-    Lake.create(orders.filter(col("o_orderkey") % 3 === 0), dir,
+    // a sixth lands at create, another sixth as the upsert (a third
+    // total): the lifecycle is the feature, the mirror filters alike
+    Lake.create(orders.filter(col("o_orderkey") % 6 === 0), dir,
       "o_orderkey", targetFiles = 4)
     graft.lake.MatView.define(spark, dir, dir + "-view",
       Seq("o_orderpriority"), Seq("o_cents"))
     try {
       // two post-build commits: the view pin (v1) falls below the
       // retention floor of vacuum(retain=2) → keepFrom = 2
-      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 3 === 1))
+      Lake.upsert(spark, dir, orders.filter(col("o_orderkey") % 6 === 3))
       Lake.upsert(spark, dir, Lake.read(spark, dir)
         .filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_cents", col("o_cents") * 2))
@@ -2447,7 +2449,7 @@ object LakeQueries {
     } finally graft.lake.MatView.unregister(dir)
   }
 
-  /** Mirror: the final state (two-thirds of orders, %5 keys of the
+  /** Mirror: the final state (a third of orders, %5 keys of the
     * landed set doubled) aggregated relationally. */
   val lakeVacuumPinSql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
@@ -2458,7 +2460,7 @@ object LakeQueries {
       |  SELECT o_orderpriority,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |      * (CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END) AS cents
-      |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |  FROM orders WHERE o_orderkey % 6 IN (0, 3))
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
@@ -3952,7 +3954,12 @@ object LakeQueries {
   def mvAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratchDir(spark, sfDir) + "-mvauto"
     rm(new java.io.File(dir))
+    // a THIRD of orders: the feature is maintenance-on-commit, not the
+    // volume — the lifecycle (create + define + 2 write→maintain
+    // cycles) prices the same at any slice, the mirror filters
+    // identically (the x8_lake_pair accounting precedent)
     val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_cents",
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
@@ -3991,7 +3998,7 @@ object LakeQueries {
       |  SELECT o_orderpriority,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
       |      * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS cents
-      |  FROM orders)
+      |  FROM orders WHERE o_orderkey % 3 = 0)
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 }

@@ -887,7 +887,12 @@ object EventStream {
     graft.Scratch.rm(base)
     val tableDir = new java.io.File(base, "table").getAbsolutePath
     val checkpoint = new java.io.File(base, "checkpoint").getAbsolutePath
-    val withCents = (df: DataFrame) => df.select(col("event_id"),
+    // a FIFTH of events (user_id % 5): maintenance-during-landing is
+    // the priced feature and prices the same at any slice; the mirror
+    // filters identically (the landed-fixture thinning precedent)
+    val withCents = (df: DataFrame) => df
+      .filter(col("user_id") % 5 === 0)
+      .select(col("event_id"),
       col("event_type"), col("user_id"),
       (col("value").cast("decimal(18,2)") * 100).cast("long").as("val_cents"))
     graft.lake.Lake.createEmpty(spark, tableDir,
@@ -937,6 +942,7 @@ object EventStream {
       |    AS cents,
       |  TRUE AS mv_stream_auto
       |FROM events
+      |WHERE user_id % 5 = 0
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
