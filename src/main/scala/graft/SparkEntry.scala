@@ -417,6 +417,10 @@ object SparkEntry {
     // advances dependent views, steady state serves DIRECT with no CALL
     ("x8_mv_auto", graft.lake.LakeQueries.mvAuto _,
       Some(graft.lake.LakeQueries.mvAutoSql)),
+    // round-12: distinct star views — distinct users per dim attribute,
+    // dim churn costs nothing (the aux is pure fact-side)
+    ("x8_mv_distinct_star", graft.lake.LakeQueries.mvDistinctStar _,
+      Some(graft.lake.LakeQueries.mvDistinctStarSql)),
     ("x8_mv_rewrite", graft.lake.LakeQueries.mvRewrite _,
       Some(graft.lake.LakeQueries.mvRewriteSql)),
     // round-12: rank + share-of-total ABOVE a view-served aggregate —
@@ -658,6 +662,7 @@ object SparkEntry {
     "x8_mv_window", // window over the shared fresh view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
+    "x8_mv_distinct_star", // events + churned user-dim distinct star fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
     "x8_mv_gsets_distinct", // distinct pyramid over the value-grain aux
     "x8_mv_maintain", // optimized-table fixture beside the MV source
@@ -684,6 +689,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateStatTables4()
     graft.lake.LakeQueries.invalidateTopNCol()
     graft.lake.LakeQueries.invalidateEvolve()
+    graft.lake.LakeQueries.invalidateDistinctStar()
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()

@@ -3937,6 +3937,110 @@ object LakeQueries {
       |GROUP BY c_mktsegment, p_class
       |ORDER BY c_mktsegment, p_class""".stripMargin
 
+  /** The [[mvDistinctStar]] fixture: an events fact table plus a
+    * SYNTHESIZED user dimension (user → region), with the dimension
+    * CHURNED after creation (every `%7` user moves region). Memoized;
+    * the distinct star view recovers from its sidecar. */
+  private val distinctStarMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), graft.Scratch.Slot[String]]()
+
+  private[graft] def invalidateDistinctStar(): Unit = {
+    import scala.jdk.CollectionConverters._
+    distinctStarMemo.values.asScala.foreach(_.peek.foreach { d =>
+      val f = new java.io.File(d)
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(f.getName)).foreach(rm)
+    })
+    distinctStarMemo.clear()
+  }
+
+  private def distinctStarSource(spark: SparkSession, sfDir: String): String = {
+    val fp = graft.Scratch.fingerprint(s"$sfDir/events.parquet")
+    import scala.jdk.CollectionConverters._
+    distinctStarMemo.keySet.asScala
+      .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+      .foreach(k => Option(distinctStarMemo.remove(k))
+        .foreach(_.peek.foreach { d =>
+          val f = new java.io.File(d)
+          Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(f.getName)).foreach(rm)
+        }))
+    distinctStarMemo.computeIfAbsent((spark, sfDir, fp),
+      _ => new graft.Scratch.Slot(() => {
+        val src = scratchDir(spark, sfDir) + "-dstar"
+        val f = new java.io.File(src)
+        Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(f.getName)).foreach(rm)
+        Lake.create(Tables.events(spark, sfDir)
+            .select("event_id", "event_type", "user_id"),
+          src, "event_id", targetFiles = 4)
+        val udim = Tables.events(spark, sfDir)
+          .select(col("user_id").as("u_user")).distinct()
+          .withColumn("u_region",
+            concat(lit("r"), (col("u_user") % 5).cast("string")))
+        Lake.create(udim, src + "-udim", "u_user", targetFiles = 1)
+        // the churn: every %7 user moves region AFTER creation — the
+        // aux (built below via defineDistinctStarOrRecover) never
+        // stores a region, so this costs the serve NOTHING
+        Lake.upsert(spark, src + "-udim",
+          Lake.read(spark, src + "-udim")
+            .filter(col("u_user") % 7 === 0)
+            .withColumn("u_region", lit("moved")))
+        src
+      })).get
+  }
+
+  /** Registered query `x8_mv_distinct_star` — DISTINCT STAR VIEW
+    * (round 12): "distinct active users per region" — THE training-data
+    * dashboard shape — where region lives on a user DIMENSION that has
+    * CHURNED since the view was built. The aux is pure fact-side
+    * ((event_type × user) grain, [[MatView.defineDistinctStar]]), so
+    * there is no dim pin to go stale: the rewrite joins the aux with
+    * the query's own dimension read and recounts — dimension churn
+    * costs zero maintenance, ever (contrast `x8_mv_dim_churn`, where
+    * the Σ-register star view needs the move algebra).
+    * `mv_distinct_star` pins the `direct-distinct-rollup-join` kind
+    * AND the no-fact-scan plan shape with the churned dim in place;
+    * DuckDB mirrors the synthesized churned dimension relationally. */
+  def mvDistinctStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = distinctStarSource(spark, sfDir)
+    val udim = src + "-udim"
+    graft.lake.MatView.defineDistinctStarOrRecover(spark, src,
+      Seq((udim, "user_id", "u_user")), src + "-dsview",
+      Seq("event_type"), "user_id")
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val d = spark.read.format("graft-lake").option("path", udim).load()
+    val q = fact.join(d, col("user_id") === col("u_user"))
+      .groupBy(col("u_region"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+    val served = rewriteKind(q, src) == "direct-distinct-rollup-join" &&
+      !factScanned(q, src)
+    q.withColumn("mv_distinct_star", lit(served))
+      .orderBy(col("u_region"))
+  }
+
+  /** Mirror: the churned synthesized dimension joined to raw events. */
+  val mvDistinctStarSql: String =
+    """WITH udim AS (
+      |  SELECT u_user,
+      |    CASE WHEN u_user % 7 = 0 THEN 'moved'
+      |      ELSE 'r' || CAST(u_user % 5 AS VARCHAR) END AS u_region
+      |  FROM (SELECT DISTINCT user_id AS u_user FROM events))
+      |SELECT u_region,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  CAST(min(user_id) AS BIGINT) AS min_user,
+      |  CAST(max(user_id) AS BIGINT) AS max_user,
+      |  TRUE AS mv_distinct_star
+      |FROM events JOIN udim ON user_id = u_user
+      |GROUP BY u_region
+      |ORDER BY u_region""".stripMargin
+
   /** Registered query `x8_mv_auto` — AUTOMATIC INCREMENTAL MV
     * MAINTENANCE (round 12, VERDICT r11 #1): the view is defined once,
     * [[MatView.enableAutoMaintenance]] arms the post-commit hook, and

@@ -1074,9 +1074,22 @@ object MatView {
     * is fact-row-bounded but typically orders of magnitude smaller;
     * maintenance reads only the change feed, O(Δ) like every other
     * register here. */
+  /** `dims` (round 12 — DISTINCT STAR VIEWS): join-key metadata
+    * `(dimDir, factKey, dimKey)` for dimensions the rewrite may
+    * re-label the aux through at SERVE time. Unlike the plain star
+    * view's [[DimSpec]], there is NO pinned dim version: the aux is
+    * entirely fact-side (its grain includes every factKey), and the
+    * serve joins the QUERY's own pinned dimension read — so dimension
+    * churn costs NOTHING here: no pin, no refresh_mv_dims, no move
+    * algebra. "Distinct users per country" stays exact through any
+    * user-dim reassignment because the (user × …) aux never stored a
+    * country. `groupCols` is always the AUX GRAIN (fact-side group
+    * columns ++ every factKey); dim-attribute groupings exist only in
+    * queries, resolved through the serve-time join. */
   case class DistinctDef(sourceDir: String, mvDir: String,
       groupCols: Seq[String], distinctCol: String, builtVersion: Long,
-      derived: Seq[(String, String)] = Nil)
+      derived: Seq[(String, String)] = Nil,
+      dims: Seq[(String, String, String)] = Nil)
 
   /** Aux-table value encoding: the lake keys on
     * `(groupCols…, __mv_vnull, __mv_v)` and key columns must be
@@ -1121,7 +1134,8 @@ object MatView {
     import scala.jdk.CollectionConverters._
     def shape(x: DistinctDef) = (x.sourceDir, x.distinctCol.toLowerCase,
       x.groupCols.map(_.toLowerCase),
-      x.derived.map { case (n, e) => (n.toLowerCase, e) })
+      x.derived.map { case (n, e) => (n.toLowerCase, e) },
+      x.dims.map { case (dd, fk, dk) => (dd, fk.toLowerCase, dk.toLowerCase) })
     dreg.entrySet().asScala
       .filter(e => shape(e.getValue) == shape(d) && e.getKey != d.mvDir)
       .map(_.getKey).foreach(dreg.remove)
@@ -1172,9 +1186,53 @@ object MatView {
   def defineDistinct(spark: SparkSession, sourceDir: String, mvDir: String,
       groupCols: Seq[String], distinctCol: String,
       asOfVersion: Long = 0L, derived: Seq[(String, String)] = Nil): DistinctDef = {
-    require(groupCols.nonEmpty, "empty distinct-view grouping")
     require(!groupCols.exists(_.equalsIgnoreCase(distinctCol)),
       s"distinct column $distinctCol is also a group column")
+    defineDistinctImpl(spark, sourceDir, mvDir, groupCols, distinctCol,
+      asOfVersion, derived, Nil)
+  }
+
+  /** DISTINCT STAR VIEW (round 12): a distinct view whose queries may
+    * group by DIMENSION attributes — "distinct users per country". The
+    * aux grain is `factGroupCols ++ every dim's factKey` (pure
+    * fact-side), so the aux never stores a dim attribute and dimension
+    * churn cannot stale it: the rewrite re-labels through the query's
+    * own pinned dim reads at serve time — no dim pin exists to
+    * refresh. Maintenance stays the fact-feed roll-forward of
+    * [[refreshDistinct]], unchanged. Exactness at serve relies on the
+    * dim key being the dimension table's LAKE KEY (unique per row —
+    * the format invariant), so the aux ⋈ dim join preserves
+    * multiplicity. */
+  def defineDistinctStar(spark: SparkSession, sourceDir: String,
+      dims: Seq[(String, String, String)], mvDir: String,
+      factGroupCols: Seq[String], distinctCol: String,
+      asOfVersion: Long = 0L, derived: Seq[(String, String)] = Nil): DistinctDef = {
+    require(dims.nonEmpty, "defineDistinctStar requires at least one dim")
+    // fact group columns must not name the value; a JOIN KEY may — the
+    // DAU shape ("distinct users per region") joins ON the value
+    // column itself, and the (…, user, value=user) aux grain is merely
+    // degenerate, not wrong
+    require(!factGroupCols.exists(_.equalsIgnoreCase(distinctCol)),
+      s"distinct column $distinctCol is also a declared group column")
+    dims.foreach { case (dd, _, dk) =>
+      val dv = Lake.latestVersion(dd)
+      require(dv > 0L, s"no lake table at $dd")
+      require(Lake.manifest(dd, dv).key.split(',').head.trim
+          .equalsIgnoreCase(dk),
+        s"distinct star dim $dd must be KEYED on its join key $dk " +
+          "(uniqueness is what keeps the serve-time join exact)")
+    }
+    val auxCols = (factGroupCols ++ dims.map(_._2))
+      .map(_.toLowerCase).distinct
+    defineDistinctImpl(spark, sourceDir, mvDir, auxCols, distinctCol,
+      asOfVersion, derived, dims)
+  }
+
+  private def defineDistinctImpl(spark: SparkSession, sourceDir: String,
+      mvDir: String, groupCols: Seq[String], distinctCol: String,
+      asOfVersion: Long, derived: Seq[(String, String)],
+      dims: Seq[(String, String, String)]): DistinctDef = {
+    require(groupCols.nonEmpty, "empty distinct-view grouping")
     derived.foreach { case (n, e) =>
       require(!derived.exists { case (m, _) =>
         (m ne n) && e.toLowerCase.matches(s".*\\b${java.util.regex.Pattern.quote(m.toLowerCase)}\\b.*")
@@ -1193,7 +1251,8 @@ object MatView {
       sys.error(s"distinct view group columns ${groupCols.mkString(",")} " +
         s"contain NULLs in $sourceDir@v$v — a NULL group cannot key the view")
     }
-    val d = DistinctDef(sourceDir, mvDir, groupCols, distinctCol, v, derived)
+    val d = DistinctDef(sourceDir, mvDir, groupCols, distinctCol, v, derived,
+      dims)
     writeDistinctSidecar(d)
     registerDistinct(d)
     d
@@ -1213,12 +1272,38 @@ object MatView {
         d.groupCols.map(_.toLowerCase) == groupCols.map(_.toLowerCase) &&
         d.distinctCol.equalsIgnoreCase(distinctCol) &&
         d.derived.map { case (n, e) => (n.toLowerCase, e) } ==
-          derived.map { case (n, e) => (n.toLowerCase, e) }
+          derived.map { case (n, e) => (n.toLowerCase, e) } &&
+        d.dims.isEmpty
       if (same) return d
       dreg.remove(mvDir)
     }
     defineDistinct(spark, sourceDir, mvDir, groupCols, distinctCol,
       asOfVersion, derived)
+  }
+
+  /** [[defineDistinctStar]] with the build memoized on storage — the
+    * [[defineDistinctOrRecover]] policy for the star shape. */
+  def defineDistinctStarOrRecover(spark: SparkSession, sourceDir: String,
+      dims: Seq[(String, String, String)], mvDir: String,
+      factGroupCols: Seq[String], distinctCol: String,
+      asOfVersion: Long = 0L, derived: Seq[(String, String)] = Nil): DistinctDef = {
+    val sidecar = java.nio.file.Paths.get(mvDir, "_mvd")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val d = recoverDistinct(mvDir)
+      val auxCols = (factGroupCols ++ dims.map(_._2))
+        .map(_.toLowerCase).distinct
+      val same = d.sourceDir == sourceDir &&
+        d.groupCols.map(_.toLowerCase) == auxCols &&
+        d.distinctCol.equalsIgnoreCase(distinctCol) &&
+        d.derived.map { case (n, e) => (n.toLowerCase, e) } ==
+          derived.map { case (n, e) => (n.toLowerCase, e) } &&
+        d.dims.map { case (dd, fk, dk) => (dd, fk.toLowerCase, dk.toLowerCase) } ==
+          dims.map { case (dd, fk, dk) => (dd, fk.toLowerCase, dk.toLowerCase) }
+      if (same) return d
+      dreg.remove(mvDir)
+    }
+    defineDistinctStar(spark, sourceDir, dims, mvDir, factGroupCols,
+      distinctCol, asOfVersion, derived)
   }
 
   /** Re-register a distinct view from its sidecar, reconciling the
@@ -1239,8 +1324,13 @@ object MatView {
         val Array(n, hx) = kv(k).split('|')
         n -> hexToStr(hx)
       }
+    val dims = kv.keys.filter(_.matches("dim\\d+")).toSeq.sortBy(_.drop(3).toInt)
+      .map { k =>
+        val Array(dd, fk, dk) = kv(k).split('|')
+        (dd, fk, dk)
+      }
     val d = DistinctDef(kv("source"), mvDir, kv("group").split(",").toSeq,
-      kv("dcol"), math.max(sidecarVersion, txnVersion), derived)
+      kv("dcol"), math.max(sidecarVersion, txnVersion), derived, dims)
     if (txnVersion > sidecarVersion) writeDistinctSidecar(d)
     registerDistinct(d)
     d
@@ -1252,11 +1342,14 @@ object MatView {
     val derLines = d.derived.zipWithIndex.map { case ((n, e), i) =>
       s"der$i=$n|${strHex(e)}\n"
     }.mkString
+    val dimLines = d.dims.zipWithIndex.map { case ((dd, fk, dk), i) =>
+      s"dim$i=$dd|$fk|$dk\n"
+    }.mkString
     java.nio.file.Files.write(tmp,
       (s"fmt=1\nsource=${d.sourceDir}\n" +
         s"group=${d.groupCols.mkString(",")}\n" +
         s"dcol=${d.distinctCol}\nbuiltVersion=${d.builtVersion}\n" +
-        derLines)
+        derLines + dimLines)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -79,6 +79,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate =>
         tryRewrite(agg).orElse(tryRewriteDistinct(agg))
           .orElse(tryRewriteJoined(agg))
+          .orElse(tryRewriteDistinctJoined(agg))
           .orElse(tryRewriteGroupingSets(agg))
           .orElse(tryRewriteGroupingSetsDistinct(agg)).getOrElse(agg)
     }
@@ -1256,6 +1257,112 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
   } yield buildDistinct(dd, pinned, filtersT, serves, asks)
 
+  /** DISTINCT STAR serving (round 12): `count(DISTINCT x)` grouped by
+    * DIMENSION attributes — "distinct users per country" — over
+    * `fact ⋈ dim₁ ⋈ … ⋈ dimₙ`, answered from a
+    * [[MatView.defineDistinctStar]] aux whose grain is pure fact-side
+    * (fact group columns + every join key). The serve joins the aux
+    * with the QUERY'S OWN pinned dimension reads — there is no dim pin
+    * in the definition at all, so dimension churn can never stale this
+    * view: the re-label happens in-plan, against whatever dim state
+    * the query sees. Fact freshness follows the usual protocol
+    * (direct at the build pin, aux roll-forward for a newer pin,
+    * refuse below). Groupings may be aux columns (canonical equality,
+    * trunc lattice included) or bare dim attributes; filters may
+    * constrain either side plus the value itself; aggregates are the
+    * value family ([[DAsk]]) — min/max exact under any history, as
+    * ever for the value-grain aux. */
+  private def tryRewriteDistinctJoined(agg: Aggregate): Option[LogicalPlan] = for {
+    flat <- flattenStar(agg.child)
+    (leaves, edges, filters, subst) = flat
+    if leaves.size >= 2 && edges.size == leaves.size - 1
+    pick <- leaves.zipWithIndex.flatMap { case (f, i) =>
+      val otherDirs = leaves.zipWithIndex.collect {
+        case (l, j) if j != i => l.dir
+      }
+      MatView.distinctViews(f.dir)
+        .filter(dd => dd.dims.nonEmpty &&
+          dd.dims.map(_._1).sorted == otherDirs.sorted)
+        .map(dd => (i, dd))
+    }.headOption
+    (factIdx, dd) = pick
+    fact = leaves(factIdx)
+    specByDir = dd.dims.map(t => t._1 -> t).toMap
+    // every edge connects the fact to a distinct dim on the declared
+    // key pair (same graph discipline as the plain star matcher)
+    dimHits = edges.flatMap { case (i, ka, j, kb) =>
+      val (dimIdx, fk, dk) =
+        if (i == factIdx) (j, ka, kb)
+        else if (j == factIdx) (i, kb, ka)
+        else (-1, "", "")
+      if (dimIdx < 0) None
+      else specByDir.get(leaves(dimIdx).dir).flatMap { case (_, dfk, ddk) =>
+        if (fk == dfk.toLowerCase && dk == ddk.toLowerCase) Some(dimIdx)
+        else None
+      }
+    }
+    if dimHits.size == edges.size && dimHits.distinct.size == dd.dims.size
+    if fact.version >= dd.builtVersion
+    pinned = MatView.effectiveVersion(fact.dir, dd.builtVersion, fact.version)
+    // serve-side NAME mapping requires unambiguous names across the
+    // aux columns, the value, and every dim attribute
+    dimOuts = dimHits.map(leaves(_)).flatMap(_.out)
+    // the value column may BE a join key (the DAU shape) — dedupe the
+    // aux-side names before checking dim attrs don't shadow them
+    auxNames = ((dd.groupCols :+ dd.distinctCol).map(_.toLowerCase)).distinct
+    allNames = auxNames ++ dimOuts.map(_.name.toLowerCase)
+    if allNames.distinct.size == allNames.size
+    synth = MatView.MvDef(dd.sourceDir, dd.mvDir, dd.groupCols,
+      Seq(dd.distinctCol), dd.builtVersion, derived = dd.derived)
+    res = resolveAll(synth, fact.out)
+    if res.sums.size == 1
+    // dim attributes enter the matcher as extra declared groups: their
+    // canonical form is the attribute itself, their served name the
+    // attribute's own (post-join) column name
+    resJ = res.copy(groups = res.groups ++
+      dimOuts.map(a => a.name.toLowerCase -> (a: Expression)))
+    serves <- matchGroups(
+      agg.groupingExpressions.map(applySubst(_, subst)), resJ)
+    keyNames = dd.dims.flatMap { case (_, fk, dk) =>
+      Seq(fk.toLowerCase, dk.toLowerCase) }.toSet
+    kept = filters.flatMap(conjuncts).filterNot {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => keyNames.contains(a.name.toLowerCase)
+      case _ => false
+    }
+    resF = resJ.copy(groups = resJ.groups ++ res.sums)
+    filtersT <- transposeAll(kept, resF)
+    asks <- classifyDistinct(
+      agg.aggregateExpressions.map(substNamed(_, subst)), res, serves)
+    if asks.exists {
+      case _: DGroupRef | _: DCountAll => false
+      case _ => true
+    }
+    // each dim's serve-time read joins the version the QUERY pinned
+    dimVersions = dimHits.map(i => leaves(i).dir -> leaves(i).version).toMap
+  } yield buildDistinctJoined(dd, pinned, dimVersions, filtersT, serves, asks)
+
+  private def buildDistinctJoined(dd: MatView.DistinctDef,
+      pinnedVersion: Long, dimVersions: Map[String, Long],
+      filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
+      asks: Seq[DAsk]): LogicalPlan = {
+    val spark = SparkSession.active
+    val fresh = pinnedVersion == dd.builtVersion
+    val aux =
+      if (fresh) spark.read.format("graft-lake").option("path", dd.mvDir).load()
+      else MatView.compensatedDistinct(spark, dd, pinnedVersion)
+    import org.apache.spark.sql.functions.broadcast
+    val base = dd.dims.foldLeft(aux) { case (b, (dir, fk, dk)) =>
+      b.join(broadcast(spark.read.format("graft-lake")
+          .option("path", dir)
+          .option("versionAsOf", dimVersions(dir).toString).load()),
+        org.apache.spark.sql.functions.col(fk) ===
+          org.apache.spark.sql.functions.col(dk))
+    }
+    finishDistinctServe(dd, base, fresh, filters, serves, asks,
+      kindSuffix = "-join")
+  }
+
   private def classifyDistinct(exprs: Seq[NamedExpression], res: Resolved,
       serves: Seq[(Expression, GroupServe)]): Option[Seq[DAsk]] = {
     val serveByCanon = serves.toMap
@@ -1299,6 +1406,19 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val base =
       if (fresh) spark.read.format("graft-lake").option("path", dd.mvDir).load()
       else MatView.compensatedDistinct(spark, dd, pinnedVersion)
+    finishDistinctServe(dd, base, fresh, filters, serves, asks,
+      kindSuffix = "")
+  }
+
+  /** The shared tail of a distinct serve: value decode, filter
+    * transposition, (re)count aggregation, exprId-preserving output
+    * projection. `base` is the aux frame — raw, rolled-forward, or
+    * already joined with serve-time dims. */
+  private def finishDistinctServe(dd: MatView.DistinctDef,
+      base: org.apache.spark.sql.DataFrame, fresh: Boolean,
+      filters: Seq[Expression], serves: Seq[(Expression, GroupServe)],
+      asks: Seq[DAsk], kindSuffix: String): LogicalPlan = {
+    val spark = SparkSession.active
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
     val xName = dd.distinctCol.toLowerCase
@@ -1381,7 +1501,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     }
     MatView.lastRewrite.set((dd.sourceDir,
       (if (fresh) "direct" else "compensated") + "-distinct" +
-        (if (exact) "" else "-rollup")))
+        (if (exact) "" else "-rollup") + kindSuffix))
     Project(projections, optimized)
   }
 

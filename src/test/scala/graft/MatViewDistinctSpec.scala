@@ -354,6 +354,123 @@ class MatViewDistinctSpec extends SparkSpec {
     } finally MatView.unregisterDistinct(src + "-dview")
   }
 
+  test("distinct star view: per-dim-attribute distinct counts; dim churn " +
+      "costs nothing (round 12)") {
+    import org.apache.spark.sql.functions.broadcast
+    val src = buildSource("dstar")
+    val dim = freshDir("dstar-dim")
+    Lake.create(Tables.customer(spark, sf), dim, "c_custkey", targetFiles = 1)
+    MatView.defineDistinctStar(spark, src, Seq((dim, "o_custkey", "c_custkey")),
+      src + "-dsview", Seq("o_orderpriority"), "o_orderkey")
+    try {
+      def userQ() = {
+        val f = lakeDf(src)
+        val d = lakeDf(dim)
+        f.join(d, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_k"),
+            min(col("o_orderkey")).as("min_k"),
+            max(col("o_orderkey")).as("max_k"))
+      }
+      def expected() = Lake.read(spark, src)
+        .join(broadcast(Lake.read(spark, dim)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_k"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+      val q0 = userQ()
+      assert(kindOf(q0, src) === "direct-distinct-rollup-join")
+      val tables = scannedTables(q0)
+      assert(!tables.exists(t => t.contains(src) && !t.contains("-dsview")),
+        s"plan must not scan the fact, scanned: $tables")
+      assert(rows(q0, "c_mktsegment") === rows(expected(), "c_mktsegment"))
+      // CHURN the dim: segments reassigned — the serve needs NO
+      // refresh, NO move algebra, NO pin: the aux never stored a
+      // segment, the query's own dim read relabels
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("CHURNED")))
+      val q1 = userQ()
+      assert(kindOf(q1, src) === "direct-distinct-rollup-join",
+        "dim churn must not degrade the distinct star serve")
+      assert(rows(q1, "c_mktsegment") === rows(expected(), "c_mktsegment"))
+      // a FACT delta compensates through the aux roll-forward
+      val maxKey = Lake.read(spark, src)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1L))
+      val q2 = userQ()
+      assert(kindOf(q2, src) === "compensated-distinct-rollup-join")
+      assert(rows(q2, "c_mktsegment") === rows(expected(), "c_mktsegment"))
+      // grouping by (dim attr × aux col) serves too
+      val q3 = lakeDf(src)
+        .join(lakeDf(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      assert(kindOf(q3, src).endsWith("-distinct-rollup-join"))
+      val e3 = Lake.read(spark, src)
+        .join(broadcast(Lake.read(spark, dim)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      assert(rows(q3, "c_mktsegment", "o_orderpriority") ===
+        rows(e3, "c_mktsegment", "o_orderpriority"))
+      // a filter on the dim attribute transposes onto the serve join
+      val q4 = lakeDf(src)
+        .join(lakeDf(dim), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "CHURNED")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      assert(kindOf(q4, src).endsWith("-distinct-rollup-join"))
+      val e4 = Lake.read(spark, src)
+        .join(broadcast(Lake.read(spark, dim)),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "CHURNED")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      assert(rows(q4, "o_orderpriority") === rows(e4, "o_orderpriority"))
+      // recover from the sidecar keeps the dims
+      MatView.unregisterDistinct(src + "-dsview")
+      val rec = MatView.recoverDistinct(src + "-dsview")
+      assert(rec.dims === Seq((dim, "o_custkey", "c_custkey")))
+      assert(kindOf(userQ(), src) === "compensated-distinct-rollup-join")
+    } finally MatView.unregisterDistinct(src + "-dsview")
+  }
+
+  test("distinct star refusals: wrong join key; a dim NOT keyed on its " +
+      "join key refuses the define") {
+    val src = buildSource("dstar-ref")
+    val dim = freshDir("dstar-ref-dim")
+    Lake.create(Tables.customer(spark, sf), dim, "c_custkey", targetFiles = 1)
+    MatView.defineDistinctStar(spark, src, Seq((dim, "o_custkey", "c_custkey")),
+      src + "-dsview", Seq("o_orderpriority"), "o_orderkey")
+    try {
+      // join on a NON-declared key pair: no rewrite
+      val q = lakeDf(src)
+        .join(lakeDf(dim), col("o_orderkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_orderkey")).as("n"))
+      assert(kindOf(q, src) === "none")
+      // a dim keyed on something other than the join key refuses define
+      val badDim = freshDir("dstar-ref-bad")
+      Lake.create(Tables.customer(spark, sf)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+        badDim, "c_name", targetFiles = 1)
+      val err = intercept[IllegalArgumentException] {
+        MatView.defineDistinctStar(spark, src,
+          Seq((badDim, "o_custkey", "c_custkey")),
+          src + "-dsview-bad", Seq("o_orderpriority"), "o_orderkey")
+      }
+      assert(err.getMessage.contains("KEYED on its join key"))
+    } finally MatView.unregisterDistinct(src + "-dsview")
+  }
+
   test("two distinct views over the same value column with different " +
       "groupings coexist (ADVICE r11: no cross-shape eviction)") {
     val src = buildSource("coexist")
