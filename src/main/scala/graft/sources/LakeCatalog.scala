@@ -243,6 +243,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "refresh_mv_join" => LakeProcedures.refreshMvJoin(this)
       case "refresh_mv_dims" => LakeProcedures.refreshMvDims(this)
       case "create_mv_distinct" => LakeProcedures.createMvDistinct(this)
+      case "create_mv_distinct_star" => LakeProcedures.createMvDistinctStar(this)
       case "refresh_mv_distinct" => LakeProcedures.refreshMvDistinct(this)
       case "mvd_status" => LakeProcedures.mvdStatus(this)
       case "auto_maintenance" => LakeProcedures.autoMaintenance(this)
@@ -261,7 +262,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     Array("optimize", "compact_small", "bucket", "zorder", "vacuum", "history",
         "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv",
         "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status",
-        "auto_maintenance", "analyze", "auto_compact")
+        "auto_maintenance", "analyze", "auto_compact",
+        "create_mv_distinct_star")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

@@ -299,6 +299,35 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.create_mv_distinct_star(tbl => 'ns.fact',
+    * dim => 'ns.d', fact_key => 'user_id', dim_key => 'u_user',
+    * view => 'ns.v', group_cols => 'event_type', distinct_col =>
+    * 'user_id')` — a DISTINCT STAR view
+    * ([[graft.lake.MatView.defineDistinctStar]]): queries may group by
+    * the dimension's attributes, the aux stays pure fact-side, and
+    * dimension churn never stales it. Returns the fact version the
+    * aux captured. */
+  def createMvDistinctStar(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("create_mv_distinct_star",
+      Array(in("tbl", StringType), in("dim", StringType),
+        in("fact_key", StringType), in("dim_key", StringType),
+        in("view", StringType), in("group_cols", StringType),
+        in("distinct_col", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val groups = input.getUTF8String(5).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val d = graft.lake.MatView.defineDistinctStar(SparkSession.active,
+          dirOf(catalog, input.getUTF8String(0).toString),
+          Seq((dirOf(catalog, input.getUTF8String(1).toString),
+            input.getUTF8String(2).toString,
+            input.getUTF8String(3).toString)),
+          dirOf(catalog, input.getUTF8String(4).toString),
+          groups, input.getUTF8String(6).toString)
+        result(StructType(Seq(StructField("built_version", LongType))),
+          d.builtVersion)
+      }
+    }
+
   /** `CALL graft.refresh_mv_distinct(view => 'ns.v')` — roll the
     * distinct view forward from the source change feed
     * ([[graft.lake.MatView.refreshDistinct]]): O(Δ), one atomic merge

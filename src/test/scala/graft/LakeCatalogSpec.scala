@@ -551,6 +551,42 @@ class LakeCatalogSpec extends SparkSpec {
       s"$warehouse/mvj/cust")
   }
 
+  test("CALL create_mv_distinct_star: the distinct star lifecycle in SQL") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dstar")
+    sql("""CREATE TABLE graftcat.dstar.ev (eid BIGINT, etype STRING, uid BIGINT)
+          |TBLPROPERTIES ('key'='eid')""".stripMargin)
+    sql("""INSERT INTO graftcat.dstar.ev VALUES
+          |  (1,'c',10),(2,'c',20),(3,'v',10),(4,'v',30),(5,'c',10)""".stripMargin)
+    sql("""CREATE TABLE graftcat.dstar.u (u_user BIGINT, region STRING)
+          |TBLPROPERTIES ('key'='u_user')""".stripMargin)
+    sql("INSERT INTO graftcat.dstar.u VALUES (10,'eu'),(20,'us'),(30,'eu')")
+    val built = sql(
+      """CALL graftcat.create_mv_distinct_star(tbl => 'dstar.ev',
+        |  dim => 'dstar.u', fact_key => 'uid', dim_key => 'u_user',
+        |  view => 'dstar.dau', group_cols => 'etype',
+        |  distinct_col => 'uid')""".stripMargin).head().getLong(0)
+    val dir = s"$warehouse/dstar/ev"
+    try {
+      assert(built === Lake.latestVersion(dir))
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      // churn the dim, then the per-region distinct count still serves
+      sql("INSERT INTO graftcat.dstar.u VALUES (10,'apac')")
+      val q = sql(
+        """SELECT region, count(DISTINCT uid) AS n_users, count(*) AS n_ev
+          |FROM graftcat.dstar.ev JOIN graftcat.dstar.u ON uid = u_user
+          |GROUP BY region ORDER BY region""".stripMargin)
+      graft.lake.MatView.lastRewrite.set(null)
+      q.queryExecution.optimizedPlan
+      assert(Option(graft.lake.MatView.lastRewrite.get()).exists(r =>
+        r._1 == dir && r._2 == "direct-distinct-rollup-join"))
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("apac", 1L, 3L), ("eu", 1L, 1L), ("us", 1L, 1L)))
+    } finally graft.lake.MatView.unregisterDistinct(s"$warehouse/dstar/dau")
+  }
+
   test("CALL auto_maintenance: INSERTs advance the view, no refresh CALL") {
     warehouse
     sql("CREATE NAMESPACE IF NOT EXISTS graftcat.amv")

@@ -111,6 +111,14 @@ class PlanGuardSpec extends SparkSpec {
     //     stat-attach baselines, documented in PLANS.md) plan as
     //     joinType=Cross and stay allowed; everything else must
     //     candidate via an equi-join.
+    // Adjudicated exemption (round 12): x8_mv_window's global
+    // rank/share-of-total runs over a VIEW-SERVED aggregate — the
+    // window input is group-cardinality rows (the rewrite collapsed
+    // the fact scan away), so the "corpus-sized global sort" this
+    // guard exists to catch cannot occur. The exemption's PREMISE is
+    // machine-checked below: the exempted plan must contain no
+    // fact-table scan under the window (only the view table).
+    val viewWindowExempt = Set("x8_mv_window")
     val (sortOffenders, bnljOffenders) =
       SparkEntry.queries.toSeq.sortBy(_._1).foldLeft(
         (Vector.empty[String], Vector.empty[String])) { case ((so, bo), (name, fn)) =>
@@ -119,10 +127,17 @@ class PlanGuardSpec extends SparkSpec {
           val badSort = qe.optimizedPlan.collect {
             case w: LogicalWindow if w.partitionSpec.isEmpty => w
           }
+          val exemptOk = viewWindowExempt(name) && badSort.nonEmpty && {
+            val scans = qe.optimizedPlan.collect {
+              case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+                r.relation.table.name
+            }
+            scans.nonEmpty && scans.forall(_.contains("-view"))
+          }
           val badBnlj = qe.sparkPlan.collect {
             case j: BroadcastNestedLoopJoinExec if j.joinType != Cross => j
           }
-          (if (badSort.nonEmpty) so :+ name else so,
+          (if (badSort.nonEmpty && !exemptOk) so :+ name else so,
            if (badBnlj.nonEmpty) bo :+ name else bo)
         } finally spark.catalog.clearCache()
       }
