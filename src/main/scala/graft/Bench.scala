@@ -61,10 +61,19 @@ object Bench {
     // warm the probe's own code path first (ADVICE r8): the before
     // probes run on a JIT-cold JVM while mid/after run hours hot, so
     // an unwarmed first sample can breach the 1.30x disagreement
-    // threshold on a perfectly quiet host and false-flag the run
+    // threshold on a perfectly quiet host and false-flag the run.
+    // Round 12: additionally take MIN-OF-3 with settle gaps — the
+    // forked JVM starts while the sbt parent is still finishing its
+    // own post-compile bookkeeping/GC, and that few-second burst read
+    // as 1.8x on an otherwise idle host (two false contended flags).
+    // The min over a 1s window prices the host, not the launcher's
+    // exhaust; a REAL steal window lasts the whole run and still trips
+    // the mid/after disagreement.
     hostProbe(1); hostProbe(nThreads)
-    val probeBefore1 = hostProbe(1)
-    val probeBeforeN = hostProbe(nThreads)
+    def minOf3(threads: Int): Long =
+      (0 until 3).map { _ => Thread.sleep(300); hostProbe(threads) }.min
+    val probeBefore1 = minOf3(1)
+    val probeBeforeN = minOf3(nThreads)
     // Empirically best on the 32-core contract machine at sf0.1:
     // local[16] with 8 shuffle partitions (measured full-suite sweep:
     // 4/4=173s, 8/8=98s, 16/16=163s, 32/32=242s, 32/8=125s, 16/8=84s).
