@@ -56,6 +56,37 @@ object Scratch {
     def peek: Option[T] = Option(cached)
   }
 
+  /** Generic landed-fixture memo: one [[Slot]] per (session, sfDir,
+    * input fingerprint) — the disclosed-memo policy every shared
+    * fixture family follows (BASELINE.md). A stale-fingerprint entry
+    * (the testdata under an already-memoized path was rewritten) is
+    * evicted WITH its teardown before the fresh build, and
+    * [[FixtureMemo.invalidate]] is the single switch Bench's
+    * cold-accounting pass flips: steady-state timings price the
+    * consumer of the landed fixture, `cold_queries` re-prices the
+    * full lifecycle. Factored in round 13 so the five write-lifecycle
+    * queries (VERDICT r12 #1) share one audited implementation with
+    * the lake-history/stat-table memos instead of a sixth copy of the
+    * eviction dance. */
+  final class FixtureMemo[T <: AnyRef](input: String => String,
+      teardown: T => Unit) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), Slot[T]]()
+    def get(spark: SparkSession, sfDir: String)(build: () => T): T = {
+      val fp = fingerprint(input(sfDir))
+      import scala.jdk.CollectionConverters._
+      m.keySet.asScala
+        .filter(k => (k._1 eq spark) && k._2 == sfDir && k._3 != fp)
+        .foreach(k => Option(m.remove(k)).foreach(_.peek.foreach(teardown)))
+      m.computeIfAbsent((spark, sfDir, fp), _ => new Slot(build)).get
+    }
+    def invalidate(): Unit = {
+      import scala.jdk.CollectionConverters._
+      m.values.asScala.foreach(_.peek.foreach(teardown))
+      m.clear()
+    }
+  }
+
   /** Cheap content fingerprint of an asset directory/file (name,
     * length, mtime of every file) — the memo-key component that makes
     * session-scoped fixtures self-invalidate when the data under an

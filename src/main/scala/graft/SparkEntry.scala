@@ -653,6 +653,13 @@ object SparkEntry {
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_evolve", // nine-commit evolution lifecycle (r12, disclosed memo)
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
+    // round-13 (VERDICT r12 #1): the five write-lifecycle landings —
+    // steady state prices the landed serve, cold the full protocol
+    "x8_lake_pair", // cross-table atomic commit pair
+    "x8_lake_autocompact", // self-healing small-file lifecycle
+    "x8_lake_vacuum_pin", // vacuum × view-pin lifecycle (view stays registered)
+    "x8_mv_auto", // maintenance-on-commit lifecycle (view stays registered)
+    "x6_stream_mv_auto", // declare→ingest auto-maintained streaming view
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
     "x8_mv_star", "x8_mv_expr", "x8_mv_expr_stale", "x8_mv_timebucket",
@@ -693,6 +700,11 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
     graft.lake.LakeQueries.invalidateSqlMerge()
+    graft.lake.LakeQueries.invalidatePair()
+    graft.lake.LakeQueries.invalidateAutoCompact()
+    graft.lake.LakeQueries.invalidateVacPin()
+    graft.lake.LakeQueries.invalidateMvAuto()
+    graft.streaming.EventStream.invalidateMvAuto()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()
     graft.streaming.StreamSource.invalidate()
