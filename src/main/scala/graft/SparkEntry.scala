@@ -417,6 +417,11 @@ object SparkEntry {
     // advances dependent views, steady state serves DIRECT with no CALL
     ("x8_mv_auto", graft.lake.LakeQueries.mvAuto _,
       Some(graft.lake.LakeQueries.mvAutoSql)),
+    // round-13: coalesced ASYNC maintenance — a 6-commit burst over 3
+    // dependent views triggers ≤⌈6/3⌉ background passes (pinned), the
+    // compensation serve bridges the gap, final serves are direct
+    ("x8_mv_auto_coalesce", graft.lake.LakeQueries.mvAutoCoalesce _,
+      Some(graft.lake.LakeQueries.mvAutoCoalesceSql)),
     // round-12: distinct star views — distinct users per dim attribute,
     // dim churn costs nothing (the aux is pure fact-side)
     ("x8_mv_distinct_star", graft.lake.LakeQueries.mvDistinctStar _,
@@ -659,6 +664,7 @@ object SparkEntry {
     "x8_lake_autocompact", // self-healing small-file lifecycle
     "x8_lake_vacuum_pin", // vacuum × view-pin lifecycle (view stays registered)
     "x8_mv_auto", // maintenance-on-commit lifecycle (view stays registered)
+    "x8_mv_auto_coalesce", // 6-commit burst, coalesced async passes
     "x6_stream_mv_auto", // declare→ingest auto-maintained streaming view
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
@@ -704,6 +710,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateAutoCompact()
     graft.lake.LakeQueries.invalidateVacPin()
     graft.lake.LakeQueries.invalidateMvAuto()
+    graft.lake.LakeQueries.invalidateMvCoalesce()
     graft.streaming.EventStream.invalidateMvAuto()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

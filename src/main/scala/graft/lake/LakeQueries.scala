@@ -4208,4 +4208,125 @@ object LakeQueries {
       |  FROM orders WHERE o_orderkey % 3 = 0)
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_mv_auto_coalesce` — COALESCED ASYNC MV
+    * MAINTENANCE (round 13, VERDICT r12 #2): THREE views (one plain
+    * Σ-register view, two value-grain distinct auxes on different
+    * groupings) depend on one source table, and
+    * `CALL graft.auto_maintenance(enabled => true, every_n => 3,
+    * async => true)` arms the debounced background policy
+    * ([[MatView.MaintainPolicy]]). A burst of SIX writer commits then
+    * lands. Pinned into the hash:
+    *
+    *  - `passes_bounded`: the burst triggered between 1 and
+    *    ⌈6/3⌉ = 2 completed maintenance passes
+    *    ([[MatView.maintenancePasses]]) — NOT the 6 commits × 3 views
+    *    = 18 inline refreshes round 12's policy would have run;
+    *  - `bridged`: mid-burst, before any pass was due, the plain
+    *    aggregate served COMPENSATED — the exact freshness bridge the
+    *    debounce leans on;
+    *  - `mv_coalesce`: after [[MatView.awaitMaintenance]] drains the
+    *    executor, the plain serve is DIRECT with no fact scan, both
+    *    distinct serves are direct-distinct, and the plain pin sits
+    *    at the table head.
+    *
+    * The output joins the plain serve with the priority-grain
+    * distinct serve, so both maintained planes must be value-exact
+    * against DuckDB's relational mirror of the final state.
+    *
+    * Fixture accounting: the burst lifecycle lands once per (session,
+    * sfDir, fingerprint) — same policy as `x8_mv_auto`; steady state
+    * prices the two view serves + the tiny join, Bench's cold pass
+    * re-prices the burst. */
+  private case class MvCoalesceFixture(dir: String, passesBounded: Boolean,
+      bridged: Boolean)
+
+  private val mvCoalesceMemo = new graft.Scratch.FixtureMemo[MvCoalesceFixture](
+    sfDir => s"$sfDir/orders.parquet",
+    fx => {
+      graft.lake.MatView.unregister(fx.dir)
+      graft.lake.MatView.unregisterDistinct(fx.dir + "-dview")
+      graft.lake.MatView.unregisterDistinct(fx.dir + "-dview2")
+      Seq("", "-view", "-dview", "-dview2")
+        .foreach(s => rm(new java.io.File(fx.dir + s)))
+    })
+
+  private[graft] def invalidateMvCoalesce(): Unit = mvCoalesceMemo.invalidate()
+
+  private def mvCoalesceFixture(spark: SparkSession,
+      sfDir: String): MvCoalesceFixture =
+    mvCoalesceMemo.get(spark, sfDir) { () =>
+      val dir = scratchDir(spark, sfDir) + "-mvcoal"
+      graft.lake.MatView.unregister(dir)
+      graft.lake.MatView.unregisterDistinct(dir + "-dview")
+      graft.lake.MatView.unregisterDistinct(dir + "-dview2")
+      Seq("", "-view", "-dview", "-dview2")
+        .foreach(s => rm(new java.io.File(dir + s)))
+      // a THIRD of orders (the %3=1 band — disjoint from x8_mv_auto's):
+      // the feature is the maintenance schedule, not the volume
+      val orders = Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      Lake.create(orders.filter(col("o_orderkey") % 2 === 1), dir,
+        "o_orderkey", targetFiles = 4)
+      graft.lake.MatView.define(spark, dir, dir + "-view",
+        Seq("o_orderpriority"), Seq("o_cents"))
+      graft.lake.MatView.defineDistinct(spark, dir, dir + "-dview",
+        Seq("o_orderpriority"), "o_custkey")
+      graft.lake.MatView.defineDistinct(spark, dir, dir + "-dview2",
+        Seq("o_orderstatus"), "o_custkey")
+      graft.lake.MatView.enableAutoMaintenance(
+        graft.lake.MatView.MaintainPolicy(everyN = 3, async = true))
+      try {
+        val even = orders.filter(col("o_orderkey") % 2 === 0)
+        val maxKey = even.agg(max(col("o_orderkey"))).head().getLong(0)
+        def band(i: Int) = even.filter(
+          floor(col("o_orderkey") * 6L / (maxKey + 1L)).cast("long") === i.toLong)
+        // commits 1-2: below the every_n=3 budget — nothing scheduled
+        (0 until 2).foreach(i => Lake.upsert(spark, dir, band(i)))
+        val bridged = rewriteKind(mvUserQuery(spark, dir), dir) == "compensated"
+        // commits 3-6: pass due at 3 and at 6 (coalesced if 3's is
+        // still queued when 6 lands — both orderings are in-bound)
+        (2 until 6).foreach(i => Lake.upsert(spark, dir, band(i)))
+        graft.lake.MatView.awaitMaintenance()
+        val passes = graft.lake.MatView.maintenancePasses(dir)
+        MvCoalesceFixture(dir, passes >= 1L && passes <= 2L, bridged)
+      } finally graft.lake.MatView.disableAutoMaintenance()
+    }
+
+  def mvAutoCoalesce(spark: SparkSession, sfDir: String): DataFrame = {
+    val fx = mvCoalesceFixture(spark, sfDir)
+    val q = mvUserQuery(spark, fx.dir)
+    val served = rewriteKind(q, fx.dir) == "direct" && !factScanned(q, fx.dir)
+    val lake = spark.read.format("graft-lake").option("path", fx.dir).load()
+    val qd = lake.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+    val servedD = rewriteKind(qd, fx.dir).startsWith("direct-distinct")
+    val qd2 = lake.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n2"))
+    val servedD2 = rewriteKind(qd2, fx.dir).startsWith("direct-distinct")
+    val viewFresh = graft.lake.MatView.get(fx.dir)
+      .exists(_.builtVersion == Lake.latestVersion(fx.dir))
+    q.join(qd, Seq("o_orderpriority"))
+      .withColumn("passes_bounded", lit(fx.passesBounded))
+      .withColumn("bridged", lit(fx.bridged))
+      .withColumn("mv_coalesce",
+        lit(served && servedD && servedD2 && viewFresh))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the full %3=1 slice per priority. */
+  val mvAutoCoalesceSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(avg(cents) AS DOUBLE) AS avg_cents,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  TRUE AS passes_bounded, TRUE AS bridged, TRUE AS mv_coalesce
+      |FROM (
+      |  SELECT o_orderpriority, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 3 = 1)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

@@ -157,6 +157,69 @@ class AutoMaintainSpec extends SparkSpec {
     }
   }
 
+  test("every_n debounces: below-budget commits leave the view stale " +
+      "(compensation serves exactly), the Nth commit advances it") {
+    import spark.implicits._
+    val dir = fresh("debounce")
+    Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), dir, "id",
+      targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    MatView.enableAutoMaintenance(MatView.MaintainPolicy(everyN = 2))
+    try {
+      Lake.upsert(spark, dir, Seq((2L, "b", 20L)).toDF("id", "grp", "v"))
+      assert(MatView.get(dir).exists(_.builtVersion == 1L),
+        "commit 1 of 2 must not trigger a pass")
+      val q1 = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q1, dir) === "compensated")
+      assert(q1.orderBy("grp").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 10L), ("b", 20L)))
+      Lake.upsert(spark, dir, Seq((3L, "a", 5L)).toDF("id", "grp", "v"))
+      assert(MatView.get(dir).exists(_.builtVersion == 3L),
+        "commit 2 of 2 triggers the pass, to the HEAD (both commits)")
+      assert(MatView.maintenancePasses(dir) === 1L)
+      val q2 = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q2, dir) === "direct")
+      // a burst of 4 more: exactly 2 further passes
+      (4L to 7L).foreach(i =>
+        Lake.upsert(spark, dir, Seq((i, "b", i)).toDF("id", "grp", "v")))
+      assert(MatView.maintenancePasses(dir) === 3L)
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("async policy: passes run on the maintenance executor, not the " +
+      "writer's thread; the drained state serves direct") {
+    import spark.implicits._
+    val dir = fresh("async")
+    Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), dir, "id",
+      targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    MatView.enableAutoMaintenance(MatView.MaintainPolicy(async = true))
+    try {
+      MatView.lastMaintenance.set(null)
+      Lake.upsert(spark, dir, Seq((2L, "b", 20L)).toDF("id", "grp", "v"))
+      // writer-visible latency excludes dependent-view work: whatever
+      // runs, runs on the executor thread — the record carries the
+      // thread name, and it is never this (the writer's) thread
+      MatView.awaitMaintenance()
+      val Some((d, outcome)) = Option(MatView.lastMaintenance.get())
+      assert(d === dir)
+      assert(outcome.startsWith("[graft-mv-maintenance]"),
+        s"pass must run on the maintenance executor, got: $outcome")
+      assert(!outcome.contains(Thread.currentThread().getName))
+      assert(MatView.get(dir).exists(_.builtVersion == 2L))
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      assert(q.orderBy("grp").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 10L), ("b", 20L)))
+    } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
   test("disabled by default: commits without enable leave views stale") {
     import spark.implicits._
     val dir = fresh("off")
