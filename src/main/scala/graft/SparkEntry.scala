@@ -379,6 +379,10 @@ object SparkEntry {
     // layout (per-file ranges + null counts from CALL graft.analyze)
     ("x8_lake_topn_col", graft.lake.LakeQueries.lakeTopNCol _,
       Some(graft.lake.LakeQueries.lakeTopNColSql)),
+    // round-13: WHERE + ORDER BY + LIMIT — boundary selection over the
+    // filter-surviving files via the post-pushdown TopNFilterPrune rule
+    ("x8_lake_topn_filter", graft.lake.LakeQueries.lakeTopNFilter _,
+      Some(graft.lake.LakeQueries.lakeTopNFilterSql)),
     ("x8_lake_topn", graft.lake.LakeQueries.lakeTopN _,
       Some(graft.lake.LakeQueries.lakeTopNSql)),
     // round-11: manifest-aggregated per-column min/max/NDV through the
@@ -655,6 +659,7 @@ object SparkEntry {
     "x8_lake_agg_push", "x8_lake_runtime_skip", "x8_lake_limit_push",
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
     "x8_lake_colstats", "x8_lake_colstats4", "x8_lake_topn_col", // stat tables
+    "x8_lake_topn_filter", // same analyzed price-clustered fixture
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_evolve", // nine-commit evolution lifecycle (r12, disclosed memo)
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture

@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lake tables answer from their materialized view (delta-log
     // freshness; change-feed compensation when stale)
     ext.injectOptimizerRule(_ => graft.plans.MatViewRewrite)
+    // post-pushdown (pre-CBO) extension: TopN × filter boundary
+    // pruning over built lake scans — Catalyst never offers pushTopN
+    // with residual conjuncts, so the composition runs as a rule
+    ext.injectPreCBORule(_ => graft.plans.TopNFilterPrune)
   }
 }

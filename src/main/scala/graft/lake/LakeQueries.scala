@@ -2166,6 +2166,69 @@ object LakeQueries {
       |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
       |ORDER BY dirn, o_pricekey""".stripMargin
 
+  /** Registered query `x8_lake_topn_filter` — TOP-N × FILTER
+    * COMPOSITION (round 13, VERDICT r12 #3): `WHERE o_pricekey >= X
+    * ORDER BY o_pricekey [ASC|DESC] LIMIT 9` over the price-clustered
+    * analyzed layout — the most common TopN shape in practice, which
+    * round 12 refused outright (Catalyst never offers pushTopN with
+    * residual conjuncts, and the builder declined anyway). The
+    * post-pushdown [[graft.plans.TopNFilterPrune]] rule now applies
+    * boundary selection over the filter-surviving file list, with
+    * each file's count replaced by a sound lower bound on its
+    * filter-qualifying rows: files the range predicate wholly
+    * eliminates are already pruned, the straddling boundary file
+    * counts 0 (partial), wholly-qualifying files count full — so the
+    * kept prefix provably holds the answer. `topn_filter_pruned` pins
+    * files-skipped in BOTH directions; DuckDB mirrors the same
+    * filtered limits from raw orders. At 100 TB: "the cheapest/most
+    * expensive 9 orders above a floor" opens boundary files, not the
+    * filter's whole survivor set. */
+  def lakeTopNFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = topnColTable(spark, sfDir)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("topnf_t")
+    // ≈30th percentile of the price key at every SF (cents ≥ $150k ×
+    // 10⁶ tie-break space): ~6 of 8 files survive the filter, the
+    // boundary straddler is partial, so both directions must prune
+    val floor = 15000000000000L
+    def side(dirn: String): (Seq[(String, Long, Long)], Boolean) = {
+      graft.sources.LakeScan.lastTopNPrune.set(null)
+      val rows = spark.sql(
+        s"""SELECT o_orderkey, o_pricekey FROM topnf_t
+           |WHERE o_pricekey >= $floor
+           |ORDER BY o_pricekey ${dirn.toUpperCase} LIMIT 9""".stripMargin)
+        .collect().map(r => (dirn, r.getLong(0), r.getLong(1))).toSeq
+      val pruned = Option(graft.sources.LakeScan.lastTopNPrune.get()).exists {
+        case (d, live, kept) => d == dir && kept < live
+      }
+      (rows, pruned)
+    }
+    val (ascRows, ascPruned) = side("asc")
+    val (descRows, descPruned) = side("desc")
+    (ascRows ++ descRows).toDF("dirn", "o_orderkey", "o_pricekey")
+      .withColumn("topn_filter_pruned", lit(ascPruned && descPruned))
+      .orderBy(col("dirn"), col("o_pricekey"))
+  }
+
+  /** Mirror: the same filtered price-key limits from raw orders. */
+  val lakeTopNFilterSql: String =
+    """WITH pk AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * 1000000 + o_orderkey % 1000000 AS o_pricekey
+      |  FROM orders),
+      |f AS (SELECT * FROM pk WHERE o_pricekey >= 15000000000000),
+      |a AS (SELECT 'asc' AS dirn, o_orderkey, o_pricekey FROM f
+      |  ORDER BY o_pricekey ASC LIMIT 9),
+      |d AS (SELECT 'desc' AS dirn, o_orderkey, o_pricekey FROM f
+      |  ORDER BY o_pricekey DESC LIMIT 9)
+      |SELECT dirn, o_orderkey, o_pricekey, TRUE AS topn_filter_pruned
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+      |ORDER BY dirn, o_pricekey""".stripMargin
+
   /** Registered query `x8_lake_colstats4` — ANALYZED COLUMN
     * STATISTICS driving a 4-TABLE CBO reorder off a NON-KEY predicate
     * (round 12, VERDICT r11 #6): `lineitem ⋈ orders ⋈ customer ⋈

@@ -149,4 +149,71 @@ class TopNPushSpec extends SparkSpec {
     assert(lastPrune(dir).isEmpty,
       "a non-leading-key order must never reach the boundary prune")
   }
+
+  test("WHERE + ORDER BY + LIMIT prunes to the boundary of the " +
+      "filter-surviving files (TopNFilterPrune rule), both directions") {
+    val dir = fresh("filter")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+      dir, "o_orderkey", targetFiles = 8)
+    // a threshold inside file index 2's range: files 0-1 are wholly
+    // eliminated, file 2 is partial (counts 0), files 3+ are whole
+    val m = Lake.manifest(dir, Lake.latestVersion(dir))
+    val sorted = m.files.filter(_.rows > 0).sortBy(_.minKey)
+    assume(sorted.size == 8)
+    val x = (sorted(2).minKey + sorted(2).maxKey) / 2
+    // the plain-builder test session has no GraftExtensions: register
+    // the post-pushdown rule the same way the engine's queries do
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_filter")
+    for (dirn <- Seq("ASC", "DESC")) {
+      LakeScan.lastTopNPrune.set(null)
+      val q = spark.sql(
+        s"""SELECT o_orderkey, o_orderpriority FROM tn_filter
+           |WHERE o_orderkey >= $x
+           |ORDER BY o_orderkey $dirn LIMIT 5""".stripMargin)
+      val got = q.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val all = Lake.read(spark, dir).filter(col("o_orderkey") >= x)
+        .collect().map(r => (r.getAs[Long]("o_orderkey"),
+          r.getAs[String]("o_orderpriority"))).toSeq
+      val exp = (if (dirn == "ASC") all.sortBy(_._1)
+        else all.sortBy(-_._1)).take(5)
+      assert(got === exp, s"$dirn answer")
+      val Some((live, kept)) = lastPrune(dir)
+      assert(kept < live, s"$dirn must prune: kept $kept of $live")
+      // the engaged composition is plan-visible (VERDICT r12 #7)
+      assert(q.queryExecution.executedPlan.toString
+          .contains("topn+filter=pruned"),
+        "scan description must carry the engage verdict")
+    }
+  }
+
+  test("a row-granular residual filter cannot certify a boundary: " +
+      "no file is dropped, the answer stays exact, the plan says so") {
+    val dir = fresh("rowgranular")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+      dir, "o_orderkey", targetFiles = 4)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_rowg")
+    LakeScan.lastTopNPrune.set(null)
+    val q = spark.sql(
+      """SELECT o_orderkey, o_custkey FROM tn_rowg
+        |WHERE o_custkey % 2 = 0
+        |ORDER BY o_orderkey LIMIT 5""".stripMargin)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = Lake.read(spark, dir).filter(col("o_custkey") % 2 === 0)
+      .orderBy(col("o_orderkey")).limit(5)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("o_custkey"))).toSeq
+    assert(got === exp)
+    assert(lastPrune(dir).isEmpty,
+      "a row-granular filter certifies no per-file count — no prune")
+    assert(q.queryExecution.executedPlan.toString.contains("topn+filter="),
+      "the disengaged composition must still be plan-visible")
+  }
 }
