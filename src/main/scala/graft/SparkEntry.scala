@@ -383,6 +383,10 @@ object SparkEntry {
     // filter-surviving files via the post-pushdown TopNFilterPrune rule
     ("x8_lake_topn_filter", graft.lake.LakeQueries.lakeTopNFilter _,
       Some(graft.lake.LakeQueries.lakeTopNFilterSql)),
+    // round-13: post-ANALYZE appends keep every live file stat-covered
+    // (write-time sketch inheritance) — the overlay never goes stale
+    ("x8_lake_colstats_inc", graft.lake.LakeQueries.lakeColStatsInc _,
+      Some(graft.lake.LakeQueries.lakeColStatsIncSql)),
     ("x8_lake_topn", graft.lake.LakeQueries.lakeTopN _,
       Some(graft.lake.LakeQueries.lakeTopNSql)),
     // round-11: manifest-aggregated per-column min/max/NDV through the
@@ -660,6 +664,7 @@ object SparkEntry {
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
     "x8_lake_colstats", "x8_lake_colstats4", "x8_lake_topn_col", // stat tables
     "x8_lake_topn_filter", // same analyzed price-clustered fixture
+    "x8_lake_colstats_inc", // analyze → append lifecycle, stat coverage
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_evolve", // nine-commit evolution lifecycle (r12, disclosed memo)
     "x8_lake_inlist_str", // string-keyed bloom-indexed corpus fixture
@@ -716,6 +721,7 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateVacPin()
     graft.lake.LakeQueries.invalidateMvAuto()
     graft.lake.LakeQueries.invalidateMvCoalesce()
+    graft.lake.LakeQueries.invalidateColstatsInc()
     graft.streaming.EventStream.invalidateMvAuto()
     graft.ext.Bpe.invalidateLearned()
     graft.ext.TextStats.invalidateHllRegisters()

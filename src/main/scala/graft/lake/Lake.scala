@@ -938,9 +938,18 @@ object Lake {
     // physical names — translate when mapping is active (key columns
     // never map)
     val statPhys = activeMapping(dir).map(physMapOf).getOrElse(Map.empty)
+    // INCREMENTAL STATISTICS (round 13, VERDICT r12 #4): columns the
+    // current snapshot is ANALYZEd on (every live file carries their
+    // HLL + null counts) stay covered through ordinary writes — each
+    // new file records their ranges here and their sketches below, so
+    // the columnStats overlay, the CBO reorder, and the non-key TopN
+    // prune never silently degrade after a post-ANALYZE append. Cost
+    // is O(new batch): one extra stats pass over the fresh files only.
+    val inherited = analyzedCols(dir).filter(dtypes.contains)
     val statCols =
       ((if (headStr) kc else kc.tail) ++
-        extraStatCols.map(c => statPhys.getOrElse(c.toLowerCase, c))).distinct
+        extraStatCols.map(c => statPhys.getOrElse(c.toLowerCase, c)) ++
+        inherited).distinct
     val (strCols, intCols) =
       statCols.partition(c => dtypes.get(c).contains(StringType))
     def intEnc(c: String) = dtypes(c) match {
@@ -972,7 +981,7 @@ object Lake {
         min(intEnc(c)).as(s"lo_$c"), max(intEnc(c)).as(s"hi_$c"))) ++
       strCols.flatMap(c => Seq(
         min(col(c)).as(s"slo_$c"), max(col(c)).as(s"shi_$c"))) ++ bucketAggs
-    fresh
+    val entries = fresh
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1014,6 +1023,24 @@ object Lake {
           } else (r.getLong(loIdx), r.getLong(hiIdx))
         FileEntry(rel, r.getLong(1), mk, xk, stats, Map.empty, sstats)
       }.toSeq
+    if (entries.isEmpty || inherited.isEmpty) entries
+    else attachColumnSketches(spark, dir, entries, inherited)
+  }
+
+  /** The columns EVERY live file of the current snapshot carries HLL +
+    * null statistics for (physical names) — the coverage a prior
+    * `ANALYZE` established and every subsequent write keeps intact
+    * ([[writeFilesBy]]). Empty for never-analyzed tables: the
+    * incremental path costs nothing until someone opts in. */
+  private def analyzedCols(dir: String): Seq[String] = {
+    val v = latestVersion(dir)
+    if (v <= 0L) Nil
+    else {
+      val live = manifest(dir, v).files.filter(_.rows > 0)
+      if (live.isEmpty) Nil
+      else live.map(f => f.ndv.keySet & f.nulls.keySet)
+        .reduce(_ & _).toSeq.sorted
+    }
   }
 
   /** Create an EMPTY table at version 1 (SQL `CREATE TABLE` via
@@ -2168,8 +2195,12 @@ object Lake {
       val nulls = phys.map(p => p -> r.getLong(r.fieldIndex(s"n_$p"))).toMap
       byName(leaf) -> ((ndv, nulls))
     }.toMap
+    // MERGE (round 13): analyzing a second column set must not drop
+    // the first's coverage, and inherited-at-write sketches must not
+    // clobber an explicit ANALYZE pass over new columns
     entries.map(f => info.get(f.name) match {
-      case Some((ndv, nulls)) => f.copy(ndv = ndv, nulls = nulls)
+      case Some((ndv, nulls)) =>
+        f.copy(ndv = f.ndv ++ ndv, nulls = f.nulls ++ nulls)
       case None => f
     })
   }

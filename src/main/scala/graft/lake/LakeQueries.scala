@@ -2166,6 +2166,72 @@ object LakeQueries {
       |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
       |ORDER BY dirn, o_pricekey""".stripMargin
 
+  /** Registered query `x8_lake_colstats_inc` — INCREMENTAL STATISTICS
+    * MAINTENANCE (round 13, VERDICT r12 #4): round 12's ANALYZE
+    * attached HLL/null sketches only to the files it wrote, so every
+    * subsequent append landed stat-less files and the `columnStats`
+    * overlay (and the CBO reorder feeding on it) silently degraded
+    * until the next manual CALL. [[Lake]] now inherits the analyzed
+    * column set at WRITE time: any commit to an analyzed table
+    * sketches its new files in the same O(Δ) stats pass. The fixture
+    * creates half of customer, ANALYZEs `c_nationkey`, then lands TWO
+    * ordinary post-ANALYZE commits (the second half + a segment-move
+    * update slice). Pinned: `stat_covered` (EVERY live file of the
+    * final snapshot carries the c_nationkey sketch + null count — the
+    * coverage invariant itself) and `ndv_sane` (the driver-local
+    * DataSketches union over all live files lands on the true ~25
+    * nation NDV). The rollup mirrors relationally. */
+  private val colstatsIncMemo = new graft.Scratch.FixtureMemo[String](
+    sfDir => s"$sfDir/customer.parquet",
+    dir => rm(new java.io.File(dir)))
+
+  private[graft] def invalidateColstatsInc(): Unit = colstatsIncMemo.invalidate()
+
+  private def colstatsIncTable(spark: SparkSession, sfDir: String): String =
+    colstatsIncMemo.get(spark, sfDir) { () =>
+      val dir = scratchDir(spark, sfDir) + "-colstats-inc"
+      rm(new java.io.File(dir))
+      val cust = Tables.customer(spark, sfDir)
+      Lake.create(cust.filter(col("c_custkey") % 2 === 1), dir,
+        "c_custkey", targetFiles = 4)
+      Lake.compactAnalyzed(spark, dir, Seq("c_nationkey"), targetFiles = 4)
+      // ordinary post-ANALYZE commits — the writes that used to land
+      // stat-less files
+      Lake.upsert(spark, dir, cust.filter(col("c_custkey") % 2 === 0))
+      Lake.upsert(spark, dir, Lake.read(spark, dir)
+        .filter(col("c_custkey") % 9 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      dir
+    }
+
+  def lakeColStatsInc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = colstatsIncTable(spark, sfDir)
+    val live = Lake.manifest(dir, Lake.latestVersion(dir))
+      .files.filter(_.rows > 0)
+    val statCovered = live.nonEmpty && live.forall(f =>
+      f.ndv.contains("c_nationkey") && f.nulls.contains("c_nationkey"))
+    val ndv = Lake.mergeNdv(live.flatMap(_.ndv.get("c_nationkey")))
+    val ndvSane = ndv >= 20L && ndv <= 30L
+    spark.read.format("graft-lake").option("path", dir).load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        countDistinct(col("c_nationkey")).as("n_nations"))
+      .withColumn("stat_covered", lit(statCovered))
+      .withColumn("ndv_sane", lit(ndvSane))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Mirror: full customer with the %9 keys segment-moved. */
+  val lakeColStatsIncSql: String =
+    """SELECT CASE WHEN c_custkey % 9 = 0 THEN 'MOVED'
+      |    ELSE c_mktsegment END AS c_mktsegment,
+      |  count(*) AS n_cust,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  TRUE AS stat_covered, TRUE AS ndv_sane
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Registered query `x8_lake_topn_filter` — TOP-N × FILTER
     * COMPOSITION (round 13, VERDICT r12 #3): `WHERE o_pricekey >= X
     * ORDER BY o_pricekey [ASC|DESC] LIMIT 9` over the price-clustered

@@ -516,6 +516,36 @@ class LakeSpec extends SparkSpec {
     assert(Lake.mergeNdv(live2.map(_.ndv("x"))) === 2L)
   }
 
+  test("incremental statistics: post-ANALYZE writes sketch their new " +
+      "files, so every live file stays stat-covered (round 13)") {
+    import spark.implicits._
+    val dir = freshDir("analyze-inc")
+    val cust = Tables.customer(spark, sf)
+    Lake.create(cust.filter(col("c_custkey") % 2 === 1), dir, "c_custkey",
+      targetFiles = 3)
+    Lake.compactAnalyzed(spark, dir, Seq("c_nationkey"), targetFiles = 3)
+    // an ordinary append and an update slice — neither names the column
+    Lake.upsert(spark, dir, cust.filter(col("c_custkey") % 2 === 0))
+    Lake.upsert(spark, dir, Lake.read(spark, dir)
+      .filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1.0))
+    val live = Lake.manifest(dir, Lake.latestVersion(dir))
+      .files.filter(_.rows > 0)
+    assert(live.forall(f => f.ndv.contains("c_nationkey") &&
+      f.nulls.contains("c_nationkey") && f.stats.contains("c_nationkey")),
+      "every live file, including post-ANALYZE writes, carries the stat")
+    val exact = Lake.read(spark, dir).select("c_nationkey").distinct().count()
+    val est = Lake.mergeNdv(live.map(_.ndv("c_nationkey")))
+    assert(math.abs(est - exact) <= math.max(1L, exact / 10),
+      s"merged NDV $est vs exact $exact after incremental maintenance")
+    // a NEVER-analyzed table pays nothing: new files carry no sketches
+    val dir2 = freshDir("analyze-inc-off")
+    Lake.create(Seq((1L, 5L)).toDF("k", "x"), dir2, "k", targetFiles = 1)
+    Lake.upsert(spark, dir2, Seq((2L, 6L)).toDF("k", "x"))
+    assert(Lake.manifest(dir2, Lake.latestVersion(dir2)).files
+      .forall(f => f.ndv.isEmpty && f.nulls.isEmpty))
+  }
+
   test("auto-compact: small-file accumulation self-heals past the budget; " +
       "rows exact; maintenance markers stamped") {
     import spark.implicits._
