@@ -500,6 +500,10 @@ object SparkEntry {
     // round-12: TWO churned dims + a fact append absorbed in one plan
     ("x8_mv_dim_serve2", graft.lake.LakeQueries.mvDimServe2 _,
       Some(graft.lake.LakeQueries.mvDimServe2Sql)),
+    // round-13: min/max under dim churn — affected groups re-derive
+    // from the aux's own extrema registers, zero fact reads
+    ("x8_mv_dim_minmax", graft.lake.LakeQueries.mvDimMinMax _,
+      Some(graft.lake.LakeQueries.mvDimMinMaxSql)),
     ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
       Some(graft.lake.LakeQueries.mvDimServeSql)),
     // round-11: ROLLUP over date_trunc buckets — each grouping-set
@@ -684,6 +688,7 @@ object SparkEntry {
     "x8_mv_gsets", // rollup union over the shared 2-d view
     "x8_mv_window", // window over the shared fresh view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
+    "x8_mv_dim_minmax", // extrema over the same churned-dim fixture
     "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
     "x8_mv_distinct_star", // events + churned user-dim distinct star fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view

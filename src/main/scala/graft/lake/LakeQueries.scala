@@ -3963,7 +3963,8 @@ object LakeQueries {
     * shape, and the unchanged fact data-read counter across the
     * optimization. DuckDB mirrors the churned dim state
     * relationally. */
-  def mvDimServe(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dimServeFixture(spark: SparkSession,
+      sfDir: String): (String, String) = {
     val src = mvSharedSource(spark, sfDir)
     val dim = src + "-sdim"
     if (Lake.latestVersion(dim) == 0L)
@@ -3978,12 +3979,62 @@ object LakeQueries {
       Lake.upsert(spark, dim, Lake.read(spark, dim)
         .filter(col("c_custkey") % 4 === 0)
         .withColumn("c_mktsegment", lit("MOVED")))
+    (src, dim)
+  }
+
+  def mvDimServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, dim) = dimServeFixture(spark, sfDir)
     val q = mvJoinUserQuery(spark, src, dim)
     val factReadsBefore = Lake.readsOf(src)
     val served = rewriteKind(q, src) == "dim-compensated-join" &&
       !factScanned(q, src) && Lake.readsOf(src) == factReadsBefore
     q.withColumn("mv_dim_serve", lit(served)).orderBy(col("c_mktsegment"))
   }
+
+  /** Registered query `x8_mv_dim_minmax` — EXTREMA UNDER DIMENSION
+    * CHURN (round 13, VERDICT r12 #5): the same churned-dim star as
+    * `x8_mv_dim_serve`, asking `min(o_cents)/max(o_cents)` — the one
+    * aggregate family round 12's serve-time compensation refused
+    * (Σ registers cannot move an extremum; the raw join answered
+    * instead). The rewrite now re-derives the affected groups' min/max
+    * from the aux rollup's OWN extrema registers joined with the NEW
+    * dim — valid under churn because no fact row changed — exactly the
+    * committed [[graft.lake.MatView.refreshDim]] algebra, in-plan and
+    * O(aux). `mv_dim_minmax` pins the dim-compensated serve kind with
+    * ZERO fact reads; the groups the move never touched keep their
+    * stored registers (no recompute there either). DuckDB mirrors the
+    * churned join relationally. */
+  def mvDimMinMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, dim) = dimServeFixture(spark, sfDir)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val dimDf = spark.read.format("graft-lake").option("path", dim).load()
+    val q = fact.join(dimDf, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_cents")).as("min_cents"),
+        max(col("o_cents")).as("max_cents"))
+    val factReadsBefore = Lake.readsOf(src)
+    val served = rewriteKind(q, src) == "dim-compensated-join" &&
+      !factScanned(q, src) && Lake.readsOf(src) == factReadsBefore
+    q.withColumn("mv_dim_minmax", lit(served)).orderBy(col("c_mktsegment"))
+  }
+
+  val mvDimMinMaxSql: String =
+    s"""$mvFinalStateJoinCte,
+       |cdim AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+       |      AS c_mktsegment
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS n_orders,
+       |  CAST(min(o_cents) AS BIGINT) AS min_cents,
+       |  CAST(max(o_cents) AS BIGINT) AS max_cents,
+       |  TRUE AS mv_dim_minmax
+       |FROM final JOIN cdim ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
 
   val mvDimServeSql: String =
     s"""$mvFinalStateJoinCte,

@@ -938,13 +938,25 @@ object MatView {
     *     aux, already-advanced dims joining at their NEW versions —
     *     exactly [[refreshDim]]'s composition, uncommitted.
     *
-    * Σ registers only (count/sum/non-null count): min/max refuse
-    * upstream — a moved subtotal may have carried the extremum away,
-    * and only the committed refresh re-derives them. Cost:
-    * O(view + Δfact + Σᵢ(Δdimᵢ ⋈ aux)) — never a fact re-scan. */
+    * Σ registers always move exactly (count/sum/non-null count).
+    * EXTREMA (round 13, VERDICT r12 #5): a moved subtotal may have
+    * carried the extremum away, so min/max cannot move — but the aux
+    * rows' own min/max registers stay VALID under dim churn (no fact
+    * row changed), so each move re-derives the affected view groups'
+    * extrema from `aux ⋈ dims` exactly as the committed
+    * [[refreshDim]] does ([[dimMoveDelta]]`.recompute` — O(aux),
+    * never a fact re-scan). Available only when the fact sits at the
+    * view pin: an unabsorbed fact delta would need the in-plan aux
+    * roll-forward's min/max registers, which Σ-only compensation
+    * cannot supply — the rewrite's gate keeps that composition on
+    * the committed-refresh path. Cost:
+    * O(view + Δfact + Σᵢ(Δdimᵢ ⋈ aux)). */
   private[graft] def compensatedStar(spark: SparkSession, d: MvDef,
-      factTo: Long, staleDims: Seq[(Int, Long)]): DataFrame = {
+      factTo: Long, staleDims: Seq[(Int, Long)],
+      wantsExtrema: Boolean = false): DataFrame = {
     val factAhead = factTo > d.builtVersion
+    require(!(wantsExtrema && factAhead),
+      "extrema under dim churn require the fact at the view pin")
     var view: DataFrame =
       if (factAhead) compensated(spark, d, factTo, MinMaxNone)
       else Lake.read(spark, d.mvDir)
@@ -954,7 +966,9 @@ object MatView {
     val effective = Array.tabulate(d.dims.size)(j => d.dims(j).dimVersion)
     staleDims.foreach { case (i, to) =>
       val p = dimMoveDelta(spark, d, i, to, aux, j => effective(j))
-      view = rollForward(view, p.delta, d, MinMaxNone, None, p.affected)
+      view = rollForward(view, p.delta, d,
+        if (wantsExtrema) MinMaxRecompute else MinMaxNone,
+        if (wantsExtrema) Some(p.recompute) else None, p.affected)
       effective(i) = to
     }
     view

@@ -584,10 +584,14 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
-    // a moved subtotal may have carried the extremum away: min/max
-    // refuse under an unabsorbed dim churn (only the committed
-    // refreshDim re-derives them)
-    if staleDims.isEmpty || !wantsExtrema
+    // extrema × dim churn (round 13, VERDICT r12 #5): the serve
+    // re-derives affected groups' min/max from the aux's own
+    // registers (valid under churn — no fact row changed), exactly
+    // like the committed refreshDim. Requires the fact AT the view
+    // pin: an unabsorbed fact delta composing with moves would need
+    // min/max through the Σ-only in-plan aux roll-forward — that
+    // combination stays on the committed-refresh path.
+    if staleDims.isEmpty || !wantsExtrema || factPinned == d.builtVersion
     if factPinned == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
   } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDims)
@@ -619,7 +623,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val declaredNames = d.groupCols.map(_.toLowerCase).toSet
     val base =
       if (staleDims.nonEmpty)
-        MatView.compensatedStar(spark, d, pinnedVersion, staleDims)
+        MatView.compensatedStar(spark, d, pinnedVersion, staleDims,
+          wantsExtrema)
       else if (fresh)
         spark.read.format("graft-lake").option("path", d.mvDir).load()
       else

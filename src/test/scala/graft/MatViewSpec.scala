@@ -378,14 +378,16 @@ class MatViewSpec extends SparkSpec {
       assert(Lake.readsOf(src) === factReads,
         "serve-time dim compensation must never read the fact table")
       assert(segRows(q) === segRows(expectedJoinAgg(src, dim)))
-      // min/max over the churned dim still refuse: the extremum may
-      // have moved away with a subtotal — only refreshDim re-derives
+      // min/max over the churned dim: round 13 serves these too — the
+      // affected groups re-derive from the aux's own extrema registers
+      // (round 12 refused here; the dedicated round-13 test below pins
+      // exactness and the zero-fact-read property)
       val fact = spark.read.format("graft-lake").option("path", src).load()
       val dd = spark.read.format("graft-lake").option("path", dim).load()
       val qx = fact.join(dd, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(min(col("o_cents")).as("mn"))
-      assert(kindOf(qx, src) === "none")
+      assert(kindOf(qx, src) === "dim-compensated-join")
     } finally MatView.unregisterJoined(src, dim)
   }
 
@@ -1034,6 +1036,39 @@ class MatViewSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
           min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
       assert(kindOf(q, src) === "direct-join")
+      val exp = Lake.read(spark, src)
+        .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      assert(segRows(q) === segRows(exp))
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
+  test("dim churn: min/max SERVE without a committed refresh " +
+      "(round 13) — affected groups re-derive in-plan, zero fact reads") {
+    val src = buildSource("churnmm-serve")
+    val dim = buildDim("churnmm-serve")
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      // NO refreshDim: the serve itself must absorb the move
+      org.apache.spark.sql.GraftSqlShim.addOptimization(
+        spark, graft.plans.MatViewRewrite)
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val d = spark.read.format("graft-lake").option("path", dim).load()
+      val q = fact.join(d, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"),
+          min(col("o_cents")).as("mn"), max(col("o_cents")).as("mx"))
+      val factReads = Lake.readsOf(src)
+      assert(kindOf(q, src) === "dim-compensated-join",
+        "extrema must no longer force the raw join under dim churn")
+      assert(Lake.readsOf(src) === factReads,
+        "the extrema re-derivation must never read the fact table")
       val exp = Lake.read(spark, src)
         .join(Lake.read(spark, dim), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
