@@ -466,6 +466,47 @@ object MatView {
     recoverIfCurrent(mvDir).getOrElse(sys.error(
       s"sidecar at $mvDir predates format $SidecarFmt — re-define the view"))
 
+  /** REGISTRY-WIDE RECOVERY (round 13, VERDICT r12 #6): sweep `root`
+    * for `_mv`/`_mvd` sidecars and re-register every recoverable view
+    * in one call — a restarted session restores its whole serving
+    * plane instead of each owner remembering each view path
+    * ([[recover]]/[[recoverDistinct]] one at a time). Tolerant by
+    * design: stale-format or unreadable sidecars are SKIPPED and
+    * reported, never thrown — one broken view must not hold the rest
+    * of the plane hostage. Walk cost is metadata-plane: directories
+    * holding a `_manifests` (lake tables — views never nest inside
+    * them) or a sidecar stop the descent, and depth is bounded.
+    * Returns (recovered mvDirs, skipped mvDirs). SQL surface:
+    * `CALL graft.recover_views(root => '…')`; also swept
+    * automatically when a [[graft.sources.LakeCatalog]] initializes
+    * over its warehouse. */
+  def recoverAll(root: String): (Seq[String], Seq[String]) = {
+    val recovered = scala.collection.mutable.ArrayBuffer[String]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(f: java.io.File, depth: Int): Unit = {
+      if (!f.isDirectory || depth > 8) return
+      val dir = f.getAbsolutePath
+      val hasMv = new java.io.File(f, "_mv").isFile
+      val hasMvd = new java.io.File(f, "_mvd").isFile
+      if (hasMv || hasMvd) {
+        val ok =
+          try {
+            if (hasMv) recoverIfCurrent(dir).isDefined
+            else { recoverDistinct(dir); true }
+          } catch { case _: Exception => false }
+        (if (ok) recovered else skipped) += dir
+      } else if (!new java.io.File(f, "_manifests").isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .foreach(walk(_, depth + 1))
+    }
+    walk(new java.io.File(root), 0)
+    (recovered.toSeq.sorted, skipped.toSeq.sorted)
+  }
+
+  /** Test seam: drop every in-memory registration (sidecars stay — the
+    * restarted-session state [[recoverAll]] recovers from). */
+  private[graft] def clearRegistry(): Unit = { reg.clear(); dreg.clear() }
+
   private def recoverIfCurrent(mvDir: String): Option[MvDef] = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(mvDir, "_mv")).toArray(Array.empty[String])

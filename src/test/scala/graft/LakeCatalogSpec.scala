@@ -614,4 +614,24 @@ class LakeCatalogSpec extends SparkSpec {
       graft.lake.MatView.unregister(dir)
     }
   }
+
+  test("CALL recover_views: one sweep restores registrations from sidecars") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS graftcat.rv")
+    sql("""CREATE TABLE graftcat.rv.t (k BIGINT, grp STRING, v BIGINT)
+          |TBLPROPERTIES ('key'='k')""".stripMargin)
+    sql("INSERT INTO graftcat.rv.t VALUES (1, 'a', 10), (2, 'b', 20)")
+    sql("""CALL graftcat.create_mv(tbl => 'rv.t', view => 'rv.v',
+          |group_cols => 'grp', sum_cols => 'v')""".stripMargin)
+    val dir = s"$warehouse/rv/t"
+    try {
+      // the restarted session: registry empty, sidecars on disk
+      graft.lake.MatView.unregister(dir)
+      assert(graft.lake.MatView.get(dir).isEmpty)
+      val r = sql(s"CALL graftcat.recover_views(root => '$warehouse')").head()
+      assert(r.getLong(0) >= 1L, s"must recover at least rv.v: $r")
+      assert(graft.lake.MatView.get(dir).exists(_.builtVersion ===
+        Lake.latestVersion(dir)))
+    } finally graft.lake.MatView.unregister(dir)
+  }
 }

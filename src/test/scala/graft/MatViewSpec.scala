@@ -1106,6 +1106,60 @@ class MatViewSpec extends SparkSpec {
 
   // ---- round 11: crash-window reconciliation -------------------------------
 
+  test("recoverAll restores the whole serving plane from one sweep " +
+      "(round 13): plain + star + distinct views all serve direct") {
+    val root = new java.io.File(graft.Scratch.root,
+      s"graft-mv-recall-${spark.sparkContext.applicationId}")
+    graft.Scratch.rm(root)
+    root.mkdirs()
+    def under(name: String) = new java.io.File(root, name).getAbsolutePath
+    val orders = Tables.orders(spark, sf)
+      .withColumn("o_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    val src = under("fact")
+    val dim = under("dim")
+    Lake.create(orders, src, "o_orderkey", targetFiles = 2)
+    Lake.create(Tables.customer(spark, sf), dim, "c_custkey", targetFiles = 1)
+    MatView.define(spark, src, under("v-plain"), Seq("o_orderpriority"),
+      Seq("o_cents"))
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      under("v-star"), Seq("c_mktsegment"), Seq("o_cents"))
+    MatView.defineDistinct(spark, src, under("v-distinct"),
+      Seq("o_orderpriority"), "o_custkey")
+    // a broken sidecar must be skipped, not sink the sweep
+    val broken = new java.io.File(root, "v-broken")
+    broken.mkdirs()
+    java.nio.file.Files.write(broken.toPath.resolve("_mv"),
+      "fmt=0\ngarbage".getBytes("UTF-8"))
+    try {
+      // the restarted session: in-memory registry gone, sidecars stay
+      MatView.clearRegistry()
+      assert(kindOf(userAgg(src), src) === "none",
+        "cleared registry must not serve")
+      val (recovered, skipped) = MatView.recoverAll(root.getAbsolutePath)
+      assert(recovered.size === 3, s"recovered: $recovered")
+      assert(skipped === Seq(broken.getAbsolutePath))
+      val q1 = userAgg(src)
+      assert(kindOf(q1, src) === "direct")
+      assert(segRows(q1.select(col("o_orderpriority").as("c_mktsegment"),
+        col("n"))) === segRows(expectedAgg(src)
+          .select(col("o_orderpriority").as("c_mktsegment"), col("n"))))
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val dd = spark.read.format("graft-lake").option("path", dim).load()
+      val q2 = fact.join(dd, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("o_cents")).as("s"))
+      assert(kindOf(q2, src) === "direct-join")
+      val q3 = fact.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("u"))
+      assert(kindOf(q3, src).startsWith("direct-distinct"))
+    } finally {
+      MatView.unregister(src)
+      MatView.unregisterJoined(src, dim)
+      MatView.unregisterDistinct(under("v-distinct"))
+      graft.Scratch.rm(root)
+    }
+  }
+
   test("recover reconciles a sidecar that lags the refresh commit") {
     val src = buildSource("crash")
     val d0 = MatView.define(spark, src, src + "-view",
