@@ -504,6 +504,11 @@ object SparkEntry {
     // from the aux's own extrema registers, zero fact reads
     ("x8_mv_dim_minmax", graft.lake.LakeQueries.mvDimMinMax _,
       Some(graft.lake.LakeQueries.mvDimMinMaxSql)),
+    // round-13: extrema x insert-only fact delta x dim churn composed
+    // in one serve — view and aux extrema roll via MinMaxFeed, moves
+    // recompute off the extrema-fresh aux
+    ("x8_mv_star_minmax", graft.lake.LakeQueries.mvStarMinMax _,
+      Some(graft.lake.LakeQueries.mvStarMinMaxSql)),
     ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
       Some(graft.lake.LakeQueries.mvDimServeSql)),
     // round-11: ROLLUP over date_trunc buckets — each grouping-set
@@ -689,6 +694,7 @@ object SparkEntry {
     "x8_mv_window", // window over the shared fresh view
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_dim_minmax", // extrema over the same churned-dim fixture
+    "x8_mv_star_minmax", // composed extrema over the dim-serve2 fixture
     "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
     "x8_mv_distinct_star", // events + churned user-dim distinct star fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view

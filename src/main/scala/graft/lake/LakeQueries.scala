@@ -4119,7 +4119,8 @@ object LakeQueries {
     * algebra per delta kind). `mv_dim_serve2` pins the
     * `star-compensated-join` rewrite kind; DuckDB mirrors the churned
     * dims and appended fact relationally. */
-  def mvDimServe2(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dimServe2Fixture(spark: SparkSession,
+      sfDir: String): (String, String, String) = {
     val src = dimServe2Source(spark, sfDir)
     val (cdim, pdim) = (src + "-cdim", src + "-pdim")
     graft.lake.MatView.defineOrRecover(spark, src,
@@ -4145,13 +4146,23 @@ object LakeQueries {
         .filter(col("o_orderkey") % 9 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1))
     }
+    (src, cdim, pdim)
+  }
+
+  private def dimServe2Join(spark: SparkSession, src: String,
+      cdim: String, pdim: String): DataFrame = {
     org.apache.spark.sql.GraftSqlShim.addOptimization(
       spark, graft.plans.MatViewRewrite)
     val fact = spark.read.format("graft-lake").option("path", src).load()
     val dc = spark.read.format("graft-lake").option("path", cdim).load()
     val dp = spark.read.format("graft-lake").option("path", pdim).load()
-    val q = fact.join(dc, col("o_custkey") === col("c_custkey"))
+    fact.join(dc, col("o_custkey") === col("c_custkey"))
       .join(dp, col("o_orderpriority") === col("p_prio"))
+  }
+
+  def mvDimServe2(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, cdim, pdim) = dimServe2Fixture(spark, sfDir)
+    val q = dimServe2Join(spark, src, cdim, pdim)
       .groupBy(col("c_mktsegment"), col("p_class"))
       .agg(count(lit(1)).as("n_orders"), sum(col("o_cents")).as("revenue_cents"),
         avg(col("o_cents")).as("avg_cents"))
@@ -4161,6 +4172,65 @@ object LakeQueries {
     q.withColumn("mv_dim_serve2", lit(served))
       .orderBy(col("c_mktsegment"), col("p_class"))
   }
+
+  /** Registered query `x8_mv_star_minmax` — EXTREMA × FACT DELTA ×
+    * DIM CHURN composed in one serve (round 13, the last refusal in
+    * the star-serve matrix): the same fixture as `x8_mv_dim_serve2`
+    * (both dims churned AND an insert-only fact slice appended, view
+    * pinned at the clean state) asked for `min/max(o_cents)`. The
+    * fact slice is INSERT-ONLY, so the view's and the aux's extrema
+    * registers roll forward via least/greatest of the feed
+    * ([[MatView.MinMaxFeed]]), and each dim move then re-derives its
+    * affected groups from the extrema-fresh aux — no fact re-scan
+    * anywhere. A delete-bearing slice would refuse (MatViewSpec pins
+    * that); `mv_star_minmax` pins the composed serve kind with the
+    * clean pins still in place. DuckDB mirrors relationally. */
+  def mvStarMinMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val (src, cdim, pdim) = dimServe2Fixture(spark, sfDir)
+    val q = dimServe2Join(spark, src, cdim, pdim)
+      .groupBy(col("c_mktsegment"), col("p_class"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_cents")).as("min_cents"),
+        max(col("o_cents")).as("max_cents"))
+    val served = rewriteKind(q, src) == "star-compensated-join" &&
+      graft.lake.MatView.getStar(src, Seq(cdim, pdim))
+        .exists(d => d.builtVersion == 1L && d.dims.forall(_.dimVersion == 1L))
+    q.withColumn("mv_star_minmax", lit(served))
+      .orderBy(col("c_mktsegment"), col("p_class"))
+  }
+
+  /** Mirror: min/max over the churned-dims + appended-fact state. */
+  val mvStarMinMaxSql: String =
+    """WITH cents AS (
+      |  SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT * FROM cents
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+      |    o_custkey, o_orderpriority, o_cents
+      |  FROM cents WHERE o_orderkey % 9 = 0),
+      |cdim AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment
+      |  FROM customer),
+      |pdim AS (
+      |  SELECT p_prio,
+      |    CASE WHEN p_prio = '3-MEDIUM' THEN 'mid'
+      |      WHEN p_prio IN ('1-URGENT', '2-HIGH') THEN 'high'
+      |      ELSE 'low' END AS p_class
+      |  FROM (SELECT DISTINCT o_orderpriority AS p_prio FROM orders))
+      |SELECT c_mktsegment, p_class, count(*) AS n_orders,
+      |  CAST(min(o_cents) AS BIGINT) AS min_cents,
+      |  CAST(max(o_cents) AS BIGINT) AS max_cents,
+      |  TRUE AS mv_star_minmax
+      |FROM final
+      |JOIN cdim ON o_custkey = c_custkey
+      |JOIN pdim ON o_orderpriority = p_prio
+      |GROUP BY c_mktsegment, p_class
+      |ORDER BY c_mktsegment, p_class""".stripMargin
 
   /** Mirror: churned dims + appended fact, relationally. */
   val mvDimServe2Sql: String =

@@ -943,7 +943,16 @@ object MatView {
     * (Σ registers only). The device that lets serve-time dim moves
     * compose with an unabsorbed FACT delta: moves must be computed
     * against the fact state the serve answers at. */
-  private def compensatedAux(spark: SparkSession, d: MvDef, v: Long): DataFrame = {
+  private def compensatedAux(spark: SparkSession, d: MvDef, v: Long,
+      withExtrema: Boolean = false): DataFrame = {
+    // extrema ride the aux roll-forward ONLY for an insert-only slice
+    // (least/greatest of stored register and feed extremum — the same
+    // MinMaxFeed rule the view registers use); a delete/update slice
+    // may have removed an aux group's extremum, and the serve-time
+    // path refuses upstream rather than re-scan the fact
+    require(!withExtrema ||
+        appendOnlySlice(d.sourceDir, d.builtVersion, v),
+      "aux extrema roll-forward requires an insert-only fact slice")
     val gcols = auxGroupCols(spark, d)
     val factDerived = d.derived.filter { case (n, _) => factSide(spark, d, n) }
     val feed = withDerived(
@@ -955,12 +964,16 @@ object MatView {
           .otherwise(-1L))
       .groupBy(gcols.map(col): _*)
       .agg(sum(col("__sign")).as("__dn"),
-        d.sumCols.flatMap(c => Seq(
+        (d.sumCols.flatMap(c => Seq(
           sum(col("__sign") * col(c)).as(s"__ds_$c"),
           sum(when(col(c).isNotNull, col("__sign")).otherwise(0L))
-            .as(s"__dnn_$c"))): _*)
+            .as(s"__dnn_$c"))) ++
+          (if (withExtrema) d.sumCols.flatMap(c => Seq(
+            min(col(c)).as(s"__dmin_$c"), max(col(c)).as(s"__dmax_$c")))
+          else Nil)): _*)
     val auxDef = d.copy(groupCols = gcols)
-    rollForward(committedAux(spark, d), delta, auxDef, MinMaxNone, None,
+    rollForward(committedAux(spark, d), delta, auxDef,
+      if (withExtrema) MinMaxFeed else MinMaxNone, None,
       affectedGroups = feed.select(gcols.map(col): _*).distinct())
   }
 
@@ -986,23 +999,32 @@ object MatView {
     * row changed), so each move re-derives the affected view groups'
     * extrema from `aux ⋈ dims` exactly as the committed
     * [[refreshDim]] does ([[dimMoveDelta]]`.recompute` — O(aux),
-    * never a fact re-scan). Available only when the fact sits at the
-    * view pin: an unabsorbed fact delta would need the in-plan aux
-    * roll-forward's min/max registers, which Σ-only compensation
-    * cannot supply — the rewrite's gate keeps that composition on
-    * the committed-refresh path. Cost:
+    * never a fact re-scan). Available when the fact sits at the view
+    * pin, or when the unabsorbed fact slice is INSERT-ONLY — the
+    * view's and aux's extrema then roll via [[MinMaxFeed]]
+    * (least/greatest, exact for inserts) before the moves recompute
+    * off the extrema-fresh aux. Only delete/update fact slices
+    * composing with churn stay on the committed-refresh path. Cost:
     * O(view + Δfact + Σᵢ(Δdimᵢ ⋈ aux)). */
   private[graft] def compensatedStar(spark: SparkSession, d: MvDef,
       factTo: Long, staleDims: Seq[(Int, Long)],
       wantsExtrema: Boolean = false): DataFrame = {
     val factAhead = factTo > d.builtVersion
-    require(!(wantsExtrema && factAhead),
-      "extrema under dim churn require the fact at the view pin")
+    // extrema compose with an unabsorbed fact delta ONLY when the
+    // slice is insert-only: view and aux extrema both roll via
+    // MinMaxFeed first, then the moves recompute off the
+    // extrema-fresh aux (a delete/update slice stays on the
+    // committed-refresh path — the rewrite's gate)
+    require(!(wantsExtrema && factAhead) ||
+        appendOnlySlice(d.sourceDir, d.builtVersion, factTo),
+      "extrema under dim churn require the fact at the view pin or an " +
+        "insert-only fact slice")
     var view: DataFrame =
-      if (factAhead) compensated(spark, d, factTo, MinMaxNone)
+      if (factAhead) compensated(spark, d, factTo,
+        if (wantsExtrema) MinMaxFeed else MinMaxNone)
       else Lake.read(spark, d.mvDir)
     val aux =
-      if (factAhead) compensatedAux(spark, d, factTo)
+      if (factAhead) compensatedAux(spark, d, factTo, wantsExtrema)
       else committedAux(spark, d)
     val effective = Array.tabulate(d.dims.size)(j => d.dims(j).dimVersion)
     staleDims.foreach { case (i, to) =>

@@ -587,11 +587,13 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     // extrema × dim churn (round 13, VERDICT r12 #5): the serve
     // re-derives affected groups' min/max from the aux's own
     // registers (valid under churn — no fact row changed), exactly
-    // like the committed refreshDim. Requires the fact AT the view
-    // pin: an unabsorbed fact delta composing with moves would need
-    // min/max through the Σ-only in-plan aux roll-forward — that
-    // combination stays on the committed-refresh path.
-    if staleDims.isEmpty || !wantsExtrema || factPinned == d.builtVersion
+    // like the committed refreshDim. Composes with an unabsorbed
+    // fact delta when that slice is INSERT-ONLY (view and aux
+    // extrema roll via MinMaxFeed first); a delete/update fact slice
+    // composing with moves stays on the committed-refresh path.
+    if staleDims.isEmpty || !wantsExtrema ||
+      factPinned == d.builtVersion ||
+      MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
     if factPinned == d.builtVersion || !wantsExtrema ||
       MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
   } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDims)

@@ -1104,6 +1104,58 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregisterJoined(src, dim)
   }
 
+  test("extrema × insert-only fact delta × dim churn compose in one " +
+      "serve (round 13); a delete-bearing slice refuses") {
+    val src = buildSource("churnmm-compose")
+    val dim = buildDim("churnmm-compose")
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    MatView.defineJoined(spark, src, dim, "o_custkey", "c_custkey",
+      src + "-jview", Seq("c_mktsegment"), Seq("o_cents"))
+    try {
+      // an INSERT-ONLY fact slice (re-keyed above the max) + dim churn,
+      // neither refreshed — the serve must absorb both with extrema
+      val maxKey = Lake.read(spark, src)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+        .withColumn("o_cents", col("o_cents") * 5))
+      Lake.upsert(spark, dim, Lake.read(spark, dim)
+        .filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      val fact = spark.read.format("graft-lake").option("path", src).load()
+      val d = spark.read.format("graft-lake").option("path", dim).load()
+      def mmAgg(f: org.apache.spark.sql.DataFrame,
+          dd: org.apache.spark.sql.DataFrame) =
+        f.join(dd, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), min(col("o_cents")).as("mn"),
+            max(col("o_cents")).as("mx"))
+      val q = mmAgg(fact, d)
+      val factReads = Lake.readsOf(src)
+      assert(kindOf(q, src) === "star-compensated-join",
+        "insert-only fact delta + churn must serve extrema composed")
+      assert(segRows(q) === segRows(
+        mmAgg(Lake.read(spark, src), Lake.read(spark, dim))))
+      // a DELETE lands: the slice is no longer insert-only — extrema
+      // composed with churn refuse (Σ-only asks still serve)
+      Lake.delete(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")))
+      val fact2 = spark.read.format("graft-lake").option("path", src).load()
+      val q2 = mmAgg(fact2, d)
+      assert(kindOf(q2, src) === "none",
+        "delete-bearing fact slice × churn × extrema must refuse")
+      assert(segRows(q2) === segRows(
+        mmAgg(Lake.read(spark, src), Lake.read(spark, dim))))
+      val qs = fact2.join(d, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))
+      assert(kindOf(qs, src) === "star-compensated-join",
+        "the Σ-only ask keeps serving under the delete-bearing slice")
+    } finally MatView.unregisterJoined(src, dim)
+  }
+
   // ---- round 11: crash-window reconciliation -------------------------------
 
   test("recoverAll restores the whole serving plane from one sweep " +
