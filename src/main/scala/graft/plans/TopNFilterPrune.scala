@@ -45,7 +45,31 @@ object TopNFilterPrune extends Rule[LogicalPlan] {
         .getOrElse(g)
     case g @ GlobalLimit(IntegerLiteral(n), s: Sort) if s.global =>
       tryPrune(s, n).map(ns => g.copy(child = ns)).getOrElse(g)
+    // the ORDER-free sibling: `WHERE … LIMIT n` needs ANY n passing
+    // rows — the minimal prefix whose satisfying lower bounds sum to
+    // ≥ n suffices, no layout precondition (non-Sort children only:
+    // the Sort shapes matched above, and an unmatched non-global Sort
+    // falls through tryLimitPrune's extraction harmlessly)
+    case g @ GlobalLimit(IntegerLiteral(n), ll @ LocalLimit(_, child)) =>
+      tryLimitPrune(child, n).map(nc => g.copy(child = ll.copy(child = nc)))
+        .getOrElse(g)
   }
+
+  private def tryLimitPrune(child: LogicalPlan, n: Int): Option[LogicalPlan] =
+    child match {
+      case PhysicalOperation(_, filters, rel: DataSourceV2ScanRelation)
+          if filters.nonEmpty &&
+            rel.scan.isInstanceOf[graft.sources.LakeScan] =>
+        rel.scan.asInstanceOf[graft.sources.LakeScan]
+          .limitFilterPruned(n, filters)
+          .map { pruned =>
+            child.transformUp {
+              case r: DataSourceV2ScanRelation if r eq rel =>
+                r.copy(scan = pruned)
+            }
+          }
+      case _ => None
+    }
 
   private def tryPrune(s: Sort, n: Int): Option[Sort] = s.child match {
     case PhysicalOperation(_, filters, rel: DataSourceV2ScanRelation)

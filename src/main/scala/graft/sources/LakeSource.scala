@@ -719,6 +719,36 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     }
   }
 
+  /** LIMIT × filter prefix prune (round 13, the ORDER-free sibling of
+    * [[topNFilterPruned]]): `WHERE … LIMIT n` needs ANY n
+    * filter-passing rows, so the minimal file prefix whose
+    * [[LakeScanBuilder.satisfyingRowsLB]] lower bounds sum to ≥ n
+    * suffices — no ordering or disjointness precondition at all. The
+    * interactive preview of a FILTERED 100 TB table opens one or two
+    * files instead of every filter-survivor. Spark's own Limit stays
+    * above, so row-level semantics are untouched. */
+  private[graft] def limitFilterPruned(n: Int,
+      filters: Seq[Expression]): Option[LakeScan] = {
+    val live = entries.filter(_.rows > 0)
+    val satRows = LakeScanBuilder.satisfyingRowsLB(
+      filters.map(physExpr), leadingKey, headStr)
+    val cum = live.scanLeft(0L) { (acc, f) =>
+      acc + math.max(0L, math.min(f.rows, satRows(f))) }.tail
+    val keep = cum.indexWhere(_ >= n.toLong) match {
+      case -1 => live.size
+      case i => i + 1
+    }
+    if (keep < entries.size) {
+      LakeScan.lastLimitPrune.set((dir, live.size, keep))
+      Some(new LakeScan(spark, dir, version, snapshot, live.take(keep),
+        tableSchema, required, pushed,
+        notes :+ s"limit+filter=pruned($keep/${live.size})"))
+    } else {
+      extraNotes = Seq("limit+filter=nogain")
+      None
+    }
+  }
+
   /** MANIFEST-DERIVED, PRUNING-AWARE statistics ([[SupportsReportStatistics]]):
     * row count from the surviving entries' recorded `rows`, bytes from
     * the same files' on-disk lengths (driver-side `File.length` over

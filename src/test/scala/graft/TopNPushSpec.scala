@@ -190,6 +190,37 @@ class TopNPushSpec extends SparkSpec {
     }
   }
 
+  test("WHERE + LIMIT (no sort) opens only a prefix of the " +
+      "filter-surviving files — any n passing rows suffice") {
+    val dir = fresh("limitfilter")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+      dir, "o_orderkey", targetFiles = 8)
+    val m = Lake.manifest(dir, Lake.latestVersion(dir))
+    val sorted = m.files.filter(_.rows > 0).sortBy(_.minKey)
+    assume(sorted.size == 8)
+    // threshold inside file 1: file 0 wholly eliminated, file 1
+    // partial (counts 0), files 2+ wholly satisfy
+    val x = (sorted(1).minKey + sorted(1).maxKey) / 2
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_limitf")
+    LakeScan.lastLimitPrune.set(null)
+    val q = spark.sql(
+      s"SELECT o_orderkey FROM tn_limitf WHERE o_orderkey >= $x LIMIT 5")
+    val rows = q.collect().map(_.getLong(0)).toSeq
+    assert(rows.size === 5)
+    assert(rows.forall(_ >= x), "every returned row satisfies the filter")
+    val Some((live, kept)) = Option(LakeScan.lastLimitPrune.get()).collect {
+      case (d, l, k) if d == dir => (l, k)
+    }
+    assert(kept < live, s"must prune: kept $kept of $live")
+    assert(q.queryExecution.executedPlan.toString
+        .contains("limit+filter=pruned"),
+      "the engaged prune must be plan-visible")
+  }
+
   test("a row-granular residual filter cannot certify a boundary: " +
       "no file is dropped, the answer stays exact, the plan says so") {
     val dir = fresh("rowgranular")
