@@ -430,6 +430,11 @@ object SparkEntry {
     // compensation serve bridges the gap, final serves are direct
     ("x8_mv_auto_coalesce", graft.lake.LakeQueries.mvAutoCoalesce _,
       Some(graft.lake.LakeQueries.mvAutoCoalesceSql)),
+    // round-14: parallel maintenance — three independent sources' async
+    // passes overlap on the bounded pool (overlap + per-source ordering
+    // pinned), every serve direct after the drain
+    ("x8_mv_parallel_maint", graft.lake.LakeQueries.mvParallelMaint _,
+      Some(graft.lake.LakeQueries.mvParallelMaintSql)),
     // round-12: distinct star views — distinct users per dim attribute,
     // dim churn costs nothing (the aux is pure fact-side)
     ("x8_mv_distinct_star", graft.lake.LakeQueries.mvDistinctStar _,
@@ -509,6 +514,11 @@ object SparkEntry {
     // recompute off the extrema-fresh aux
     ("x8_mv_star_minmax", graft.lake.LakeQueries.mvStarMinMax _,
       Some(graft.lake.LakeQueries.mvStarMinMaxSql)),
+    // round-14: the LAST extrema refusal closes — a DELETE-bearing
+    // fact slice composes with dim churn; the touched groups' extrema
+    // recompute from the fact bounded left_semi to those groups
+    ("x8_mv_star_minmax_del", graft.lake.LakeQueries.mvStarMinMaxDel _,
+      Some(graft.lake.LakeQueries.mvStarMinMaxDelSql)),
     ("x8_mv_dim_serve", graft.lake.LakeQueries.mvDimServe _,
       Some(graft.lake.LakeQueries.mvDimServeSql)),
     // round-11: ROLLUP over date_trunc buckets — each grouping-set
@@ -684,6 +694,7 @@ object SparkEntry {
     "x8_lake_vacuum_pin", // vacuum × view-pin lifecycle (view stays registered)
     "x8_mv_auto", // maintenance-on-commit lifecycle (view stays registered)
     "x8_mv_auto_coalesce", // 6-commit burst, coalesced async passes
+    "x8_mv_parallel_maint", // gated 3-source burst, overlapped passes
     "x6_stream_mv_auto", // declare→ingest auto-maintained streaming view
     "x8_mv_rewrite", "x8_mv_stale", "x8_mv_refresh", // shared MV source hist
     "x8_mv_append", "x8_mv_rollup", "x8_mv_join", "x8_mv_join_stale",
@@ -695,6 +706,7 @@ object SparkEntry {
     "x8_mv_dim_serve", // churned-dim serve on MV source hist
     "x8_mv_dim_minmax", // extrema over the same churned-dim fixture
     "x8_mv_star_minmax", // composed extrema over the dim-serve2 fixture
+    "x8_mv_star_minmax_del", // delete-bearing extrema churn fixture
     "x8_mv_dim_serve2", // 2-dim churn + fact append star serve fixture
     "x8_mv_distinct_star", // events + churned user-dim distinct star fixture
     "x8_mv_gsets_time", // bucket rollup over the day-grain view
@@ -726,12 +738,14 @@ object SparkEntry {
     graft.lake.LakeQueries.invalidateDistinctStar()
     graft.lake.LakeQueries.invalidateInList()
     graft.lake.LakeQueries.invalidateDimServe2()
+    graft.lake.LakeQueries.invalidateStarMmDel()
     graft.lake.LakeQueries.invalidateSqlMerge()
     graft.lake.LakeQueries.invalidatePair()
     graft.lake.LakeQueries.invalidateAutoCompact()
     graft.lake.LakeQueries.invalidateVacPin()
     graft.lake.LakeQueries.invalidateMvAuto()
     graft.lake.LakeQueries.invalidateMvCoalesce()
+    graft.lake.LakeQueries.invalidateMvParallel()
     graft.lake.LakeQueries.invalidateColstatsInc()
     graft.streaming.EventStream.invalidateMvAuto()
     graft.ext.Bpe.invalidateLearned()

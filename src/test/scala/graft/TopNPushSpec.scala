@@ -221,6 +221,45 @@ class TopNPushSpec extends SparkSpec {
       "the engaged prune must be plan-visible")
   }
 
+  test("boundary counts use the INTERSECTION lower bound: satisfying " +
+      "rows minus sort-column nulls, never min(non-null, satisfying)") {
+    // Round-14 soundness regression (ADVICE r13 high): NULLS LAST
+    // order over a null-bearing analyzed sort column, composed with a
+    // whole-contained filter on a DIFFERENT null-bearing column. The
+    // filter-satisfying rows and the non-null-sort rows are distinct
+    // subsets — the sort-null rows can hide entirely INSIDE the
+    // satisfying set, so min(nn, sat) overstates provably-qualifying
+    // rows and the kept boundary can carry < n real result rows.
+    import graft.sources.LakeScanBuilder
+    def fe(name: String, lo: Long, hi: Long, sortNulls: Long,
+        filterNulls: Long): Lake.FileEntry =
+      Lake.FileEntry(name, rows = 100, minKey = lo, maxKey = hi,
+        stats = Map("s" -> (lo, hi), "f" -> (0L, 10L)),
+        nulls = Map("s" -> sortNulls, "f" -> filterNulls))
+    // high file: 100 rows, 60 null sort keys (nn=40), filter kills 20
+    // → satisfying=80, but provably-qualifying = 80-60 = 20 (old
+    // formula claimed min(40, 80) = 40)
+    val high = fe("b", 100, 200, sortNulls = 60, filterNulls = 20)
+    val low = fe("a", 0, 99, sortNulls = 0, filterNulls = 20)
+    val sat: Lake.FileEntry => Long = f => f.rows - f.nulls("f")
+    // DESC NULLS LAST, n=30: the high file certifies only 20 rows —
+    // the boundary MUST widen to both files (the old min() kept 1)
+    val kept = LakeScanBuilder.topNBoundary(Seq(low, high), "s",
+      colIsKey = false, desc = true, nullsFirst = false, n = 30, sat)
+    assert(kept.map(_.map(_.name)) === Some(Seq("b", "a")))
+    // n=20 is fully certified by the high file alone
+    val tight = LakeScanBuilder.topNBoundary(Seq(low, high), "s",
+      colIsKey = false, desc = true, nullsFirst = false, n = 20, sat)
+    assert(tight.map(_.map(_.name)) === Some(Seq("b")))
+    // no residual filter (MaxValue sentinel): contribution clamps to
+    // the non-null sort count, not the sentinel
+    val nofilter = LakeScanBuilder.topNBoundary(Seq(low, high), "s",
+      colIsKey = false, desc = true, nullsFirst = false, n = 41,
+      _ => Long.MaxValue)
+    assert(nofilter.map(_.map(_.name)) === Some(Seq("b", "a")),
+      "nn=40 < 41 must widen past the high file")
+  }
+
   test("a row-granular residual filter cannot certify a boundary: " +
       "no file is dropped, the answer stays exact, the plan says so") {
     val dir = fresh("rowgranular")
