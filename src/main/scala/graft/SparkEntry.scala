@@ -417,6 +417,10 @@ object SparkEntry {
     // table — the doc-id lookup shape LLM pipelines actually serve
     ("x8_lake_inlist_str", graft.lake.LakeQueries.lakeInListStr _,
       Some(graft.lake.LakeQueries.lakeInListStrSql)),
+    // round-14: TopN × filter pruning through an aliased sort key —
+    // the rule chases the alias through the project list by exprId
+    ("x8_lake_topn_alias", graft.lake.LakeQueries.lakeTopNAlias _,
+      Some(graft.lake.LakeQueries.lakeTopNAliasSql)),
     // round-10: transparent materialized-view rewrite — the source
     // aggregate answers from the view (fresh), from view ⊕ change-feed
     // compensation (stale), and from the incrementally refreshed view;
@@ -683,6 +687,7 @@ object SparkEntry {
     "x8_lake_autobcast", "x8_lake_topn", "x8_lake_topn_multi",
     "x8_lake_colstats", "x8_lake_colstats4", "x8_lake_topn_col", // stat tables
     "x8_lake_topn_filter", // same analyzed price-clustered fixture
+    "x8_lake_topn_alias", // aliased sort key over the same fixture
     "x8_lake_colstats_inc", // analyze → append lifecycle, stat coverage
     "x8_lake_inlist", // bloom-indexed date-clustered fixture
     "x8_lake_evolve", // nine-commit evolution lifecycle (r12, disclosed memo)

@@ -2180,10 +2180,27 @@ object Lake {
     val paths = entries.map(f => Paths.get(dir, f.name).toString)
     val byName = entries.map(f =>
       Paths.get(dir, f.name).getFileName.toString -> f.name).toMap
+    // HLL accepts INT/BIGINT/STRING/BINARY only — encode other types
+    // through the SAME order-preserving long codes the range stats use
+    // (unix_date / unix_micros), so a timestamp or date column is
+    // ANALYZE-able and its NDV counts distinct instants exactly
+    val base = spark.read.parquet(paths: _*)
+    val dtypes = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    def sketchEnc(p: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      dtypes.get(p) match {
+        case Some(DateType) => unix_date(col(p))
+        case Some(TimestampType) => unix_micros(col(p))
+        case Some(TimestampNTZType) => unix_micros(col(p).cast(TimestampType))
+        case Some(ByteType | ShortType | IntegerType | LongType |
+          StringType | BinaryType) => col(p)
+        case _ => col(p).cast("string")
+      }
+    }
     val aggs = phys.flatMap(p => Seq(
-      lower(hex(hll_sketch_agg(col(p)))).as(s"h_$p"),
+      lower(hex(hll_sketch_agg(sketchEnc(p)))).as(s"h_$p"),
       sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"n_$p")))
-    val rows = spark.read.parquet(paths: _*)
+    val rows = base
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

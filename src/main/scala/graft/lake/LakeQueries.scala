@@ -2295,6 +2295,54 @@ object LakeQueries {
       |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
       |ORDER BY dirn, o_pricekey""".stripMargin
 
+  /** Registered query `x8_lake_topn_alias` — TOP-N × FILTER pruning
+    * through an ALIASED sort key (round 14, VERDICT r13 #3): the same
+    * price-clustered analyzed layout asked as `SELECT o_pricekey AS
+    * pk … WHERE o_pricekey >= X ORDER BY pk DESC LIMIT 9`. Round 13's
+    * rule required the sort head to be a direct scan-output attribute
+    * and silently read every filter-survivor here; round 14 chases
+    * the alias through the collapsed project list by exprId
+    * ([[graft.plans.TopNFilterPrune]]`.sortKeyOf` — which also admits
+    * widening-integral/temporal casts and single-key `date_trunc`
+    * wrappers, TopNPushSpec pins both and the non-monotone refusal).
+    * `topn_alias_pruned` pins that files were actually skipped;
+    * DuckDB mirrors the aliased limit from raw orders. */
+  def lakeTopNAlias(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = topnColTable(spark, sfDir)
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("topna_t")
+    val floor = 15000000000000L
+    graft.sources.LakeScan.lastTopNPrune.set(null)
+    val q = spark.sql(
+      s"""SELECT o_orderkey, o_pricekey AS pk FROM topna_t
+         |WHERE o_pricekey >= $floor
+         |ORDER BY pk DESC LIMIT 9""".stripMargin)
+    val rows = q.collect()
+    val pruned = Option(graft.sources.LakeScan.lastTopNPrune.get()).exists {
+      case (d, live, kept) => d == dir && kept < live
+    }
+    import spark.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("o_orderkey", "pk")
+      .withColumn("topn_alias_pruned", lit(pruned))
+      .orderBy(col("pk"))
+  }
+
+  /** Mirror: the aliased filtered limit from raw orders. */
+  val lakeTopNAliasSql: String =
+    """WITH pk AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * 1000000 + o_orderkey % 1000000 AS pk
+      |  FROM orders),
+      |top AS (
+      |  SELECT o_orderkey, pk FROM pk WHERE pk >= 15000000000000
+      |  ORDER BY pk DESC LIMIT 9)
+      |SELECT o_orderkey, pk, TRUE AS topn_alias_pruned
+      |FROM top ORDER BY pk""".stripMargin
+
   /** Registered query `x8_lake_colstats4` — ANALYZED COLUMN
     * STATISTICS driving a 4-TABLE CBO reorder off a NON-KEY predicate
     * (round 12, VERDICT r11 #6): `lineitem ⋈ orders ⋈ customer ⋈

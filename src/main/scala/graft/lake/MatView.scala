@@ -1028,6 +1028,64 @@ object MatView {
     * extrema-fresh aux exactly as before. Cost:
     * O(view + Δfact + Σᵢ(Δdimᵢ ⋈ aux)) (+ the affected-group fact
     * read under a delete-bearing slice). */
+  // ---- serve-plan construction memo (round 14, VERDICT r13 #5) --------
+  // JobProfile evidence: of a ~3-4 s star serve, only ~2-2.4 s sits
+  // inside Spark jobs — the rest is DRIVER time, dominated by
+  // re-CONSTRUCTING this compensation plan (delta-log reads, manifest
+  // IO, nested analysis of every Lake read) at least twice per query
+  // invocation (the rewrite rule runs once when the caller inspects
+  // the serve kind and again when the output plan executes). The
+  // constructed frame is deterministic for a version pin tuple —
+  // source slice, every dim version, the view table's and aux table's
+  // own versions all immutable once written — so the DataFrame object
+  // memoizes under that key (plan construction only: NO row caching,
+  // execution still runs the full compensation every time). A refresh
+  // or new commit changes a pinned version and simply misses into a
+  // fresh entry; the small LRU bounds the registry.
+  private val starPlanMemo =
+    new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true)
+  private val StarPlanMemoMax = 16
+
+  private def planMemo(key: String)(mk: => DataFrame): DataFrame =
+    starPlanMemo.synchronized {
+      val hit = starPlanMemo.get(key)
+      if (hit != null) hit
+      else {
+        val df = mk
+        df.queryExecution.analyzed // pay analysis once, inside the memo
+        starPlanMemo.put(key, df)
+        if (starPlanMemo.size() > StarPlanMemoMax) {
+          val it = starPlanMemo.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        df
+      }
+    }
+
+  private[graft] def compensatedStarCached(spark: SparkSession, d: MvDef,
+      factTo: Long, staleDims: Seq[(Int, Long)],
+      wantsExtrema: Boolean): DataFrame =
+    planMemo(s"${System.identityHashCode(spark)}:" +
+        s"${d.mvDir}@${Lake.latestVersion(d.mvDir)}" +
+        s":aux${Lake.latestVersion(auxDir(d.mvDir))}" +
+        s":b${d.builtVersion}:f$factTo:$wantsExtrema" +
+        staleDims.map { case (i, v) => s":d$i=$v" }.mkString) {
+      compensatedStar(spark, d, factTo, staleDims, wantsExtrema)
+    }
+
+  /** The rewrite rule's memoized form of [[compensated]] — same
+    * version-pinned plan-construction memo as
+    * [[compensatedStarCached]] (the committed [[refresh]] keeps
+    * calling the raw builder: it persists and commits the frame, and
+    * its pins change immediately after). */
+  private[graft] def compensatedCached(spark: SparkSession, d: MvDef,
+      toVersion: Long, minMax: MinMaxMode): DataFrame =
+    planMemo(s"${System.identityHashCode(spark)}:" +
+        s"${d.mvDir}@${Lake.latestVersion(d.mvDir)}" +
+        s":b${d.builtVersion}:f$toVersion:$minMax") {
+      compensated(spark, d, toVersion, minMax)
+    }
+
   private[graft] def compensatedStar(spark: SparkSession, d: MvDef,
       factTo: Long, staleDims: Seq[(Int, Long)],
       wantsExtrema: Boolean = false): DataFrame = {

@@ -620,12 +620,12 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val declaredNames = d.groupCols.map(_.toLowerCase).toSet
     val base =
       if (staleDims.nonEmpty)
-        MatView.compensatedStar(spark, d, pinnedVersion, staleDims,
+        MatView.compensatedStarCached(spark, d, pinnedVersion, staleDims,
           wantsExtrema)
       else if (fresh)
         spark.read.format("graft-lake").option("path", d.mvDir).load()
       else
-        MatView.compensated(spark, d, pinnedVersion,
+        MatView.compensatedCached(spark, d, pinnedVersion,
           if (!wantsExtrema) MatView.MinMaxNone
           else if (MatView.appendOnlySlice(d.sourceDir, d.builtVersion,
             pinnedVersion)) MatView.MinMaxFeed
@@ -895,7 +895,7 @@ object MatViewRewrite extends Rule[LogicalPlan] {
     val fresh = pinnedVersion == d.builtVersion
     val base =
       if (fresh) spark.read.format("graft-lake").option("path", d.mvDir).load()
-      else MatView.compensated(spark, d, pinnedVersion,
+      else MatView.compensatedCached(spark, d, pinnedVersion,
         if (!wantsExtrema) MatView.MinMaxNone
         else if (MatView.appendOnlySlice(d.sourceDir, d.builtVersion,
           pinnedVersion)) MatView.MinMaxFeed

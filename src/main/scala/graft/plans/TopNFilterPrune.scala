@@ -1,10 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Descending, IntegerLiteral, NullsFirst}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Descending, Expression, IntegerLiteral, NamedExpression, NullsFirst, TruncDate, TruncTimestamp}
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.types._
 
 /** TopN × filter boundary pruning over graft-lake scans (round 13,
   * VERDICT r12 #3).
@@ -72,14 +73,21 @@ object TopNFilterPrune extends Rule[LogicalPlan] {
     }
 
   private def tryPrune(s: Sort, n: Int): Option[Sort] = s.child match {
-    case PhysicalOperation(_, filters, rel: DataSourceV2ScanRelation)
+    case PhysicalOperation(projects, filters, rel: DataSourceV2ScanRelation)
         if filters.nonEmpty && rel.scan.isInstanceOf[graft.sources.LakeScan] =>
       val scan = rel.scan.asInstanceOf[graft.sources.LakeScan]
-      s.order.headOption.flatMap(so => so.child match {
-        // only a direct scan-output attribute orders soundly against
-        // the manifest stats; a computed sort key refuses
-        case a: AttributeReference if rel.output.exists(_.exprId == a.exprId) =>
-          scan.topNFilterPruned(a.name,
+      s.order.headOption.flatMap { so =>
+        sortKeyOf(so.child, projects, rel).flatMap { case (a, injective) =>
+          // a non-injective wrapper (date_trunc) collapses distinct
+          // keys into ties: rows outside the raw-key boundary can then
+          // TIE with boundary rows, and any tie-breaker column could
+          // legitimately rank them ahead — refuse unless the wrapper
+          // is the ONLY sort key (ties-arbitrary top-n stays valid:
+          // every kept boundary row's wrapped key ≥ every pruned
+          // row's, so the n chosen from the kept files are a correct
+          // top-n multiset)
+          if (!injective && s.order.size > 1) None
+          else scan.topNFilterPruned(a.name,
               so.direction == Descending, so.nullOrdering == NullsFirst,
               n, filters)
             .map { pruned =>
@@ -88,8 +96,76 @@ object TopNFilterPrune extends Rule[LogicalPlan] {
                   r.copy(scan = pruned)
               })
             }
-        case _ => None
-      })
+        }
+      }
     case _ => None
+  }
+
+  /** Resolve a sort-key expression to the SCAN-OUTPUT attribute whose
+    * manifest stats order it soundly (round 14, VERDICT r13 #3 —
+    * round 13 required a direct `AttributeReference` and declined
+    * `SELECT k AS kk … ORDER BY kk`). Returns the underlying
+    * attribute and whether the mapping is INJECTIVE (strictly
+    * monotone — ties and tie-breaker columns behave exactly as on the
+    * raw key):
+    *
+    *  - aliases chase through the collapsed project list by exprId
+    *    (`kk` → `k`), recursively for stacked projects;
+    *  - a widening integral cast (byte→short→int→long) is strictly
+    *    monotone: injective;
+    *  - `trunc(date, fmt)` / `date_trunc(fmt, ts)` with a literal
+    *    format are monotone NON-DECREASING but collapse values:
+    *    non-injective (both are null-preserving, so the null-ordering
+    *    gate transfers to the underlying column unchanged).
+    *
+    * Anything else — arithmetic, string ops, UDFs — refuses: the
+    * manifest's per-file ranges on `k` say nothing about a
+    * non-monotone image's ordering. */
+  private def sortKeyOf(e: Expression, projects: Seq[NamedExpression],
+      rel: DataSourceV2ScanRelation): Option[(AttributeReference, Boolean)] = {
+    def chase(x: Expression): Expression = x match {
+      case a: AttributeReference =>
+        projects.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        } match {
+          case Some(inner) => chase(inner)
+          case None => a
+        }
+      case other => other
+    }
+    def integralRank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
+    }
+    // strictly-monotone, null-preserving casts: integral widening, and
+    // the temporal family (date→timestamp; NTZ↔LTZ are bijective on
+    // instants under the engine's pinned session zone) — the analyzer
+    // inserts the NTZ→LTZ form implicitly under date_trunc
+    def monotoneCast(from: DataType, to: DataType): Boolean =
+      (integralRank(from), integralRank(to)) match {
+        case (Some(f), Some(t)) => t >= f
+        case _ => (from, to) match {
+          case (DateType, TimestampType | TimestampNTZType) => true
+          case (TimestampNTZType, TimestampType) => true
+          case (TimestampType, TimestampNTZType) => true
+          case _ => false
+        }
+      }
+    def unwrap(x: Expression): Option[(AttributeReference, Boolean)] =
+      chase(x) match {
+        case a: AttributeReference
+            if rel.output.exists(_.exprId == a.exprId) => Some((a, true))
+        case c: Cast if monotoneCast(c.child.dataType, c.dataType) =>
+          unwrap(c.child)
+        case TruncDate(date, fmt) if fmt.foldable =>
+          unwrap(date).map { case (a, _) => (a, false) }
+        case t: TruncTimestamp if t.format.foldable =>
+          unwrap(t.timestamp).map { case (a, _) => (a, false) }
+        case _ => None
+      }
+    unwrap(e)
   }
 }

@@ -562,12 +562,20 @@ class MatViewSpec extends SparkSpec {
       def sorted(df: org.apache.spark.sql.DataFrame) =
         df.orderBy("c_mktsegment", "p_class").collect().map(_.toSeq).toSeq
       assert(sorted(q) === sorted(expected))
-      // min/max still refuse under churn (a moved subtotal may have
-      // carried the extremum)
+      // min/max over the churned star (round 14 — the round-12
+      // refusal is gone): the affected groups' extrema recompute off
+      // the fused move plan, and the partial rollup takes
+      // max-of-maxes over the extrema-fresh rows — exact
       val qx = fact.join(dc, col("o_custkey") === col("c_custkey"))
         .join(dp, col("o_orderpriority") === col("p_prio"))
         .groupBy(col("c_mktsegment")).agg(max(col("o_cents")).as("mx"))
-      assert(kindOf(qx, src) === "none")
+      assert(kindOf(qx, src) === "star-compensated-rollup-join")
+      val ex = Lake.read(spark, src)
+        .join(Lake.read(spark, cdim), col("o_custkey") === col("c_custkey"))
+        .join(Lake.read(spark, pdir), col("o_orderpriority") === col("p_prio"))
+        .groupBy(col("c_mktsegment")).agg(max(col("o_cents")).as("mx"))
+      assert(qx.orderBy("c_mktsegment").collect().map(_.toSeq).toSeq ===
+        ex.orderBy("c_mktsegment").collect().map(_.toSeq).toSeq)
       // a partial rollup over the churned star composes too
       val qr = fact.join(dc, col("o_custkey") === col("c_custkey"))
         .join(dp, col("o_orderpriority") === col("p_prio"))

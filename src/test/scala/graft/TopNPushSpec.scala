@@ -260,6 +260,87 @@ class TopNPushSpec extends SparkSpec {
       "nn=40 < 41 must widen past the high file")
   }
 
+  test("aliased sort keys chase through the project list (round 14): " +
+      "SELECT k AS kk ... ORDER BY kk prunes like the direct key") {
+    val dir = fresh("alias")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+      dir, "o_orderkey", targetFiles = 8)
+    val m = Lake.manifest(dir, Lake.latestVersion(dir))
+    val sorted = m.files.filter(_.rows > 0).sortBy(_.minKey)
+    val x = (sorted(2).minKey + sorted(2).maxKey) / 2
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_alias")
+    LakeScan.lastTopNPrune.set(null)
+    val q = spark.sql(
+      s"""SELECT o_orderkey AS kk, o_custkey FROM tn_alias
+         |WHERE o_orderkey >= $x
+         |ORDER BY kk DESC LIMIT 5""".stripMargin)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp = Lake.read(spark, dir).filter(col("o_orderkey") >= x)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[Long]("o_custkey"))).sortBy(-_._1).take(5).toSeq
+    assert(got === exp)
+    val Some((live, kept)) = lastPrune(dir)
+    assert(kept < live, s"aliased key must prune: kept $kept of $live")
+    // a NON-MONOTONE computed key still refuses
+    LakeScan.lastTopNPrune.set(null)
+    val qBad = spark.sql(
+      s"""SELECT o_orderkey % 7 AS m, o_custkey FROM tn_alias
+         |WHERE o_orderkey >= $x
+         |ORDER BY m LIMIT 5""".stripMargin)
+    qBad.collect()
+    assert(lastPrune(dir).isEmpty,
+      "a non-monotone computed sort key must never prune")
+  }
+
+  test("monotone wrapper: ORDER BY date_trunc(month, ts) over the " +
+      "analyzed ts-clustered layout prunes; a tie-breaker refuses") {
+    val dir = fresh("trunc")
+    Lake.create(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey")),
+      dir, "o_orderkey", targetFiles = 4)
+    Lake.compactAnalyzed(spark, dir, Seq("o_orderdate"), targetFiles = 8,
+      clusterCol = Some("o_orderdate"))
+    org.apache.spark.sql.GraftSqlShim.addOptimization(
+      spark, graft.plans.TopNFilterPrune)
+    spark.read.format("graft-lake").option("path", dir).load()
+      .createOrReplaceTempView("tn_trunc")
+    import java.time.LocalDateTime
+    val all = Lake.read(spark, dir).collect()
+      .map(r => (r.getAs[LocalDateTime]("o_orderdate"),
+        r.getAs[Long]("o_orderkey")))
+    val cut = all.map(_._1).sortBy(_.toString).apply(all.length / 3)
+    // single wrapped sort key: outside-boundary rows can only TIE on
+    // the truncated month — any n kept rows are a valid top-n
+    LakeScan.lastTopNPrune.set(null)
+    val q = spark.sql(
+      s"""SELECT date_format(date_trunc('month', o_orderdate), 'yyyy-MM')
+         |    AS mon_s,
+         |  date_trunc('month', o_orderdate) AS mon
+         |FROM tn_trunc
+         |WHERE o_orderdate >= timestamp_ntz'$cut'
+         |ORDER BY mon DESC LIMIT 10""".stripMargin)
+    val got = q.collect().map(_.getString(0)).toSeq
+    val exp = all.filter(t => !t._1.isBefore(cut)).map(_._1)
+      .map(t => f"${t.getYear}%04d-${t.getMonthValue}%02d")
+      .sorted.reverse.take(10).toSeq
+    assert(got === exp, "truncated months must match the full sort")
+    val Some((live, kept)) = lastPrune(dir)
+    assert(kept < live, s"wrapped key must prune: kept $kept of $live")
+    // with a TIE-BREAKER, a pruned row could tie on month and win on
+    // the second key — must refuse
+    LakeScan.lastTopNPrune.set(null)
+    spark.sql(
+      s"""SELECT date_trunc('month', o_orderdate) AS mon, o_custkey
+         |FROM tn_trunc WHERE o_orderdate >= timestamp_ntz'$cut'
+         |ORDER BY mon DESC, o_custkey LIMIT 10""".stripMargin).collect()
+    assert(lastPrune(dir).isEmpty,
+      "non-injective wrapper + tie-breaker must keep every file")
+  }
+
   test("a row-granular residual filter cannot certify a boundary: " +
       "no file is dropped, the answer stays exact, the plan says so") {
     val dir = fresh("rowgranular")
