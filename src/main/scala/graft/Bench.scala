@@ -110,7 +110,15 @@ object Bench {
     spark.catalog.clearCache()
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // a failed query's cause goes to stderr (never stdout — the JSON
+      // line stays parseable): a red bench must be diagnosable from
+      // the log, not reproduced under a debugger
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name failed: ${t.getClass.getName}: ${t.getMessage}")
+          t.getStackTrace.take(12).foreach(e => System.err.println(s"[bench]   at $e"))
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that persist() intermediates (lang_id's trigram frame,
       // the ml feature vectors) must not occupy storage memory for the

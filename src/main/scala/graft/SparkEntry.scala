@@ -732,6 +732,12 @@ object SparkEntry {
   /** Tear down every session-scoped fixture the memoized queries read
     * — the single switch Bench's cold-accounting pass flips. */
   def invalidateMemos(): Unit = {
+    // FIRST: drop the MV serve-plan construction memo — its keys are
+    // version-pin tuples that an identical fixture rebuild reproduces,
+    // so entries surviving the teardowns below would serve plans over
+    // the previous build's deleted data files (10 cold-pass errors in
+    // the round-14 gate before this).
+    graft.lake.MatView.invalidatePlanMemo()
     graft.ext.Dedup.invalidateMemos()
     graft.lake.LakeQueries.invalidateHistory()
     graft.lake.LakeQueries.invalidateMvHistory()

@@ -313,6 +313,7 @@ object MatView {
     val agg = src.groupBy(groupCols.map(col): _*)
       .agg(registerAggs(sumCols).head, registerAggs(sumCols).tail: _*)
     graft.Scratch.rm(new java.io.File(mvDir))
+    invalidatePlanMemoFor(mvDir)
     createViewTable(spark, agg, mvDir, groupCols)
     // group columns must be NULL-FREE (the doc'd contract): the lake
     // key machinery and the refresh merge key on them. Checked against
@@ -1045,6 +1046,29 @@ object MatView {
   private val starPlanMemo =
     new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true)
   private val StarPlanMemoMax = 16
+
+  /** Drop every memoized serve plan. MUST run whenever a fixture
+    * teardown deletes table directories that may be rebuilt at the
+    * SAME paths with the SAME versions (Bench's cold-accounting pass,
+    * [[graft.SparkEntry.invalidateMemos]]): the memo key is the
+    * version-pin tuple, which an identical rebuild reproduces exactly,
+    * so a surviving entry would serve a plan whose analyzed file list
+    * names the PREVIOUS build's (deleted) data files. */
+  private[graft] def invalidatePlanMemo(): Unit =
+    starPlanMemo.synchronized { starPlanMemo.clear() }
+
+  /** Drop the memoized serve plans of ONE view directory. Runs in
+    * [[defineImpl]], which deletes and rebuilds the view (and aux)
+    * table in place: the rebuild reproduces the same version pins —
+    * and therefore the same memo keys — over fresh data-file UUIDs,
+    * so surviving entries would execute over the deleted files
+    * (observed as the bench's flaky pass-then-fail on
+    * `x6_stream_mv`, whose min-of-2 second run re-defines the view). */
+  private def invalidatePlanMemoFor(mvDir: String): Unit =
+    starPlanMemo.synchronized {
+      val it = starPlanMemo.keySet().iterator()
+      while (it.hasNext) if (it.next().contains(mvDir)) it.remove()
+    }
 
   private def planMemo(key: String)(mk: => DataFrame): DataFrame =
     starPlanMemo.synchronized {
