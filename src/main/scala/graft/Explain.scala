@@ -8,7 +8,16 @@ import org.apache.spark.sql.SparkSession
   * WholeStageCodegen coverage. */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = Graft.builder("local[4]", 4)
+    // honor the bench contract's env knobs so a dumped plan matches
+    // what Bench actually executes (sf, core count, shuffle width) —
+    // defaults keep the original quick-look behavior
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(8, cpus).toString).toInt
+    val spark = Graft.builder(s"local[$cpus]", shuffle)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -19,7 +28,7 @@ object Explain {
         "x6_range_join", "q3_shipping_priority", "x8_merge_upsert")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").explain("formatted")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

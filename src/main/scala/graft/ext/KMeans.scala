@@ -39,18 +39,28 @@ object KMeans {
 
   private val QuantExpr =
     "transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))"
-  private val DistExpr =
-    "aggregate(zip_with(iv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+  // round 14 (guide: expressions & codegen): the squared-L2 was
+  // `aggregate(zip_with(iv, cv, (a,b) -> (a-b)*(a-b)), 0L, …)` —
+  // interpreted lambdas plus a zipped-array allocation per (point ×
+  // centroid) row, the hot loop of every iteration. vec_l2q is the
+  // same integer arithmetic in one codegen'd primitive loop
+  // (graft.functions.QuantizedL2) — bit-identical results.
+  private def distCol: org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.vec_l2q(col("iv"), col("cv"))
 
   def kmeansLloyd(spark: SparkSession, sfDir: String): DataFrame = {
+    // lazy local checkpoint (the PageRank edge-frame device): pts feeds
+    // every iteration's assignment plus the final one — 4 subtrees that
+    // would each re-run the interpreted quantization transform
     val pts = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), expr(QuantExpr).as("iv"))
+      .localCheckpoint(eager = false)
     var cent = pts.filter(col("vec_id") < K)
       .select(col("vec_id").as("j"), col("iv").as("cv"))
 
     for (_ <- 1 to Iters) {
       val assigned = pts.crossJoin(broadcast(cent))
-        .withColumn("dist", expr(DistExpr))
+        .withColumn("dist", distCol)
         .groupBy(col("vec_id"))
         .agg(expr("min_by(struct(j, iv), struct(dist, j))").as("m"))
         .select(col("m.j").as("j"), col("m.iv").as("iv"))
@@ -64,7 +74,7 @@ object KMeans {
     }
 
     pts.crossJoin(broadcast(cent))
-      .withColumn("dist", expr(DistExpr))
+      .withColumn("dist", distCol)
       .groupBy(col("vec_id"))
       .agg(expr("min_by(struct(j, dist), struct(dist, j))").as("m"))
       .select(col("vec_id"), col("m.j").as("j"), col("m.dist").as("dist"))

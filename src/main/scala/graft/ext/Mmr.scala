@@ -38,12 +38,12 @@ object Mmr {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000) as bigint))").as("iv"))
-      .withColumn("n2", expr("aggregate(transform(iv, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("n2", graft.functions.VectorFunctions.vec_ldot(col("iv"), col("iv"))) // codegen self-dot (round 14)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("iv").as("q_iv"), col("n2").as("q_n2"))
     val cand = e.filter(col("vec_id") > 0)
       .crossJoin(broadcast(probe))
-      .withColumn("dot", expr("aggregate(zip_with(iv, q_iv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", graft.functions.VectorFunctions.vec_ldot(col("iv"), col("q_iv"))) // codegen dot (round 14)
       .withColumn("rel", col("dot").cast("double") /
         (sqrt(col("q_n2").cast("double")) * sqrt(col("n2").cast("double"))))
       .orderBy(col("rel").desc, col("vec_id")).limit(PoolK)
@@ -53,7 +53,7 @@ object Mmr {
     val simMatrix = cand.select(col("vec_id").as("a"), col("iv").as("a_iv"), col("n2").as("a_n2"))
       .crossJoin(cand.select(col("vec_id").as("b"), col("iv").as("b_iv"), col("n2").as("b_n2")))
       .filter(col("a") =!= col("b"))
-      .withColumn("dot", expr("aggregate(zip_with(a_iv, b_iv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", graft.functions.VectorFunctions.vec_ldot(col("a_iv"), col("b_iv"))) // codegen dot (round 14)
       .select(col("a"), col("b"), (col("dot").cast("double") /
         (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))).as("sim"))
 

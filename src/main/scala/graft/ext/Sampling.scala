@@ -256,6 +256,11 @@ object Sampling {
       .withColumn("cum", sum(col("toks")).over(w))
       .withColumn("shard", expr(s"(cum - toks) div $budget"))
       .select(col("doc_id"), col("source"), col("shard"), col("toks"))
+      // NOTE (round-14 audit): a repartition(source, shard) before this
+      // write was tried and reverted — the window above already
+      // clusters each source into one task, so every (source, shard)
+      // directory gets exactly one file either way (measured: 100 files
+      // at sf0.1 both ways); the extra exchange bought nothing.
       .write.partitionBy("source", "shard").mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
       .groupBy(col("source"), col("shard").cast("long").as("shard"))
@@ -583,7 +588,7 @@ object Sampling {
       .withColumn("n2c", expr("aggregate(cv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
     val scored = e.join(broadcast(cent), "cell")
       .withColumn("dot",
-        expr("aggregate(zip_with(iv, cv, (x, y) -> x * y), cast(0 as bigint), (acc, x) -> acc + x)"))
+        graft.functions.VectorFunctions.vec_ldot(col("iv"), col("cv"))) // codegen dot (round 14)
       .withColumn("proto_sim", col("dot").cast("double") /
         (sqrt(col("n2").cast("double")) * sqrt(col("n2c").cast("double"))))
     val w = Window.partitionBy(col("cell")).orderBy(col("proto_sim").desc, col("vec_id"))

@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("vec_sq8dot", "vec_sq8dot(a, b) - integer dot product of int8-clamped quantized float arrays"),
       (exprs: Seq[Expression]) => Sq8Dot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_l2q"),
+      info("vec_l2q", "vec_l2q(a, b) - integer squared L2 distance of pre-quantized bigint arrays"),
+      (exprs: Seq[Expression]) => QuantizedL2(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_ldot"),
+      info("vec_ldot", "vec_ldot(a, b) - integer dot product of pre-quantized bigint arrays"),
+      (exprs: Seq[Expression]) => LongDot(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))

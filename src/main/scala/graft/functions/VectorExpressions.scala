@@ -170,6 +170,108 @@ case class Sq8Dot(left: Expression, right: Expression) extends VectorBinaryExpre
     copy(left = l, right = r)
 }
 
+/** Base for expressions over PRE-QUANTIZED vectors (array<bigint> —
+  * the repo-standard round(x·1e7) integer form the oracled queries
+  * compare in). Same contract as [[VectorBinaryExpression]], long
+  * element type. */
+abstract class LongVectorBinaryExpression extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
+
+/** Σ(aᵢ−bᵢ)² over array<bigint> — the integer squared-L2 the k-means /
+  * similarity hot loops score with. Replaces
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0L, …)`, which
+  * allocates the zipped array and walks interpreted lambdas per row;
+  * this is one codegen'd primitive loop (identical integer results —
+  * same order, same arithmetic). */
+case class QuantizedL2(left: Expression, right: Expression) extends LongVectorBinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_l2q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ aᵢ·bᵢ over array<bigint> — integer dot of pre-quantized vectors
+  * (self-dot gives the squared norm). Same replacement rationale as
+  * [[QuantizedL2]]. */
+case class LongDot(left: Expression, right: Expression) extends LongVectorBinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_ldot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** Column API. */
   def vec_dot(a: Column, b: Column): Column =
@@ -178,6 +280,10 @@ object VectorFunctions {
     Bridge.column(QuantizedDot(Bridge.expression(a), Bridge.expression(b)))
   def vec_sq8dot(a: Column, b: Column): Column =
     Bridge.column(Sq8Dot(Bridge.expression(a), Bridge.expression(b)))
+  def vec_l2q(a: Column, b: Column): Column =
+    Bridge.column(QuantizedL2(Bridge.expression(a), Bridge.expression(b)))
+  def vec_ldot(a: Column, b: Column): Column =
+    Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration (also injectable via SparkSessionExtensions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -187,5 +293,9 @@ object VectorFunctions {
       "vec_qdot", exprs => QuantizedDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_sq8dot", exprs => Sq8Dot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2q", exprs => QuantizedL2(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_ldot", exprs => LongDot(exprs.head, exprs(1)), "built-in")
   }
 }

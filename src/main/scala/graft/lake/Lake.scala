@@ -899,6 +899,11 @@ object Lake {
       // ([[graft.sources.GraftBucketFunction]]) recomputes the same id
       case Some(n) => df.repartition(n, col(keyCols(key).head))
         .sortWithinPartitions(cluster: _*)
+      // (round-14 audit: a repartition(1) special case for single-file
+      // writes was considered and dropped — RangePartitioner already
+      // short-circuits sampling at partitions <= 1, so there is no
+      // sampling job to save there; multi-file writes keep the range
+      // layout because file pruning depends on it.)
       case None => df.repartitionByRange(math.max(targetFiles, 1), cluster: _*)
         .sortWithinPartitions(cluster: _*)
     }

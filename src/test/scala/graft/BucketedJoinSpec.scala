@@ -75,10 +75,15 @@ class BucketedJoinSpec extends AnyFunSuite {
     }.get
     assert(scanDesc.bucketedScan || scanDesc.relation.bucketSpec.nonEmpty,
       "index table must carry its bucket spec")
-    // consume phase: the registered incremental query. AQE is on in
-    // this session's default? — assert on the pre-execution sparkPlan,
-    // which is concrete (no AdaptiveSparkPlanExec wrapper there).
-    val df = graft.ext.Dedup.sketchTableDedup(spark, sf)
+    // consume phase: the candidate stage of the registered incremental
+    // query — since round 14 the verify stage lazily checkpoints its
+    // candidate input (one banding materialization instead of three),
+    // so the registered query's TOP plan shows the candidates as an
+    // ExistingRDD scan; the bucketed join is asserted on the plan that
+    // computes it (and executes verbatim through the checkpoint).
+    // Assert on the pre-execution sparkPlan, which is concrete (no
+    // AdaptiveSparkPlanExec wrapper there).
+    val df = graft.ext.Dedup.sketchTableCandidates(spark, sf)
     val plan = df.queryExecution.sparkPlan
     // locate every join whose one side scans the persisted table, and
     // assert that side has NO shuffle exchange between scan and join:
@@ -98,7 +103,8 @@ class BucketedJoinSpec extends AnyFunSuite {
         s"bucketed side must not shuffle (layout IS the partitioning):\n$side")
     }
     // and the lifecycle's answer equals the recompute-everything form
-    val viaTable = df.collect().map(_.toSeq).toSeq
+    val viaTable = graft.ext.Dedup.sketchTableDedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
     val viaRecompute = graft.ext.Dedup.minhashDeltaDedup(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(viaTable === viaRecompute,
